@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: compare Verify output
+parquet against the DuckDB oracle SQL, per query.
+
+Usage: python3 scripts/selfcheck.py [sfDir] [verifyOutDir]
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    return sorted(out, key=lambda t: tuple(
+        (x is None, str(type(x)), str(x)) for x in t)), [cols[i] for i in order]
+
+
+def eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        if isinstance(a, float) and isinstance(b, float):
+            if math.isnan(a) and math.isnan(b):
+                return True
+            return a == b  # exact: our queries are engineered bit-identical
+        return float(a) == float(b)
+    return a == b
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    results = {}
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        spark_glob = os.path.join(out_dir, name, "*.parquet")
+        try:
+            sr = con.execute(f"SELECT * FROM '{spark_glob}'")
+            s_cols = [c[0] for c in sr.description]
+            s_rows = sr.fetchall()
+        except Exception as e:
+            results[name] = f"SPARK-READ-FAIL {e}"
+            continue
+        if name not in oracles:
+            results[name] = f"rows-only ({len(s_rows)} rows)"
+            continue
+        try:
+            orr = con.execute(oracles[name])
+            o_cols = [c[0] for c in orr.description]
+            o_rows = orr.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE-FAIL {e}"
+            continue
+        s_canon, s_c = canon(s_rows, s_cols)
+        o_canon, o_c = canon(o_rows, o_cols)
+        if s_c != o_c:
+            results[name] = f"SCHEMA-MISMATCH spark={s_c} oracle={o_c}"
+            continue
+        if len(s_canon) != len(o_canon):
+            results[name] = f"ROWCOUNT-MISMATCH spark={len(s_canon)} oracle={len(o_canon)}"
+            continue
+        bad = None
+        for i, (srow, orow) in enumerate(zip(s_canon, o_canon)):
+            if not all(eq(a, b) for a, b in zip(srow, orow)):
+                bad = (i, srow, orow)
+                break
+        results[name] = "OK" if bad is None else f"VALUE-MISMATCH row{bad[0]} spark={bad[1]} oracle={bad[2]}"
+    n_ok = sum(1 for v in results.values()
+               if v == "OK" or v.startswith("rows-only"))
+    for k in sorted(results):
+        flag = "PASS" if (results[k] == "OK" or results[k].startswith("rows-only")) else "FAIL"
+        print(f"[{flag}] {k}: {results[k]}")
+    print(f"== {n_ok}/{len(results)} pass ==")
+    sys.exit(0 if n_ok == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()

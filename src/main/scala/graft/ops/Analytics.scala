@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.Tables
+
+/** Core analytic query surface (SURVEY.md §2.2).
+  *
+  * All money/quantity aggregations cast to DECIMAL *before* aggregating:
+  * decimal addition is exact and associative, so the distributed Spark sum
+  * and the sequential DuckDB oracle sum agree bit-for-bit after the final
+  * cast to DOUBLE. Ratios are computed as divisions of already-exact
+  * doubles. Every query output carries a deterministic ORDER BY.
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+  private def d(c: Column): Column = c.cast(DoubleType)
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** exact per-row revenue term: extendedprice * (1 - discount), DECIMAL */
+  private def discPrice: Column =
+    dec(col("l_extendedprice"), 12, 2) * dec(lit(1.0) - col("l_discount"), 3, 2)
+
+  // --- q01: pricing summary (filter + groupBy + exact decimal aggs) -------
+  def q01(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= ts("2000-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        d(sum(dec(col("l_quantity"), 12, 2))).as("sum_qty"),
+        d(sum(dec(col("l_extendedprice"), 12, 2))).as("sum_base_price"),
+        d(sum(discPrice)).as("sum_disc_price"),
+        d(sum(discPrice * dec(lit(1.0) + col("l_tax"), 3, 2))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge", "avg_qty", "count_order")
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // --- q03: shipping priority (3-way join + agg + top-k) ------------------
+  def q03(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables(spark, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
+    val l = Tables(spark, dir, "lineitem").filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(d(sum(discPrice)).as("revenue"))
+      .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // --- q05: local supplier volume (6-way star join, broadcast dims) -------
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables(spark, dir, "nation")
+    val s = Tables(spark, dir, "supplier")
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    val l = Tables(spark, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(d(sum(discPrice)).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // --- q06: forecast revenue (selective filter + global agg) --------------
+  def q06(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(d(sum(dec(col("l_extendedprice"), 12, 2) * dec(col("l_discount"), 3, 2)))
+        .as("revenue"))
+
+  // --- top-k per group (window rank) ---------------------------------------
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rnk")
+  }
+
+  // --- distinct aggregation -------------------------------------------------
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  // --- rollup ---------------------------------------------------------------
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(d(sum(dec(col("l_quantity"), 12, 2))).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("rflag", "lstatus")
+
+  // --- tumbling-window aggregation over events -------------------------------
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), d(sum(dec(col("value"), 18, 6))).as("sum_value"))
+      .orderBy("day", "event_type")
+
+  // --- sessionization: gaps-and-islands, 30-minute inactivity gap -----------
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lagT = lag(unix_micros(col("ts")), 1).over(w)
+    Tables(spark, dir, "events")
+      .withColumn("new_s",
+        when(lagT.isNull || unix_micros(col("ts")) - lagT > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01,
+    "q03_shipping_priority" -> q03,
+    "q05_local_supplier" -> q05,
+    "q06_forecast_revenue" -> q06,
+    "q_topk_per_group" -> topkPerGroup,
+    "q_distinct_agg" -> distinctAgg,
+    "q_rollup" -> rollupAgg,
+    "q_events_window" -> eventsWindow,
+    "q_sessionize" -> sessionize)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(3,2)) * CAST(1 + l_tax AS DECIMAL(3,2))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_shipping_priority" ->
+      """SELECT o_orderkey,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q05_local_supplier" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        | AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        | AND r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q06_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag, COALESCE(l_linestatus, 'ALL') AS lstatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "q_events_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** As-of join: for each left row, attach the most recent right row with
+  * right.time <= left.time for the same key.
+  *
+  * Spark has no native ASOF JOIN (DuckDB does — used as the oracle). The
+  * scale-friendly composition is a single union + one shuffle on the key:
+  * tag both sides, sort within each key partition by (time, side) and
+  * carry the last non-null right value forward with a running window.
+  * No O(n·m) join blow-up, no range-join fallback; wall-clock is one
+  * shuffle + one in-partition sort — survives 100× data growth as long as
+  * single keys fit a partition (salt-by-time-range would be the next step
+  * for pathological single-key skew).
+  */
+object AsOfJoin {
+
+  /** Generic as-of: returns `left` columns + `valueCol`'s as-of value. */
+  def asOf(left: DataFrame, leftKey: Column, leftTime: Column,
+           right: DataFrame, rightKey: Column, rightTime: Column,
+           valueCol: Column, valueName: String): DataFrame = {
+    val rowType = left.select(struct(left.columns.map(col): _*).as("_row")).schema.head.dataType
+    val vType = right.select(valueCol.as("_v")).schema.head.dataType
+    val l = left.select(leftKey.as("_k"), leftTime.as("_t"), lit(1).as("_side"),
+      struct(left.columns.map(col): _*).as("_row"), lit(null).cast(vType).as("_v"))
+    val r = right.select(rightKey.as("_k"), rightTime.as("_t"), lit(0).as("_side"),
+      lit(null).cast(rowType).as("_row"), valueCol.as("_v"))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_v"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("_row.*"), col("_asof").as(valueName))
+  }
+
+  /** queries-entry shape: latest order date at-or-before each event, per user. */
+  def eventsAsOfOrders(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events").select("event_id", "user_id", "ts")
+    val orders = Tables(spark, dir, "orders")
+    asOf(events, col("user_id"), col("ts"),
+      orders, col("o_custkey"), col("o_orderdate"),
+      col("o_orderdate"), "last_order_date")
+      .select("event_id", "user_id", "last_order_date")
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_asof_join" -> eventsAsOfOrders)
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin)
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Similarity search over the embeddings table (SURVEY.md §2.3).
+  *
+  * Brute-force cosine is the correctness baseline (and the oracle target);
+  * the random-hyperplane LSH variant is the 100 TB path: bucketing turns the
+  * all-pairs product into an equi-join on a short signature, then only
+  * bucket-mates are re-ranked exactly.
+  *
+  * Cosine is computed in DOUBLE with a strictly sequential index-order fold
+  * (`aggregate(zip_with(...))`) so Spark and the DuckDB oracle produce
+  * bit-identical values.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dim = 64
+
+  private def vdouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), vdouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** all pairs with cosine >= tau (brute-force; candidate-join variants for
+    * scale live in Dedup/ann-LSH) */
+  def cosinePairs(emb: DataFrame, tau: Double): DataFrame = {
+    val e = withNorm(emb)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .select("a_id", "b_id")
+  }
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    cosinePairs(Tables(spark, dir, "embeddings"), 0.45).orderBy("a_id", "b_id")
+
+  /** brute-force cosine top-k neighbors for query vectors (vec_id < 10) */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables(spark, dir, "embeddings"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "n_id")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Random-hyperplane LSH, multi-table: L independent tables of P seeded
+    * planes each. A vector lands in one bucket per table (sign-bit
+    * signature); candidate neighbors are the union of the query's bucket
+    * mates across tables, then re-ranked exactly. Miss probability per
+    * neighbor is (1 - p^P)^L with p = 1 - theta/pi, so recall is tuned by
+    * (L, P) against data density — here 16x3 for weakly-clustered data.
+    * Candidate generation is an equi-join on (table, bucket): linear-ish,
+    * no cross join, the 100 TB path. Approximate by construction —
+    * validated by a recall spec, not an oracle. */
+  val LshTables = 16
+  val LshPlanes = 3
+
+  private def planes(seed: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed.toLong)
+    Array.fill(LshPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** adds `tbl` + `bucket` columns, one row per (vector, table) */
+  def lshSignature(e: DataFrame): DataFrame = {
+    val sigs: Column = array((0 until LshTables).map { t =>
+      val ps = planes(42 + t)
+      val bits = ps.zipWithIndex.map { case (p, i) =>
+        val proj = dot(col("v"), array(p.map(lit(_)): _*))
+        when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bits.as("bucket"))
+    }: _*)
+    e.select(col("*"), explode(sigs).as("sig"))
+      .select(col("*"), col("sig.tbl").as("tbl"), col("sig.bucket").as("bucket"))
+      .drop("sig")
+  }
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = lshSignature(withNorm(Tables(spark, dir, "embeddings")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("tbl"), col("bucket"))
+    val cand = q.join(e, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("qn"),
+        col("vec_id").as("n_id"), col("v"), col("nrm"))
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cand
+      .select(col("q_id"), col("n_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "n_id")
+      .orderBy("q_id", "rnk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_embedding" -> dedupEmbedding,
+    "q_ann_topk" -> annTopK,
+    "q_ann_lsh" -> annLsh)
+
+  private val cosExpr =
+    """list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      | / (a.nrm * b.nrm)""".stripMargin.replace("\n", "")
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_embedding" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), en AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) AS nrm
+         |  FROM e
+         |)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |FROM en a JOIN en b ON a.vec_id < b.vec_id
+         |WHERE $cosExpr >= 0.45
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q_ann_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), en AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) AS nrm
+         |  FROM e
+         |), scored AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, $cosExpr AS cos
+         |  FROM en a JOIN en b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+         |)
+         |SELECT q_id, rnk, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored) t
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)
+}

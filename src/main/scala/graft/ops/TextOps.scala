@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY.md §2.3):
+  * token counting, quality scoring, language ID, document fingerprinting.
+  * Everything is a codegen'd built-in-function pipeline — no UDFs — so the
+  * whole stage fuses into one pass over the documents table.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** BPE-ish pre-tokenizer: letter runs | digit runs | single symbol. */
+  val SubtokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  private def words(c: Column): Column = split(c, " ")
+
+  private def countIn(c: Column, markers: Seq[String]): Column = {
+    val pred = markers.map(m => s"w = '$m'").mkString(" OR ")
+    expr(s"size(filter(split(text, ' '), w -> $pred))").cast(LongType)
+  }
+
+  // --- token counting --------------------------------------------------------
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).cast(LongType).as("n_tokens"),
+        regexp_count(col("text"), lit(SubtokenRegex)).cast(LongType).as("n_subtokens"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      .orderBy("doc_id")
+
+  // --- quality scoring -------------------------------------------------------
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is")
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        size(words(col("text"))).cast(LongType).as("n_words"),
+        countIn(col("text"), stop).as("n_stopwords"),
+        regexp_count(col("text"), lit("[.,!?;:]")).cast(LongType).as("n_punct"))
+      .withColumn("mean_word_len",
+        (col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("stopword_ratio", col("n_stopwords").cast("double") / col("n_words"))
+      .orderBy("doc_id")
+  }
+
+  // --- language identification (marker-token heuristic) ----------------------
+  // argmax over marker counts; ties resolve to the lexicographically greatest
+  // language code via the zero-padded count||code "greatest" trick, which both
+  // engines evaluate identically.
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Seq(
+      "de" -> Seq("der", "die", "und", "nicht"),
+      "en" -> Seq("the", "a", "and", "is"),
+      "es" -> Seq("el", "los", "y", "que"),
+      "fr" -> Seq("le", "la", "et", "les"),
+      "zh" -> Seq("的", "是"))
+    val tagged = markers.map { case (code, ws) =>
+      concat(lpad(countIn(col("text"), ws).cast("string"), 10, "0"), lit(code))
+    }
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), substring(greatest(tagged: _*), 11, 2).as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  // --- document fingerprint ---------------------------------------------------
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(lower(col("text")).cast("binary")).as("fp"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "q_token_count" -> tokenCount,
+    "q_text_quality" -> quality,
+    "q_text_langid" -> langid,
+    "q_fingerprint" -> fingerprint)
+
+  private def sqlCountIn(markers: Seq[String]): String = {
+    val pred = markers.map(m => s"w = '$m'").mkString(" OR ")
+    s"len(list_filter(string_split(text, ' '), w -> $pred))"
+  }
+
+  private def sqlLangTag(code: String, markers: Seq[String]): String =
+    s"lpad(CAST(${sqlCountIn(markers)} AS VARCHAR), 10, '0') || '$code'"
+
+  val oracles: Map[String, String] = Map(
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subtokens,
+         | CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id, n_chars, n_words, n_stopwords, n_punct,
+         | CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len,
+         | CAST(n_stopwords AS DOUBLE) / n_words AS stopword_ratio
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(${sqlCountIn(Seq("the", "a", "and", "of", "to", "in", "is"))} AS BIGINT) AS n_stopwords,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      s"""SELECT doc_id, substr(greatest(
+         | ${sqlLangTag("de", Seq("der", "die", "und", "nicht"))},
+         | ${sqlLangTag("en", Seq("the", "a", "and", "is"))},
+         | ${sqlLangTag("es", Seq("el", "los", "y", "que"))},
+         | ${sqlLangTag("fr", Seq("le", "la", "et", "les"))},
+         | ${sqlLangTag("zh", Seq("的", "是"))}), 11, 2) AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""")
+}

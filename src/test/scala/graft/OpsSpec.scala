@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Sanity specs for the analytics + LLM-pipeline operator surface.
+  * Exact value parity with the DuckDB oracle is checked by the driver's
+  * correctness gate (and scripts/selfcheck.py); these specs pin structural
+  * properties and the non-oracled approximate operators.
+  */
+class OpsSpec extends SparkSpec {
+
+  test("every registered query runs and every oracled query is registered") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle without query: $k"))
+  }
+
+  test("q01 groups by returnflag/linestatus with positive sums") {
+    val rows = Analytics.q01(spark, sf).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Long]("count_order") > 0)
+    }
+  }
+
+  test("q03 returns at most 10 rows ordered by revenue desc") {
+    val rows = Analytics.q03(spark, sf).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("sessionize: session bounds ordered, counts positive") {
+    val rows = Analytics.sessionize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getAs[java.sql.Timestamp]("session_start")
+        .after(r.getAs[java.sql.Timestamp]("session_end")))
+      assert(r.getAs[Long]("n_events") > 0)
+    }
+  }
+
+  test("asof join: every matched order date <= event ts") {
+    val df = AsOfJoin.eventsAsOfOrders(spark, sf)
+    val bad = df.join(Tables(spark, sf, "events").select("event_id", "ts"), "event_id")
+      .filter(col("last_order_date") > col("ts")).count()
+    assert(bad == 0)
+  }
+
+  test("minhash candidates contain all true jaccard>=0.9 pairs (planted dups)") {
+    val docs = Tables(spark, sf01, "documents")
+    val truth = Dedup.jaccardPairs(docs, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "expected planted near-duplicates at sf0.01")
+    val cand = Dedup.minhashCandidates(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(cand), s"missing: ${truth.diff(cand)}")
+  }
+
+  test("simhash detects planted near-dup pairs") {
+    val docs = Tables(spark, sf01, "documents")
+    val truth = Dedup.jaccardPairs(docs, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhash(spark, sf01).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(sim).size.toDouble / truth.size
+    assert(recall >= 0.9, s"simhash recall $recall")
+  }
+
+  test("ann lsh achieves reasonable recall vs brute force") {
+    val exact = Similarity.annTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.annLsh(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"lsh recall $recall below target for 16x3 tables")
+  }
+
+  test("langid emits a prediction for every doc") {
+    val n = Tables(spark, sf, "documents").count()
+    assert(TextOps.langid(spark, sf).count() == n)
+  }
+}
