@@ -1,0 +1,453 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.table._
+
+/** Driver-contract queries for the graft table format (SURVEY.md §2.1).
+  *
+  * Each query builds a scratch graft table from the driver's parquet
+  * testdata, exercises one table-format capability, and reads back a
+  * deterministic result whose DuckDB oracle is plain SQL over the ORIGINAL
+  * tables — so the whole write→commit→scan→(delete/update/evolve)→read
+  * cycle is value-checked end to end, not just "ran".
+  */
+object GraftOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def scratch(): String =
+    Files.createTempDirectory("graft-q").resolve("t").toString
+
+  private def d(c: Column): Column = c.cast("double")
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  private val ordersDdl =
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, " +
+      "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+
+  private def mkOrders(spark: SparkSession, dir: String,
+      partitionBy: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): GraftTable =
+    GraftTable.create(spark, scratch(), ordersDdl, partitionBy, props)
+
+  private def orders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+
+  /** standard readback aggregation: per-status counts + exact decimal sum */
+  private def aggByStatus(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), d(sum(dec(col("o_totalprice")))).as("sum_total"))
+      .orderBy("o_orderstatus")
+
+  private val aggByStatusSql =
+    "SELECT o_orderstatus, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total " +
+      "FROM %SRC% GROUP BY o_orderstatus ORDER BY o_orderstatus"
+
+  // --- #1 table creation ----------------------------------------------------
+  def tableCreate(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, scratch(),
+      "n_nationkey bigint, n_name string, n_regionkey bigint")
+    t.append(Tables(spark, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"))
+    t.scan().orderBy("n_nationkey")
+  }
+
+  // --- #2 read with filter + projection (pushdown / pruning path) ----------
+  def readFilterProject(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    t.append(orders(spark, dir))
+    t.scan(filter = Some("o_totalprice > 150000.0 and o_orderstatus = 'O'"))
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  // --- #3 insert: two appends, snapshot chain -------------------------------
+  def writeInsert(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    val o = orders(spark, dir)
+    t.append(o.filter(col("o_orderkey") % 3 === 0))
+    t.append(o.filter(col("o_orderkey") % 3 === 1))
+    aggByStatus(t.scan())
+  }
+
+  // --- #4 merge upsert (CoW, file-scoped) -----------------------------------
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    val o = orders(spark, dir)
+    t.append(o.filter(col("o_orderkey") % 2 === 0))
+    val src = o.filter(col("o_orderkey") % 4 === 1 || col("o_orderkey") % 4 === 2)
+      .select(col("o_orderkey").as("k"), col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice") + 1000.0).as("newprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    t.merge(src, on = "t.o_orderkey = s.k",
+      matchedSet = Map("o_totalprice" -> "s.newprice"),
+      insertValues = Some(Map(
+        "o_orderkey" -> "s.k", "o_custkey" -> "s.o_custkey",
+        "o_orderstatus" -> "s.o_orderstatus", "o_totalprice" -> "s.newprice",
+        "o_orderdate" -> "s.o_orderdate", "o_orderpriority" -> "s.o_orderpriority")))
+    t.scan().groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), d(sum(dec(col("o_totalprice")))).as("sum_total"))
+      .orderBy("o_orderpriority")
+  }
+
+  // --- #5 positional delete (merge-on-read) ---------------------------------
+  def deletePositional(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    t.append(orders(spark, dir))
+    t.delete("o_orderstatus = 'F'", WriteMode.MergeOnRead)
+    t.scan().groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), d(sum(dec(col("o_totalprice")))).as("sum_total"))
+      .orderBy("o_orderpriority")
+  }
+
+  // --- #6 equality delete: applies only to older rows -----------------------
+  def deleteEquality(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    val o = orders(spark, dir)
+    t.append(o)
+    t.deleteByKeys(o.select("o_custkey").filter(col("o_custkey") < 50).distinct())
+    // rows with the SAME keys inserted after the delete must survive
+    t.append(o.filter(col("o_custkey") < 50 && col("o_orderkey") % 5 === 0))
+    aggByStatus(t.scan())
+  }
+
+  // --- #7 update merge-on-read ----------------------------------------------
+  def updateMor(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    t.append(orders(spark, dir))
+    t.update("o_orderstatus = 'O'", Map("o_totalprice" -> "o_totalprice + 10.0"),
+      WriteMode.MergeOnRead)
+    aggByStatus(t.scan())
+  }
+
+  // --- #8 update copy-on-write ----------------------------------------------
+  def updateCow(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    t.append(orders(spark, dir))
+    t.update("o_orderpriority = '1-URGENT'", Map("o_totalprice" -> "o_totalprice + 10.0"),
+      WriteMode.CopyOnWrite)
+    t.scan().groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), d(sum(dec(col("o_totalprice")))).as("sum_total"))
+      .orderBy("o_orderpriority")
+  }
+
+  // --- #9 deletion vectors (v3): two DV commits, vectors merge --------------
+  def deleteDv(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    t.append(orders(spark, dir))
+    t.delete("o_orderkey % 7 = 0", WriteMode.DeletionVector)
+    t.delete("o_orderkey % 11 = 0", WriteMode.DeletionVector)
+    aggByStatus(t.scan())
+  }
+
+  // --- #10 schema evolution: add/rename/drop/promote, metadata-only --------
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, scratch(),
+      "p_partkey bigint, p_name string, p_type string, p_size int, p_retailprice double")
+    val p = Tables(spark, dir, "part")
+    t.append(p.filter(col("p_partkey") % 2 === 0)
+      .select("p_partkey", "p_name", "p_type", "p_size", "p_retailprice"))
+    t.renameColumn("p_retailprice", "price")
+    t.dropColumn("p_type")
+    t.addColumn("origin", "string", initialDefault = Some("'unknown'"))
+    t.promoteType("p_size", "bigint")
+    t.append(p.filter(col("p_partkey") % 2 === 1)
+      .select(col("p_partkey"), col("p_name"), col("p_size").cast("bigint"),
+        col("p_retailprice").as("price"), lit("new").as("origin")))
+    t.scan().select("p_partkey", "p_name", "p_size", "price", "origin")
+      .orderBy("p_partkey")
+  }
+
+  // --- #11 type promotion: int->bigint, float->double, no rewrite ----------
+  def typePromotion(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, scratch(), "k int, size int, price float")
+    val p = Tables(spark, dir, "part")
+    t.append(p.filter(col("p_partkey") % 2 === 0)
+      .select(col("p_partkey").cast("int").as("k"), col("p_size").as("size"),
+        col("p_retailprice").cast("float").as("price")))
+    t.promoteType("size", "bigint")
+    t.promoteType("price", "double")
+    t.append(p.filter(col("p_partkey") % 2 === 1)
+      .select(col("p_partkey").cast("int").as("k"), col("p_size").cast("bigint").as("size"),
+        col("p_retailprice").as("price")))
+    t.scan().select("k", "size", "price").orderBy("k")
+  }
+
+  // --- #12 column default values (v3) ---------------------------------------
+  def columnDefaults(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, scratch(), "o_orderkey bigint, o_totalprice double")
+    val o = orders(spark, dir)
+    t.append(o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_totalprice"))
+    t.addColumn("channel", "string", initialDefault = Some("'web'"))
+    t.append(o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("o_orderkey") % 3 === 0, "app").otherwise("store").as("channel")))
+    t.scan().groupBy(col("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("channel")
+  }
+
+  // --- #13 time travel -------------------------------------------------------
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    val o = orders(spark, dir)
+    val s1 = t.append(o.filter(col("o_orderkey") % 2 === 0))
+    t.append(o.filter(col("o_orderkey") % 2 === 1))
+    val v1 = t.scan(snapshotId = Some(s1.snapshotId))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"))
+      .withColumn("version", lit("v1"))
+    val v2 = t.scan()
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"))
+      .withColumn("version", lit("v2"))
+    v1.unionByName(v2).select("version", "n", "sum_keys").orderBy("version")
+  }
+
+  // --- #14 maintenance: compaction + snapshot expiry -------------------------
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    val o = orders(spark, dir)
+    (0 until 4).foreach(i => t.append(o.filter(col("o_orderkey") % 4 === i)))
+    t.delete("o_orderkey % 10 = 0", WriteMode.MergeOnRead)
+    t.compact()
+    t.expireSnapshots(System.currentTimeMillis() + 1000)
+    aggByStatus(t.scan())
+  }
+
+  // --- #15 branching & tagging ----------------------------------------------
+  def branchTag(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    val o = orders(spark, dir)
+    t.append(o.filter(col("o_orderkey") % 2 === 0))
+    t.createTag("v1")
+    t.createBranch("dev")
+    t.append(o.filter(col("o_orderkey") % 2 === 1), branch = "dev")
+    def one(ref: String) = t.scan(ref = Some(ref))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"))
+      .withColumn("ref", lit(ref))
+    one("dev").unionByName(one("main")).unionByName(one("v1"))
+      .select("ref", "n", "sum_keys").orderBy("ref")
+  }
+
+  // --- #16 hidden partitioning: day(ts), pruning exercised -------------------
+  def hiddenPartitioning(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, scratch(),
+      "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+      partitionBy = Seq("day(ts)"))
+    t.append(Tables(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value"))
+    t.scan(filter = Some(
+        "ts >= timestamp'2024-01-10 00:00:00' and ts < timestamp'2024-01-20 00:00:00'"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), d(sum(col("value").cast(DecimalType(18, 6)))).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  // --- #17 partition evolution ----------------------------------------------
+  def partitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    val o = orders(spark, dir)
+    t.append(o.filter(col("o_orderkey") % 2 === 0))
+    t.updateSpec(Seq(GraftTable.parseSpecField("bucket(4, o_custkey)", t.meta.currentSchema)))
+    t.append(o.filter(col("o_orderkey") % 2 === 1))
+    t.scan(filter = Some("o_custkey < 100"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("o_orderstatus")
+  }
+
+  // --- #18 multi-argument bucket transform (v3) ------------------------------
+  def multiargBucket(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir, partitionBy = Seq("bucket(8, o_custkey, o_orderkey)"))
+    t.append(orders(spark, dir))
+    t.scan(filter = Some("o_custkey < 25"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("o_custkey")
+  }
+
+  // --- #19 file statistics & manifest pruning --------------------------------
+  def statsPruning(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    val o = orders(spark, dir)
+    // range-sliced appends -> disjoint per-file min/max on o_orderkey
+    t.append(o.filter(col("o_orderkey") < 1000))
+    t.append(o.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 5000))
+    t.append(o.filter(col("o_orderkey") >= 5000 && col("o_orderkey") < 20000))
+    t.append(o.filter(col("o_orderkey") >= 20000))
+    t.scan(filter = Some("o_orderkey < 500"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("o_orderstatus")
+  }
+
+  // --- #20 parquet bloom filters via write options ---------------------------
+  def bloomFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, scratch(), ordersDdl, Nil,
+      // o_custkey is field id 2 -> physical column f2
+      Map("write.option.parquet.bloom.filter.enabled#f2" -> "true",
+        "write.option.parquet.bloom.filter.expected.ndv#f2" -> "20000"))
+    t.append(orders(spark, dir))
+    t.scan(filter = Some("o_custkey = 42"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  // --- #21 catalog operations ------------------------------------------------
+  def catalogOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createNamespace("db1")
+    cat.createNamespace("db2")
+    val t1 = cat.createTable("db1", "t1", "k bigint, v string")
+    t1.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    cat.createTable("db1", "tmp", "k bigint")
+    cat.createTable("db2", "t2", "k bigint")
+    cat.renameTable("db2", "t2", "t2b")
+    cat.dropTable("db1", "tmp")
+    val listing = for (ns <- cat.listNamespaces(); tb <- cat.listTables(ns))
+      yield (ns, tb)
+    val rows = listing.toDF("ns", "tbl")
+    val n1 = cat.loadTable("db1", "t1").scan().count()
+    rows.withColumn("rows_in_t1", lit(n1)).orderBy("ns", "tbl")
+  }
+
+  // --- registry --------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "q_table_create" -> tableCreate,
+    "q_read_filter_project" -> readFilterProject,
+    "q_write_insert" -> writeInsert,
+    "q_merge_upsert" -> mergeUpsert,
+    "q_delete_positional" -> deletePositional,
+    "q_delete_equality" -> deleteEquality,
+    "q_update_mor" -> updateMor,
+    "q_update_cow" -> updateCow,
+    "q_delete_dv" -> deleteDv,
+    "q_schema_evolution" -> schemaEvolution,
+    "q_type_promotion" -> typePromotion,
+    "q_column_defaults" -> columnDefaults,
+    "q_time_travel" -> timeTravel,
+    "q_compaction" -> compaction,
+    "q_branch_tag" -> branchTag,
+    "q_hidden_partitioning" -> hiddenPartitioning,
+    "q_partition_evolution" -> partitionEvolution,
+    "q_multiarg_bucket" -> multiargBucket,
+    "q_stats_pruning" -> statsPruning,
+    "q_bloom_filter" -> bloomFilter,
+    "q_catalog" -> catalogOps)
+
+  private val sumTotal =
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total"
+
+  val oracles: Map[String, String] = Map(
+    "q_table_create" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_read_filter_project" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_write_insert" ->
+      aggByStatusSql.replace("%SRC%",
+        "(SELECT * FROM orders WHERE o_orderkey % 3 IN (0, 1))"),
+    "q_merge_upsert" ->
+      s"""WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+         |src AS (
+         |  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+         |         o_totalprice + 1000.0 AS newprice, o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 4 IN (1, 2)),
+         |merged AS (
+         |  SELECT t.o_orderpriority,
+         |         CASE WHEN s.k IS NOT NULL THEN s.newprice ELSE t.o_totalprice END AS o_totalprice
+         |  FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.k
+         |  UNION ALL
+         |  SELECT s.o_orderpriority, s.newprice
+         |  FROM src s LEFT JOIN tgt t ON s.k = t.o_orderkey
+         |  WHERE t.o_orderkey IS NULL)
+         |SELECT o_orderpriority, COUNT(*) AS n, $sumTotal
+         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_delete_positional" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n, $sumTotal
+         |FROM orders WHERE o_orderstatus <> 'F'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_delete_equality" ->
+      aggByStatusSql.replace("%SRC%",
+        """(SELECT * FROM orders WHERE o_custkey >= 50
+          | UNION ALL
+          | SELECT * FROM orders WHERE o_custkey < 50 AND o_orderkey % 5 = 0)""".stripMargin),
+    "q_update_mor" ->
+      aggByStatusSql.replace("%SRC%",
+        """(SELECT o_orderstatus,
+          |   CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 10.0
+          |        ELSE o_totalprice END AS o_totalprice
+          | FROM orders)""".stripMargin),
+    "q_update_cow" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n, $sumTotal
+         |FROM (SELECT o_orderpriority,
+         |        CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 10.0
+         |             ELSE o_totalprice END AS o_totalprice
+         |      FROM orders) t
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_delete_dv" ->
+      aggByStatusSql.replace("%SRC%",
+        "(SELECT * FROM orders WHERE NOT (o_orderkey % 7 = 0 OR o_orderkey % 11 = 0))"),
+    "q_schema_evolution" ->
+      """SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size,
+        | p_retailprice AS price,
+        | CASE WHEN p_partkey % 2 = 0 THEN 'unknown' ELSE 'new' END AS origin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_type_promotion" ->
+      """SELECT CAST(p_partkey AS INT) AS k, CAST(p_size AS BIGINT) AS size,
+        | CASE WHEN p_partkey % 2 = 0 THEN CAST(CAST(p_retailprice AS REAL) AS DOUBLE)
+        |      ELSE p_retailprice END AS price
+        |FROM part ORDER BY k""".stripMargin,
+    "q_column_defaults" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'web'
+        |            WHEN o_orderkey % 3 = 0 THEN 'app' ELSE 'store' END AS channel,
+        | COUNT(*) AS n, SUM(o_orderkey) AS sum_keys
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_time_travel" ->
+      """SELECT 'v1' AS version, COUNT(*) AS n, SUM(o_orderkey) AS sum_keys
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'v2', COUNT(*), SUM(o_orderkey) FROM orders
+        |ORDER BY version""".stripMargin,
+    "q_compaction" ->
+      aggByStatusSql.replace("%SRC%",
+        "(SELECT * FROM orders WHERE o_orderkey % 10 <> 0)"),
+    "q_branch_tag" ->
+      """SELECT 'dev' AS ref, COUNT(*) AS n, SUM(o_orderkey) AS sum_keys FROM orders
+        |UNION ALL
+        |SELECT 'main', COUNT(*), SUM(o_orderkey) FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'v1', COUNT(*), SUM(o_orderkey) FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY ref""".stripMargin,
+    "q_hidden_partitioning" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_partition_evolution" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS sum_keys
+        |FROM orders WHERE o_custkey < 100
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_multiarg_bucket" ->
+      """SELECT o_custkey, COUNT(*) AS n, SUM(o_orderkey) AS sum_keys
+        |FROM orders WHERE o_custkey < 25
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_stats_pruning" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS sum_keys
+        |FROM orders WHERE o_orderkey < 500
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_bloom_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey = 42 ORDER BY o_orderkey""".stripMargin,
+    "q_catalog" ->
+      """SELECT * FROM (VALUES ('db1', 't1', 2), ('db2', 't2b', 2))
+        | AS t(ns, tbl, rows_in_t1) ORDER BY ns, tbl""".stripMargin)
+}

@@ -1,0 +1,681 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deletion vectors (v3): one bitmap of deleted row positions per data file.
+  * Encoding is a plain java.util.BitSet image — dense, trivially portable,
+  * and bounded by file row count (1M rows ≈ 125 KB worst case). At commit
+  * time vectors are built distributed (one group per target file). */
+object Dv {
+  def encode(positions: Iterator[Long]): Array[Byte] = {
+    val bs = new java.util.BitSet()
+    positions.foreach(p => bs.set(p.toInt))
+    bs.toByteArray
+  }
+  def decode(bytes: Array[Byte]): Array[Long] = {
+    val bs = java.util.BitSet.valueOf(bytes)
+    val out = mutable.ArrayBuffer[Long]()
+    var i = bs.nextSetBit(0)
+    while (i >= 0) { out += i.toLong; i = bs.nextSetBit(i + 1) }
+    out.toArray
+  }
+}
+
+object WriteMode extends Enumeration {
+  val CopyOnWrite, MergeOnRead, DeletionVector = Value
+}
+
+/** A graft-format table: Iceberg-equivalent semantics implemented directly
+  * on the public Spark DataFrame API (see SURVEY.md §2.1, §3, §4).
+  *
+  * Physical parquet columns are named by field id (`f<id>`), so
+  * rename/add/drop/promote are O(1) metadata commits. Data files carry
+  * their schemaId and specId; reads group files by schemaId, align each
+  * group to the presented schema (cast promotions, fill v3 defaults), and
+  * union — no rewrites on evolution. Merge-on-read deletes resolve with a
+  * broadcast anti-join on Spark's native `_metadata.file_path`/`row_index`.
+  */
+class GraftTable(val spark: SparkSession, val location: String) {
+
+  var meta: TableMeta = Meta.readJson(location)
+  private def refresh(): TableMeta = { meta = Meta.readJson(location); meta }
+
+  private def phys(f: FieldMeta): String = s"f${f.id}"
+  private def sparkType(ddl: String): DataType =
+    StructType.fromDDL(s"x $ddl").head.dataType
+  private def normPath(s: String): String = s.replaceFirst("^file:/+", "/")
+  private def normCol(c: Column): Column = regexp_replace(c, "^file:/+", "/")
+  private def abs(rel: String): String = s"$location/$rel"
+
+  // ==========================================================================
+  // Scan
+  // ==========================================================================
+
+  /** Presented-schema read of a snapshot.
+    * @param filter SQL predicate over logical column names — applied to the
+    *   DataFrame AND used for driver-side manifest pruning
+    * @param withLineage expose v3 `_row_id`/`_last_updated_sequence_number`
+    * @param withPos expose internal `_gf` (file) / `_gp` (position) */
+  def scan(
+      filter: Option[String] = None,
+      snapshotId: Option[Long] = None,
+      asOfTimestampMs: Option[Long] = None,
+      ref: Option[String] = None,
+      withLineage: Boolean = false,
+      withPos: Boolean = false,
+      fileSubset: Option[Set[String]] = None): DataFrame = {
+    val m = refresh()
+    val snap = resolveSnapshot(m, snapshotId, asOfTimestampMs, ref)
+    // Iceberg semantics: current reads present the CURRENT schema; explicit
+    // time travel presents the schema the snapshot was written under
+    val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined
+    snap match {
+      case None => emptyDf(m.currentSchema, withLineage, withPos)
+      case Some(s) =>
+        val presentedId = if (timeTravel) s.schemaId else m.currentSchemaId
+        scanSnapshot(m, s, presentedId, filter, withLineage, withPos, fileSubset)
+    }
+  }
+
+  private def resolveSnapshot(m: TableMeta, id: Option[Long],
+      ts: Option[Long], ref: Option[String]): Option[SnapshotMeta] =
+    (id, ts, ref) match {
+      case (Some(i), _, _) => Some(m.snapshot(i))
+      case (_, Some(t), _) =>
+        val c = m.snapshots.filter(_.timestampMs <= t)
+        if (c.isEmpty) throw new IllegalArgumentException(s"no snapshot at or before $t")
+        Some(c.maxBy(_.timestampMs))
+      case (_, _, r) => m.head(r.getOrElse("main"))
+    }
+
+  private def emptyDf(schema: SchemaMeta, lineage: Boolean, pos: Boolean): DataFrame = {
+    val st = StructType(
+      schema.fields.map(f => StructField(f.name, sparkType(f.dtype))) ++
+        (if (lineage) Seq(StructField("_row_id", LongType),
+          StructField("_last_updated_sequence_number", LongType)) else Nil) ++
+        (if (pos) Seq(StructField("_gf", StringType), StructField("_gp", LongType)) else Nil))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
+  }
+
+  private def scanSnapshot(m: TableMeta, snap: SnapshotMeta, presentedId: Int,
+      filter: Option[String],
+      withLineage: Boolean, withPos: Boolean, fileSubset: Option[Set[String]]): DataFrame = {
+    val presented = m.schema(presentedId)
+    val all = Meta.readManifest(location, snap.manifest)
+    val preds = filter.map(Pruning.extract(_, spark)).getOrElse(Nil)
+    var dataFiles = all.filter(_.fileType == "data")
+      .filter(f => Pruning.fileMatches(f, m, preds))
+    fileSubset.foreach(sub => dataFiles = dataFiles.filter(f => sub(normPath(abs(f.path)))))
+    if (dataFiles.isEmpty) {
+      val e = emptyDf(presented, withLineage, withPos)
+      return filter.map(f => e.filter(expr(f))).getOrElse(e)
+    }
+
+    // per-schema file groups: read with that schema's physical layout, align
+    val groups = dataFiles.groupBy(_.schemaId).toSeq.map { case (sid, files) =>
+      val gs = m.schema(sid)
+      val physSchema = StructType(
+        gs.fields.map(f => StructField(phys(f), sparkType(f.dtype))) ++
+          Seq(StructField("_row_id", LongType), StructField("_last_seq", LongType)))
+      val df = spark.read.schema(physSchema).parquet(files.map(f => abs(f.path)): _*)
+        .withColumn("_gf", normCol(col("_metadata.file_path")))
+        .withColumn("_gp", col("_metadata.row_index"))
+      val aligned = presented.fields.map { pf =>
+        gs.byId(pf.id) match {
+          case Some(gf) => col(phys(gf)).cast(sparkType(pf.dtype)).as(pf.name)
+          case None => pf.initialDefault match {
+            case Some(d) => expr(d).cast(sparkType(pf.dtype)).as(pf.name)
+            case None => lit(null).cast(sparkType(pf.dtype)).as(pf.name)
+          }
+        }
+      }
+      df.select(aligned ++ Seq(col("_row_id"), col("_last_seq"), col("_gf"), col("_gp")): _*)
+    }
+    var df = groups.reduce(_ unionByName _)
+
+    // per-file sequence numbers + lineage base (broadcast: one row per file)
+    val fmeta = dataFiles.map(f => (normPath(abs(f.path)), f.sequenceNumber, f.firstRowId))
+    val fdf = spark.createDataFrame(fmeta).toDF("_gf", "_fseq", "_frid")
+    df = df.join(broadcast(fdf), Seq("_gf"))
+      .withColumn("_seq", coalesce(col("_last_seq"), col("_fseq")))
+      .withColumn("_rid", coalesce(col("_row_id"), col("_frid") + col("_gp")))
+
+    // position deletes + deletion vectors: broadcast anti-join on (file, pos)
+    val posDel = all.filter(_.fileType == "posdel")
+    val dvs = all.filter(_.fileType == "dv")
+    val posPart = posDel.map(f => spark.read.parquet(abs(f.path)).select("file_path", "pos"))
+    val dvPart = if (dvs.isEmpty) None else Some {
+      val raw = dvs.map(f => spark.read.parquet(abs(f.path))
+        .select(col("file_path"), col("dv"), lit(f.sequenceNumber).as("_dseq")))
+        .reduce(_ unionByName _)
+      val w = Window.partitionBy(col("file_path"))
+      val latest = raw.withColumn("_mx", max(col("_dseq")).over(w))
+        .filter(col("_dseq") === col("_mx"))
+      val toPos = udf((b: Array[Byte]) => Dv.decode(b))
+      latest.select(col("file_path"), explode(toPos(col("dv"))).as("pos"))
+    }
+    val delPos = (posPart ++ dvPart).reduceOption(_ unionByName _)
+    delPos.foreach { d =>
+      df = df.join(broadcast(d),
+        df("_gf") === d("file_path") && df("_gp") === d("pos"), "left_anti")
+    }
+
+    // equality deletes: anti-join on key values, only rows older than the delete
+    val eqGroups = all.filter(_.fileType == "eqdel").groupBy(_.eqFieldIds)
+    eqGroups.foreach { case (ids, files) =>
+      val dels = files.map(f => spark.read.parquet(abs(f.path))
+        .withColumn("_dseq", lit(f.sequenceNumber))).reduce(_ unionByName _)
+      val cond = ids.map { id =>
+        val name = presented.byId(id).map(_.name)
+          .getOrElse(throw new IllegalStateException(s"eq-delete field $id dropped"))
+        df(name) <=> dels(s"f$id")
+      }.reduce(_ && _) && df("_seq") < dels("_dseq")
+      df = df.join(broadcast(dels), cond, "left_anti")
+    }
+
+    val out = presented.fields.map(f => col(f.name)) ++
+      (if (withLineage) Seq(col("_rid").as("_row_id"),
+        col("_seq").as("_last_updated_sequence_number")) else Nil) ++
+      (if (withPos) Seq(col("_gf"), col("_gp")) else Nil)
+    df = df.select(out: _*)
+    filter.map(f => df.filter(expr(f))).getOrElse(df)
+  }
+
+  // ==========================================================================
+  // Write path
+  // ==========================================================================
+
+  /** logical → physical: select every current-schema field, cast, rename */
+  private def toPhysical(df: DataFrame, schema: SchemaMeta): DataFrame = {
+    val cols = schema.fields.map(f => col(f.name).cast(sparkType(f.dtype)).as(phys(f)))
+    val lineage = Seq("_row_id", "_last_seq").filter(df.columns.contains)
+      .map(c => col(c).cast(LongType))
+    df.select(cols ++ lineage: _*)
+  }
+
+  /** Write `physDf` (physical column names, optional materialized lineage)
+    * as new data files under data/s<snapId>, partitioned per `specId`.
+    * Returns manifest entries (stats collected in ONE distributed agg job
+    * over the freshly written files — never a driver loop). */
+  private def writeDataFiles(physDf: DataFrame, snapId: Long, seq: Long,
+      schemaId: Int, specId: Int, repartitionTo: Option[Int] = None): Seq[FileMeta] = {
+    val m = meta
+    val spec = m.spec(specId)
+    val schema = m.schema(schemaId)
+    val rel = s"data/s$snapId-${UUID.randomUUID.toString.take(8)}"
+    val dir = abs(rel)
+    val pcols = spec.fields.map(pf =>
+      Transforms.column(pf, pf.sourceIds.map(id => col(s"f$id")),
+        pf.sourceIds.map(id => schema.byId(id).get.dtype)).as(s"_p_${pf.name}"))
+    var out = physDf.select(physDf.columns.map(col) ++ pcols: _*)
+    if (pcols.nonEmpty)
+      out = out.repartition(spec.fields.map(pf => col(s"_p_${pf.name}")): _*)
+    else repartitionTo.foreach(n => out = out.repartition(n))
+    // table properties "write.option.<k>" pass through to the parquet writer
+    // (e.g. write.option.parquet.bloom.filter.enabled#f2 -> true)
+    val writer = m.properties.foldLeft(out.write.mode("errorifexists")) {
+      case (w, (k, v)) if k.startsWith("write.option.") =>
+        w.option(k.stripPrefix("write.option."), v)
+      case (w, _) => w
+    }
+    (if (pcols.nonEmpty) writer.partitionBy(spec.fields.map(pf => s"_p_${pf.name}"): _*)
+     else writer).parquet(dir)
+    collectStats(dir, rel, schema, spec, specId, schemaId, seq)
+  }
+
+  /** one distributed pass over written files → per-file row counts, sizes,
+    * partition values, per-column min/max/nullCount */
+  private def collectStats(dir: String, rel: String, schema: SchemaMeta,
+      spec: PartSpecMeta, specId: Int, schemaId: Int, seq: Long): Seq[FileMeta] = {
+    // an empty input writes no parquet files (just _SUCCESS): empty commit
+    val wrote = Files.walk(Paths.get(dir)).iterator().asScala
+      .exists(_.toString.endsWith(".parquet"))
+    if (!wrote) return Nil
+    val back = spark.read.parquet(dir)
+    val pnames = spec.fields.map(pf => s"_p_${pf.name}")
+    val aggs = mutable.ArrayBuffer[Column](
+      count(lit(1)).as("_n"),
+      first(col("_metadata.file_size")).as("_sz"))
+    schema.fields.foreach { f =>
+      val c = col(phys(f))
+      val base = f.dtype.takeWhile(_ != '(')
+      val ordered: Option[Column] = base match {
+        case "int" | "bigint" | "smallint" | "tinyint" | "double" | "float" | "decimal" =>
+          Some(c)
+        case "timestamp" | "timestamp_ntz" => Some(unix_micros(c))
+        case "date" => Some(datediff(c, lit("1970-01-01").cast("date")))
+        case "string" => Some(c)
+        case _ => None
+      }
+      ordered.foreach { oc =>
+        aggs += min(oc).cast("string").as(s"_min_${f.id}")
+        aggs += max(oc).cast("string").as(s"_max_${f.id}")
+      }
+      aggs += sum(when(c.isNull, 1L).otherwise(0L)).as(s"_nc_${f.id}")
+    }
+    val rows = back
+      .groupBy(normCol(col("_metadata.file_path")).as("_fp") +: pnames.map(col): _*)
+      .agg(aggs.head, aggs.tail.toSeq: _*)
+      .collect()
+    rows.toSeq.map { r =>
+      val fp = r.getAs[String]("_fp")
+      val part = spec.fields.map(pf => pf.name -> String.valueOf(r.getAs[Any](s"_p_${pf.name}"))).toMap
+      val stats = schema.fields.flatMap { f =>
+        val idx = r.schema.fieldNames.indexOf(s"_min_${f.id}")
+        val nc = r.getAs[Long](s"_nc_${f.id}")
+        if (idx < 0) Some(f.id.toString -> ColStats(None, None, nc))
+        else {
+          val mn = Option(r.getAs[String](s"_min_${f.id}")).filter(_.length <= 120)
+          val mx = Option(r.getAs[String](s"_max_${f.id}")).filter(_.length <= 120)
+          Some(f.id.toString -> ColStats(mn, mx, nc))
+        }
+      }.toMap
+      FileMeta(
+        path = fp.stripPrefix(normPath(location) + "/"),
+        fileType = "data", specId = specId, schemaId = schemaId,
+        partition = part, rowCount = r.getAs[Long]("_n"),
+        sizeBytes = r.getAs[Long]("_sz"), sequenceNumber = seq, stats = stats)
+    }
+  }
+
+  /** Single-writer commit: new manifest = parent's live entries − removed
+    * + added; metadata version file published by atomic rename. */
+  private def commit(op: String, branch: String, added: Seq[FileMeta],
+      removedPaths: Set[String], snapId: Long, seq: Long): SnapshotMeta = {
+    val m = meta
+    val parent = m.head(branch)
+    val parentEntries = parent.map(p => Meta.readManifest(location, p.manifest)).getOrElse(Nil)
+    var rid = m.lastRowId
+    val withRid = added.map { e =>
+      if (e.fileType == "data" && e.firstRowId < 0) {
+        val out = e.copy(firstRowId = rid); rid += e.rowCount; out
+      } else e
+    }
+    val entries = parentEntries.filterNot(e => removedPaths(normPath(abs(e.path)))) ++ withRid
+    val manifest = Meta.writeManifest(location, snapId.toString, entries)
+    val snap = SnapshotMeta(snapId, parent.map(_.snapshotId), seq,
+      System.currentTimeMillis(), op, m.currentSchemaId, manifest)
+    meta = m.copy(
+      lastSnapshotId = snapId, lastSequenceNumber = seq, lastRowId = rid,
+      snapshots = m.snapshots :+ snap,
+      refs = m.refs + (branch -> RefMeta(snapId, isBranch = true)))
+    Meta.writeJson(meta, location)
+    snap
+  }
+
+  private def nextIds(): (Long, Long) =
+    (meta.lastSnapshotId + 1, meta.lastSequenceNumber + 1)
+
+  /** INSERT: append df (logical column names) as new data files. */
+  def append(df: DataFrame, branch: String = "main"): SnapshotMeta = {
+    refresh()
+    val (snapId, seq) = nextIds()
+    val files = writeDataFiles(toPhysical(df, meta.currentSchema), snapId, seq,
+      meta.currentSchemaId, meta.currentSpecId)
+    commit("append", branch, files, Set.empty, snapId, seq)
+  }
+
+  // ==========================================================================
+  // Row-level operations
+  // ==========================================================================
+
+  private def affectedFiles(cond: String): Set[String] =
+    scan(filter = Some(cond), withPos = true)
+      .select("_gf").distinct().collect().map(_.getString(0)).toSet
+
+  private def lineageNames: Seq[String] = Seq("_row_id", "_last_updated_sequence_number")
+
+  /** read only `files`, deletes applied, lineage materialized — the input
+    * to any copy-on-write rewrite */
+  private def readForRewrite(files: Set[String]): DataFrame =
+    scan(withLineage = true, fileSubset = Some(files))
+      .withColumnRenamed("_last_updated_sequence_number", "_last_seq")
+
+  def delete(cond: String, mode: WriteMode.Value = WriteMode.CopyOnWrite,
+      branch: String = "main"): SnapshotMeta = {
+    refresh()
+    val (snapId, seq) = nextIds()
+    mode match {
+      case WriteMode.CopyOnWrite =>
+        val files = affectedFiles(cond)
+        if (files.isEmpty) return commit("delete", branch, Nil, Set.empty, snapId, seq)
+        val keep = readForRewrite(files)
+          .filter(!coalesce(expr(cond), lit(false)))
+        val out = writeDataFiles(toPhysical(keep, meta.currentSchema), snapId, seq,
+          meta.currentSchemaId, meta.currentSpecId)
+        commit("delete", branch, out, files, snapId, seq)
+      case WriteMode.MergeOnRead =>
+        val hits = scan(filter = Some(cond), withPos = true)
+          .select(col("_gf").as("file_path"), col("_gp").as("pos"))
+        val rel = s"deletes/pd$snapId-${UUID.randomUUID.toString.take(8)}"
+        hits.write.parquet(abs(rel))
+        val n = spark.read.parquet(abs(rel)).count()
+        val entry = FileMeta(rel, "posdel", meta.currentSpecId, meta.currentSchemaId,
+          Map.empty, n, 0L, seq, Map.empty)
+        commit("delete", branch, Seq(entry), Set.empty, snapId, seq)
+      case WriteMode.DeletionVector =>
+        val hits = scan(filter = Some(cond), withPos = true)
+          .select(col("_gf").as("file_path"), col("_gp").as("pos"))
+        // merge with current DV positions so the new vector supersedes
+        val m = meta
+        val snapOpt = m.head(branch)
+        val existing = snapOpt.toSeq
+          .flatMap(s => Meta.readManifest(location, s.manifest))
+          .filter(_.fileType == "dv")
+        val toPos = udf((b: Array[Byte]) => Dv.decode(b))
+        val old = existing.map(f => spark.read.parquet(abs(f.path))
+            .select(col("file_path"), explode(toPos(col("dv"))).as("pos")))
+          .reduceOption(_ unionByName _)
+        val allPos = old.map(_ unionByName hits).getOrElse(hits).distinct()
+        import spark.implicits._
+        val vecs = allPos.as[(String, Long)].groupByKey(_._1)
+          .mapGroups((fp, it) => (fp, Dv.encode(it.map(_._2))))
+          .toDF("file_path", "dv")
+        val rel = s"deletes/dv$snapId-${UUID.randomUUID.toString.take(8)}"
+        vecs.write.parquet(abs(rel))
+        val n = spark.read.parquet(abs(rel)).count()
+        val entry = FileMeta(rel, "dv", meta.currentSpecId, meta.currentSchemaId,
+          Map.empty, n, 0L, seq, Map.empty)
+        // drop superseded DV entries: the latest-seq filter at read handles
+        // overlap, but removing them keeps manifests lean
+        val oldPaths = existing.map(e => normPath(abs(e.path))).toSet
+        commit("delete", branch, Seq(entry), oldPaths, snapId, seq)
+    }
+  }
+
+  /** equality delete (always merge-on-read): rows whose key columns match a
+    * row of `keys` are deleted, if written before this delete */
+  def deleteByKeys(keys: DataFrame, branch: String = "main"): SnapshotMeta = {
+    refresh()
+    val (snapId, seq) = nextIds()
+    val schema = meta.currentSchema
+    val ids = keys.columns.map(n => schema.byName(n).id).toList
+    val physKeys = keys.select(keys.columns.map(n =>
+      col(n).cast(sparkType(schema.byName(n).dtype)).as(s"f${schema.byName(n).id}")): _*)
+    val rel = s"deletes/eq$snapId-${UUID.randomUUID.toString.take(8)}"
+    physKeys.write.parquet(abs(rel))
+    val n = spark.read.parquet(abs(rel)).count()
+    val entry = FileMeta(rel, "eqdel", meta.currentSpecId, meta.currentSchemaId,
+      Map.empty, n, 0L, seq, Map.empty, eqFieldIds = ids)
+    commit("delete", branch, Seq(entry), Set.empty, snapId, seq)
+  }
+
+  def update(cond: String, set: Map[String, String],
+      mode: WriteMode.Value = WriteMode.CopyOnWrite,
+      branch: String = "main"): SnapshotMeta = {
+    refresh()
+    val (snapId, seq) = nextIds()
+    val schema = meta.currentSchema
+    val hit = coalesce(expr(cond), lit(false))
+    mode match {
+      case WriteMode.CopyOnWrite =>
+        val files = affectedFiles(cond)
+        if (files.isEmpty) return commit("overwrite", branch, Nil, Set.empty, snapId, seq)
+        val src = readForRewrite(files)
+        val updated = src.select(schema.fields.map { f =>
+          set.get(f.name) match {
+            case Some(e) => when(hit, expr(e).cast(sparkType(f.dtype)))
+              .otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        } ++ Seq(col("_row_id"),
+          when(hit, lit(seq)).otherwise(col("_last_seq")).as("_last_seq")): _*)
+        val out = writeDataFiles(toPhysical(updated, schema), snapId, seq,
+          meta.currentSchemaId, meta.currentSpecId)
+        commit("overwrite", branch, out, files, snapId, seq)
+      case _ =>
+        // MoR update = position-delete the old rows + append the new versions
+        // (row ids preserved — v3 lineage survives the rewrite)
+        val rows = scan(filter = Some(cond), withLineage = true, withPos = true)
+        val rows2 = rows.withColumnRenamed("_last_updated_sequence_number", "_last_seq")
+        val dels = rows2.select(col("_gf").as("file_path"), col("_gp").as("pos"))
+        val relD = s"deletes/pd$snapId-${UUID.randomUUID.toString.take(8)}"
+        dels.write.parquet(abs(relD))
+        val nd = spark.read.parquet(abs(relD)).count()
+        val delEntry = FileMeta(relD, "posdel", meta.currentSpecId, meta.currentSchemaId,
+          Map.empty, nd, 0L, seq, Map.empty)
+        val updated = rows2.select(schema.fields.map { f =>
+          set.get(f.name) match {
+            case Some(e) => expr(e).cast(sparkType(f.dtype)).as(f.name)
+            case None => col(f.name)
+          }
+        } ++ Seq(col("_row_id"), lit(seq).as("_last_seq")): _*)
+        val dataEntries = writeDataFiles(toPhysical(updated, schema), snapId, seq,
+          meta.currentSchemaId, meta.currentSpecId)
+        commit("overwrite", branch, delEntry +: dataEntries, Set.empty, snapId, seq)
+    }
+  }
+
+  /** MERGE INTO target t USING source s ON <on>
+    *   WHEN MATCHED [AND matchedDelete] THEN DELETE / UPDATE SET matchedSet
+    *   WHEN NOT MATCHED THEN INSERT insertValues.
+    * Copy-on-write, file-scoped: only files holding matched rows are
+    * rewritten; inserts append. Expressions may reference `t.` and `s.`. */
+  def merge(source: DataFrame, on: String,
+      matchedSet: Map[String, String] = Map.empty,
+      matchedDelete: Boolean = false,
+      insertValues: Option[Map[String, String]] = None,
+      branch: String = "main"): SnapshotMeta = {
+    refresh()
+    val (snapId, seq) = nextIds()
+    val schema = meta.currentSchema
+    val tgt = scan(withLineage = true, withPos = true)
+      .withColumnRenamed("_last_updated_sequence_number", "_last_seq")
+    val files = tgt.alias("t").join(source.alias("s"), expr(on), "inner")
+      .select(col("t._gf")).distinct().collect().map(_.getString(0)).toSet
+
+    val rewritten: Seq[FileMeta] = if (files.isEmpty) Nil else {
+      val part = readForRewrite(files)
+      val joined = part.alias("t").join(source.alias("s"), expr(on), "left_outer")
+      val matched = source.columns.map(c => col(s"s.$c").isNotNull).reduce(_ || _)
+      val base = if (matchedDelete) joined.filter(!matched) else joined
+      val outRows = base.select(schema.fields.map { f =>
+        matchedSet.get(f.name) match {
+          case Some(e) => when(matched, expr(e).cast(sparkType(f.dtype)))
+            .otherwise(col(s"t.${f.name}")).as(f.name)
+          case None => col(s"t.${f.name}").as(f.name)
+        }
+      } ++ Seq(col("t._row_id").as("_row_id"),
+        when(matched, lit(seq)).otherwise(col("t._last_seq")).as("_last_seq")): _*)
+      writeDataFiles(toPhysical(outRows, schema), snapId, seq,
+        meta.currentSchemaId, meta.currentSpecId)
+    }
+    val inserted: Seq[FileMeta] = insertValues match {
+      case None => Nil
+      case Some(iv) =>
+        val notMatched = source.alias("s")
+          .join(tgt.alias("t"), expr(on), "left_anti")
+        val rows = notMatched.select(schema.fields.map { f =>
+          iv.get(f.name) match {
+            case Some(e) => expr(e).cast(sparkType(f.dtype)).as(f.name)
+            case None => lit(null).cast(sparkType(f.dtype)).as(f.name)
+          }
+        }: _*)
+        if (rows.isEmpty) Nil
+        else writeDataFiles(toPhysical(rows, schema), snapId, seq,
+          meta.currentSchemaId, meta.currentSpecId)
+    }
+    commit("overwrite", branch, rewritten ++ inserted, files, snapId, seq)
+  }
+
+  // ==========================================================================
+  // Schema / spec evolution (metadata-only commits)
+  // ==========================================================================
+
+  private def newSchema(fields: List[FieldMeta], lastFieldId: Int): Unit = {
+    val m = refresh()
+    val sid = m.lastSchemaId + 1
+    meta = m.copy(lastSchemaId = sid, currentSchemaId = sid,
+      lastFieldId = math.max(m.lastFieldId, lastFieldId),
+      schemas = m.schemas :+ SchemaMeta(sid, fields))
+    Meta.writeJson(meta, location)
+  }
+
+  def addColumn(name: String, dtype: String, initialDefault: Option[String] = None): Unit = {
+    val m = refresh(); val s = m.currentSchema
+    require(!s.fields.exists(_.name == name), s"column $name exists")
+    val id = m.lastFieldId + 1
+    newSchema(s.fields :+ FieldMeta(id, name, dtype, nullable = true, initialDefault), id)
+  }
+
+  def renameColumn(from: String, to: String): Unit = {
+    val s = refresh().currentSchema
+    newSchema(s.fields.map(f => if (f.name == from) f.copy(name = to) else f), 0)
+  }
+
+  def dropColumn(name: String): Unit = {
+    val s = refresh().currentSchema
+    newSchema(s.fields.filterNot(_.name == name), 0)
+  }
+
+  /** type promotion (int→bigint, float→double, decimal widening):
+    * metadata-only; old files cast at read */
+  def promoteType(name: String, dtype: String): Unit = {
+    val s = refresh().currentSchema
+    newSchema(s.fields.map(f => if (f.name == name) f.copy(dtype = dtype) else f), 0)
+  }
+
+  def updateSpec(fields: Seq[PartFieldMeta]): Unit = {
+    val m = refresh()
+    val sid = m.lastSpecId + 1
+    meta = m.copy(lastSpecId = sid, currentSpecId = sid,
+      specs = m.specs :+ PartSpecMeta(sid, fields.toList))
+    Meta.writeJson(meta, location)
+  }
+
+  // ==========================================================================
+  // Refs, maintenance
+  // ==========================================================================
+
+  def createBranch(name: String, at: Option[Long] = None): Unit = setRef(name, at, isBranch = true)
+  def createTag(name: String, at: Option[Long] = None): Unit = setRef(name, at, isBranch = false)
+
+  private def setRef(name: String, at: Option[Long], isBranch: Boolean): Unit = {
+    val m = refresh()
+    val sid = at.orElse(m.refs.get("main").map(_.snapshotId))
+      .getOrElse(throw new IllegalStateException("empty table"))
+    meta = m.copy(refs = m.refs + (name -> RefMeta(sid, isBranch)))
+    Meta.writeJson(meta, location)
+  }
+
+  /** bin-pack compaction: rewrite ALL live data into ~targetMB files,
+    * applying outstanding deletes and materializing lineage; one replace
+    * commit drops every old data/delete file from the manifest */
+  def compact(targetMB: Int = 128, branch: String = "main"): SnapshotMeta = {
+    refresh()
+    val (snapId, seq) = nextIds()
+    val m = meta
+    val snap = m.head(branch).getOrElse(return commit("replace", branch, Nil, Set.empty, snapId, seq))
+    val entries = Meta.readManifest(location, snap.manifest)
+    val totalBytes = entries.filter(_.fileType == "data").map(_.sizeBytes).sum
+    val n = math.max(1, (totalBytes / (targetMB.toLong << 20)).toInt)
+    val all = scan(withLineage = true, ref = Some(branch))
+      .withColumnRenamed("_last_updated_sequence_number", "_last_seq")
+    val out = writeDataFiles(toPhysical(all, m.currentSchema), snapId, seq,
+      m.currentSchemaId, m.currentSpecId, repartitionTo = Some(n))
+    val removed = entries.map(e => normPath(abs(e.path))).toSet
+    commit("replace", branch, out, removed, snapId, seq)
+  }
+
+  /** expire snapshots older than `olderThanMs` that no ref points to;
+    * physically deletes orphaned manifests/data/delete files.
+    * Returns (#snapshots expired, #files deleted). */
+  def expireSnapshots(olderThanMs: Long): (Int, Int) = {
+    val m = refresh()
+    val refHeads = m.refs.values.map(_.snapshotId).toSet
+    val (keep, drop) = m.snapshots.partition(s =>
+      refHeads(s.snapshotId) || s.timestampMs >= olderThanMs)
+    if (drop.isEmpty) return (0, 0)
+    val keptFiles = keep.flatMap(s => Meta.readManifest(location, s.manifest))
+      .map(e => normPath(abs(e.path))).toSet
+    val dropped = drop.flatMap(s => Meta.readManifest(location, s.manifest))
+      .map(e => normPath(abs(e.path))).toSet
+    val orphans = dropped -- keptFiles
+    // delete-file entries point at parquet directories — remove recursively
+    orphans.foreach { p =>
+      val path = Paths.get(p)
+      if (Files.isDirectory(path))
+        Files.walk(path).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      else Files.deleteIfExists(path)
+    }
+    drop.foreach(s => Files.deleteIfExists(Paths.get(location, s.manifest)))
+    meta = m.copy(snapshots = keep)
+    Meta.writeJson(meta, location)
+    (drop.size, orphans.size)
+  }
+
+  /** live files of the current (or ref'd) snapshot — for specs/inspection */
+  def liveFiles(ref: String = "main"): Seq[FileMeta] = {
+    val m = refresh()
+    m.head(ref).map(s => Meta.readManifest(location, s.manifest)).getOrElse(Nil)
+  }
+
+  /** driver-side pruned data-file list for a filter — for specs/inspection */
+  def prunedFiles(filter: String): Seq[FileMeta] = {
+    val m = refresh()
+    val preds = Pruning.extract(filter, spark)
+    liveFiles().filter(_.fileType == "data").filter(f => Pruning.fileMatches(f, m, preds))
+  }
+}
+
+object GraftTable {
+
+  /** parse "day(o_orderdate)" / "bucket(8, a, b)" / "truncate(4, s)" /
+    * "identity(c)" (or bare "c") into a PartFieldMeta */
+  def parseSpecField(s: String, schema: SchemaMeta): PartFieldMeta = {
+    val call = "(\\w+)\\s*\\(([^)]*)\\)".r
+    s.trim match {
+      case call(fn, argStr) =>
+        val args = argStr.split(",").map(_.trim).filter(_.nonEmpty).toList
+        fn match {
+          case "identity" => PartFieldMeta(args.head, "identity", List(schema.byName(args.head).id))
+          case "year" | "month" | "day" | "hour" =>
+            PartFieldMeta(s"${args.head}_$fn", fn, List(schema.byName(args.head).id))
+          case "bucket" =>
+            val n = args.head.toInt
+            val srcs = args.tail.map(a => schema.byName(a).id)
+            PartFieldMeta(s"${args.tail.mkString("_")}_bucket", "bucket", srcs, Some(n))
+          case "truncate" =>
+            val w = args.head.toInt
+            PartFieldMeta(s"${args(1)}_trunc", "truncate", List(schema.byName(args(1)).id), Some(w))
+          case other => throw new IllegalArgumentException(s"unknown transform $other")
+        }
+      case bare => PartFieldMeta(bare, "identity", List(schema.byName(bare).id))
+    }
+  }
+
+  def create(spark: SparkSession, location: String, ddl: String,
+      partitionBy: Seq[String] = Nil, properties: Map[String, String] = Map.empty,
+      formatVersion: Int = 3): GraftTable = {
+    require(Meta.currentVersion(location).isEmpty, s"table exists at $location")
+    val st = StructType.fromDDL(ddl)
+    val fields = st.fields.zipWithIndex.map { case (f, i) =>
+      FieldMeta(i + 1, f.name, f.dataType.sql.toLowerCase, f.nullable)
+    }.toList
+    val schema = SchemaMeta(0, fields)
+    val spec = PartSpecMeta(0, partitionBy.map(parseSpecField(_, schema)).toList)
+    val m = TableMeta(
+      formatVersion = formatVersion, tableUuid = UUID.randomUUID.toString,
+      lastFieldId = fields.size, lastSchemaId = 0, lastSpecId = 0,
+      lastSnapshotId = 0L, lastSequenceNumber = 0L, lastRowId = 0L,
+      currentSchemaId = 0, currentSpecId = 0,
+      schemas = List(schema), specs = List(spec),
+      snapshots = Nil, refs = Map.empty, properties = properties)
+    Files.createDirectories(Paths.get(location))
+    Meta.writeJson(m, location)
+    new GraftTable(spark, location)
+  }
+
+  def load(spark: SparkSession, location: String): GraftTable =
+    new GraftTable(spark, location)
+}

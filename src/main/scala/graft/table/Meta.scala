@@ -1,0 +1,157 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+/** Metadata model for the graft table format — a Spark-native lakehouse
+  * layout with Iceberg-equivalent semantics (snapshots, manifests, hidden
+  * partitioning, schema evolution by field id, refs, row lineage).
+  *
+  * Layout under a table location:
+  * {{{
+  *   metadata/v00001.json     TableMeta (whole table state, atomic rename)
+  *   manifests/<snap>.jsonl   one FileMeta per line: ALL live files at snap
+  *   data/s<snap>/...         data parquet (physical cols named f<fieldId>)
+  *   deletes/...              position/equality/deletion-vector parquet
+  * }}}
+  *
+  * Driver-scale note: a manifest line is ~300 bytes, so 100k files at
+  * 100 TB is ~30 MB of JSONL — driver-safe; the single-file manifest can
+  * be sharded per partition range without changing readers.
+  */
+final case class FieldMeta(
+    id: Int,
+    name: String,
+    dtype: String, // Spark DDL type string, e.g. "bigint", "decimal(12,2)"
+    nullable: Boolean = true,
+    initialDefault: Option[String] = None, // v3 column default, SQL literal text
+    doc: Option[String] = None)
+
+final case class SchemaMeta(schemaId: Int, fields: List[FieldMeta]) {
+  def byName(n: String): FieldMeta = fields.find(_.name == n)
+    .getOrElse(throw new IllegalArgumentException(s"no field '$n'"))
+  def byId(id: Int): Option[FieldMeta] = fields.find(_.id == id)
+}
+
+/** transform ∈ identity|year|month|day|hour|bucket|truncate; bucket may take
+  * several source columns (v3 multi-arg transform). */
+final case class PartFieldMeta(
+    name: String,
+    transform: String,
+    sourceIds: List[Int],
+    param: Option[Int] = None)
+
+final case class PartSpecMeta(specId: Int, fields: List[PartFieldMeta])
+
+final case class ColStats(min: Option[String], max: Option[String], nullCount: Long)
+
+/** One tracked file. fileType ∈ data|posdel|eqdel|dv.
+  * - stats keyed by field id (as string, for json map keys)
+  * - partition keyed by partition-field name, value encoded as string
+  * - eqFieldIds: key fields for equality deletes
+  * - appliesTo: target data file for deletion vectors
+  * - firstRowId: v3 row lineage — rows in a data file without a
+  *   materialized `_row_id` column get firstRowId + rowIndex. */
+final case class FileMeta(
+    path: String, // relative to table location
+    fileType: String,
+    specId: Int,
+    schemaId: Int,
+    partition: Map[String, String],
+    rowCount: Long,
+    sizeBytes: Long,
+    sequenceNumber: Long,
+    stats: Map[String, ColStats],
+    eqFieldIds: List[Int] = Nil,
+    appliesTo: Option[String] = None,
+    firstRowId: Long = -1L)
+
+final case class SnapshotMeta(
+    snapshotId: Long,
+    parentId: Option[Long],
+    sequenceNumber: Long,
+    timestampMs: Long,
+    operation: String, // append|delete|overwrite|replace
+    schemaId: Int,
+    manifest: String) // relative path of the manifest jsonl
+
+final case class RefMeta(snapshotId: Long, isBranch: Boolean)
+
+final case class TableMeta(
+    formatVersion: Int, // 2 or 3
+    tableUuid: String,
+    lastFieldId: Int,
+    lastSchemaId: Int,
+    lastSpecId: Int,
+    lastSnapshotId: Long,
+    lastSequenceNumber: Long,
+    lastRowId: Long,
+    currentSchemaId: Int,
+    currentSpecId: Int,
+    schemas: List[SchemaMeta],
+    specs: List[PartSpecMeta],
+    snapshots: List[SnapshotMeta],
+    refs: Map[String, RefMeta],
+    properties: Map[String, String]) {
+
+  def schema(id: Int): SchemaMeta = schemas.find(_.schemaId == id).get
+  def currentSchema: SchemaMeta = schema(currentSchemaId)
+  def spec(id: Int): PartSpecMeta = specs.find(_.specId == id).get
+  def currentSpec: PartSpecMeta = spec(currentSpecId)
+  def snapshot(id: Long): SnapshotMeta = snapshots.find(_.snapshotId == id)
+    .getOrElse(throw new IllegalArgumentException(s"no snapshot $id"))
+  def head(ref: String): Option[SnapshotMeta] =
+    refs.get(ref).map(r => snapshot(r.snapshotId))
+}
+
+object Meta {
+  implicit val formats: Formats = DefaultFormats
+
+  def writeJson(meta: TableMeta, location: String): Unit = {
+    val dir = Paths.get(location, "metadata")
+    Files.createDirectories(dir)
+    val next = 1 + currentVersion(location).getOrElse(0)
+    val tmp = dir.resolve(s".v$next.json.tmp")
+    Files.writeString(tmp, Serialization.writePretty(meta))
+    // atomic publish: readers see either the old or the new version file
+    Files.move(tmp, dir.resolve(f"v$next%05d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def currentVersion(location: String): Option[Int] = {
+    val dir = Paths.get(location, "metadata")
+    if (!Files.isDirectory(dir)) return None
+    val vs = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+\\.json") => s.drop(1).dropRight(5).toInt }
+      .toSeq
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  def readJson(location: String): TableMeta = {
+    val v = currentVersion(location)
+      .getOrElse(throw new IllegalArgumentException(s"not a graft table: $location"))
+    val p = Paths.get(location, "metadata", f"v$v%05d.json")
+    Serialization.read[TableMeta](Files.readString(p))
+  }
+
+  def writeManifest(location: String, name: String, entries: Seq[FileMeta]): String = {
+    val dir = Paths.get(location, "manifests")
+    Files.createDirectories(dir)
+    val rel = s"manifests/$name.jsonl"
+    val tmp = dir.resolve(s".$name.jsonl.tmp")
+    Files.writeString(tmp, entries.map(Serialization.write(_)).mkString("\n"))
+    Files.move(tmp, Paths.get(location, rel), StandardCopyOption.ATOMIC_MOVE)
+    rel
+  }
+
+  def readManifest(location: String, rel: String): Seq[FileMeta] = {
+    val s = Files.readString(Paths.get(location, rel))
+    if (s.isEmpty) Nil
+    else s.split('\n').toSeq.filter(_.nonEmpty).map(Serialization.read[FileMeta](_))
+  }
+}

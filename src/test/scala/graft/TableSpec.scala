@@ -1,0 +1,259 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.table._
+
+/** End-to-end properties of the graft table format on micro data:
+  * snapshot isolation, row-level ops in all write modes, schema evolution,
+  * hidden partitioning + manifest pruning, maintenance, refs, lineage. */
+class TableSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-spec").resolve("t").toString
+
+  private def mkOrders(loc: String, partitionBy: Seq[String] = Nil): GraftTable = {
+    val t = GraftTable.create(spark, loc,
+      "o_orderkey bigint, o_custkey bigint, o_status string, o_total double",
+      partitionBy)
+    t
+  }
+
+  private def seedDf(rows: Seq[(Long, Long, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("o_orderkey", "o_custkey", "o_status", "o_total")
+  }
+
+  private val seed = Seq(
+    (1L, 10L, "O", 100.0), (2L, 10L, "F", 200.0), (3L, 20L, "O", 300.0),
+    (4L, 20L, "F", 400.0), (5L, 30L, "O", 500.0), (6L, 30L, "F", 600.0))
+
+  test("create/append/scan round-trips; second append adds a snapshot") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    assert(t.scan().count() == 6)
+    t.append(seedDf(Seq((7L, 40L, "O", 700.0))))
+    assert(t.scan().count() == 7)
+    assert(t.meta.snapshots.size == 2)
+    val got = t.scan(filter = Some("o_custkey = 10")).select("o_orderkey")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(1L, 2L)))
+  }
+
+  test("time travel by snapshot id and timestamp") {
+    val t = mkOrders(tmp())
+    val s1 = t.append(seedDf(seed.take(3)))
+    Thread.sleep(5)
+    t.append(seedDf(seed.drop(3)))
+    assert(t.scan(snapshotId = Some(s1.snapshotId)).count() == 3)
+    assert(t.scan(asOfTimestampMs = Some(s1.timestampMs)).count() == 3)
+    assert(t.scan().count() == 6)
+  }
+
+  test("copy-on-write delete rewrites only affected files") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed.take(3)))
+    t.append(seedDf(seed.drop(3))) // 2 snapshots -> >= 2 files
+    val before = t.liveFiles().filter(_.fileType == "data").map(_.path).toSet
+    t.delete("o_orderkey = 1", WriteMode.CopyOnWrite)
+    val after = t.liveFiles().filter(_.fileType == "data").map(_.path).toSet
+    assert(t.scan().count() == 5)
+    // the file(s) holding keys 4..6 must be untouched
+    assert(before.intersect(after).nonEmpty, "unaffected files must carry forward")
+    assert(t.scan().filter(col("o_orderkey") === 1).count() == 0)
+  }
+
+  test("merge-on-read positional delete, then DV delete on the same table") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    t.delete("o_orderkey = 2", WriteMode.MergeOnRead)
+    assert(t.scan().count() == 5)
+    assert(t.liveFiles().exists(_.fileType == "posdel"))
+    t.delete("o_orderkey = 3", WriteMode.DeletionVector)
+    assert(t.scan().count() == 4)
+    assert(t.liveFiles().exists(_.fileType == "dv"))
+    val left = t.scan().select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(left.sameElements(Array(1L, 4L, 5L, 6L)))
+  }
+
+  test("equality delete applies only to rows written before it") {
+    import spark.implicits._
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    t.deleteByKeys(Seq(10L).toDF("o_custkey"))
+    assert(t.scan().count() == 4)
+    // re-insert a row with the deleted key AFTER the delete: must survive
+    t.append(seedDf(Seq((8L, 10L, "O", 800.0))))
+    assert(t.scan().filter(col("o_custkey") === 10).count() == 1)
+  }
+
+  test("update copy-on-write and merge-on-read") {
+    val t1 = mkOrders(tmp())
+    t1.append(seedDf(seed))
+    t1.update("o_status = 'O'", Map("o_total" -> "o_total * 2"), WriteMode.CopyOnWrite)
+    val tot1 = t1.scan().agg(sum("o_total")).collect()(0).getDouble(0)
+    assert(tot1 == 100.0 * 2 + 200 + 300 * 2 + 400 + 500 * 2 + 600)
+
+    val t2 = mkOrders(tmp())
+    t2.append(seedDf(seed))
+    t2.update("o_status = 'O'", Map("o_total" -> "o_total * 2"), WriteMode.MergeOnRead)
+    val tot2 = t2.scan().agg(sum("o_total")).collect()(0).getDouble(0)
+    assert(tot2 == tot1)
+    assert(t2.scan().count() == 6)
+  }
+
+  test("merge: matched update + not-matched insert, file-scoped") {
+    import spark.implicits._
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    val src = Seq((1L, 111.0), (9L, 900.0)).toDF("k", "v")
+    t.merge(src, on = "t.o_orderkey = s.k",
+      matchedSet = Map("o_total" -> "s.v"),
+      insertValues = Some(Map(
+        "o_orderkey" -> "s.k", "o_custkey" -> "99", "o_status" -> "'N'",
+        "o_total" -> "s.v")))
+    val m = t.scan().collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(m(1L) == 111.0 && m(9L) == 900.0 && m(2L) == 200.0)
+    assert(t.scan().count() == 7)
+  }
+
+  test("schema evolution: add/rename/drop/promote + v3 default, no rewrites") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed.take(2)))
+    t.addColumn("o_note", "string", initialDefault = Some("'n/a'"))
+    t.renameColumn("o_total", "o_amount")
+    t.promoteType("o_custkey", "decimal(18,0)") // was bigint
+    // old rows get the default + renamed/promoted view, metadata-only
+    val rows = t.scan().select("o_orderkey", "o_amount", "o_note").orderBy("o_orderkey").collect()
+    assert(rows(0).getString(2) == "n/a")
+    assert(rows(0).getDouble(1) == 100.0)
+    // new writes carry the new schema; old file count unchanged
+    import spark.implicits._
+    t.append(Seq((7L, BigDecimal(40), "O", 700.0, "hello"))
+      .toDF("o_orderkey", "o_custkey", "o_status", "o_amount", "o_note"))
+    assert(t.scan().filter(col("o_note") === "hello").count() == 1)
+    t.dropColumn("o_status")
+    assert(!t.scan().columns.contains("o_status"))
+    // time travel still presents the pre-evolution schema
+    val s1 = t.meta.snapshots.head
+    assert(t.scan(snapshotId = Some(s1.snapshotId)).columns.contains("o_total"))
+  }
+
+  test("hidden partitioning: bucket transform prunes files on equality") {
+    val t = mkOrders(tmp(), partitionBy = Seq("bucket(4, o_custkey)"))
+    t.append(seedDf(seed))
+    val files = t.liveFiles().filter(_.fileType == "data")
+    assert(files.size > 1, "expected one file per bucket")
+    val pruned = t.prunedFiles("o_custkey = 10")
+    assert(pruned.size < files.size, s"pruning must drop buckets (${pruned.size}/${files.size})")
+    assert(t.scan(filter = Some("o_custkey = 10")).count() == 2)
+  }
+
+  test("min/max stats prune unpartitioned files") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed.take(3)))  // keys 1..3
+    t.append(seedDf(seed.drop(3)))  // keys 4..6
+    val pruned = t.prunedFiles("o_orderkey >= 5")
+    assert(pruned.nonEmpty && pruned.size < t.liveFiles().count(_.fileType == "data"))
+  }
+
+  test("partition evolution: new spec applies to new files only") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed.take(3)))
+    t.updateSpec(Seq(GraftTable.parseSpecField("identity(o_status)", t.meta.currentSchema)))
+    t.append(seedDf(seed.drop(3)))
+    val bygSpec = t.liveFiles().filter(_.fileType == "data").groupBy(_.specId)
+    assert(bygSpec.keySet == Set(0, 1))
+    assert(t.scan().count() == 6)
+  }
+
+  test("compaction applies deletes, shrinks files, preserves lineage") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed.take(3)))
+    t.append(seedDf(seed.drop(3)))
+    t.delete("o_orderkey = 2", WriteMode.MergeOnRead)
+    val ridBefore = t.scan(withLineage = true)
+      .select("o_orderkey", "_row_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    t.compact()
+    val live = t.liveFiles()
+    assert(live.count(_.fileType == "data") == 1)
+    assert(!live.exists(_.fileType == "posdel"))
+    assert(t.scan().count() == 5)
+    val ridAfter = t.scan(withLineage = true)
+      .select("o_orderkey", "_row_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ridAfter == ridBefore, "row lineage must survive compaction")
+  }
+
+  test("expire snapshots deletes orphan files") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed.take(3)))
+    t.append(seedDf(seed.drop(3)))
+    t.compact()
+    val (nSnap, nFiles) = t.expireSnapshots(System.currentTimeMillis() + 1000)
+    assert(nSnap == 2 && nFiles > 0)
+    assert(t.scan().count() == 6, "current snapshot unaffected")
+  }
+
+  test("branches and tags: independent write lineages") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed.take(3)))
+    t.createTag("v1")
+    t.createBranch("dev")
+    t.append(seedDf(seed.drop(3)), branch = "dev")
+    assert(t.scan(ref = Some("main")).count() == 3)
+    assert(t.scan(ref = Some("dev")).count() == 6)
+    assert(t.scan(ref = Some("v1")).count() == 3)
+    t.append(seedDf(Seq((8L, 50L, "O", 800.0))))
+    assert(t.scan(ref = Some("main")).count() == 4)
+    assert(t.scan(ref = Some("dev")).count() == 6)
+  }
+
+  test("row lineage: _row_id stable, _last_updated_sequence_number bumps on update") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    val before = t.scan(withLineage = true)
+      .select("o_orderkey", "_row_id", "_last_updated_sequence_number").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    t.update("o_orderkey = 1", Map("o_total" -> "1.0"), WriteMode.MergeOnRead)
+    val after = t.scan(withLineage = true)
+      .select("o_orderkey", "_row_id", "_last_updated_sequence_number").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(after(1L)._1 == before(1L)._1, "row id stable across update")
+    assert(after(1L)._2 > before(1L)._2, "sequence bumps for updated row")
+    assert(after(2L) == before(2L), "untouched rows unchanged")
+  }
+
+  test("catalog: namespaces, create/list/rename/drop") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createNamespace("db1")
+    val t = cat.createTable("db1", "orders", "k bigint, v string")
+    import spark.implicits._
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    assert(cat.listTables("db1") == Seq("orders"))
+    assert(cat.loadTable("db1", "orders").scan().count() == 1)
+    cat.renameTable("db1", "orders", "orders2")
+    assert(cat.listTables("db1") == Seq("orders2"))
+    assert(cat.loadTable("db1", "orders2").scan().count() == 1)
+    cat.dropTable("db1", "orders2")
+    assert(cat.listTables("db1").isEmpty)
+    assert(cat.listNamespaces() == Seq("db1"))
+  }
+
+  test("year/month/day/hour + truncate transforms prune on ranges") {
+    import spark.implicits._
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, "id bigint, ts timestamp, name string",
+      partitionBy = Seq("month(ts)"))
+    val rows = (0 until 12).map(m =>
+      (m.toLong, java.sql.Timestamp.valueOf(f"2024-${m + 1}%02d-15 12:00:00"), s"n$m"))
+    t.append(rows.toDF("id", "ts", "name"))
+    val all = t.liveFiles().count(_.fileType == "data")
+    assert(all >= 12)
+    val pruned = t.prunedFiles("ts >= timestamp'2024-11-01 00:00:00'")
+    assert(pruned.size <= 2, s"expected <=2 month partitions, got ${pruned.size}")
+    assert(t.scan(filter = Some("ts >= timestamp'2024-11-01 00:00:00'")).count() == 2)
+  }
+}
