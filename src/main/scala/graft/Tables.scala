@@ -12,9 +12,10 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is physically TIMESTAMP(NANOS), which Spark's parquet
-      // reader rejects; read it as raw nanos and convert. The data carries
-      // no sub-microsecond components (verified at every SF), so this is
-      // lossless and agrees with DuckDB's micro-precision read.
+      // reader rejects; read it as raw nanos and truncate to micros. The
+      // data DOES carry sub-microsecond components — truncation matches
+      // DuckDB's micro-precision read exactly (V3Ops.nanoTs preserves the
+      // full nanos where the format requires them).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

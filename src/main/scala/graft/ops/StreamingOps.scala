@@ -1,0 +1,135 @@
+package graft.ops
+
+import java.nio.file.Files
+import java.util.UUID
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Structured Streaming surface (SURVEY.md §2.4): the batch events table is
+  * staged as a file-stream source and processed with Trigger.AvailableNow,
+  * so the STREAMING execution path (watermarks, stateful sessionization)
+  * produces results the batch DuckDB oracle can check exactly. */
+object StreamingOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def stage(spark: SparkSession, dir: String): (String, DataFrame) = {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val src = Tables(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    (tmp, src)
+  }
+
+  // --- tumbling window + watermark ------------------------------------------
+  def streamWindow(spark: SparkSession, dir: String): DataFrame = {
+    val (tmp, src) = stage(spark, dir)
+    src.write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in")
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+    val name = s"w_${UUID.randomUUID.toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+  }
+
+  // --- stateful sessionization via flatMapGroupsWithState -------------------
+  case class SEv(user_id: Long, ts_us: Long, event_id: Long)
+  case class SOpen(start: Long, last: Long, n: Long, closed: Long)
+  case class SOut(user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  private val GapUs = 1800000000L // 30 min
+
+  /** Per-user session state machine. Sentinel events (event_id = -1, staged
+    * 2h after the global max) advance past the last real session so it
+    * closes and emits — the streaming analog of "end of input". */
+  def sessionFn(uid: Long, it: Iterator[SEv], state: GroupState[SOpen]): Iterator[SOut] = {
+    val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var open: Option[(Long, Long, Long)] =
+      state.getOption.filter(_.n > 0).map(s => (s.start, s.last, s.n))
+    var closed = state.getOption.map(_.closed).getOrElse(0L)
+    val out = ArrayBuffer[SOut]()
+    evs.foreach { e =>
+      open match {
+        case Some((s, l, n)) if e.ts_us - l > GapUs =>
+          closed += 1
+          out += SOut(uid, closed, n, s, l)
+          open = if (e.event_id == -1L) None else Some((e.ts_us, e.ts_us, 1L))
+        case Some((s, l, n)) =>
+          open = Some((s, e.ts_us, if (e.event_id == -1L) n else n + 1))
+        case None =>
+          open = if (e.event_id == -1L) None else Some((e.ts_us, e.ts_us, 1L))
+      }
+    }
+    state.update(open.map(o => SOpen(o._1, o._2, o._3, closed))
+      .getOrElse(SOpen(0, 0, 0, closed)))
+    out.iterator
+  }
+
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (tmp, src) = stage(spark, dir)
+    val maxUs = src.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val real = src.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val sentinels = real.select("user_id").distinct()
+      .withColumn("ts_us", lit(maxUs + 7200000000L))
+      .withColumn("event_id", lit(-1L))
+    real.unionByName(sentinels).coalesce(1).write.parquet(s"$tmp/in")
+
+    val stream = spark.readStream.schema(real.schema).parquet(s"$tmp/in").as[SEv]
+    val sessions = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionFn)
+    val name = s"s_${UUID.randomUUID.toString.replace("-", "")}"
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_stream_window" -> streamWindow,
+    "q_stream_sessions" -> streamSessions)
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+        | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_sessions" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.table._
+
+/** Format-v3 typed-column capabilities (SURVEY.md §2.1 #23–27): variant,
+  * shredded variant, geometry (WKB), nanosecond timestamps, row lineage.
+  * Each runs through a graft table so the storage round-trip — not just the
+  * expression — is what gets oracle-checked. */
+object V3Ops {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def scratch(): String =
+    Files.createTempDirectory("graft-q").resolve("t").toString
+
+  // --- #23 variant type: semi-structured props stored as Spark VARIANT ------
+  def variant(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, scratch(), "event_id bigint, props variant")
+    t.append(Tables(spark, dir, "events")
+      .select(col("event_id"), parse_json(col("props")).as("props")))
+    t.scan()
+      .select(col("event_id"),
+        variant_get(col("props"), "$.k", "bigint").as("k"))
+      .orderBy("event_id")
+  }
+
+  // --- #24 shredded variant: hot field also stored typed; reads recombine ---
+  def variantShredded(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, scratch(),
+      "event_id bigint, k bigint, props variant")
+    val ev = Tables(spark, dir, "events")
+    // write-side shredding: extract $.k to a typed column (stats + pruning
+    // capable), keep the full variant alongside
+    t.append(ev.select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+      parse_json(col("props")).as("props")))
+    // typed filter served by the SHREDDED column (manifest min/max prune),
+    // recombination checked by reading the same field from the variant
+    t.scan(filter = Some("k >= 50"))
+      .select(col("event_id"), col("k").as("k_shred"),
+        variant_get(col("props"), "$.k", "bigint").as("k_var"))
+      .orderBy("event_id")
+  }
+
+  // --- #25 geometry: point(x,y) as WKB binary + bbox predicate --------------
+  /** WKB little-endian 2D point codec (21 bytes: order, type=1, x, y) */
+  val wkbPoint = udf((x: Double, y: Double) => {
+    val b = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.putInt(1); b.putDouble(x); b.putDouble(y)
+    b.array()
+  })
+  val wkbX = udf((w: Array[Byte]) =>
+    java.nio.ByteBuffer.wrap(w).order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble(5))
+  val wkbY = udf((w: Array[Byte]) =>
+    java.nio.ByteBuffer.wrap(w).order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble(13))
+
+  def geoBbox(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, scratch(), "id bigint, geom binary")
+    val pts = Tables(spark, dir, "orders").select(
+      col("o_orderkey").as("id"),
+      wkbPoint((col("o_orderkey") % 360 - 180).cast("double"),
+        (col("o_custkey") % 180 - 90).cast("double")).as("geom"))
+    t.append(pts)
+    t.scan()
+      .select(col("id"), wkbX(col("geom")).as("x"), wkbY(col("geom")).as("y"))
+      .filter(col("x").between(-10.0, 10.0) && col("y").between(-10.0, 10.0))
+      .orderBy("id")
+  }
+
+  // --- #26 nanosecond timestamps: BIGINT nanos logical type -----------------
+  def nanoTs(spark: SparkSession, dir: String): DataFrame = {
+    // events.ts is physically TIMESTAMP(NANOS): read raw nanos, store as
+    // bigint (sub-micro precision preserved end to end)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("ts").as("ts_ns"))
+    val t = GraftTable.create(spark, scratch(), "event_id bigint, ts_ns bigint")
+    t.append(raw)
+    // full nanosecond precision is stored (spec-checked: sub-micro residue
+    // survives the round-trip); the oracle compares at micro precision
+    // because DuckDB's parquet reader truncates TIMESTAMP(NANOS) to micros
+    t.scan()
+      .groupBy(expr("ts_ns div 3600000000000").as("hr"))
+      .agg(count(lit(1)).as("n"),
+        expr("min(ts_ns) div 1000").as("min_us"),
+        expr("max(ts_ns) div 1000").as("max_us"))
+      .orderBy("hr")
+  }
+
+  /** ns-precision round-trip check used by OpsSpec (not oracle-expressible) */
+  def nanoResidue(spark: SparkSession, dir: String): Long = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("ts").as("ts_ns"))
+    val t = GraftTable.create(spark, scratch(), "event_id bigint, ts_ns bigint")
+    t.append(raw)
+    t.scan().filter(col("ts_ns") % 1000 =!= 0).count()
+  }
+
+  // --- #27 row lineage: _row_id stable, sequence bumps on update ------------
+  def lineage(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, scratch(),
+      "o_orderkey bigint, o_totalprice double")
+    val o = Tables(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    t.append(o.filter(col("o_orderkey") % 2 === 0)) // seq 1
+    t.append(o.filter(col("o_orderkey") % 2 === 1)) // seq 2
+    t.update("o_orderkey % 10 = 3", Map("o_totalprice" -> "o_totalprice + 1.0"),
+      WriteMode.MergeOnRead) // seq 3 for updated rows, ids preserved
+    val s = t.scan(withLineage = true)
+    // oracle-checkable: per-row sequence; spec-checked: _row_id uniqueness
+    s.select(col("o_orderkey"),
+        col("_last_updated_sequence_number").as("last_seq"))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_variant" -> variant,
+    "q_variant_shredded" -> variantShredded,
+    "q_geo_bbox" -> geoBbox,
+    "q_nano_ts" -> nanoTs,
+    "q_lineage" -> lineage)
+
+  val oracles: Map[String, String] = Map(
+    "q_variant" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_variant_shredded" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_shred,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_var
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |ORDER BY event_id""".stripMargin,
+    "q_geo_bbox" ->
+      """SELECT o_orderkey AS id,
+        | CAST(o_orderkey % 360 - 180 AS DOUBLE) AS x,
+        | CAST(o_custkey % 180 - 90 AS DOUBLE) AS y
+        |FROM orders
+        |WHERE (o_orderkey % 360 - 180) BETWEEN -10 AND 10
+        |  AND (o_custkey % 180 - 90) BETWEEN -10 AND 10
+        |ORDER BY id""".stripMargin,
+    "q_nano_ts" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hr, COUNT(*) AS n,
+        | MIN(epoch_us(ts)) AS min_us, MAX(epoch_us(ts)) AS max_us
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_lineage" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 10 = 3 THEN 3
+        |      WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS last_seq
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+}

@@ -79,4 +79,26 @@ class OpsSpec extends SparkSpec {
     val n = Tables(spark, sf, "documents").count()
     assert(TextOps.langid(spark, sf).count() == n)
   }
+
+  test("nanosecond timestamps survive the graft round-trip below micro precision") {
+    assert(V3Ops.nanoResidue(spark, sf) > 0,
+      "expected sub-microsecond components in events.ts")
+  }
+
+  test("streaming sessionization matches the batch gaps-and-islands result") {
+    val stream = StreamingOps.streamSessions(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Analytics.sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream == batch)
+  }
+
+  test("multimodal metadata matches payload byte lengths") {
+    val metas = Multimodal.multimodalMeta(spark, sf).collect()
+    assert(metas.nonEmpty)
+    val lens = Tables(spark, sf, "documents")
+      .select(col("doc_id"), length(encode(col("text"), "UTF-8")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    metas.foreach(r => assert(r.getAs[Long]("n_bytes") == lens(r.getAs[Long]("doc_id"))))
+  }
 }
