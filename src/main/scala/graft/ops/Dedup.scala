@@ -16,14 +16,19 @@ import graft.Tables
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  /** distinct word 3-gram shingles per doc */
-  private def shingles(docs: DataFrame): DataFrame =
+  /** distinct word 3-gram shingles per doc, as one ARRAY row per doc —
+    * signature computation then happens in-expression with no exploded-row
+    * shuffle (at sf0.1 the exploded form was 38M rows through a groupBy) */
+  private def shingleArr(docs: DataFrame): DataFrame =
     docs.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-        .as("s"))
-      .distinct()
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))").as("sh"))
+
+  /** exploded (doc_id, shingle) rows — the join key for exact Jaccard */
+  private def shingles(docs: DataFrame): DataFrame =
+    shingleArr(docs).select(col("doc_id"), explode(col("sh")).as("s"))
 
   /** n-gram Jaccard pairs ≥ tau: explode shingles → self-equi-join on the
     * shingle → count-distinct overlap. The join key is the shingle itself, so
@@ -60,18 +65,18 @@ object Dedup {
   // pair (~4e-8 at tau = 0.9) — tight enough to share the SQL oracle.
   val K = 64; val BANDS = 16; val R = 4
 
+  private def bandSigs(arr: DataFrame): DataFrame =
+    arr
+      // the whole K-hash signature evaluates inside one codegen'd
+      // expression per doc — no exploded rows, no extra shuffle
+      .withColumn("mh", expr(
+        s"transform(sequence(0, ${K - 1}), j -> array_min(transform(sh, s -> xxhash64(s, j))))"))
+      .select(col("doc_id"), col("sh"), posexplode(expr(
+        s"transform(sequence(0, ${BANDS - 1}), b -> xxhash64(slice(mh, b * $R + 1, $R), b))"))
+        .as(Seq("band", "sig")))
+
   def minhashCandidates(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
-    val mh = sh
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${K - 1}), j -> xxhash64(s, j))")).as(Seq("j", "h")))
-      .groupBy(col("doc_id"), col("j")).agg(min(col("h")).as("mh"))
-    val sigs = mh
-      .withColumn("band", floor(col("j") / R))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(xxhash64(concat_ws(",", expr(
-        "transform(sort_array(collect_list(struct(j, mh))), x -> cast(x.mh as string))")))
-        .as("sig"))
+    val sigs = bandSigs(shingleArr(docs)).drop("sh")
     sigs.as("a").join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -80,11 +85,25 @@ object Dedup {
   }
 
   def minhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val cand = minhashCandidates(docs)
-    // verify candidates with true jaccard at tau=0.5 (planted dups are >=0.9)
-    jaccardPairs(docs, 0.5).as("j")
-      .join(cand.as("c"), Seq("a_id", "b_id"), "left_semi")
+    val arr = shingleArr(Tables(spark, dir, "documents")).cache()
+    val cand = {
+      val sigs = bandSigs(arr).drop("sh")
+      sigs.as("a").join(sigs.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+    }
+    // verify ONLY the candidate pairs with exact Jaccard over the shingle
+    // arrays (tau=0.5; planted dups are >=0.9) — the LSH filter keeps the
+    // verification linear in candidates, never the full self-join
+    cand
+      .join(arr.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+      .join(arr.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")) >= 0.5)
+      .select("a_id", "b_id")
       .orderBy("a_id", "b_id")
   }
 
@@ -92,15 +111,45 @@ object Dedup {
   // 64-bit token-hash sign aggregation; near-dup candidates share one of four
   // 16-bit blocks; verified by Hamming distance <= 6. No SQL oracle (hash
   // algebra isn't expressible in DuckDB) — rows-only check + planted-dup spec.
-  def simhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 63), b -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)"))
-        .as(Seq("b", "v")))
-      .groupBy(col("doc_id"), col("b")).agg(sum(col("v")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(expr("bit_or(CASE WHEN s > 0 THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END)").as("simhash"))
+  /** FNV-1a 64-bit with an fmix64 finalizer — deterministic, well-mixed
+    * token hash for simhash (no SQL oracle constrains the hash choice;
+    * output is pinned by the recall spec, and raw FNV's weak low-bit
+    * avalanche measurably costs recall) */
+  private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** one tight JVM pass per doc: hash each token once, accumulate the 64
+    * per-bit sign counts in a primitive array — no exploded rows, no
+    * shuffle, no per-bit lambda interpretation */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val counts = new Array[Int](64)
+        text.split(' ').foreach { tok =>
+          val h = fnv1a64(tok)
+          var b = 0
+          while (b < 64) {
+            counts(b) += ((((h >>> b) & 1L).toInt) << 1) - 1
+            b += 1
+          }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+        (id, sig)
+      })
+      .toDF("doc_id", "simhash")
+  }
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashSignatures(Tables(spark, dir, "documents"))

