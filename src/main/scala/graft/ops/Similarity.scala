@@ -93,19 +93,32 @@ object Similarity {
     Array.fill(LshPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** adds `tbl` + `bucket` columns, one row per (vector, table) */
+  /** adds `tbl` + `bucket` columns, one row per (vector, table). The plane
+    * projections run as one JVM pass per vector with the plane matrix on
+    * the closure (a few KB) — an equivalent Catalyst expression tree holds
+    * 16×3×64 literals and spends more time in codegen than in compute. */
   def lshSignature(e: DataFrame): DataFrame = {
-    val sigs: Column = array((0 until LshTables).map { t =>
-      val ps = planes(42 + t)
-      val bits = ps.zipWithIndex.map { case (p, i) =>
-        val proj = dot(col("v"), array(p.map(lit(_)): _*))
-        when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bits.as("bucket"))
-    }: _*)
-    e.select(col("*"), explode(sigs).as("sig"))
-      .select(col("*"), col("sig.tbl").as("tbl"), col("sig.bucket").as("bucket"))
-      .drop("sig")
+    val spark = e.sparkSession
+    import spark.implicits._
+    val allPlanes: Array[Array[Array[Double]]] =
+      Array.tabulate(LshTables)(t => planes(42 + t))
+    e.select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+      .flatMap { case (id, v, nrm) =>
+        allPlanes.iterator.zipWithIndex.map { case (ps, t) =>
+          var bucket = 0L
+          var i = 0
+          while (i < ps.length) {
+            var s = 0.0
+            var j = 0
+            while (j < v.length) { s += v(j) * ps(i)(j); j += 1 }
+            if (s > 0) bucket |= 1L << i
+            i += 1
+          }
+          (id, v, nrm, t, bucket)
+        }
+      }
+      .toDF("vec_id", "v", "nrm", "tbl", "bucket")
   }
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {

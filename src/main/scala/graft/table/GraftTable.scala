@@ -120,13 +120,23 @@ class GraftTable(val spark: SparkSession, val location: String) {
       return filter.map(f => e.filter(expr(f))).getOrElse(e)
     }
 
+    val posDel = all.filter(_.fileType == "posdel")
+    val dvs = all.filter(_.fileType == "dv")
+    val eqDels = all.filter(_.fileType == "eqdel")
+    val needFileMeta = withLineage || eqDels.nonEmpty
+    // file/position identity cols are only materialized when a consumer
+    // exists (deletes, lineage, rewrite) — a plain read stays a pure
+    // pushdown scan with no metadata-column or join overhead
+    val needPos = withPos || needFileMeta || posDel.nonEmpty || dvs.nonEmpty
+
     // per-schema file groups: read with that schema's physical layout, align
     val groups = dataFiles.groupBy(_.schemaId).toSeq.map { case (sid, files) =>
       val gs = m.schema(sid)
       val physSchema = StructType(
         gs.fields.map(f => StructField(phys(f), sparkType(f.dtype))) ++
           Seq(StructField("_row_id", LongType), StructField("_last_seq", LongType)))
-      val df = spark.read.schema(physSchema).parquet(files.map(f => abs(f.path)): _*)
+      var df = spark.read.schema(physSchema).parquet(files.map(f => abs(f.path)): _*)
+      if (needPos) df = df
         .withColumn("_gf", normCol(col("_metadata.file_path")))
         .withColumn("_gp", col("_metadata.row_index"))
       val aligned = presented.fields.map { pf =>
@@ -138,20 +148,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
           }
         }
       }
-      df.select(aligned ++ Seq(col("_row_id"), col("_last_seq"), col("_gf"), col("_gp")): _*)
+      val extras = Seq(col("_row_id"), col("_last_seq")) ++
+        (if (needPos) Seq(col("_gf"), col("_gp")) else Nil)
+      df.select(aligned ++ extras: _*)
     }
     var df = groups.reduce(_ unionByName _)
-
-    // per-file sequence numbers + lineage base (broadcast: one row per file)
-    val fmeta = dataFiles.map(f => (normPath(abs(f.path)), f.sequenceNumber, f.firstRowId))
-    val fdf = spark.createDataFrame(fmeta).toDF("_gf", "_fseq", "_frid")
-    df = df.join(broadcast(fdf), Seq("_gf"))
-      .withColumn("_seq", coalesce(col("_last_seq"), col("_fseq")))
-      .withColumn("_rid", coalesce(col("_row_id"), col("_frid") + col("_gp")))
+    if (needFileMeta) {
+      val fmeta = dataFiles.map(f => (normPath(abs(f.path)), f.sequenceNumber, f.firstRowId))
+      val fdf = spark.createDataFrame(fmeta).toDF("_gf", "_fseq", "_frid")
+      df = df.join(broadcast(fdf), Seq("_gf"))
+        .withColumn("_seq", coalesce(col("_last_seq"), col("_fseq")))
+        .withColumn("_rid", coalesce(col("_row_id"), col("_frid") + col("_gp")))
+    }
 
     // position deletes + deletion vectors: broadcast anti-join on (file, pos)
-    val posDel = all.filter(_.fileType == "posdel")
-    val dvs = all.filter(_.fileType == "dv")
     val posPart = posDel.map(f => spark.read.parquet(abs(f.path)).select("file_path", "pos"))
     val dvPart = if (dvs.isEmpty) None else Some {
       val raw = dvs.map(f => spark.read.parquet(abs(f.path))
@@ -170,7 +180,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     }
 
     // equality deletes: anti-join on key values, only rows older than the delete
-    val eqGroups = all.filter(_.fileType == "eqdel").groupBy(_.eqFieldIds)
+    val eqGroups = eqDels.groupBy(_.eqFieldIds)
     eqGroups.foreach { case (ids, files) =>
       val dels = files.map(f => spark.read.parquet(abs(f.path))
         .withColumn("_dseq", lit(f.sequenceNumber))).reduce(_ unionByName _)
