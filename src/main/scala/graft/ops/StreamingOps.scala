@@ -107,11 +107,38 @@ object StreamingOps {
       .orderBy("user_id", "session_id")
   }
 
+  // --- streaming ingest INTO the graft table format -------------------------
+  /** micro-batch writes through foreachBatch → GraftTable.append: each
+    * batch is one atomic snapshot commit, so a crash between batches leaves
+    * the table readable at the last committed snapshot (exactly the
+    * Iceberg streaming-write contract) */
+  def streamIngest(spark: SparkSession, dir: String): DataFrame = {
+    val (tmp, src) = stage(spark, dir)
+    src.write.parquet(s"$tmp/in")
+    val t = graft.table.GraftTable.create(spark, s"$tmp/tbl",
+      "event_id bigint, ts timestamp, user_id bigint, event_type string, value double")
+    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in")
+    val q = stream.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => { t.append(batch); () })
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    t.scan().groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_window" -> streamWindow,
-    "q_stream_sessions" -> streamSessions)
+    "q_stream_sessions" -> streamSessions,
+    "q_stream_ingest" -> streamIngest)
 
   val oracles: Map[String, String] = Map(
+    "q_stream_ingest" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -73,7 +73,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
       withLineage: Boolean = false,
       withPos: Boolean = false,
       fileSubset: Option[Set[String]] = None): DataFrame = {
-    val m = refresh()
+    // reads always see the freshest published state but do NOT move this
+    // writer's commit base — that is what lets commit() detect conflicts
+    val m = Meta.readJson(location)
     val snap = resolveSnapshot(m, snapshotId, asOfTimestampMs, ref)
     // Iceberg semantics: current reads present the CURRENT schema; explicit
     // time travel presents the schema the snapshot was written under
@@ -297,21 +299,45 @@ class GraftTable(val spark: SparkSession, val location: String) {
     }
   }
 
-  /** Single-writer commit: new manifest = parent's live entries − removed
-    * + added; metadata version file published by atomic rename. */
+  class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Optimistic-concurrency commit: if another writer advanced the table
+    * since this operation started, additive commits (appends, MoR delete
+    * files — nothing physically stamped with a sequence number and nothing
+    * removed) REBASE onto the new head; rewrites and physically-stamped
+    * commits throw [[CommitConflictException]] for the caller to retry.
+    * Metadata version files publish by atomic rename, so a concurrent
+    * reader sees either the old or the new complete state. */
   private def commit(op: String, branch: String, added: Seq[FileMeta],
-      removedPaths: Set[String], snapId: Long, seq: Long): SnapshotMeta = {
-    val m = meta
+      removedPaths: Set[String], snapId0: Long, seq0: Long,
+      rebaseable: Boolean = false): SnapshotMeta = {
+    val fresh = Meta.readJson(location)
+    var snapId = snapId0
+    var seq = seq0
+    var entries = added
+    val m =
+      if (fresh.lastSnapshotId == meta.lastSnapshotId) meta
+      else {
+        if (!rebaseable || removedPaths.nonEmpty)
+          throw new CommitConflictException(
+            s"table advanced to snapshot ${fresh.lastSnapshotId} (base was " +
+              s"${meta.lastSnapshotId}) and '$op' is not rebaseable — retry")
+        snapId = fresh.lastSnapshotId + 1
+        seq = fresh.lastSequenceNumber + 1
+        entries = added.map(e => e.copy(sequenceNumber = seq))
+        meta = fresh
+        fresh
+      }
     val parent = m.head(branch)
     val parentEntries = parent.map(p => Meta.readManifest(location, p.manifest)).getOrElse(Nil)
     var rid = m.lastRowId
-    val withRid = added.map { e =>
+    val withRid = entries.map { e =>
       if (e.fileType == "data" && e.firstRowId < 0) {
         val out = e.copy(firstRowId = rid); rid += e.rowCount; out
       } else e
     }
-    val entries = parentEntries.filterNot(e => removedPaths(normPath(abs(e.path)))) ++ withRid
-    val manifest = Meta.writeManifest(location, snapId.toString, entries)
+    val live = parentEntries.filterNot(e => removedPaths(normPath(abs(e.path)))) ++ withRid
+    val manifest = Meta.writeManifest(location, snapId.toString, live)
     val snap = SnapshotMeta(snapId, parent.map(_.snapshotId), seq,
       System.currentTimeMillis(), op, m.currentSchemaId, manifest)
     meta = m.copy(
@@ -327,11 +353,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   /** INSERT: append df (logical column names) as new data files. */
   def append(df: DataFrame, branch: String = "main"): SnapshotMeta = {
-    refresh()
     val (snapId, seq) = nextIds()
     val files = writeDataFiles(toPhysical(df, meta.currentSchema), snapId, seq,
       meta.currentSchemaId, meta.currentSpecId)
-    commit("append", branch, files, Set.empty, snapId, seq)
+    commit("append", branch, files, Set.empty, snapId, seq, rebaseable = true)
   }
 
   // ==========================================================================
@@ -352,7 +377,6 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   def delete(cond: String, mode: WriteMode.Value = WriteMode.CopyOnWrite,
       branch: String = "main"): SnapshotMeta = {
-    refresh()
     val (snapId, seq) = nextIds()
     mode match {
       case WriteMode.CopyOnWrite =>
@@ -371,7 +395,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         val n = spark.read.parquet(abs(rel)).count()
         val entry = FileMeta(rel, "posdel", meta.currentSpecId, meta.currentSchemaId,
           Map.empty, n, 0L, seq, Map.empty)
-        commit("delete", branch, Seq(entry), Set.empty, snapId, seq)
+        commit("delete", branch, Seq(entry), Set.empty, snapId, seq, rebaseable = true)
       case WriteMode.DeletionVector =>
         val hits = scan(filter = Some(cond), withPos = true)
           .select(col("_gf").as("file_path"), col("_gp").as("pos"))
@@ -405,7 +429,6 @@ class GraftTable(val spark: SparkSession, val location: String) {
   /** equality delete (always merge-on-read): rows whose key columns match a
     * row of `keys` are deleted, if written before this delete */
   def deleteByKeys(keys: DataFrame, branch: String = "main"): SnapshotMeta = {
-    refresh()
     val (snapId, seq) = nextIds()
     val schema = meta.currentSchema
     val ids = keys.columns.map(n => schema.byName(n).id).toList
@@ -416,13 +439,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val n = spark.read.parquet(abs(rel)).count()
     val entry = FileMeta(rel, "eqdel", meta.currentSpecId, meta.currentSchemaId,
       Map.empty, n, 0L, seq, Map.empty, eqFieldIds = ids)
-    commit("delete", branch, Seq(entry), Set.empty, snapId, seq)
+    commit("delete", branch, Seq(entry), Set.empty, snapId, seq, rebaseable = true)
   }
 
   def update(cond: String, set: Map[String, String],
       mode: WriteMode.Value = WriteMode.CopyOnWrite,
       branch: String = "main"): SnapshotMeta = {
-    refresh()
     val (snapId, seq) = nextIds()
     val schema = meta.currentSchema
     val hit = coalesce(expr(cond), lit(false))
@@ -475,7 +497,6 @@ class GraftTable(val spark: SparkSession, val location: String) {
       matchedDelete: Boolean = false,
       insertValues: Option[Map[String, String]] = None,
       branch: String = "main"): SnapshotMeta = {
-    refresh()
     val (snapId, seq) = nextIds()
     val schema = meta.currentSchema
     val tgt = scan(withLineage = true, withPos = true)
@@ -581,7 +602,6 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * applying outstanding deletes and materializing lineage; one replace
     * commit drops every old data/delete file from the manifest */
   def compact(targetMB: Int = 128, branch: String = "main"): SnapshotMeta = {
-    refresh()
     val (snapId, seq) = nextIds()
     val m = meta
     val snap = m.head(branch).getOrElse(return commit("replace", branch, Nil, Set.empty, snapId, seq))
@@ -624,15 +644,52 @@ class GraftTable(val spark: SparkSession, val location: String) {
     (drop.size, orphans.size)
   }
 
+  /** Puffin-analog table statistics: approximate per-column NDV sketches
+    * (HyperLogLog++ via approx_count_distinct) computed in ONE distributed
+    * agg job over the current snapshot, persisted as stats/<snapshot>.json
+    * and pointed to from table properties — the optimizer-facing companion
+    * to the per-file min/max metrics in the manifests. */
+  def analyze(): Map[String, Long] = {
+    val m = Meta.readJson(location)
+    val snap = m.head("main")
+      .getOrElse(throw new IllegalStateException("empty table"))
+    val sketchable = m.currentSchema.fields.filter { f =>
+      val base = f.dtype.takeWhile(_ != '(')
+      Set("int", "bigint", "smallint", "tinyint", "double", "float",
+        "decimal", "string", "date", "timestamp", "timestamp_ntz", "boolean")(base)
+    }
+    if (sketchable.isEmpty) return Map.empty
+    val aggs = sketchable.map(f => approx_count_distinct(col(f.name)).as(f.name))
+    val row = scan().agg(aggs.head, aggs.tail: _*).collect()(0)
+    val ndv = sketchable.map(f => f.name -> row.getAs[Long](f.name)).toMap
+    val rel = s"stats/${snap.snapshotId}.json"
+    Files.createDirectories(Paths.get(location, "stats"))
+    Files.writeString(Paths.get(location, rel),
+      org.json4s.jackson.Serialization.write(ndv)(Meta.formats))
+    meta = m.copy(properties = m.properties + ("stats.current" -> rel))
+    Meta.writeJson(meta, location)
+    ndv
+  }
+
+  /** read back the current NDV statistics file, if analyze() has run */
+  def tableStats(): Option[Map[String, Long]] = {
+    val m = Meta.readJson(location)
+    m.properties.get("stats.current").map { rel =>
+      org.json4s.jackson.Serialization.read[Map[String, Long]](
+        Files.readString(Paths.get(location, rel)))(Meta.formats,
+        implicitly[Manifest[Map[String, Long]]])
+    }
+  }
+
   /** live files of the current (or ref'd) snapshot — for specs/inspection */
   def liveFiles(ref: String = "main"): Seq[FileMeta] = {
-    val m = refresh()
+    val m = Meta.readJson(location)
     m.head(ref).map(s => Meta.readManifest(location, s.manifest)).getOrElse(Nil)
   }
 
   /** driver-side pruned data-file list for a filter — for specs/inspection */
   def prunedFiles(filter: String): Seq[FileMeta] = {
-    val m = refresh()
+    val m = Meta.readJson(location)
     val preds = Pruning.extract(filter, spark)
     liveFiles().filter(_.fileType == "data").filter(f => Pruning.fileMatches(f, m, preds))
   }

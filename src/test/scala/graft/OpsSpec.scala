@@ -93,6 +93,12 @@ class OpsSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming ingest commits snapshots a batch reader can see") {
+    val n = Tables(spark, sf, "events").count()
+    val agg = StreamingOps.streamIngest(spark, sf).collect()
+    assert(agg.map(_.getAs[Long]("n")).sum == n)
+  }
+
   test("multimodal metadata matches payload byte lengths") {
     val metas = Multimodal.multimodalMeta(spark, sf).collect()
     assert(metas.nonEmpty)

@@ -242,6 +242,35 @@ class TableSpec extends SparkSpec {
     assert(cat.listNamespaces() == Seq("db1"))
   }
 
+  test("optimistic concurrency: stale-base appends rebase, rewrites conflict") {
+    val loc = tmp()
+    mkOrders(loc).append(seedDf(seed.take(2)))
+    // two independent writers load the same table state
+    val w1 = GraftTable.load(spark, loc)
+    val w2 = GraftTable.load(spark, loc)
+    w1.append(seedDf(Seq((7L, 40L, "O", 700.0))))
+    // w2's base is now stale; its append must rebase, losing nothing
+    w2.append(seedDf(Seq((8L, 50L, "F", 800.0))))
+    assert(GraftTable.load(spark, loc).scan().count() == 4)
+    // a copy-on-write rewrite from a stale base must refuse, not clobber
+    val w3 = GraftTable.load(spark, loc)
+    val w4 = GraftTable.load(spark, loc)
+    w3.delete("o_orderkey = 1", WriteMode.CopyOnWrite)
+    intercept[w4.CommitConflictException] {
+      w4.delete("o_orderkey = 2", WriteMode.CopyOnWrite)
+    }
+    assert(GraftTable.load(spark, loc).scan().count() == 3)
+  }
+
+  test("analyze writes an NDV statistics file (puffin analog)") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    val ndv = t.analyze()
+    assert(ndv("o_orderkey") == 6, s"exactly distinct keys, got $ndv")
+    assert(ndv("o_status") == 2)
+    assert(t.tableStats().contains(ndv), "stats file round-trips")
+  }
+
   test("year/month/day/hour + truncate transforms prune on ranges") {
     import spark.implicits._
     val loc = tmp()
