@@ -1,0 +1,147 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, DecimalLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+/** Per-file statistics from parquet FOOTERS, read on the driver — no Spark
+  * job, no data re-read. This is how a commit stays O(files) instead of
+  * O(bytes): after the write job finishes, collecting row counts, sizes,
+  * per-column min/max/nullCount and partition values costs one footer
+  * round-trip per file (a few KB each). The stat string encodings match
+  * what [[Pruning]] compares against: unix micros for timestamps, epoch
+  * days for dates, plain decimal strings for numerics, raw strings
+  * (<=120 chars) for text. Unknown/unsupported column types simply carry
+  * no stats — pruning treats that as "keep the file". */
+object FooterStats {
+
+  private val hconf = new Configuration()
+
+  def collect(dirAbs: String, location: String, schema: SchemaMeta,
+      spec: PartSpecMeta, specId: Int, schemaId: Int, seq: Long): Seq[FileMeta] = {
+    val root = Paths.get(dirAbs)
+    if (!Files.isDirectory(root)) return Nil
+    val files = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString)
+    val locNorm = Paths.get(location).toAbsolutePath.toString
+    files.map { p =>
+      val (rows, stats) = readFooter(p, schema)
+      FileMeta(
+        path = p.toAbsolutePath.toString.stripPrefix(locNorm + "/"),
+        fileType = "data", specId = specId, schemaId = schemaId,
+        partition = partitionValues(root, p, spec),
+        rowCount = rows, sizeBytes = Files.size(p), sequenceNumber = seq,
+        stats = stats)
+    }
+  }
+
+  /** hidden-partition dir segments: `_p_<name>=<escaped value>` */
+  private def partitionValues(root: Path, file: Path, spec: PartSpecMeta): Map[String, String] = {
+    if (spec.fields.isEmpty) return Map.empty
+    val segs = root.relativize(file).iterator().asScala.map(_.toString).toSeq
+    segs.flatMap { s =>
+      val i = s.indexOf('=')
+      if (i > 0 && s.startsWith("_p_")) Some(s.substring(3, i) -> unescape(s.substring(i + 1)))
+      else None
+    }.toMap
+  }
+
+  /** undo Spark's %xx partition-path escaping */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def readFooter(p: Path, schema: SchemaMeta): (Long, Map[String, ColStats]) = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), hconf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      // accumulate per top-level column across row groups
+      val acc = scala.collection.mutable.Map[String, (Option[Comparable[Any]], Option[Comparable[Any]], Long, Boolean)]()
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          if (!name.contains('.')) {
+            val st = c.getStatistics
+            val prev = acc.getOrElse(name, (None, None, 0L, true))
+            if (st == null) acc(name) = (None, None, prev._3, false)
+            else {
+              val nulls = prev._3 + math.max(0L, st.getNumNulls)
+              if (!st.hasNonNullValue) acc(name) = (prev._1, prev._2, nulls, prev._4)
+              else {
+                val conv = convert(c.getPrimitiveType.getPrimitiveTypeName,
+                  c.getPrimitiveType.getLogicalTypeAnnotation,
+                  st.genericGetMin.asInstanceOf[AnyRef],
+                  st.genericGetMax.asInstanceOf[AnyRef])
+                conv match {
+                  case Some((mn, mx)) =>
+                    val nmn = prev._1.map(v => if (mn.compareTo(v) < 0) mn else v).orElse(Some(mn))
+                    val nmx = prev._2.map(v => if (mx.compareTo(v) > 0) mx else v).orElse(Some(mx))
+                    acc(name) = (nmn, nmx, nulls, prev._4)
+                  case None => acc(name) = (None, None, nulls, false)
+                }
+              }
+            }
+          }
+        }
+      }
+      val stats = schema.fields.flatMap { f =>
+        acc.get(s"f${f.id}").map { case (mn, mx, nulls, ok) =>
+          def enc(v: Option[Comparable[Any]]): Option[String] =
+            if (!ok) None else v.map(_.toString).filter(_.length <= 120)
+          f.id.toString -> ColStats(enc(mn), enc(mx), nulls)
+        }
+      }.toMap
+      (rows, stats)
+    } finally reader.close()
+  }
+
+  /** convert typed footer min/max into the manifest's comparable/encodable
+    * representation; None = type not stat-supported (conservative) */
+  private def convert(t: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+      ann: LogicalTypeAnnotation, mn: AnyRef, mx: AnyRef): Option[(Comparable[Any], Comparable[Any])] = {
+    def c2(a: Any, b: Any) =
+      Some((a.asInstanceOf[Comparable[Any]], b.asInstanceOf[Comparable[Any]]))
+    (t, ann) match {
+      case (INT64, ts: TimestampLogicalTypeAnnotation) =>
+        val f: Long => Long = ts.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
+          case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+          case LogicalTypeAnnotation.TimeUnit.NANOS => _ / 1000L
+        }
+        c2(f(mn.asInstanceOf[java.lang.Long]), f(mx.asInstanceOf[java.lang.Long]))
+      case (INT64, d: DecimalLogicalTypeAnnotation) =>
+        c2(BigDecimal(BigInt(mn.asInstanceOf[java.lang.Long].longValue), d.getScale),
+          BigDecimal(BigInt(mx.asInstanceOf[java.lang.Long].longValue), d.getScale))
+      case (INT64, _) => c2(mn, mx)
+      case (INT32, d: DecimalLogicalTypeAnnotation) =>
+        c2(BigDecimal(BigInt(mn.asInstanceOf[java.lang.Integer].intValue), d.getScale),
+          BigDecimal(BigInt(mx.asInstanceOf[java.lang.Integer].intValue), d.getScale))
+      case (INT32, _: DateLogicalTypeAnnotation) => c2(mn, mx) // epoch days
+      case (INT32, _) => c2(mn, mx)
+      case (DOUBLE, _) => c2(mn, mx)
+      case (FLOAT, _) => c2(mn, mx)
+      case (BINARY, _: StringLogicalTypeAnnotation) =>
+        c2(mn.asInstanceOf[Binary].toStringUsingUTF8,
+          mx.asInstanceOf[Binary].toStringUsingUTF8)
+      case _ => None
+    }
+  }
+}

@@ -225,6 +225,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val schema = m.schema(schemaId)
     val rel = s"data/s$snapId-${UUID.randomUUID.toString.take(8)}"
     val dir = abs(rel)
+    // INT96 timestamps carry no usable footer statistics — write micros for
+    // graft data files, restoring the session's setting afterwards (other
+    // writers in the session must keep their own timestamp physical type)
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
     val pcols = spec.fields.map(pf =>
       Transforms.column(pf, pf.sourceIds.map(id => col(s"f$id")),
         pf.sourceIds.map(id => schema.byId(id).get.dtype)).as(s"_p_${pf.name}"))
@@ -239,64 +244,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
         w.option(k.stripPrefix("write.option."), v)
       case (w, _) => w
     }
-    (if (pcols.nonEmpty) writer.partitionBy(spec.fields.map(pf => s"_p_${pf.name}"): _*)
-     else writer).parquet(dir)
-    collectStats(dir, rel, schema, spec, specId, schemaId, seq)
-  }
-
-  /** one distributed pass over written files → per-file row counts, sizes,
-    * partition values, per-column min/max/nullCount */
-  private def collectStats(dir: String, rel: String, schema: SchemaMeta,
-      spec: PartSpecMeta, specId: Int, schemaId: Int, seq: Long): Seq[FileMeta] = {
-    // an empty input writes no parquet files (just _SUCCESS): empty commit
-    val wrote = Files.walk(Paths.get(dir)).iterator().asScala
-      .exists(_.toString.endsWith(".parquet"))
-    if (!wrote) return Nil
-    val back = spark.read.parquet(dir)
-    val pnames = spec.fields.map(pf => s"_p_${pf.name}")
-    val aggs = mutable.ArrayBuffer[Column](
-      count(lit(1)).as("_n"),
-      first(col("_metadata.file_size")).as("_sz"))
-    schema.fields.foreach { f =>
-      val c = col(phys(f))
-      val base = f.dtype.takeWhile(_ != '(')
-      val ordered: Option[Column] = base match {
-        case "int" | "bigint" | "smallint" | "tinyint" | "double" | "float" | "decimal" =>
-          Some(c)
-        case "timestamp" | "timestamp_ntz" => Some(unix_micros(c))
-        case "date" => Some(datediff(c, lit("1970-01-01").cast("date")))
-        case "string" => Some(c)
-        case _ => None
-      }
-      ordered.foreach { oc =>
-        aggs += min(oc).cast("string").as(s"_min_${f.id}")
-        aggs += max(oc).cast("string").as(s"_max_${f.id}")
-      }
-      aggs += sum(when(c.isNull, 1L).otherwise(0L)).as(s"_nc_${f.id}")
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      (if (pcols.nonEmpty) writer.partitionBy(spec.fields.map(pf => s"_p_${pf.name}"): _*)
+       else writer).parquet(dir)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
     }
-    val rows = back
-      .groupBy(normCol(col("_metadata.file_path")).as("_fp") +: pnames.map(col): _*)
-      .agg(aggs.head, aggs.tail.toSeq: _*)
-      .collect()
-    rows.toSeq.map { r =>
-      val fp = r.getAs[String]("_fp")
-      val part = spec.fields.map(pf => pf.name -> String.valueOf(r.getAs[Any](s"_p_${pf.name}"))).toMap
-      val stats = schema.fields.flatMap { f =>
-        val idx = r.schema.fieldNames.indexOf(s"_min_${f.id}")
-        val nc = r.getAs[Long](s"_nc_${f.id}")
-        if (idx < 0) Some(f.id.toString -> ColStats(None, None, nc))
-        else {
-          val mn = Option(r.getAs[String](s"_min_${f.id}")).filter(_.length <= 120)
-          val mx = Option(r.getAs[String](s"_max_${f.id}")).filter(_.length <= 120)
-          Some(f.id.toString -> ColStats(mn, mx, nc))
-        }
-      }.toMap
-      FileMeta(
-        path = fp.stripPrefix(normPath(location) + "/"),
-        fileType = "data", specId = specId, schemaId = schemaId,
-        partition = part, rowCount = r.getAs[Long]("_n"),
-        sizeBytes = r.getAs[Long]("_sz"), sequenceNumber = seq, stats = stats)
-    }
+    // stats come from parquet FOOTERS on the driver — O(files) metadata
+    // reads, not a second O(bytes) pass over the data
+    FooterStats.collect(dir, location, schema, spec, specId, schemaId, seq)
   }
 
   class CommitConflictException(msg: String) extends RuntimeException(msg)
