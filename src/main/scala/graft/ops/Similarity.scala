@@ -61,15 +61,18 @@ object Similarity {
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     cosinePairs(Tables(spark, dir, "embeddings"), 0.45).orderBy("a_id", "b_id")
 
-  /** brute-force cosine top-k neighbors for query vectors (vec_id < 10) */
+  /** brute-force cosine top-k neighbors for query vectors (vec_id < 10);
+    * scoring runs through the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression — one fused primitive loop per pair, no intermediate arrays */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables(spark, dir, "embeddings"))
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), vdouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(q).join(e, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+        graft.functions.GraftFunctions.cosine(col("qv"), col("v")).as("cos"))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 5)
       .select("q_id", "rnk", "n_id")
@@ -134,7 +137,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     cand
       .select(col("q_id"), col("n_id"),
-        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+        graft.functions.GraftFunctions.cosine(col("qv"), col("v")).as("cos"))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 5)
       .select("q_id", "rnk", "n_id")

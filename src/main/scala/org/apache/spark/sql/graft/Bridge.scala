@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge. Spark 4 moved `Column` to sql-api and made
+  * the expression accessors `private[sql]`, so extension libraries that
+  * define native Catalyst expressions compile this one forwarding object
+  * into the sql package namespace — the accepted extension-point pattern
+  * (same technique Spark connector projects use). Nothing else in graft
+  * lives outside its own namespace. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -80,6 +80,34 @@ class OpsSpec extends SparkSpec {
     assert(TextOps.langid(spark, sf).count() == n)
   }
 
+  test("native graft_cosine expression: SQL-registered, matches the fold form") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 2.0d, 3.0d), array(3.0d, 2.0d, 1.0d)) AS c")
+      .collect()(0).getDouble(0)
+    val expected = (1.0 * 3 + 2 * 2 + 3 * 1) /
+      (math.sqrt(1.0 + 4 + 9) * math.sqrt(9.0 + 4 + 1))
+    assert(viaSql == expected)
+    // the full query path through the expression agrees with the oracle
+    // (q_ann_topk is hash-checked by the driver; sanity-check shape here)
+    assert(Similarity.annTopK(spark, sf).count() == 50)
+  }
+
+  test("graft_bucket SQL function agrees with the manifest pruner's bucket") {
+    import graft.functions.GraftFunctions
+    import graft.table.{PartFieldMeta, Transforms}
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT graft_bucket(8, CAST(42 AS BIGINT)) AS b")
+      .collect()(0).getInt(0)
+    val viaPruner = Transforms.evalLiteral(
+      PartFieldMeta("x", "bucket", List(1), Some(8)), Seq(42L)).get
+    assert(viaSql.toString == viaPruner)
+    // config-time injection path constructs cleanly
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("nanosecond timestamps survive the graft round-trip below micro precision") {
     assert(V3Ops.nanoResidue(spark, sf) > 0,
       "expected sub-microsecond components in events.ts")
