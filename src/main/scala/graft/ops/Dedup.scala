@@ -65,15 +65,39 @@ object Dedup {
   // pair (~4e-8 at tau = 0.9) — tight enough to share the SQL oracle.
   val K = 64; val BANDS = 16; val R = 4
 
-  private def bandSigs(arr: DataFrame): DataFrame =
-    arr
-      // the whole K-hash signature evaluates inside one codegen'd
-      // expression per doc — no exploded rows, no extra shuffle
-      .withColumn("mh", expr(
-        s"transform(sequence(0, ${K - 1}), j -> array_min(transform(sh, s -> xxhash64(s, j))))"))
-      .select(col("doc_id"), col("sh"), posexplode(expr(
-        s"transform(sequence(0, ${BANDS - 1}), b -> xxhash64(slice(mh, b * $R + 1, $R), b))"))
-        .as(Seq("band", "sig")))
+  /** One JVM pass per doc computing the K-hash MinHash signature and its
+    * band signatures. Replicates Spark's `xxhash64(s, j)` chain exactly
+    * (XXH64 over the UTF-8 bytes seeded 42, then the int j folded in) so
+    * candidates are bit-identical to the expression form — higher-order
+    * transform() lambdas evaluate interpreted, which made the pure-SQL
+    * version the slowest query in the bench. */
+  private def bandSigs(arr: DataFrame): DataFrame = {
+    val spark = arr.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    arr.select(col("doc_id"), col("sh")).as[(Long, Seq[String])]
+      .flatMap { case (id, sh) =>
+        val mh = Array.fill(K)(Long.MaxValue)
+        sh.foreach { s =>
+          val base = XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
+          var j = 0
+          while (j < K) {
+            val h = XXH64.hashInt(j, base)
+            if (h < mh(j)) mh(j) = h
+            j += 1
+          }
+        }
+        (0 until BANDS).map { b =>
+          var sig = 42L
+          var k = 0
+          while (k < R) { sig = XXH64.hashLong(mh(b * R + k), sig); k += 1 }
+          sig = XXH64.hashInt(b, sig)
+          (id, b, sig)
+        }
+      }
+      .toDF("doc_id", "band", "sig")
+  }
 
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val sigs = bandSigs(shingleArr(docs)).drop("sh")
