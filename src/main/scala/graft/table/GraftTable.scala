@@ -234,9 +234,23 @@ class GraftTable(val spark: SparkSession, val location: String) {
       Transforms.column(pf, pf.sourceIds.map(id => col(s"f$id")),
         pf.sourceIds.map(id => schema.byId(id).get.dtype)).as(s"_p_${pf.name}"))
     var out = physDf.select(physDf.columns.map(col) ++ pcols: _*)
-    if (pcols.nonEmpty)
+    // sort-order clustering (table property "write.sort" = "colA,colB"):
+    // range-partition + sort within files so per-file min/max ranges are
+    // disjoint — manifest pruning then skips all but the matching files.
+    // The Iceberg sort-order analog; at 100 TB this is what turns a
+    // point/range query from a full scan into a handful of file reads.
+    val sortCols = m.properties.get("write.sort").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(n => col(s"f${schema.byName(n).id}"))
+    if (pcols.nonEmpty) {
       out = out.repartition(spec.fields.map(pf => col(s"_p_${pf.name}")): _*)
-    else repartitionTo.foreach(n => out = out.repartition(n))
+      if (sortCols.nonEmpty) out = out.sortWithinPartitions(sortCols: _*)
+    } else if (sortCols.nonEmpty) {
+      out = repartitionTo
+        .map(n => out.repartitionByRange(n, sortCols: _*))
+        .getOrElse(out.repartitionByRange(sortCols: _*))
+        .sortWithinPartitions(sortCols: _*)
+    } else repartitionTo.foreach(n => out = out.repartition(n))
     // table properties "write.option.<k>" pass through to the parquet writer
     // (e.g. write.option.parquet.bloom.filter.enabled#f2 -> true)
     val writer = m.properties.foldLeft(out.write.mode("errorifexists")) {

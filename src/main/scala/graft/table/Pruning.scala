@@ -34,17 +34,19 @@ object Pruning {
       case Literal(v, _) if v != null => Some(v)
       case _ => None
     }
+    // NOTE: each comparison needs BOTH operand orders checked explicitly —
+    // a bare two-case structural match would bind `10 > k` to the first
+    // case (literal as the "attribute" side), yield None, and silently
+    // skip the predicate instead of falling through to the flipped case.
+    def cmpPred(a: Expression, b: Expression, op: String, flipped: String): Option[Pred] =
+      (for (f <- attr(a); v <- lit(b)) yield Pred(f, op, Seq(v)))
+        .orElse(for (f <- attr(b); v <- lit(a)) yield Pred(f, flipped, Seq(v)))
     conjuncts(spark.sessionState.sqlParser.parseExpression(filter)).flatMap {
-      case EqualTo(a, l) => for (f <- attr(a); v <- lit(l)) yield Pred(f, "=", Seq(v))
-      case EqualTo(l, a) => for (f <- attr(a); v <- lit(l)) yield Pred(f, "=", Seq(v))
-      case LessThan(a, l) => for (f <- attr(a); v <- lit(l)) yield Pred(f, "<", Seq(v))
-      case LessThan(l, a) => for (f <- attr(a); v <- lit(l)) yield Pred(f, ">", Seq(v))
-      case LessThanOrEqual(a, l) => for (f <- attr(a); v <- lit(l)) yield Pred(f, "<=", Seq(v))
-      case LessThanOrEqual(l, a) => for (f <- attr(a); v <- lit(l)) yield Pred(f, ">=", Seq(v))
-      case GreaterThan(a, l) => for (f <- attr(a); v <- lit(l)) yield Pred(f, ">", Seq(v))
-      case GreaterThan(l, a) => for (f <- attr(a); v <- lit(l)) yield Pred(f, "<", Seq(v))
-      case GreaterThanOrEqual(a, l) => for (f <- attr(a); v <- lit(l)) yield Pred(f, ">=", Seq(v))
-      case GreaterThanOrEqual(l, a) => for (f <- attr(a); v <- lit(l)) yield Pred(f, "<=", Seq(v))
+      case EqualTo(a, b) => cmpPred(a, b, "=", "=")
+      case LessThan(a, b) => cmpPred(a, b, "<", ">")
+      case LessThanOrEqual(a, b) => cmpPred(a, b, "<=", ">=")
+      case GreaterThan(a, b) => cmpPred(a, b, ">", "<")
+      case GreaterThanOrEqual(a, b) => cmpPred(a, b, ">=", "<=")
       case In(a, ls) if ls.forall(lit(_).isDefined) =>
         attr(a).map(f => Pred(f, "in", ls.flatMap(lit)))
       case _ => None

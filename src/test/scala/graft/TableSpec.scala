@@ -262,6 +262,30 @@ class TableSpec extends SparkSpec {
     assert(GraftTable.load(spark, loc).scan().count() == 3)
   }
 
+  test("write.sort clusters files into disjoint ranges for pruning") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), "k bigint, v string",
+      properties = Map("write.sort" -> "k"))
+    // unsorted input, enough rows to spread over several range partitions
+    // (AQE would rightly coalesce this micro shuffle to one file — disable
+    // it here so the multi-file clustering property is observable)
+    val rows = scala.util.Random.shuffle((0L until 400L).toList).map(k => (k, s"v$k"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try t.append(rows.toDF("k", "v"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val files = t.liveFiles().filter(_.fileType == "data")
+    assert(files.size > 1, "expected multiple range-clustered files")
+    // min/max ranges must be pairwise disjoint
+    val ranges = files.map(f => (f.stats("1").min.get.toLong, f.stats("1").max.get.toLong))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) => assert(aMax < bMin, s"overlap: $ranges")
+      case _ =>
+    }
+    val pruned = t.prunedFiles("k = 17")
+    assert(pruned.size == 1, s"point query must hit exactly one file, got ${pruned.size}")
+  }
+
   test("analyze writes an NDV statistics file (puffin analog)") {
     val t = mkOrders(tmp())
     t.append(seedDf(seed))
