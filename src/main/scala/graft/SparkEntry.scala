@@ -13,14 +13,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ AsOfJoin.queries ++ TextOps.queries ++
-      Dedup.queries ++ Similarity.queries ++ GraftOps.queries ++
-      V3Ops.queries ++ Multimodal.queries ++ StreamingOps.queries
+    Analytics.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
+      TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
+      GraftOps.queries ++ V3Ops.queries ++ Multimodal.queries ++
+      StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    Analytics.oracles ++ AsOfJoin.oracles ++ TextOps.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ GraftOps.oracles ++
-      V3Ops.oracles ++ Multimodal.oracles ++ StreamingOps.oracles
+    Analytics.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
+      TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      GraftOps.oracles ++ V3Ops.oracles ++ Multimodal.oracles ++
+      StreamingOps.oracles
 }

@@ -144,10 +144,79 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** IVF (inverted-file) ANN — the second scale path beside LSH: vectors
+    * are bucketed by nearest centroid; a query probes only the `Probes`
+    * closest centroids' lists and re-ranks those exactly. Candidate
+    * generation is an equi-join on the centroid id: linear shuffles, no
+    * cross join. Centroids are deterministic: seeded from the first
+    * `IvfLists` vectors, refined by one distributed k-means step (mean of
+    * assigned vectors — a groupBy/avg, no RNG anywhere). */
+  val IvfLists = 32
+  val Probes = 4
+
+  private def nearestCentroid(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestCos = Double.MinValue
+    var c = 0
+    while (c < cents.length) {
+      val cos = graft.functions.CosineSimilarity.compute(v, cents(c))
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def topCentroids(v: Array[Double], cents: Array[Array[Double]], p: Int): Seq[Int] =
+    cents.indices
+      .map(c => c -> graft.functions.CosineSimilarity.compute(v, cents(c)))
+      .sortBy { case (c, cos) => (-cos, c) }.take(p).map(_._1)
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), vdouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+    // seed centroids: the first IvfLists vectors (deterministic)
+    val seedCents = e.filter(_._1 < IvfLists).collect().sortBy(_._1).map(_._2)
+    val bc0 = spark.sparkContext.broadcast(seedCents)
+    // one k-means refinement: mean of vectors assigned to each seed
+    val refined = e
+      .map { case (_, v) => (nearestCentroid(v, bc0.value), v) }
+      .toDF("c", "v")
+      .select(col("c"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("c", "i").agg(avg(col("x")).as("m"))
+      .groupBy("c").agg(map_from_arrays(collect_list(col("i")), collect_list(col("m"))).as("dims"))
+      .as[(Int, Map[Int, Double])].collect()
+      .sortBy(_._1)
+    val cents = seedCents.indices.map { c =>
+      refined.find(_._1 == c).map { case (_, dims) =>
+        Array.tabulate(dim)(i => dims(i))
+      }.getOrElse(seedCents(c))
+    }.toArray
+    val bc = spark.sparkContext.broadcast(cents)
+
+    val bucketed = e.map { case (id, v) => (id, v, nearestCentroid(v, bc.value)) }
+      .toDF("vec_id", "v", "bucket")
+    val q = e.filter(_._1 < 10)
+      .flatMap { case (id, v) => topCentroids(v, bc.value, Probes).map(c => (id, v, c)) }
+      .toDF("q_id", "qv", "bucket")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    q.join(bucketed, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        graft.functions.GraftFunctions.cosine(col("qv"), col("v")).as("cos"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "n_id")
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_embedding" -> dedupEmbedding,
     "q_ann_topk" -> annTopK,
-    "q_ann_lsh" -> annLsh)
+    "q_ann_lsh" -> annLsh,
+    "q_ann_ivf" -> annIvf)
 
   private val cosExpr =
     """list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))

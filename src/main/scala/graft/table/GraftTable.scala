@@ -616,6 +616,29 @@ class GraftTable(val spark: SparkSession, val location: String) {
     (drop.size, orphans.size)
   }
 
+  /** Incremental (CDC-style) read: rows APPENDED strictly after
+    * `fromSnapshotId`, up to the current (or given) end snapshot — the
+    * Iceberg incremental-scan analog. Selection is by manifest sequence
+    * number on the driver: only data files committed in the window are
+    * read at all, so consuming a day's delta from a year-old table costs
+    * the delta, not the table. Row-level deletes in the window are
+    * reflected (a row appended then MoR-deleted inside the window does
+    * not appear). */
+  def scanIncremental(fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    val m = Meta.readJson(location)
+    val fromSeq = m.snapshot(fromSnapshotId).sequenceNumber
+    val end = toSnapshotId.map(m.snapshot)
+      .orElse(m.head("main"))
+      .getOrElse(throw new IllegalStateException("empty table"))
+    val entries = Meta.readManifest(location, end.manifest)
+    val newFiles = entries.filter(e => e.fileType == "data" && e.sequenceNumber > fromSeq)
+      .map(e => normPath(abs(e.path))).toSet
+    if (newFiles.isEmpty) emptyDf(m.schema(end.schemaId), lineage = false, pos = false)
+    else scanSnapshot(m, end, end.schemaId, None, withLineage = false,
+      withPos = false, fileSubset = Some(newFiles))
+  }
+
   /** Puffin-analog table statistics: approximate per-column NDV sketches
     * (HyperLogLog++ via approx_count_distinct) computed in ONE distributed
     * agg job over the current snapshot, persisted as stats/<snapshot>.json

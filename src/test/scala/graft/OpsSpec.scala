@@ -66,6 +66,32 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"simhash recall $recall")
   }
 
+  test("ann ivf achieves reasonable recall vs brute force") {
+    val exact = Similarity.annTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.annIvf(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall $recall below target for 32-list/4-probe")
+  }
+
+  test("range join matches the nested-loop predicate semantics") {
+    import org.apache.spark.sql.functions.unix_micros
+    val pairs = RangeJoin.ordersEventsRange(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reference: direct (nested-loop) inequality join on micro data
+    val o = Tables(spark, sf, "orders")
+    val e = Tables(spark, sf, "events")
+    val week = 7L * 86400000000L
+    val od = unix_micros(o("o_orderdate").cast("timestamp"))
+    val ref = o.join(e,
+        e("user_id") === o("o_custkey") &&
+          unix_micros(e("ts")) >= od && unix_micros(e("ts")) < od + week)
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pairs == ref)
+  }
+
   test("ann lsh achieves reasonable recall vs brute force") {
     val exact = Similarity.annTopK(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -262,6 +262,24 @@ class TableSpec extends SparkSpec {
     assert(GraftTable.load(spark, loc).scan().count() == 3)
   }
 
+  test("incremental scan returns only rows appended after a snapshot") {
+    val t = mkOrders(tmp())
+    val s1 = t.append(seedDf(seed.take(2)))
+    t.append(seedDf(seed.slice(2, 4)))
+    t.append(seedDf(seed.slice(4, 6)))
+    val inc = t.scanIncremental(s1.snapshotId)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(inc.sameElements(Array(3L, 4L, 5L, 6L)))
+    // a row appended then MoR-deleted inside the window does not appear
+    t.delete("o_orderkey = 4", WriteMode.MergeOnRead)
+    val inc2 = t.scanIncremental(s1.snapshotId)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(inc2.sameElements(Array(3L, 5L, 6L)))
+    // empty window
+    val head = t.meta.snapshots.last
+    assert(t.scanIncremental(head.snapshotId).count() == 0)
+  }
+
   test("write.sort clusters files into disjoint ranges for pruning") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), "k bigint, v string",
