@@ -85,16 +85,19 @@ object GraftFunctions {
   * "graft.functions.GraftExtensions")` makes the functions available in
   * every session of the application, the standard extension-point route. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = Seq(
-    ("graft_cosine",
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)): Expression,
-      "graft_cosine(a, b) - cosine similarity of two double arrays"),
-    ("graft_bucket",
-      (exprs: Seq[Expression]) => GraftFunctions.bucketExpr(exprs.head, exprs.tail),
-      "graft_bucket(n, cols...) - graft partition bucket of the arguments")
-  ).foreach { case (name, builder, usage) =>
-    ext.injectFunction((FunctionIdentifier(name),
-      new ExpressionInfo("graft.functions.GraftFunctions", name, usage),
-      builder))
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    Seq(
+      ("graft_cosine",
+        (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)): Expression,
+        "graft_cosine(a, b) - cosine similarity of two double arrays"),
+      ("graft_bucket",
+        (exprs: Seq[Expression]) => GraftFunctions.bucketExpr(exprs.head, exprs.tail),
+        "graft_bucket(n, cols...) - graft partition bucket of the arguments")
+    ).foreach { case (name, builder, usage) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftFunctions", name, usage),
+        builder))
+    }
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }

@@ -92,6 +92,29 @@ class OpsSpec extends SparkSpec {
     assert(pairs == ref)
   }
 
+  test("range-join rule: nested loop becomes a bin hash join, same result") {
+    import org.apache.spark.sql.functions.{lit, unix_micros}
+    val day = 86400000000L
+    def q = {
+      val o = Tables(spark, sf, "orders")
+        .select(col("o_orderkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+      val e = Tables(spark, sf, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("e_us"))
+      // PURE range join (no key): Spark alone plans a nested loop
+      o.join(e, e("e_us") >= o("o_us") && e("e_us") < o("o_us") + lit(day))
+    }
+    val before = q.count() // un-rewritten reference
+    assert(q.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    graft.plans.GraftOptimizations.install(spark)
+    try {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"rule did not rewrite the nested loop:\n$plan")
+      assert(q.count() == before, "rewrite changed the result")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.RangeJoinRule)
+  }
+
   test("ann lsh achieves reasonable recall vs brute force") {
     val exact = Similarity.annTopK(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
