@@ -38,6 +38,59 @@ object AsOfJoin {
       .select(col("_row.*"), col("_asof").as(valueName))
   }
 
+  /** Skew-resistant as-of: the same semantics with the single-key
+    * bottleneck removed. A pathological key (one user with 10^9 events)
+    * breaks the plain composition because one window partition must hold
+    * the whole key. Salting by fixed time buckets splits that partition:
+    *
+    *  1. in-bucket pass — the running-last window over (key, BUCKET)
+    *     partitions, which are bounded by bucket width, not key volume;
+    *  2. bucket summaries — one row per (key, bucket) holding the last
+    *     right value in the bucket (a groupBy, map-side combinable);
+    *  3. carry pass — a window over the per-key SUMMARY rows (count =
+    *     #buckets, small by construction) computes what was last seen
+    *     BEFORE each bucket; joined back on (key, bucket).
+    *
+    * Every stage is a bounded-partition shuffle; no partition ever holds
+    * more than one bucket of one key. Result equality with [[asOf]] is
+    * spec-checked. */
+  def asOfSalted(left: DataFrame, leftKey: Column, leftTime: Column,
+      right: DataFrame, rightKey: Column, rightTime: Column,
+      valueCol: Column, valueName: String, bucketUs: Long): DataFrame = {
+    val rowType = left.select(struct(left.columns.map(col): _*).as("_row")).schema.head.dataType
+    val vType = right.select(valueCol.as("_v")).schema.head.dataType
+    val l = left.select(leftKey.as("_k"), leftTime.as("_t"), lit(1).as("_side"),
+      struct(left.columns.map(col): _*).as("_row"), lit(null).cast(vType).as("_v"))
+    val r = right.select(rightKey.as("_k"), rightTime.as("_t"), lit(0).as("_side"),
+      lit(null).cast(rowType).as("_row"), valueCol.as("_v"))
+    val u = l.unionByName(r)
+      .withColumn("_b", (unix_micros(col("_t").cast("timestamp")) / bucketUs).cast("long"))
+
+    // 1. running last within (key, bucket) — bounded partitions
+    val wIn = Window.partitionBy(col("_k"), col("_b")).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = u.withColumn("_inb", last(col("_v"), ignoreNulls = true).over(wIn))
+
+    // 2. one summary row per (key, bucket): last right value in the bucket
+    val summaries = u.filter(col("_side") === 0)
+      .groupBy(col("_k"), col("_b"))
+      .agg(max_by(col("_v"), struct(col("_t"), col("_side"))).as("_bv"))
+    // buckets that only have left rows still need a carry row
+    val allBuckets = u.select(col("_k"), col("_b")).distinct()
+      .join(summaries, Seq("_k", "_b"), "left_outer")
+
+    // 3. carry across buckets per key — partition size = #buckets, tiny
+    val wCarry = Window.partitionBy(col("_k")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allBuckets
+      .withColumn("_prev", last(col("_bv"), ignoreNulls = true).over(wCarry))
+      .select(col("_k"), col("_b"), col("_prev"))
+
+    inBucket.join(carry, Seq("_k", "_b"))
+      .filter(col("_side") === 1)
+      .select(col("_row.*"), coalesce(col("_inb"), col("_prev")).as(valueName))
+  }
+
   /** queries-entry shape: latest order date at-or-before each event, per user. */
   def eventsAsOfOrders(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables(spark, dir, "events").select("event_id", "user_id", "ts")

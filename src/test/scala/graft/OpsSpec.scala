@@ -43,6 +43,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("salted asof join equals the plain composition") {
+    val events = Tables(spark, sf, "events").select("event_id", "user_id", "ts")
+    val orders = Tables(spark, sf, "orders")
+    def run(fn: => org.apache.spark.sql.DataFrame) =
+      fn.select("event_id", "last_order_date").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString)).toMap
+    val plain = run(AsOfJoin.asOf(events, col("user_id"), col("ts"),
+      orders, col("o_custkey"), col("o_orderdate"), col("o_orderdate"), "last_order_date"))
+    val salted = run(AsOfJoin.asOfSalted(events, col("user_id"), col("ts"),
+      orders, col("o_custkey"), col("o_orderdate"), col("o_orderdate"), "last_order_date",
+      bucketUs = 30L * 86400000000L))
+    assert(plain == salted)
+  }
+
   test("asof join: every matched order date <= event ts") {
     val df = AsOfJoin.eventsAsOfOrders(spark, sf)
     val bad = df.join(Tables(spark, sf, "events").select("event_id", "ts"), "event_id")
