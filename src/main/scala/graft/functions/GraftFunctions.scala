@@ -99,5 +99,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    // hint-resolution batch runs BEFORE relation resolution, so the graft
+    // substitution wins the race against the built-in resolver (which
+    // would otherwise reject `graft` as a multi-part namespace)
+    ext.injectHintResolutionRule(session => new graft.plans.GraftSqlResolution(session))
   }
 }

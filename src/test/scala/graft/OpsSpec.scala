@@ -171,6 +171,36 @@ class OpsSpec extends SparkSpec {
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("SQL resolution: SELECT from graft.<ns>.<table> via extensions") {
+    import org.apache.spark.sql.SparkSession
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlwh").toString
+    // a session built WITH GraftExtensions (shares the SparkContext)
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    try {
+      s2.conf.set("spark.graft.warehouse", wh)
+      val cat = new graft.table.GraftCatalog(s2, wh)
+      val t = cat.createTable("db1", "kv", "k bigint, v string")
+      import s2.implicits._
+      t.append(Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "v"))
+      t.delete("k = 2", graft.table.WriteMode.MergeOnRead)
+      val rows = s2.sql(
+        "SELECT v, count(*) AS n FROM graft.db1.kv GROUP BY v ORDER BY v")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.sameElements(Array(("a", 2L))),
+        s"expected MoR delete visible through SQL, got ${rows.toList}")
+      // native function registered by the same extensions
+      assert(s2.sql("SELECT graft_bucket(4, k) AS b FROM graft.db1.kv").count() == 2)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("nanosecond timestamps survive the graft round-trip below micro precision") {
     assert(V3Ops.nanoResidue(spark, sf) > 0,
       "expected sub-microsecond components in events.ts")
