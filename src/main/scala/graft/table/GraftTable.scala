@@ -588,6 +588,32 @@ class GraftTable(val spark: SparkSession, val location: String) {
     commit("replace", branch, out, removed, snapId, seq)
   }
 
+  /** Partial bin-pack: rewrite ONLY data files smaller than
+    * `smallerThanMB`, leaving right-sized files untouched — the
+    * steady-state maintenance mode at scale, where full-table rewrites
+    * are not an option. Outstanding deletes on the rewritten files are
+    * applied and lineage is materialized; untouched files (and the
+    * delete files still guarding them) carry forward. */
+  def compactSmallFiles(smallerThanBytes: Long = 32L << 20, targetMB: Int = 128,
+      branch: String = "main"): SnapshotMeta = {
+    val (snapId, seq) = nextIds()
+    val m = meta
+    val snap = m.head(branch).getOrElse(
+      return commit("replace", branch, Nil, Set.empty, snapId, seq))
+    val entries = Meta.readManifest(location, snap.manifest)
+    val small = entries.filter(e =>
+      e.fileType == "data" && e.sizeBytes < smallerThanBytes)
+    if (small.size < 2)
+      return commit("replace", branch, Nil, Set.empty, snapId, seq)
+    val paths = small.map(e => normPath(abs(e.path))).toSet
+    val totalBytes = small.map(_.sizeBytes).sum
+    val n = math.max(1, (totalBytes / (targetMB.toLong << 20)).toInt)
+    val rows = readForRewrite(paths)
+    val out = writeDataFiles(toPhysical(rows, m.currentSchema), snapId, seq,
+      m.currentSchemaId, m.currentSpecId, repartitionTo = Some(n))
+    commit("replace", branch, out, paths, snapId, seq)
+  }
+
   /** expire snapshots older than `olderThanMs` that no ref points to;
     * physically deletes orphaned manifests/data/delete files.
     * Returns (#snapshots expired, #files deleted). */

@@ -186,6 +186,26 @@ class TableSpec extends SparkSpec {
     assert(ridAfter == ridBefore, "row lineage must survive compaction")
   }
 
+  test("small-file compaction merges small files, leaves large ones untouched") {
+    val t = mkOrders(tmp())
+    (0 until 4).foreach(i => t.append(seedDf(Seq(seed(i))).coalesce(1))) // 4 one-row files
+    t.append(seedDf(seed.drop(4) ++ Seq((7L, 40L, "O", 700.0))).coalesce(1)) // one 3-row file
+    val before = t.liveFiles().filter(_.fileType == "data")
+    assert(before.size >= 5)
+    val big = before.maxBy(_.sizeBytes)
+    val ridBefore = t.scan(withLineage = true)
+      .select("o_orderkey", "_row_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // threshold = the largest file's size: everything smaller rewrites
+    t.compactSmallFiles(smallerThanBytes = big.sizeBytes)
+    val after = t.liveFiles().filter(_.fileType == "data")
+    assert(after.exists(_.path == big.path), "large file must carry forward untouched")
+    assert(after.size < before.size, s"expected fewer files: ${before.size} -> ${after.size}")
+    assert(t.scan().count() == 7)
+    val ridAfter = t.scan(withLineage = true)
+      .select("o_orderkey", "_row_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ridAfter == ridBefore, "lineage must survive partial compaction")
+  }
+
   test("expire snapshots deletes orphan files") {
     val t = mkOrders(tmp())
     t.append(seedDf(seed.take(3)))
