@@ -76,11 +76,42 @@ object TextOps {
         md5(lower(col("text")).cast("binary")).as("fp"))
       .orderBy("doc_id")
 
+  // --- corpus curation: the full training-data filter in one pipeline ------
+  /** exact-dedup → language filter → quality thresholds, composed the way a
+    * production corpus build chains them: the dedup is a semi-join against
+    * canonical ids (hash groupBy), scoring is one codegen'd pass, and the
+    * whole thing is a single shuffle + broadcast-ish semi join. */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is")
+    val markers = Seq(
+      "de" -> Seq("der", "die", "und", "nicht"),
+      "en" -> Seq("the", "a", "and", "is"),
+      "es" -> Seq("el", "los", "y", "que"),
+      "fr" -> Seq("le", "la", "et", "les"),
+      "zh" -> Seq("的", "是"))
+    val tagged = markers.map { case (code, ws) =>
+      concat(lpad(countIn(col("text"), ws).cast("string"), 10, "0"), lit(code))
+    }
+    val docs = Tables(spark, dir, "documents")
+    val scored = docs.select(
+      col("doc_id"),
+      size(words(col("text"))).cast(LongType).as("n_words"),
+      (countIn(col("text"), stop).cast("double") /
+        size(words(col("text")))).as("swr"),
+      substring(greatest(tagged: _*), 11, 2).as("pred_lang"))
+    val canonical = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    scored.join(canonical.select("doc_id"), Seq("doc_id"), "left_semi")
+      .filter(col("pred_lang") === "en" && col("n_words") >= 15 && col("swr") >= 0.03)
+      .select("doc_id", "n_words", "pred_lang")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_token_count" -> tokenCount,
     "q_text_quality" -> quality,
     "q_text_langid" -> langid,
-    "q_fingerprint" -> fingerprint)
+    "q_fingerprint" -> fingerprint,
+    "q_corpus_filter" -> corpusFilter)
 
   private def sqlCountIn(markers: Seq[String]): String = {
     val pred = markers.map(m => s"w = '$m'").mkString(" OR ")
@@ -118,5 +149,23 @@ object TextOps {
          | ${sqlLangTag("zh", Seq("的", "是"))}), 11, 2) AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
-      """SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""")
+      """SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""",
+    "q_corpus_filter" ->
+      s"""WITH canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(${sqlCountIn(Seq("the", "a", "and", "of", "to", "in", "is"))} AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS swr,
+         |    substr(greatest(
+         |      ${sqlLangTag("de", Seq("der", "die", "und", "nicht"))},
+         |      ${sqlLangTag("en", Seq("the", "a", "and", "is"))},
+         |      ${sqlLangTag("es", Seq("el", "los", "y", "que"))},
+         |      ${sqlLangTag("fr", Seq("le", "la", "et", "les"))},
+         |      ${sqlLangTag("zh", Seq("的", "是"))}), 11, 2) AS pred_lang
+         |  FROM documents)
+         |SELECT s.doc_id, s.n_words, s.pred_lang
+         |FROM scored s JOIN canon c ON s.doc_id = c.doc_id
+         |WHERE s.pred_lang = 'en' AND s.n_words >= 15 AND s.swr >= 0.03
+         |ORDER BY s.doc_id""".stripMargin)
 }
