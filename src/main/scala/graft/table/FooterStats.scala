@@ -25,6 +25,21 @@ object FooterStats {
 
   private val hconf = new Configuration()
 
+  /** total row count of every parquet file under a directory — one footer
+    * read per file, no Spark job (used for delete-file manifest entries) */
+  def rowCount(dirAbs: String): Long = {
+    val root = Paths.get(dirAbs)
+    if (!Files.isDirectory(root)) return 0L
+    Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map { p =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), hconf))
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }.sum
+  }
+
   def collect(dirAbs: String, location: String, schema: SchemaMeta,
       spec: PartSpecMeta, specId: Int, schemaId: Int, seq: Long): Seq[FileMeta] = {
     val root = Paths.get(dirAbs)

@@ -364,7 +364,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
           .select(col("_gf").as("file_path"), col("_gp").as("pos"))
         val rel = s"deletes/pd$snapId-${UUID.randomUUID.toString.take(8)}"
         hits.write.parquet(abs(rel))
-        val n = spark.read.parquet(abs(rel)).count()
+        val n = FooterStats.rowCount(abs(rel))
         val entry = FileMeta(rel, "posdel", meta.currentSpecId, meta.currentSchemaId,
           Map.empty, n, 0L, seq, Map.empty)
         commit("delete", branch, Seq(entry), Set.empty, snapId, seq, rebaseable = true)
@@ -388,7 +388,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
           .toDF("file_path", "dv")
         val rel = s"deletes/dv$snapId-${UUID.randomUUID.toString.take(8)}"
         vecs.write.parquet(abs(rel))
-        val n = spark.read.parquet(abs(rel)).count()
+        val n = FooterStats.rowCount(abs(rel))
         val entry = FileMeta(rel, "dv", meta.currentSpecId, meta.currentSchemaId,
           Map.empty, n, 0L, seq, Map.empty)
         // drop superseded DV entries: the latest-seq filter at read handles
@@ -408,7 +408,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       col(n).cast(sparkType(schema.byName(n).dtype)).as(s"f${schema.byName(n).id}")): _*)
     val rel = s"deletes/eq$snapId-${UUID.randomUUID.toString.take(8)}"
     physKeys.write.parquet(abs(rel))
-    val n = spark.read.parquet(abs(rel)).count()
+    val n = FooterStats.rowCount(abs(rel))
     val entry = FileMeta(rel, "eqdel", meta.currentSpecId, meta.currentSchemaId,
       Map.empty, n, 0L, seq, Map.empty, eqFieldIds = ids)
     commit("delete", branch, Seq(entry), Set.empty, snapId, seq, rebaseable = true)
@@ -444,7 +444,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         val dels = rows2.select(col("_gf").as("file_path"), col("_gp").as("pos"))
         val relD = s"deletes/pd$snapId-${UUID.randomUUID.toString.take(8)}"
         dels.write.parquet(abs(relD))
-        val nd = spark.read.parquet(abs(relD)).count()
+        val nd = FooterStats.rowCount(abs(relD))
         val delEntry = FileMeta(relD, "posdel", meta.currentSpecId, meta.currentSchemaId,
           Map.empty, nd, 0L, seq, Map.empty)
         val updated = rows2.select(schema.fields.map { f =>
