@@ -48,15 +48,26 @@ object FooterStats {
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .toSeq.sortBy(_.toString)
     val locNorm = Paths.get(location).toAbsolutePath.toString
-    files.map { p =>
-      val (rows, stats) = readFooter(p, schema)
-      FileMeta(
-        path = p.toAbsolutePath.toString.stripPrefix(locNorm + "/"),
-        fileType = "data", specId = specId, schemaId = schemaId,
-        partition = partitionValues(root, p, spec),
-        rowCount = rows, sizeBytes = Files.size(p), sequenceNumber = seq,
-        stats = stats)
-    }
+    // footer reads are independent metadata IO — a large commit (1000s of
+    // files) reads them concurrently instead of serially on one thread
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, files.size)))
+    try {
+      val futures = files.map { p =>
+        pool.submit(new java.util.concurrent.Callable[FileMeta] {
+          override def call(): FileMeta = {
+            val (rows, stats) = readFooter(p, schema)
+            FileMeta(
+              path = p.toAbsolutePath.toString.stripPrefix(locNorm + "/"),
+              fileType = "data", specId = specId, schemaId = schemaId,
+              partition = partitionValues(root, p, spec),
+              rowCount = rows, sizeBytes = Files.size(p), sequenceNumber = seq,
+              stats = stats)
+          }
+        })
+      }
+      futures.map(_.get())
+    } finally pool.shutdown()
   }
 
   /** hidden-partition dir segments: `_p_<name>=<escaped value>` */
