@@ -86,6 +86,32 @@ object Analytics {
       .agg(d(sum(dec(col("l_extendedprice"), 12, 2) * dec(col("l_discount"), 3, 2)))
         .as("revenue"))
 
+  // --- q04: order priority checking (EXISTS -> left-semi join) -------------
+  def q04(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-07-01 00:00:00") &&
+        col("o_orderdate") < ts("1996-10-01 00:00:00"))
+    val l = Tables(spark, dir, "lineitem")
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  // --- q14: promo revenue ratio (broadcast dim join + conditional agg) -----
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1996-03-01 00:00:00"))
+    val p = Tables(spark, dir, "part")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        d(sum(when(col("p_type") === "ECONOMY", discPrice)
+          .otherwise(lit(0).cast(DecimalType(18, 4))))) /
+        d(sum(discPrice))).as("promo_revenue"))
+  }
+
   // --- top-k per group (window rank) ---------------------------------------
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
@@ -142,6 +168,8 @@ object Analytics {
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q03_shipping_priority" -> q03,
+    "q04_order_priority" -> q04,
+    "q14_promo_revenue" -> q14,
     "q05_local_supplier" -> q05,
     "q06_forecast_revenue" -> q06,
     "q_topk_per_group" -> topkPerGroup,
@@ -151,6 +179,25 @@ object Analytics {
     "q_sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT 100.0 *
+        | CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+        |   THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(3,2))
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE)
+        | AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

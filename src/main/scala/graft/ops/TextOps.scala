@@ -76,6 +76,60 @@ object TextOps {
         md5(lower(col("text")).cast("binary")).as("fp"))
       .orderBy("doc_id")
 
+  // --- winnowing fingerprints (rolling hash) --------------------------------
+  /** Winnowing document fingerprints: polynomial rolling hash over char
+    * k-grams, then the minimum hash of each w-window (rightmost wins ties)
+    * — the standard local-fingerprinting scheme for near-dup detection at
+    * scale, guaranteeing any shared substring of length >= k+w-1 yields a
+    * shared fingerprint. One JVM pass per doc; no SQL oracle exists for a
+    * rolling hash, so the driver records rows-only and the spec pins the
+    * sharing guarantees. */
+  val WinnowK = 8
+  val WinnowW = 4
+
+  def winnow(text: String): Array[Long] = {
+    val s = text.toCharArray
+    if (s.length < WinnowK) return Array.empty
+    val B = 1000003L
+    var bk = 1L
+    (1 until WinnowK).foreach(_ => bk *= B)
+    val n = s.length - WinnowK + 1
+    val hs = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < WinnowK) { h = h * B + s(i); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - s(i - 1) * bk) * B + s(i + WinnowK - 1)
+      hs(i) = h
+      i += 1
+    }
+    // rightmost-minimum per window of WinnowW hashes
+    val out = scala.collection.mutable.LinkedHashSet[Long]()
+    var w0 = 0
+    while (w0 <= n - WinnowW) {
+      var best = w0
+      var j = w0
+      while (j < w0 + WinnowW) { if (hs(j) <= hs(best)) best = j; j += 1 }
+      out += hs(best)
+      w0 += 1
+    }
+    out.toArray
+  }
+
+  def fingerprintWinnow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val fps = winnow(text)
+        (id, fps.length.toLong, if (fps.isEmpty) 0L else fps.min)
+      })
+      .toDF("doc_id", "n_fp", "min_fp")
+      .orderBy("doc_id")
+  }
+
   // --- corpus curation: the full training-data filter in one pipeline ------
   /** exact-dedup → language filter → quality thresholds, composed the way a
     * production corpus build chains them: the dedup is a semi-join against
@@ -111,6 +165,7 @@ object TextOps {
     "q_text_quality" -> quality,
     "q_text_langid" -> langid,
     "q_fingerprint" -> fingerprint,
+    "q_fingerprint_winnow" -> fingerprintWinnow,
     "q_corpus_filter" -> corpusFilter)
 
   private def sqlCountIn(markers: Seq[String]): String = {

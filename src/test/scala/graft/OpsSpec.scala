@@ -220,6 +220,28 @@ class OpsSpec extends SparkSpec {
     assert(agg.map(_.getAs[Long]("n")).sum == n)
   }
 
+  test("winnowing fingerprints: dup docs share, distinct docs mostly don't") {
+    val docs = Tables(spark, sf01, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val fps = docs.map { case (id, t) => id -> TextOps.winnow(t).toSet }.toMap
+    // winnowing guarantee: any shared substring of length >= k+w-1 (11)
+    // yields at least one shared fingerprint
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val d1 = TextOps.winnow("prefix one " + shared + " suffix alpha").toSet
+    val d2 = TextOps.winnow("other start " + shared + " different end").toSet
+    assert(d1.intersect(d2).nonEmpty, "shared substring must share a fingerprint")
+    // planted near-dups share a large fraction of fingerprints
+    val near = Dedup.jaccardPairs(Tables(spark, sf01, "documents"), 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.nonEmpty)
+    near.foreach { case (a, b) =>
+      val (fa, fb) = (fps(a), fps(b))
+      val overlap = fa.intersect(fb).size.toDouble / math.min(fa.size, fb.size)
+      assert(overlap >= 0.5, s"near-dup pair ($a,$b) shares only $overlap")
+    }
+  }
+
   test("multimodal metadata matches payload byte lengths") {
     val metas = Multimodal.multimodalMeta(spark, sf).collect()
     assert(metas.nonEmpty)
