@@ -28,12 +28,21 @@ class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case u: UnresolvedRelation if u.multipartIdentifier.length == 3 &&
         u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
-      val Seq(_, ns, tbl) = u.multipartIdentifier
+      val Seq(_, ns, ident) = u.multipartIdentifier
       val wh = spark.conf.getOption("spark.graft.warehouse").getOrElse(
         throw new IllegalStateException(
           "set spark.graft.warehouse to resolve graft.<ns>.<table> relations"))
       val cat = new GraftCatalog(spark, wh)
+      // `tbl$files` / `tbl$snapshots` / `tbl$refs` are metadata tables
+      val (tbl, metaKind) = ident.indexOf('$') match {
+        case -1 => (ident, None)
+        case i => (ident.substring(0, i), Some(ident.substring(i + 1)))
+      }
       if (!cat.tableExists(ns, tbl)) u // leave for the analyzer to report
-      else cat.loadTable(ns, tbl).scan().queryExecution.analyzed
+      else {
+        val t = cat.loadTable(ns, tbl)
+        metaKind.map(k => t.metaTable(k)).getOrElse(t.scan())
+          .queryExecution.analyzed
+      }
   }
 }

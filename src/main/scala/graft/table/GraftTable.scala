@@ -702,6 +702,35 @@ class GraftTable(val spark: SparkSession, val location: String) {
     }
   }
 
+  /** Metadata inspection tables (the Iceberg `table$files` /
+    * `$snapshots` / `$refs` analog): table state as DataFrames, also
+    * reachable through SQL as `` graft.ns.`tbl$files` `` etc. */
+  def metaTable(kind: String, ref: String = "main"): DataFrame = {
+    import spark.implicits._
+    val m = Meta.readJson(location)
+    kind match {
+      case "files" =>
+        m.head(ref).map(s => Meta.readManifest(location, s.manifest)).getOrElse(Nil)
+          .map(e => (e.path, e.fileType, e.specId, e.schemaId, e.rowCount,
+            e.sizeBytes, e.sequenceNumber, e.firstRowId, e.partition))
+          .toDF("path", "file_type", "spec_id", "schema_id", "row_count",
+            "size_bytes", "sequence_number", "first_row_id", "partition")
+      case "snapshots" =>
+        m.snapshots
+          .map(s => (s.snapshotId, s.parentId, s.sequenceNumber,
+            new java.sql.Timestamp(s.timestampMs), s.operation, s.schemaId, s.manifest))
+          .toDF("snapshot_id", "parent_id", "sequence_number", "committed_at",
+            "operation", "schema_id", "manifest")
+      case "refs" =>
+        m.refs.toSeq.sortBy(_._1)
+          .map { case (n, r) => (n, r.snapshotId, if (r.isBranch) "BRANCH" else "TAG") }
+          .toDF("name", "snapshot_id", "type")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown metadata table '$other' (files|snapshots|refs)")
+    }
+  }
+
   /** live files of the current (or ref'd) snapshot — for specs/inspection */
   def liveFiles(ref: String = "main"): Seq[FileMeta] = {
     val m = Meta.readJson(location)

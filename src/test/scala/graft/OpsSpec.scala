@@ -195,6 +195,11 @@ class OpsSpec extends SparkSpec {
         s"expected MoR delete visible through SQL, got ${rows.toList}")
       // native function registered by the same extensions
       assert(s2.sql("SELECT graft_bucket(4, k) AS b FROM graft.db1.kv").count() == 2)
+      // metadata tables via SQL and the API
+      val nFiles = s2.sql("SELECT * FROM graft.db1.`kv$files` WHERE file_type = 'data'").count()
+      assert(nFiles == t.liveFiles().count(_.fileType == "data").toLong)
+      assert(s2.sql("SELECT * FROM graft.db1.`kv$snapshots`").count() == 2) // append + delete
+      assert(t.metaTable("refs").collect().map(_.getString(0)).contains("main"))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
