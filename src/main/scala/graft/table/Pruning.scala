@@ -63,6 +63,30 @@ object Pruning {
         case Some(fld) =>
           statsMatch(f, fld, p) && spec.forall(s => partMatch(f, s, fld, p))
       }
+    } && spec.forall(s => multiSourceMatch(f, s, schema, preds))
+  }
+
+  /** multi-argument transforms (bucket(n, a, b, ...)): when EQUALITY
+    * predicates cover every source column, the partition value of the
+    * combination is computable and mismatching files drop. Single-source
+    * fields are handled per-predicate in [[partMatch]]. */
+  private def multiSourceMatch(f: FileMeta, spec: PartSpecMeta,
+      schema: SchemaMeta, preds: Seq[Pred]): Boolean = {
+    val eqs = preds.filter(_.op == "=")
+      .flatMap(p => schema.fields.find(_.name == p.field).map(fl => fl.id -> (fl, p.values.head)))
+      .toMap
+    spec.fields.filter(_.sourceIds.length > 1).forall { pf =>
+      f.partition.get(pf.name) match {
+        case None => true
+        case Some(pv) =>
+          val coerced = pf.sourceIds.map(id =>
+            eqs.get(id).flatMap { case (fl, v) => Transforms.coerce(v, fl.dtype) })
+          if (coerced.exists(_.isEmpty)) true // not fully constrained: keep
+          else Transforms.evalLiteral(pf, coerced.map(_.get)) match {
+            case Some(tv) => tv == pv
+            case None => true
+          }
+      }
     }
   }
 

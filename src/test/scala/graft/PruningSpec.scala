@@ -69,6 +69,22 @@ class PruningSpec extends SparkSpec {
     assert(Pruning.fileMatches(hit, m, range) && Pruning.fileMatches(miss, m, range))
   }
 
+  test("multi-arg bucket prunes only when every source is equality-bound") {
+    val spec = PartSpecMeta(0, List(
+      PartFieldMeta("kb", "bucket", List(1, 2), Some(8))))
+    val m = meta(spec)
+    val pf = spec.fields.head
+    val bucket = Transforms.evalLiteral(pf, Seq(42L, "bb")).get
+    val hit = file(Map.empty, Map("kb" -> bucket))
+    val miss = file(Map.empty, Map("kb" -> ((bucket.toInt + 1) % 8).toString))
+    val both = Pruning.extract("k = 42 and name = 'bb'", spark)
+    assert(Pruning.fileMatches(hit, m, both))
+    assert(!Pruning.fileMatches(miss, m, both))
+    // only one source bound: bucket not computable, keep both
+    val one = Pruning.extract("k = 42", spark)
+    assert(Pruning.fileMatches(hit, m, one) && Pruning.fileMatches(miss, m, one))
+  }
+
   test("monotonic time transforms prune ranges; other spec ids unaffected") {
     val spec = PartSpecMeta(0, List(PartFieldMeta("ts_month", "month", List(3))))
     val m = meta(spec)
