@@ -212,17 +212,50 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** int8 embedding quantization — the storage-side half of a production
+    * ANN pipeline (4× smaller vectors, SIMD-friendly dot products).
+    * Symmetric per-vector scaling with floor rounding keeps every step an
+    * exact IEEE double operation, so the DuckDB oracle matches bit-for-bit
+    * (banker's-vs-half-up rounding differences never arise). */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), vdouble(col("embedding")).as("v"))
+      .withColumn("max_abs", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("q", expr(
+        "CASE WHEN max_abs = 0.0 THEN transform(v, x -> 0L) " +
+          "ELSE transform(v, x -> CAST(floor(x * 127.0 / max_abs) AS BIGINT)) END"))
+      .select(col("vec_id"), col("max_abs"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("sum_q"),
+        expr("size(filter(q, x -> x = 127 OR x = -128))").cast(LongType).as("n_sat"))
+      .orderBy("vec_id")
+
   val queries: Map[String, Q] = Map(
     "q_dedup_embedding" -> dedupEmbedding,
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLsh,
-    "q_ann_ivf" -> annIvf)
+    "q_ann_ivf" -> annIvf,
+    "q_embed_quantize" -> embedQuantize)
 
   private val cosExpr =
     """list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
       | / (a.nrm * b.nrm)""".stripMargin.replace("\n", "")
 
   val oracles: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e
+        |), q AS (
+        |  SELECT vec_id, max_abs,
+        |    CASE WHEN max_abs = 0.0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / max_abs) AS BIGINT)) END AS qv
+        |  FROM m
+        |)
+        |SELECT vec_id, max_abs, list_sum(qv) AS sum_q,
+        | CAST(len(list_filter(qv, x -> x = 127 OR x = -128)) AS BIGINT) AS n_sat
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_dedup_embedding" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
