@@ -2,6 +2,12 @@
 """Local replica of the driver's correctness gate: compare Verify output
 parquet against the DuckDB oracle SQL, per query.
 
+Type-faithful: both sides are fetched as Arrow tables and the PHYSICAL
+column types are compared (after sorting columns by name), so a DuckDB
+HUGEINT from a bare SUM(BIGINT), or a ns-precision timestamp, fails here
+exactly like it fails the driver's hash check — even when Python values
+would compare equal.
+
 Usage: python3 scripts/selfcheck.py [sfDir] [verifyOutDir]
 (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
 """
@@ -34,7 +40,15 @@ def eq(a, b):
                 return True
             return a == b  # exact: our queries are engineered bit-identical
         return float(a) == float(b)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
     return a == b
+
+
+def arrow_types(rel):
+    """Sorted-by-name {col: arrow_type_str} for a duckdb relation result."""
+    tbl = rel.arrow()
+    return {f.name: str(f.type) for f in tbl.schema}
 
 
 def main():
@@ -52,6 +66,7 @@ def main():
     for name in names:
         spark_glob = os.path.join(out_dir, name, "*.parquet")
         try:
+            s_types = arrow_types(con.execute(f"SELECT * FROM '{spark_glob}'"))
             sr = con.execute(f"SELECT * FROM '{spark_glob}'")
             s_cols = [c[0] for c in sr.description]
             s_rows = sr.fetchall()
@@ -62,6 +77,7 @@ def main():
             results[name] = f"rows-only ({len(s_rows)} rows)"
             continue
         try:
+            o_types = arrow_types(con.execute(oracles[name]))
             orr = con.execute(oracles[name])
             o_cols = [c[0] for c in orr.description]
             o_rows = orr.fetchall()
@@ -72,6 +88,13 @@ def main():
         o_canon, o_c = canon(o_rows, o_cols)
         if s_c != o_c:
             results[name] = f"SCHEMA-MISMATCH spark={s_c} oracle={o_c}"
+            continue
+        # physical (Arrow) type check — the driver hashes the representation
+        tbad = [(c, s_types.get(c), o_types.get(c)) for c in s_c
+                if s_types.get(c) != o_types.get(c)]
+        if tbad:
+            results[name] = "TYPE-MISMATCH " + ", ".join(
+                f"{c}: spark={st} oracle={ot}" for c, st, ot in tbad)
             continue
         if len(s_canon) != len(o_canon):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(s_canon)} oracle={len(o_canon)}"
@@ -84,10 +107,11 @@ def main():
         results[name] = "OK" if bad is None else f"VALUE-MISMATCH row{bad[0]} spark={bad[1]} oracle={bad[2]}"
     n_ok = sum(1 for v in results.values()
                if v == "OK" or v.startswith("rows-only"))
+    n_rows_only = sum(1 for v in results.values() if v.startswith("rows-only"))
     for k in sorted(results):
         flag = "PASS" if (results[k] == "OK" or results[k].startswith("rows-only")) else "FAIL"
         print(f"[{flag}] {k}: {results[k]}")
-    print(f"== {n_ok}/{len(results)} pass ==")
+    print(f"== {n_ok}/{len(results)} pass ({n_rows_only} rows-only) ==")
     sys.exit(0 if n_ok == len(results) else 1)
 
 

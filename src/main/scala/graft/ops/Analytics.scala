@@ -160,8 +160,12 @@ object Analytics {
       .withColumn("session_id",
         sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
+      // Session bounds as epoch-micro BIGINTs: the events table is physically
+      // TIMESTAMP(NANOS), which different readers surface at different
+      // precisions; epoch micros is the portable representation.
       .agg(count(lit(1)).as("n_events"),
-        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"))
       .orderBy("user_id", "session_id")
   }
 
@@ -268,11 +272,11 @@ object Analytics {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), s AS (
         |  SELECT user_id, ts,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM m
         |)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
-        | MIN(ts) AS session_start, MAX(ts) AS session_end
+        | MIN(epoch_us(ts)) AS session_start_us, MAX(epoch_us(ts)) AS session_end_us
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
 }

@@ -133,8 +133,9 @@ object Dedup {
 
   // --- SimHash ---------------------------------------------------------------
   // 64-bit token-hash sign aggregation; near-dup candidates share one of four
-  // 16-bit blocks; verified by Hamming distance <= 6. No SQL oracle (hash
-  // algebra isn't expressible in DuckDB) — rows-only check + planted-dup spec.
+  // 16-bit blocks; verified by Hamming distance <= 6. The SQL oracle replays
+  // fnv1a64+fmix exactly in DuckDB: unsigned 64-bit arithmetic emulated in
+  // HUGEINT, with the 64x64-bit wrapping multiplies split into 32-bit halves.
   /** FNV-1a 64-bit with an fmix64 finalizer — deterministic, well-mixed
     * token hash for simhash (no SQL oracle constrains the hash choice;
     * output is pinned by the recall spec, and raw FNV's weak low-bit
@@ -215,9 +216,69 @@ object Dedup {
       |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= %TAU%
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** (h * c) mod 2^64 with h an unsigned-64 value held in HUGEINT and c a
+    * 64-bit constant: split h into 32-bit halves so no intermediate product
+    * overflows INT128. cLo = c mod 2^32. */
+  private def sqlMulMod(h: String, c: String, cLo: String): String =
+    s"((($h) % 4294967296) * $c + " +
+      s"(((($h) // 4294967296) * $cLo) % 4294967296) * 4294967296) " +
+      "% 18446744073709551616"
+
+  /** DuckDB replica of [[fnv1a64]]: documents are ASCII, so unicode(char)
+    * equals the UTF-8 byte. Emits one row per token occurrence with the
+    * unsigned 64-bit hash `h` (HUGEINT). */
+  private val sqlTokenHash =
+    s"""toks AS (
+       |  SELECT doc_id, u.tok FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+       |), f0 AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |        list_transform(range(1, length(tok) + 1),
+       |          i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))),
+       |      (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616) AS h0
+       |  FROM toks
+       |), f1 AS (SELECT doc_id, xor(h0, h0 // 8589934592) AS a1 FROM f0),
+       |f2 AS (SELECT doc_id, ${sqlMulMod("a1", "18397679294719823053", "3981806797")} AS h1 FROM f1),
+       |f3 AS (SELECT doc_id, xor(h1, h1 // 8589934592) AS a2 FROM f2),
+       |f4 AS (SELECT doc_id, ${sqlMulMod("a2", "14181476777654086739", "444984403")} AS h2 FROM f3),
+       |th AS (SELECT doc_id, xor(h2, h2 // 8589934592) AS h FROM f4)""".stripMargin
+
+  private val simhashOracle =
+    s"""WITH $sqlTokenHash,
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN (h // CAST(power(2, b) AS HUGEINT)) % 2 = 1
+       |             THEN 1 ELSE -1 END) AS cnt
+       |  FROM th, UNNEST(range(0, 64)) bb(b)
+       |  GROUP BY doc_id, b
+       |), sig AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN cnt > 0 THEN CAST(power(2, b) AS HUGEINT)
+       |             ELSE CAST(0 AS HUGEINT) END) AS sigu
+       |  FROM bits GROUP BY doc_id
+       |), sigs AS (
+       |  SELECT doc_id, sigu,
+       |    CASE WHEN sigu >= 9223372036854775808
+       |         THEN CAST(sigu - 18446744073709551616 AS BIGINT)
+       |         ELSE CAST(sigu AS BIGINT) END AS sg
+       |  FROM sig
+       |), blocks AS (
+       |  SELECT doc_id, sg, blk,
+       |    CAST((sigu // CAST(power(2, 16 * blk) AS HUGEINT)) % 65536 AS BIGINT) AS blk_val
+       |  FROM sigs, UNNEST(range(0, 4)) bb(blk)
+       |)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
+       |FROM blocks a JOIN blocks b
+       |  ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sg, b.sg)) <= 6
+       |ORDER BY a_id, b_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
     "q_dedup_jaccard" -> jaccardOracle.replace("%TAU%", "0.6"),
-    "q_dedup_minhash" -> jaccardOracle.replace("%TAU%", "0.5"))
+    "q_dedup_minhash" -> jaccardOracle.replace("%TAU%", "0.5"),
+    "q_dedup_simhash" -> simhashOracle)
 }

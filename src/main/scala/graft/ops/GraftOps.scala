@@ -346,7 +346,8 @@ object GraftOps {
 
   val oracles: Map[String, String] = Map(
     "q_table_create" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+      ("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation ORDER BY n_nationkey"),
     "q_read_filter_project" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
@@ -408,23 +409,23 @@ object GraftOps {
     "q_column_defaults" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'web'
         |            WHEN o_orderkey % 3 = 0 THEN 'app' ELSE 'store' END AS channel,
-        | COUNT(*) AS n, SUM(o_orderkey) AS sum_keys
+        | COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_time_travel" ->
-      """SELECT 'v1' AS version, COUNT(*) AS n, SUM(o_orderkey) AS sum_keys
+      """SELECT 'v1' AS version, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
-        |SELECT 'v2', COUNT(*), SUM(o_orderkey) FROM orders
+        |SELECT 'v2', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM orders
         |ORDER BY version""".stripMargin,
     "q_compaction" ->
       aggByStatusSql.replace("%SRC%",
         "(SELECT * FROM orders WHERE o_orderkey % 10 <> 0)"),
     "q_branch_tag" ->
-      """SELECT 'dev' AS ref, COUNT(*) AS n, SUM(o_orderkey) AS sum_keys FROM orders
+      """SELECT 'dev' AS ref, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys FROM orders
         |UNION ALL
-        |SELECT 'main', COUNT(*), SUM(o_orderkey) FROM orders WHERE o_orderkey % 2 = 0
+        |SELECT 'main', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
-        |SELECT 'v1', COUNT(*), SUM(o_orderkey) FROM orders WHERE o_orderkey % 2 = 0
+        |SELECT 'v1', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM orders WHERE o_orderkey % 2 = 0
         |ORDER BY ref""".stripMargin,
     "q_hidden_partitioning" ->
       """SELECT event_type, COUNT(*) AS n,
@@ -433,21 +434,22 @@ object GraftOps {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_partition_evolution" ->
-      """SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS sum_keys
+      """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders WHERE o_custkey < 100
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_multiarg_bucket" ->
-      """SELECT o_custkey, COUNT(*) AS n, SUM(o_orderkey) AS sum_keys
+      """SELECT o_custkey, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders WHERE o_custkey < 25
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_stats_pruning" ->
-      """SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS sum_keys
+      """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders WHERE o_orderkey < 500
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_bloom_filter" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey = 42 ORDER BY o_orderkey""".stripMargin,
     "q_catalog" ->
-      """SELECT * FROM (VALUES ('db1', 't1', 2), ('db2', 't2b', 2))
+      """SELECT ns, tbl, CAST(rows_in_t1 AS BIGINT) AS rows_in_t1
+        |FROM (VALUES ('db1', 't1', 2), ('db2', 't2b', 2))
         | AS t(ns, tbl, rows_in_t1) ORDER BY ns, tbl""".stripMargin)
 }

@@ -86,15 +86,28 @@ object Similarity {
     * neighbor is (1 - p^P)^L with p = 1 - theta/pi, so recall is tuned by
     * (L, P) against data density — here 16x3 for weakly-clustered data.
     * Candidate generation is an equi-join on (table, bucket): linear-ish,
-    * no cross join, the 100 TB path. Approximate by construction —
-    * validated by a recall spec, not an oracle. */
+    * no cross join, the 100 TB path.
+    *
+    * Planes are Rademacher (±1) with the sign drawn from md5 of the plane
+    * coordinate id. ±1 entries give sign-projection LSH the same collision
+    * geometry as Gaussian planes in 64-dim, and md5 is bit-identical in
+    * every engine — so the whole pipeline (projection sign → bucket →
+    * candidate join → exact re-rank) replays exactly in the DuckDB oracle:
+    * the products v(j)*±1 are exact and both engines fold the sum in index
+    * order. */
   val LshTables = 16
   val LshPlanes = 3
 
-  private def planes(seed: Int): Array[Array[Double]] = {
-    val rnd = new java.util.Random(seed.toLong)
-    Array.fill(LshPlanes, dim)(rnd.nextGaussian())
+  /** +1 if the top bit of md5("lsh:t:p:j") is 0, else -1 — the oracle
+    * computes the identical sign from the md5 hex string. */
+  private[ops] def planeSign(t: Int, p: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"lsh:$t:$p:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if ((d(0) & 0x80) == 0) 1.0 else -1.0
   }
+
+  private def planes(t: Int): Array[Array[Double]] =
+    Array.tabulate(LshPlanes, dim)((p, j) => planeSign(t, p, j))
 
   /** adds `tbl` + `bucket` columns, one row per (vector, table). The plane
     * projections run as one JVM pass per vector with the plane matrix on
@@ -104,7 +117,7 @@ object Similarity {
     val spark = e.sparkSession
     import spark.implicits._
     val allPlanes: Array[Array[Array[Double]]] =
-      Array.tabulate(LshTables)(t => planes(42 + t))
+      Array.tabulate(LshTables)(t => planes(t))
     e.select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Array[Double], Double)]
       .flatMap { case (id, v, nrm) =>
@@ -149,8 +162,11 @@ object Similarity {
     * closest centroids' lists and re-ranks those exactly. Candidate
     * generation is an equi-join on the centroid id: linear shuffles, no
     * cross join. Centroids are deterministic: seeded from the first
-    * `IvfLists` vectors, refined by one distributed k-means step (mean of
-    * assigned vectors — a groupBy/avg, no RNG anywhere). */
+    * `IvfLists` vectors, refined by one distributed k-means step. The
+    * refinement mean is computed over 2^20-quantized integer coordinates
+    * (floor(x * 2^20) is an exact IEEE operation), so the sum is exact
+    * integer arithmetic — independent of partition order — and the DuckDB
+    * oracle reproduces the centroids bit-for-bit. */
   val IvfLists = 32
   val Probes = 4
 
@@ -184,7 +200,11 @@ object Similarity {
       .map { case (_, v) => (nearestCentroid(v, bc0.value), v) }
       .toDF("c", "v")
       .select(col("c"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("c", "i").agg(avg(col("x")).as("m"))
+      .groupBy("c", "i")
+      .agg(sum(floor(col("x") * lit(1048576.0)).cast(LongType)).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("c"), col("i"),
+        (col("sx").cast("double") / (col("n").cast("double") * lit(1048576.0))).as("m"))
       .groupBy("c").agg(map_from_arrays(collect_list(col("i")), collect_list(col("m"))).as("dims"))
       .as[(Int, Map[Int, Double])].collect()
       .sortBy(_._1)
@@ -240,7 +260,96 @@ object Similarity {
     """list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
       | / (a.nrm * b.nrm)""".stripMargin.replace("\n", "")
 
+  /** full cosine (no precomputed norm) between two list columns — the SQL
+    * twin of [[graft.functions.CosineSimilarity.compute]]: each of the
+    * three sums folds in index order, so the doubles agree bit-for-bit */
+  private def sqlCos(a: String, b: String): String =
+    s"(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))" +
+      s" / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))" +
+      s" * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])))))"
+
+  /** shared tail: exact cosine re-rank of a (q_id, n_id) candidate CTE */
+  private def rerankSql(candCte: String): String =
+    s"""$candCte, scored AS (
+       |  SELECT cd.q_id, cd.n_id, ${sqlCos("a.v", "b.v")} AS cos
+       |  FROM cand cd JOIN e a ON a.vec_id = cd.q_id JOIN e b ON b.vec_id = cd.n_id
+       |)
+       |SELECT q_id, rnk, n_id FROM (
+       |  SELECT q_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  private val lshOracle = rerankSql(
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), planes AS (
+       |  SELECT t, p, list(s ORDER BY j) AS ps FROM (
+       |    SELECT u.t, w.p, x.j,
+       |      CASE WHEN strpos('01234567',
+       |          substr(md5('lsh:' || u.t || ':' || w.p || ':' || x.j), 1, 1)) > 0
+       |        THEN 1.0 ELSE -1.0 END AS s
+       |    FROM UNNEST(range(0, $LshTables)) u(t),
+       |         UNNEST(range(0, $LshPlanes)) w(p),
+       |         UNNEST(range(0, 64)) x(j)) z
+       |  GROUP BY t, p
+       |), proj AS (
+       |  SELECT e.vec_id, pl.t, pl.p,
+       |    list_sum(list_transform(range(1, 65), j -> e.v[j] * pl.ps[j])) AS s
+       |  FROM e CROSS JOIN planes pl
+       |), sigs AS (
+       |  SELECT vec_id, t,
+       |    SUM(CASE WHEN s > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY vec_id, t
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, m.vec_id AS n_id
+       |  FROM sigs q JOIN sigs m ON q.t = m.t AND q.bucket = m.bucket
+       |  WHERE q.vec_id < 10 AND m.vec_id <> q.vec_id
+       |)""".stripMargin)
+
+  private val ivfOracle = rerankSql(
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), seeds AS (
+       |  SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < $IvfLists
+       |), a0 AS (
+       |  SELECT vec_id, v, c FROM (
+       |    SELECT e.vec_id, e.v, s.c,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlCos("e.v", "s.cv")} DESC, s.c) AS rnk
+       |    FROM e CROSS JOIN seeds s) z WHERE rnk = 1
+       |), ref AS (
+       |  SELECT c, i,
+       |    CAST(SUM(CAST(floor(v[i] * 1048576.0) AS BIGINT)) AS DOUBLE)
+       |      / (CAST(COUNT(*) AS DOUBLE) * 1048576.0) AS m
+       |  FROM a0, UNNEST(range(1, 65)) u(i) GROUP BY c, i
+       |), refc AS (
+       |  SELECT c, list(m ORDER BY i) AS rv FROM ref GROUP BY c
+       |), cents AS (
+       |  SELECT s.c, COALESCE(r.rv, s.cv) AS cv
+       |  FROM seeds s LEFT JOIN refc r ON s.c = r.c
+       |), a1 AS (
+       |  SELECT vec_id, c AS bucket FROM (
+       |    SELECT e.vec_id, ct.c,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlCos("e.v", "ct.cv")} DESC, ct.c) AS rnk
+       |    FROM e CROSS JOIN cents ct) z WHERE rnk = 1
+       |), probes AS (
+       |  SELECT vec_id AS q_id, c FROM (
+       |    SELECT e.vec_id, ct.c,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlCos("e.v", "ct.cv")} DESC, ct.c) AS rnk
+       |    FROM e CROSS JOIN cents ct WHERE e.vec_id < 10) z WHERE rnk <= $Probes
+       |), cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
+       |  FROM probes p JOIN a1 a ON a.bucket = p.c WHERE a.vec_id <> p.q_id
+       |)""".stripMargin)
+
   val oracles: Map[String, String] = Map(
+    "q_ann_lsh" -> lshOracle,
+    "q_ann_ivf" -> ivfOracle,
     "q_embed_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -253,7 +362,7 @@ object Similarity {
         |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / max_abs) AS BIGINT)) END AS qv
         |  FROM m
         |)
-        |SELECT vec_id, max_abs, list_sum(qv) AS sum_q,
+        |SELECT vec_id, max_abs, CAST(list_sum(qv) AS BIGINT) AS sum_q,
         | CAST(len(list_filter(qv, x -> x = 127 OR x = -128)) AS BIGINT) AS n_sat
         |FROM q ORDER BY vec_id""".stripMargin,
     "q_dedup_embedding" ->

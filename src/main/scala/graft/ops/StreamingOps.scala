@@ -100,10 +100,12 @@ object StreamingOps {
       .option("checkpointLocation", s"$tmp/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // Session bounds stay epoch-micro BIGINTs (the portable representation for
+    // the physically-TIMESTAMP(NANOS) events table; see Analytics.sessionize).
     spark.table(name)
       .select(col("user_id"), col("session_id"), col("n_events"),
-        timestamp_micros(col("start_us")).as("session_start"),
-        timestamp_micros(col("end_us")).as("session_end"))
+        col("start_us").as("session_start_us"),
+        col("end_us").as("session_end_us"))
       .orderBy("user_id", "session_id")
   }
 
@@ -152,11 +154,11 @@ object StreamingOps {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), s AS (
         |  SELECT user_id, ts,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM m
         |)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
-        | MIN(ts) AS session_start, MAX(ts) AS session_end
+        | MIN(epoch_us(ts)) AS session_start_us, MAX(epoch_us(ts)) AS session_end_us
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
 }

@@ -81,9 +81,11 @@ object TextOps {
     * k-grams, then the minimum hash of each w-window (rightmost wins ties)
     * — the standard local-fingerprinting scheme for near-dup detection at
     * scale, guaranteeing any shared substring of length >= k+w-1 yields a
-    * shared fingerprint. One JVM pass per doc; no SQL oracle exists for a
-    * rolling hash, so the driver records rows-only and the spec pins the
-    * sharing guarantees. */
+    * shared fingerprint. One JVM pass per doc. The rolling update
+    * (h - c*B^(k-1))*B + c is ring arithmetic mod 2^64, so the hash of each
+    * window equals the direct polynomial sum — which the DuckDB oracle
+    * computes in HUGEINT with an explicit mod-2^64 wrap, then compares in
+    * the signed-64 domain Java uses. */
   val WinnowK = 8
   val WinnowW = 4
 
@@ -205,6 +207,37 @@ object TextOps {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""",
+    "q_fingerprint_winnow" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, u.i,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS HUGEINT),
+         |        list_transform(range(u.i, u.i + $WinnowK),
+         |          j -> CAST(unicode(substr(text, j, 1)) AS HUGEINT))),
+         |      (h, c) -> (h * 1000003 + c) % 18446744073709551616) AS hu
+         |  FROM documents, UNNEST(range(1, length(text) - $WinnowK + 2)) AS u(i)
+         |), sgn AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN hu >= 9223372036854775808
+         |         THEN CAST(hu - 18446744073709551616 AS BIGINT)
+         |         ELSE CAST(hu AS BIGINT) END AS h,
+         |    MAX(i) OVER (PARTITION BY doc_id) AS n
+         |  FROM pos
+         |), wmin AS (
+         |  SELECT doc_id, i, n,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wm
+         |  FROM sgn
+         |), sel AS (
+         |  SELECT DISTINCT doc_id, wm FROM wmin WHERE i <= n - ${WinnowW - 1}
+         |), agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp, MIN(wm) AS min_fp
+         |  FROM sel GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, COALESCE(a.n_fp, CAST(0 AS BIGINT)) AS n_fp,
+         |  COALESCE(a.min_fp, CAST(0 AS BIGINT)) AS min_fp
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q_corpus_filter" ->
       s"""WITH canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
          |scored AS (

@@ -150,7 +150,7 @@ object V3Ops {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lineage" ->
       """SELECT o_orderkey,
-        | CASE WHEN o_orderkey % 10 = 3 THEN 3
-        |      WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS last_seq
+        | CAST(CASE WHEN o_orderkey % 10 = 3 THEN 3
+        |      WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS last_seq
         |FROM orders ORDER BY o_orderkey""".stripMargin)
 }

@@ -37,8 +37,7 @@ class OpsSpec extends SparkSpec {
     val rows = Analytics.sessionize(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(!r.getAs[java.sql.Timestamp]("session_start")
-        .after(r.getAs[java.sql.Timestamp]("session_end")))
+      assert(r.getAs[Long]("session_start_us") <= r.getAs[Long]("session_end_us"))
       assert(r.getAs[Long]("n_events") > 0)
     }
   }
