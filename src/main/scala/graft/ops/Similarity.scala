@@ -39,12 +39,24 @@ object Similarity {
     * throughput of a Catalyst cross-join that allocates per-pair arrays.
     * The loop accumulates left-to-right in DOUBLE, exactly like the
     * previous fold and DuckDB's list_sum, so values stay bit-identical. */
+  /** hard ceiling for the brute-force path: beyond this, the driver
+    * collect+broadcast becomes the bottleneck and callers must use the
+    * LSH/IVF candidate paths (annLsh/annIvf) instead */
+  val MaxBruteVectors = 200000
+
   def cosinePairs(emb: DataFrame, tau: Double): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val e = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Array[Double], Double)]
-    val bc = spark.sparkContext.broadcast(e.collect().sortBy(_._1))
+    // BASELINE-ONLY operator: exact all-pairs via driver collect+broadcast.
+    // The guard refuses inputs where that stops being sane — at scale the
+    // LSH candidate join (annLsh) is the production path.
+    val all = e.take(MaxBruteVectors + 1)
+    require(all.length <= MaxBruteVectors,
+      s"cosinePairs is the exact baseline for <= $MaxBruteVectors vectors; " +
+        "use the LSH/IVF candidate paths at scale")
+    val bc = spark.sparkContext.broadcast(all.sortBy(_._1))
     e.mapPartitions { it =>
       val all = bc.value
       it.flatMap { case (aid, av, an) =>

@@ -2,10 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.table.GraftCatalog
+import graft.table.{GraftCatalog, GraftTable, Pruning}
 
 /** SQL-surface resolution for graft tables: an analyzer rule that resolves
   * `graft.<namespace>.<table>` relations into the graft read path, so
@@ -20,29 +21,57 @@ import graft.table.GraftCatalog
   * schema-evolution alignment, MoR delete anti-joins, everything — and
   * because it lands during analysis, Catalyst then pushes the query's
   * filters/projections into the underlying parquet scans exactly as it
-  * does for the DataFrame API. (Driver-side manifest pruning needs the
-  * filter at scan construction, so SQL reads prune by partition/stats
-  * only when the filter is re-stated via `scan(filter=...)`; file-level
-  * parquet pushdown still applies either way.) */
+  * does for the DataFrame API.
+  *
+  * Manifest pruning: when the relation sits directly under a Filter (the
+  * common `SELECT ... WHERE ...` shape), the rule extracts the simple
+  * conjuncts from the still-unresolved WHERE tree and prunes the file list
+  * BEFORE the scan is constructed — the Filter node itself stays in the
+  * plan, so pruning only skips task launch, never changes results. At
+  * 100 TB this is the difference between listing 100k files and the
+  * handful whose partition/stats ranges can match.
+  */
 class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u: UnresolvedRelation if u.multipartIdentifier.length == 3 &&
-        u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
-      val Seq(_, ns, ident) = u.multipartIdentifier
-      val wh = spark.conf.getOption("spark.graft.warehouse").getOrElse(
-        throw new IllegalStateException(
-          "set spark.graft.warehouse to resolve graft.<ns>.<table> relations"))
-      val cat = new GraftCatalog(spark, wh)
-      // `tbl$files` / `tbl$snapshots` / `tbl$refs` are metadata tables
-      val (tbl, metaKind) = ident.indexOf('$') match {
-        case -1 => (ident, None)
-        case i => (ident.substring(0, i), Some(ident.substring(i + 1)))
+
+  private def isGraft(u: UnresolvedRelation): Boolean =
+    u.multipartIdentifier.length == 3 &&
+      u.multipartIdentifier.head.equalsIgnoreCase("graft")
+
+  /** resolve `graft.ns.tbl[$meta]` to the graft scan plan; `cond` is the
+    * unresolved WHERE tree when one sits directly above the relation */
+  private def substitute(u: UnresolvedRelation,
+      cond: Option[Expression]): Option[LogicalPlan] = {
+    val Seq(_, ns, ident) = u.multipartIdentifier
+    val wh = spark.conf.getOption("spark.graft.warehouse").getOrElse(
+      throw new IllegalStateException(
+        "set spark.graft.warehouse to resolve graft.<ns>.<table> relations"))
+    val cat = new GraftCatalog(spark, wh)
+    // `tbl$files` / `tbl$snapshots` / `tbl$refs` are metadata tables
+    val (tbl, metaKind) = ident.indexOf('$') match {
+      case -1 => (ident, None)
+      case i => (ident.substring(0, i), Some(ident.substring(i + 1)))
+    }
+    if (!cat.tableExists(ns, tbl)) None // leave for the analyzer to report
+    else {
+      val t: GraftTable = cat.loadTable(ns, tbl)
+      val df = metaKind match {
+        case Some(k) => t.metaTable(k)
+        case None =>
+          val preds = cond.map(Pruning.extractExpr).getOrElse(Nil)
+          if (preds.isEmpty) t.scan() else t.scanPruned(preds)
       }
-      if (!cat.tableExists(ns, tbl)) u // leave for the analyzer to report
-      else {
-        val t = cat.loadTable(ns, tbl)
-        metaKind.map(k => t.metaTable(k)).getOrElse(t.scan())
-          .queryExecution.analyzed
-      }
+      Some(df.queryExecution.analyzed)
+    }
+  }
+
+  // top-down so Filter-over-relation matches before the bare relation does
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case f @ Filter(cond, u: UnresolvedRelation) if isGraft(u) =>
+      substitute(u, Some(cond)).map(rel => f.copy(child = rel)).getOrElse(f)
+    case f @ Filter(cond, a @ SubqueryAlias(_, u: UnresolvedRelation)) if isGraft(u) =>
+      substitute(u, Some(cond))
+        .map(rel => f.copy(child = a.copy(child = rel))).getOrElse(f)
+    case u: UnresolvedRelation if isGraft(u) =>
+      substitute(u, None).getOrElse(u)
   }
 }

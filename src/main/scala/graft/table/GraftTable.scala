@@ -12,13 +12,21 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Deletion vectors (v3): one bitmap of deleted row positions per data file.
-  * Encoding is a plain java.util.BitSet image — dense, trivially portable,
-  * and bounded by file row count (1M rows ≈ 125 KB worst case). At commit
-  * time vectors are built distributed (one group per target file). */
+  * Encoding is a DENSE java.util.BitSet image (not roaring containers) —
+  * trivially portable, and bounded by file row count (1M rows ≈ 125 KB
+  * worst case), which is the right trade for row-group-sized data files.
+  * Positions are bounded to Int.MaxValue (a single parquet file never
+  * holds 2^31 rows at sane file sizes); encode() rejects anything larger
+  * rather than silently truncating. At commit time vectors are built
+  * distributed (one group per target file). */
 object Dv {
   def encode(positions: Iterator[Long]): Array[Byte] = {
     val bs = new java.util.BitSet()
-    positions.foreach(p => bs.set(p.toInt))
+    positions.foreach { p =>
+      require(p >= 0 && p <= Int.MaxValue,
+        s"DV position $p outside dense-bitset range [0, 2^31)")
+      bs.set(p.toInt)
+    }
     bs.toByteArray
   }
   def decode(bytes: Array[Byte]): Array[Long] = {
@@ -271,7 +279,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     FooterStats.collect(dir, location, schema, spec, specId, schemaId, seq)
   }
 
-  class CommitConflictException(msg: String) extends RuntimeException(msg)
+  /** alias for the package-level exception (kept for source compatibility) */
+  type CommitConflictException = graft.table.CommitConflictException
 
   /** Optimistic-concurrency commit: if another writer advanced the table
     * since this operation started, additive commits (appends, MoR delete
@@ -294,6 +303,25 @@ class GraftTable(val spark: SparkSession, val location: String) {
           throw new CommitConflictException(
             s"table advanced to snapshot ${fresh.lastSnapshotId} (base was " +
               s"${meta.lastSnapshotId}) and '$op' is not rebaseable — retry")
+        // Iceberg validateDataFilesExist analog: a rebased DELETE-file commit
+        // (posdel/dv positions, eqdel sequence comparisons) is only valid if
+        // every data file of its commit base survived the concurrent commits.
+        // If a compaction/CoW rewrite replaced files, the delete would target
+        // paths (or sequence numbers) that no longer exist and silently
+        // delete nothing — the deleted rows would resurface.
+        if (added.exists(_.fileType != "data")) {
+          val baseData = meta.head(branch).toSeq
+            .flatMap(p => Meta.readManifest(location, p.manifest))
+            .filter(_.fileType == "data").map(_.path).toSet
+          val freshData = fresh.head(branch).toSeq
+            .flatMap(p => Meta.readManifest(location, p.manifest))
+            .filter(_.fileType == "data").map(_.path).toSet
+          val missing = baseData -- freshData
+          if (missing.nonEmpty)
+            throw new CommitConflictException(
+              s"cannot rebase '$op': ${missing.size} data file(s) of its " +
+                "commit base were rewritten or removed concurrently — retry")
+        }
         snapId = fresh.lastSnapshotId + 1
         seq = fresh.lastSequenceNumber + 1
         entries = added.map(e => e.copy(sequenceNumber = seq))
@@ -371,21 +399,45 @@ class GraftTable(val spark: SparkSession, val location: String) {
       case WriteMode.DeletionVector =>
         val hits = scan(filter = Some(cond), withPos = true)
           .select(col("_gf").as("file_path"), col("_gp").as("pos"))
-        // merge with current DV positions so the new vector supersedes
         val m = meta
         val snapOpt = m.head(branch)
         val existing = snapOpt.toSeq
           .flatMap(s => Meta.readManifest(location, s.manifest))
           .filter(_.fileType == "dv")
-        val toPos = udf((b: Array[Byte]) => Dv.decode(b))
-        val old = existing.map(f => spark.read.parquet(abs(f.path))
-            .select(col("file_path"), explode(toPos(col("dv"))).as("pos")))
-          .reduceOption(_ unionByName _)
-        val allPos = old.map(_ unionByName hits).getOrElse(hits).distinct()
         import spark.implicits._
-        val vecs = allPos.as[(String, Long)].groupByKey(_._1)
+        // bitmap per target file from the NEW hit positions only — one
+        // shuffle keyed by file; duplicate positions are absorbed by the
+        // bitset, so no distinct() pass is needed
+        val newVecs = hits.as[(String, Long)].groupByKey(_._1)
           .mapGroups((fp, it) => (fp, Dv.encode(it.map(_._2))))
           .toDF("file_path", "dv")
+        // existing vectors merge by OR-ing byte images per file — O(#files)
+        // rows end to end, never exploded to row positions. Commit latency
+        // therefore scales with files touched, not rows ever deleted.
+        val orDv = udf((a: Array[Byte], b: Array[Byte]) =>
+          if (a == null) b
+          else if (b == null) a
+          else {
+            val x = java.util.BitSet.valueOf(a)
+            x.or(java.util.BitSet.valueOf(b))
+            x.toByteArray
+          })
+        val old = if (existing.isEmpty) None else Some {
+          val raw = existing.map(f => spark.read.parquet(abs(f.path))
+              .select(col("file_path"), col("dv"), lit(f.sequenceNumber).as("_dseq")))
+            .reduce(_ unionByName _)
+          val w = Window.partitionBy(col("file_path"))
+          raw.withColumn("_mx", max(col("_dseq")).over(w))
+            .filter(col("_dseq") === col("_mx"))
+            .select(col("file_path"), col("dv").as("dv_old"))
+        }
+        // full outer: files with no new deletes must carry their old vector
+        // forward because the superseded DV entries leave the manifest below
+        val vecs = old match {
+          case None => newVecs
+          case Some(o) => newVecs.join(o, Seq("file_path"), "full_outer")
+            .select(col("file_path"), orDv(col("dv"), col("dv_old")).as("dv"))
+        }
         val rel = s"deletes/dv$snapId-${UUID.randomUUID.toString.take(8)}"
         vecs.write.parquet(abs(rel))
         val n = FooterStats.rowCount(abs(rel))
@@ -473,8 +525,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val schema = meta.currentSchema
     val tgt = scan(withLineage = true, withPos = true)
       .withColumnRenamed("_last_updated_sequence_number", "_last_seq")
-    val files = tgt.alias("t").join(source.alias("s"), expr(on), "inner")
-      .select(col("t._gf")).distinct().collect().map(_.getString(0)).toSet
+    // one job finds the affected files AND validates merge cardinality:
+    // SQL/Iceberg MERGE must error when a target row matches more than one
+    // source row, not silently duplicate it through the left-outer rewrite
+    val matchStats = tgt.alias("t").join(source.alias("s"), expr(on), "inner")
+      .groupBy(col("t._gf"), col("t._gp")).agg(count(lit(1)).as("_n"))
+      .groupBy(col("_gf")).agg(max(col("_n")).as("_mx"))
+      .collect()
+    if (matchStats.exists(_.getAs[Long]("_mx") > 1))
+      throw new IllegalStateException(
+        "MERGE: a target row matches more than one source row (ambiguous merge)")
+    val files = matchStats.map(_.getString(0)).toSet
 
     val rewritten: Seq[FileMeta] = if (files.isEmpty) Nil else {
       val part = readForRewrite(files)
@@ -742,6 +803,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = Meta.readJson(location)
     val preds = Pruning.extract(filter, spark)
     liveFiles().filter(_.fileType == "data").filter(f => Pruning.fileMatches(f, m, preds))
+  }
+
+  /** Scan with manifest pruning driven by already-extracted predicates —
+    * the SQL-analyzer path: the WHERE clause exists as a Catalyst tree, the
+    * row-level filter stays in the plan above, and this only shrinks the
+    * file list the scan launches tasks for. */
+  def scanPruned(preds: Seq[Pruning.Pred]): DataFrame = {
+    val m = Meta.readJson(location)
+    val keep = m.head("main").toSeq
+      .flatMap(s => Meta.readManifest(location, s.manifest))
+      .filter(_.fileType == "data")
+      .filter(f => Pruning.fileMatches(f, m, preds))
+      .map(f => normPath(abs(f.path))).toSet
+    scan(fileSubset = Some(keep))
   }
 }
 

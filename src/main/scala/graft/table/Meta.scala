@@ -108,18 +108,36 @@ final case class TableMeta(
     refs.get(ref).map(r => snapshot(r.snapshotId))
 }
 
+/** Thrown when an optimistic commit loses the race for the next metadata
+  * version (or cannot be rebased); callers retry from fresh state. */
+class CommitConflictException(msg: String) extends RuntimeException(msg)
+
 object Meta {
   implicit val formats: Formats = DefaultFormats
 
-  def writeJson(meta: TableMeta, location: String): Unit = {
+  def writeJson(meta: TableMeta, location: String): Unit =
+    writeJsonAt(meta, location, 1 + currentVersion(location).getOrElse(0))
+
+  /** Publish table state as version file `next`. The publish is atomic
+    * CREATE-NEW, so when two committers compute the same next version the
+    * second one throws [[CommitConflictException]] instead of silently
+    * replacing the first one's commit. */
+  def writeJsonAt(meta: TableMeta, location: String, next: Int): Unit = {
     val dir = Paths.get(location, "metadata")
     Files.createDirectories(dir)
-    val next = 1 + currentVersion(location).getOrElse(0)
     val tmp = dir.resolve(s".v$next.json.tmp")
     Files.writeString(tmp, Serialization.writePretty(meta))
-    // atomic publish: readers see either the old or the new version file
-    Files.move(tmp, dir.resolve(f"v$next%05d.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    // hard link fails if the target exists; a plain rename (ATOMIC_MOVE)
+    // REPLACES an existing target on POSIX, which is exactly the
+    // lost-commit hole this closes
+    try Files.createLink(dir.resolve(f"v$next%05d.json"), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new CommitConflictException(
+          s"metadata version $next was published concurrently — retry")
+    }
+    Files.deleteIfExists(tmp)
   }
 
   def currentVersion(location: String): Option[Int] = {

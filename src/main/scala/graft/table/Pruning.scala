@@ -21,13 +21,22 @@ object Pruning {
   final case class Pred(field: String, op: String, values: Seq[Any])
 
   /** Extract simple AND-ed predicates from a filter string. */
-  def extract(filter: String, spark: SparkSession): Seq[Pred] = {
+  def extract(filter: String, spark: SparkSession): Seq[Pred] =
+    extractExpr(spark.sessionState.sqlParser.parseExpression(filter))
+
+  /** Extract simple AND-ed predicates from an UNRESOLVED filter expression —
+    * the SQL-analyzer path, where the WHERE clause already exists as a
+    * Catalyst tree over UnresolvedAttributes (no string round-trip). */
+  def extractExpr(filter: Expression): Seq[Pred] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
     def attr(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute => Some(a.name)
+      // the last name part strips a relation qualifier (`t.col` → `col`);
+      // these predicates come from a filter DIRECTLY over one graft
+      // relation, so the qualifier can only name that relation
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
       case _ => None
     }
     def lit(e: Expression): Option[Any] = e match {
@@ -41,7 +50,7 @@ object Pruning {
     def cmpPred(a: Expression, b: Expression, op: String, flipped: String): Option[Pred] =
       (for (f <- attr(a); v <- lit(b)) yield Pred(f, op, Seq(v)))
         .orElse(for (f <- attr(b); v <- lit(a)) yield Pred(f, flipped, Seq(v)))
-    conjuncts(spark.sessionState.sqlParser.parseExpression(filter)).flatMap {
+    conjuncts(filter).flatMap {
       case EqualTo(a, b) => cmpPred(a, b, "=", "=")
       case LessThan(a, b) => cmpPred(a, b, "<", ">")
       case LessThanOrEqual(a, b) => cmpPred(a, b, "<=", ">=")

@@ -24,6 +24,22 @@ object Transforms {
     * `dtypes` are the source fields' DDL types (needed by truncate) */
   def column(t: PartFieldMeta, srcs: Seq[Column], dtypes: Seq[String]): Column = t.transform match {
     case "identity" => srcs.head
+    // Timestamp sources derive the calendar ordinal from unix_micros in
+    // fixed UTC (the epoch-day → date arithmetic is timezone-free), never
+    // from year()/month()/cast-to-date — those read the SESSION timezone,
+    // and a non-UTC session would disagree with evalLiteral's UTC pruning
+    // and silently prune files that contain matching rows. Date sources
+    // keep the plain date functions, which are timezone-free already.
+    case "year" | "month" | "day" if dtypes.head.startsWith("timestamp") =>
+      val us = unix_micros(srcs.head.cast("timestamp"))
+      val epochDay = floor(us / lit(86400000000L)).cast("int")
+      lazy val utcDate = date_add(lit(java.sql.Date.valueOf("1970-01-01")), epochDay)
+      t.transform match {
+        case "day" => epochDay.cast("long")
+        case "year" => year(utcDate).cast("long") - 1970L
+        case "month" =>
+          (year(utcDate).cast("long") - 1970L) * 12L + month(utcDate).cast("long") - 1L
+      }
     case "year" => year(srcs.head).cast("long") - 1970L
     case "month" => (year(srcs.head).cast("long") - 1970L) * 12L + month(srcs.head).cast("long") - 1L
     case "day" => datediff(srcs.head.cast("date"), lit("1970-01-01").cast("date")).cast("long")

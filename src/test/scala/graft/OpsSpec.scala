@@ -205,6 +205,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("SQL-path reads prune the manifest like the DataFrame path") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlwh2").toString
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    try {
+      s2.conf.set("spark.graft.warehouse", wh)
+      val cat = new graft.table.GraftCatalog(s2, wh)
+      val t = cat.createTable("db1", "pt", "k bigint, v string",
+        partitionBy = Seq("bucket(8, k)"))
+      import s2.implicits._
+      t.append((0L until 64L).map(k => (k, s"v$k")).toDF("k", "v"))
+      def scanFiles(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: FileSourceScanExec => f.relation.location.inputFiles.length.toLong
+        }.sum
+      val sqlDf = s2.sql("SELECT v FROM graft.db1.pt WHERE k = 17")
+      val apiPruned = t.prunedFiles("k = 17").size.toLong
+      val total = t.liveFiles().count(_.fileType == "data").toLong
+      assert(apiPruned < total, "bucket pruning must drop files")
+      assert(scanFiles(sqlDf) == apiPruned,
+        s"SQL path scans ${scanFiles(sqlDf)} files, API path prunes to $apiPruned")
+      assert(sqlDf.collect().map(_.getString(0)).toSeq == Seq("v17"))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("nanosecond timestamps survive the graft round-trip below micro precision") {
     assert(V3Ops.nanoResidue(spark, sf) > 0,
       "expected sub-microsecond components in events.ts")

@@ -347,4 +347,68 @@ class TableSpec extends SparkSpec {
     assert(pruned.size <= 2, s"expected <=2 month partitions, got ${pruned.size}")
     assert(t.scan(filter = Some("ts >= timestamp'2024-11-01 00:00:00'")).count() == 2)
   }
+
+  test("merge raises on ambiguous (multi-source) match instead of duplicating") {
+    import spark.implicits._
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    val src = Seq((1L, 111.0), (1L, 222.0)).toDF("k", "v")
+    intercept[IllegalStateException] {
+      t.merge(src, on = "t.o_orderkey = s.k", matchedSet = Map("o_total" -> "s.v"))
+    }
+    assert(t.scan().count() == 6, "failed merge must not change the table")
+  }
+
+  test("DV encode rejects positions beyond the dense-bitset range") {
+    intercept[IllegalArgumentException] { Dv.encode(Iterator(0L, 1L << 31)) }
+    assert(Dv.decode(Dv.encode(Iterator(3L, 1L, 3L))).toSeq == Seq(1L, 3L))
+  }
+
+  test("rebased MoR delete conflicts when concurrent compaction replaced files") {
+    val loc = tmp()
+    val t1 = mkOrders(loc)
+    t1.append(seedDf(seed))
+    val t2 = GraftTable.load(spark, loc) // stale writer, base = post-append
+    t1.compact()
+    intercept[CommitConflictException] {
+      t2.delete("o_custkey = 10", WriteMode.MergeOnRead)
+    }
+    assert(GraftTable.load(spark, loc).scan().count() == 6,
+      "rejected delete must leave the compacted table intact")
+  }
+
+  test("concurrent metadata publish: loser gets a conflict, not a lost commit") {
+    val loc = tmp()
+    val t1 = mkOrders(loc)
+    t1.append(seedDf(seed))
+    val m = Meta.readJson(loc)
+    val v = Meta.currentVersion(loc).get
+    // two committers that both computed the same next version: the second
+    // publish of that version must fail loudly, not replace the first
+    Meta.writeJsonAt(m.copy(properties = Map("w" -> "1")), loc, v + 1)
+    intercept[CommitConflictException] {
+      Meta.writeJsonAt(m.copy(properties = Map("w" -> "2")), loc, v + 1)
+    }
+    assert(Meta.readJson(loc).properties("w") == "1", "winner's commit survives")
+  }
+
+  test("day/year/month transforms are timezone-independent (UTC semantics)") {
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      import spark.implicits._
+      // 2024-03-05 01:30 UTC is 2024-03-04 20:30 in New York — a session-tz
+      // derivation would bucket it into the previous day
+      val us = java.time.Instant.parse("2024-03-05T01:30:00Z").getEpochSecond * 1000000L
+      val df = Seq(us).toDF("us").select(timestamp_micros(col("us")).as("f1"))
+      for (tr <- Seq("day", "month", "year")) {
+        val pf = PartFieldMeta("p", tr, List(1))
+        val w = df.select(Transforms.column(pf, Seq(col("f1")), Seq("timestamp")))
+          .collect()(0).get(0).toString
+        val e = Transforms.evalLiteral(pf, Seq(us)).get
+        assert(w == e, s"$tr: write-side $w != prune-side $e")
+      }
+    } finally spark.conf.set(tzKey, prev)
+  }
 }
