@@ -297,6 +297,21 @@ object GraftOps {
       .orderBy("o_orderkey")
   }
 
+  // --- z-order clustered writes: multi-dimensional data skipping ------------
+  /** orders clustered on the (o_custkey, o_orderkey) z-curve; the filter
+    * hits the SECOND z dimension, which a linear sort could not prune —
+    * per-file min/max stay tight on both dims (see table/ZOrder.scala) */
+  def zorderCluster(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, scratch(), ordersDdl, Nil,
+      Map("write.zorder" -> "o_custkey,o_orderkey",
+        "write.target-partitions" -> "16"))
+    t.append(orders(spark, dir))
+    t.scan(filter = Some("o_orderkey < 500"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("o_orderstatus")
+  }
+
   // --- #21 catalog operations ------------------------------------------------
   def catalogOps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -339,6 +354,7 @@ object GraftOps {
     "q_multiarg_bucket" -> multiargBucket,
     "q_stats_pruning" -> statsPruning,
     "q_bloom_filter" -> bloomFilter,
+    "q_zorder" -> zorderCluster,
     "q_catalog" -> catalogOps)
 
   private val sumTotal =
@@ -448,6 +464,10 @@ object GraftOps {
     "q_bloom_filter" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey = 42 ORDER BY o_orderkey""".stripMargin,
+    "q_zorder" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_orderkey < 500
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_catalog" ->
       """SELECT ns, tbl, CAST(rows_in_t1 AS BIGINT) AS rows_in_t1
         |FROM (VALUES ('db1', 't1', 2), ('db2', 't2b', 2))

@@ -250,15 +250,33 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val sortCols = m.properties.get("write.sort").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       .map(n => col(s"f${schema.byName(n).id}"))
+    // z-order clustering ("write.zorder" = "colA,colB"): cluster on the
+    // interleaved z-value instead of a linear sort, so per-file min/max
+    // ranges stay tight on EVERY listed dimension (see [[ZOrder]])
+    val zSrcCols = m.properties.get("write.zorder").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(n => col(s"f${schema.byName(n).id}"))
+    // explicit clustering width ("write.target-partitions") — an explicit
+    // partition count also opts the range shuffle out of AQE coalescing,
+    // which would otherwise merge small clustered writes back into one file
+    val tgtParts = repartitionTo
+      .orElse(m.properties.get("write.target-partitions").map(_.toInt))
     if (pcols.nonEmpty) {
       out = out.repartition(spec.fields.map(pf => col(s"_p_${pf.name}")): _*)
       if (sortCols.nonEmpty) out = out.sortWithinPartitions(sortCols: _*)
+    } else if (zSrcCols.nonEmpty) {
+      out = out.withColumn("_gz", ZOrder.zColumn(out, zSrcCols))
+      out = tgtParts
+        .map(n => out.repartitionByRange(n, col("_gz")))
+        .getOrElse(out.repartitionByRange(col("_gz")))
+        .sortWithinPartitions(col("_gz"))
+        .drop("_gz")
     } else if (sortCols.nonEmpty) {
-      out = repartitionTo
+      out = tgtParts
         .map(n => out.repartitionByRange(n, sortCols: _*))
         .getOrElse(out.repartitionByRange(sortCols: _*))
         .sortWithinPartitions(sortCols: _*)
-    } else repartitionTo.foreach(n => out = out.repartition(n))
+    } else tgtParts.foreach(n => out = out.repartition(n))
     // table properties "write.option.<k>" pass through to the parquet writer
     // (e.g. write.option.parquet.bloom.filter.enabled#f2 -> true)
     val writer = m.properties.foldLeft(out.write.mode("errorifexists")) {

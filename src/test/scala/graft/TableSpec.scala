@@ -348,6 +348,36 @@ class TableSpec extends SparkSpec {
     assert(t.scan(filter = Some("ts >= timestamp'2024-11-01 00:00:00'")).count() == 2)
   }
 
+  test("z-order clustering prunes on BOTH dimensions; linear sort only on one") {
+    import spark.implicits._
+    // 64x64 grid in a scrambled physical order (multiplicative permutation)
+    val n = 4096
+    val rows = (0 until n).map { r =>
+      val i = (r * 2654435761L % n).toInt
+      ((i % 64).toLong, (i / 64).toLong, s"p$i")
+    }
+    def build(props: Map[String, String]): GraftTable = {
+      val t = GraftTable.create(spark, tmp(), "a bigint, b bigint, payload string",
+        properties = props)
+      t.append(rows.toDF("a", "b", "payload"))
+      t
+    }
+    val tz = build(Map("write.zorder" -> "a,b", "write.target-partitions" -> "16"))
+    val ts = build(Map("write.sort" -> "a", "write.target-partitions" -> "16"))
+    val total = tz.liveFiles().count(_.fileType == "data")
+    assert(total >= 8, s"need enough files to observe pruning, got $total")
+    val za = tz.prunedFiles("a = 7").size
+    val zb = tz.prunedFiles("b = 7").size
+    assert(za <= total / 2 && zb <= total / 2,
+      s"z-order must prune both dims: a→$za/$total b→$zb/$total")
+    val sb = ts.prunedFiles("b = 7").size
+    assert(sb == ts.liveFiles().count(_.fileType == "data"),
+      "linear sort cannot prune the non-leading dimension")
+    // clustering must not change the data
+    assert(tz.scan(filter = Some("a = 7")).count() == 64)
+    assert(tz.scan().count() == n)
+  }
+
   test("merge raises on ambiguous (multi-source) match instead of duplicating") {
     import spark.implicits._
     val t = mkOrders(tmp())
