@@ -261,11 +261,39 @@ object Similarity {
         expr("size(filter(q, x -> x = 127 OR x = -128))").cast(LongType).as("n_sat"))
       .orderBy("vec_id")
 
+  /** ANN search over the int8-QUANTIZED vectors — the query-side half of
+    * the quantization pipeline: 4× less data scanned per candidate, exact
+    * integer dot products (every quantized value and partial sum is an
+    * exact small integer, so double accumulation is exact and the DuckDB
+    * oracle matches bit-for-bit), ranking by cosine of the quantized
+    * vectors. Same top-k contract as annTopK, so the recall cost of
+    * quantization is directly measurable against it. */
+  def annInt8(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), vdouble(col("embedding")).as("v"))
+      .withColumn("max_abs", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("qv", expr(
+        "CASE WHEN max_abs = 0.0 THEN transform(v, x -> CAST(0 AS DOUBLE)) " +
+          "ELSE transform(v, x -> CAST(CAST(floor(x * 127.0 / max_abs) AS BIGINT) AS DOUBLE)) END"))
+      .select("vec_id", "qv")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        graft.functions.GraftFunctions.cosine(col("qq"), col("qv")).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "n_id")
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_embedding" -> dedupEmbedding,
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLsh,
     "q_ann_ivf" -> annIvf,
+    "q_ann_int8" -> annInt8,
     "q_embed_quantize" -> embedQuantize)
 
   private val cosExpr =
@@ -359,9 +387,27 @@ object Similarity {
        |  FROM probes p JOIN a1 a ON a.bucket = p.c WHERE a.vec_id <> p.q_id
        |)""".stripMargin)
 
+  private val int8Oracle = rerankSql(
+    s"""WITH e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), m AS (
+       |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e0
+       |), e AS (
+       |  SELECT vec_id,
+       |    CASE WHEN max_abs = 0.0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+       |         ELSE list_transform(v,
+       |           x -> CAST(CAST(floor(x * 127.0 / max_abs) AS BIGINT) AS DOUBLE)) END AS v
+       |  FROM m
+       |), cand AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id
+       |  FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id
+       |)""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "q_ann_lsh" -> lshOracle,
     "q_ann_ivf" -> ivfOracle,
+    "q_ann_int8" -> int8Oracle,
     "q_embed_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -132,6 +132,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Near-dup CANDIDATE PAIRS from shared winnow fingerprints: docs meet
+    * through an equi-join on the fingerprint value (the winnowing guarantee
+    * makes any shared run of >= k+w-1 chars produce a shared fingerprint),
+    * then pairs sharing >= WinnowPairMin distinct fingerprints survive.
+    * The same shape as the shingle/LSH joins — a shuffle on a short key,
+    * never all-pairs — which is what makes local fingerprint matching
+    * usable as a first-pass dedup at corpus scale. */
+  val WinnowPairMin = 3
+
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) => winnow(text).map(f => (id, f)) })
+      .toDF("doc_id", "fp")
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinnowPairMin)
+      .orderBy("a_id", "b_id")
+  }
+
   // --- corpus curation: the full training-data filter in one pipeline ------
   /** exact-dedup → language filter → quality thresholds, composed the way a
     * production corpus build chains them: the dedup is a semi-join against
@@ -168,7 +191,36 @@ object TextOps {
     "q_text_langid" -> langid,
     "q_fingerprint" -> fingerprint,
     "q_fingerprint_winnow" -> fingerprintWinnow,
+    "q_winnow_pairs" -> winnowPairs,
     "q_corpus_filter" -> corpusFilter)
+
+  /** shared winnow CTE chain: per-doc DISTINCT selected fingerprints as
+    * `sel(doc_id, wm)` — the DuckDB replica of [[winnow]] (HUGEINT
+    * arithmetic with explicit mod-2^64 wrap, signed-domain comparison) */
+  private val winnowSelCte: String =
+    s"""pos AS (
+       |  SELECT doc_id, u.i,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS HUGEINT),
+       |        list_transform(range(u.i, u.i + $WinnowK),
+       |          j -> CAST(unicode(substr(text, j, 1)) AS HUGEINT))),
+       |      (h, c) -> (h * 1000003 + c) % 18446744073709551616) AS hu
+       |  FROM documents, UNNEST(range(1, length(text) - $WinnowK + 2)) AS u(i)
+       |), sgn AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN hu >= 9223372036854775808
+       |         THEN CAST(hu - 18446744073709551616 AS BIGINT)
+       |         ELSE CAST(hu AS BIGINT) END AS h,
+       |    MAX(i) OVER (PARTITION BY doc_id) AS n
+       |  FROM pos
+       |), wmin AS (
+       |  SELECT doc_id, i, n,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wm
+       |  FROM sgn
+       |), sel AS (
+       |  SELECT DISTINCT doc_id, wm FROM wmin WHERE i <= n - ${WinnowW - 1}
+       |)""".stripMargin
 
   private def sqlCountIn(markers: Seq[String]): String = {
     val pred = markers.map(m => s"w = '$m'").mkString(" OR ")
@@ -208,29 +260,7 @@ object TextOps {
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""",
     "q_fingerprint_winnow" ->
-      s"""WITH pos AS (
-         |  SELECT doc_id, u.i,
-         |    list_reduce(
-         |      list_prepend(CAST(0 AS HUGEINT),
-         |        list_transform(range(u.i, u.i + $WinnowK),
-         |          j -> CAST(unicode(substr(text, j, 1)) AS HUGEINT))),
-         |      (h, c) -> (h * 1000003 + c) % 18446744073709551616) AS hu
-         |  FROM documents, UNNEST(range(1, length(text) - $WinnowK + 2)) AS u(i)
-         |), sgn AS (
-         |  SELECT doc_id, i,
-         |    CASE WHEN hu >= 9223372036854775808
-         |         THEN CAST(hu - 18446744073709551616 AS BIGINT)
-         |         ELSE CAST(hu AS BIGINT) END AS h,
-         |    MAX(i) OVER (PARTITION BY doc_id) AS n
-         |  FROM pos
-         |), wmin AS (
-         |  SELECT doc_id, i, n,
-         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wm
-         |  FROM sgn
-         |), sel AS (
-         |  SELECT DISTINCT doc_id, wm FROM wmin WHERE i <= n - ${WinnowW - 1}
-         |), agg AS (
+      s"""WITH $winnowSelCte, agg AS (
          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp, MIN(wm) AS min_fp
          |  FROM sel GROUP BY doc_id
          |)
@@ -238,6 +268,12 @@ object TextOps {
          |  COALESCE(a.min_fp, CAST(0 AS BIGINT)) AS min_fp
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "q_winnow_pairs" ->
+      s"""WITH $winnowSelCte
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS shared
+         |FROM sel a JOIN sel b ON a.wm = b.wm AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowPairMin
+         |ORDER BY a_id, b_id""".stripMargin,
     "q_corpus_filter" ->
       s"""WITH canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
          |scored AS (

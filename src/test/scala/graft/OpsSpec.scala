@@ -79,6 +79,25 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"simhash recall $recall")
   }
 
+  test("winnow pairs surface planted near-duplicate documents") {
+    val docs = Tables(spark, sf01, "documents")
+    val truth = Dedup.jaccardPairs(docs, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val pairs = TextOps.winnowPairs(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(pairs).size.toDouble / truth.size
+    assert(recall >= 0.9, s"winnow-pair recall $recall on planted dups")
+  }
+
+  test("int8 ANN ranks close to the full-precision top-k") {
+    val exact = Similarity.annTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val q = Similarity.annInt8(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(q).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 quantization recall $recall vs full precision")
+  }
+
   test("ann ivf achieves reasonable recall vs brute force") {
     val exact = Similarity.annTopK(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
