@@ -16,7 +16,13 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.queries.get("q06_forecast_revenue").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY="q_a,q_b" restricts the run for isolated timing
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = only
+      .map(sel => SparkEntry.queries.filter { case (k, _) => sel(k) })
+      .getOrElse(SparkEntry.queries)
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be visible in the output: negative duration
       val ok = try { fn(spark, sfDir).count(); true }

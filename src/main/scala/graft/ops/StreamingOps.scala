@@ -131,13 +131,42 @@ object StreamingOps {
       .orderBy("event_type")
   }
 
+  // --- streaming tail FROM the graft table format ---------------------------
+  /** the reverse of [[streamIngest]]: the graft table is the SOURCE — two
+    * snapshot commits land, `GraftTable.readStream()` tails their files as
+    * an append stream, and the drained rows aggregate to the batch truth */
+  def streamTail(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-tail").toString
+    val src = Tables(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val t = graft.table.GraftTable.create(spark, s"$tmp/tbl",
+      "event_id bigint, ts timestamp, user_id bigint, event_type string, value double")
+    t.append(src.filter(col("event_id") % 2 === 0))
+    t.append(src.filter(col("event_id") % 2 =!= 0))
+    val name = s"t_${UUID.randomUUID.toString.replace("-", "")}"
+    val q = t.readStream().writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_window" -> streamWindow,
     "q_stream_sessions" -> streamSessions,
-    "q_stream_ingest" -> streamIngest)
+    "q_stream_ingest" -> streamIngest,
+    "q_stream_tail" -> streamTail)
 
   val oracles: Map[String, String] = Map(
     "q_stream_ingest" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_tail" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

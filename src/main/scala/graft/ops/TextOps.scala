@@ -135,11 +135,16 @@ object TextOps {
   /** Near-dup CANDIDATE PAIRS from shared winnow fingerprints: docs meet
     * through an equi-join on the fingerprint value (the winnowing guarantee
     * makes any shared run of >= k+w-1 chars produce a shared fingerprint),
-    * then pairs sharing >= WinnowPairMin distinct fingerprints survive.
-    * The same shape as the shingle/LSH joins — a shuffle on a short key,
-    * never all-pairs — which is what makes local fingerprint matching
-    * usable as a first-pass dedup at corpus scale. */
+    * then pairs sharing >= WinnowPairMin distinct RARE fingerprints
+    * survive. "Rare" = document frequency <= WinnowDfCap: an 8-gram that
+    * appears in hundreds of documents ("and the ", " of the ") carries no
+    * dedup signal but joins quadratically — the df cap is what bounds the
+    * join fan-out to <= cap rows per key and keeps the whole operator an
+    * ordinary shuffle at corpus scale (the same stop-key discipline every
+    * production shingle join uses). Long planted duplicates share many
+    * rare fingerprints, so recall on true near-dups is unaffected. */
   val WinnowPairMin = 3
+  val WinnowDfCap = 10
 
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -147,7 +152,11 @@ object TextOps {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) => winnow(text).map(f => (id, f)) })
       .toDF("doc_id", "fp")
-    fps.as("a").join(fps.as("b"),
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowDfCap)
+      .select("fp")
+    val pruned = fps.join(rare, Seq("fp"), "left_semi")
+    pruned.as("a").join(pruned.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("shared"))
@@ -269,9 +278,13 @@ object TextOps {
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "q_winnow_pairs" ->
-      s"""WITH $winnowSelCte
+      s"""WITH $winnowSelCte, rare AS (
+         |  SELECT wm FROM sel GROUP BY wm HAVING COUNT(*) <= $WinnowDfCap
+         |), s2 AS (
+         |  SELECT s.doc_id, s.wm FROM sel s JOIN rare r ON s.wm = r.wm
+         |)
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS shared
-         |FROM sel a JOIN sel b ON a.wm = b.wm AND a.doc_id < b.doc_id
+         |FROM s2 a JOIN s2 b ON a.wm = b.wm AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowPairMin
          |ORDER BY a_id, b_id""".stripMargin,
     "q_corpus_filter" ->

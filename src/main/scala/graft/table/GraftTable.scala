@@ -721,6 +721,35 @@ class GraftTable(val spark: SparkSession, val location: String) {
     (drop.size, orphans.size)
   }
 
+  /** Structured Streaming SOURCE over the table: tails newly committed
+    * data files as an append-only stream. Built on Spark's file-stream
+    * source pointed at the table's data/ tree (recursive lookup, hidden
+    * `_temporary` job dirs excluded by Spark's path filter), so each new
+    * snapshot's files become micro-batch input exactly once per
+    * checkpoint; the physical field-id columns align to the CURRENT
+    * schema at stream start.
+    *
+    * Contract (the classic lakehouse streaming-tail caveats):
+    *  - append-only: MoR deletes/updates do NOT retract already-emitted
+    *    rows (a streaming source cannot retract);
+    *  - compaction REWRITES rows into new files and would re-emit them —
+    *    pause tailing across compactions or dedupe downstream by key;
+    *  - schema is fixed at stream start (files from older schema versions
+    *    null-fill added columns, like the batch path). */
+  def readStream(): DataFrame = {
+    val m = Meta.readJson(location)
+    val schema = m.currentSchema
+    Files.createDirectories(Paths.get(location, "data"))
+    val physSchema = StructType(
+      schema.fields.map(f => StructField(phys(f), sparkType(f.dtype))))
+    spark.readStream
+      .schema(physSchema)
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$location/data")
+      .select(schema.fields.map(f =>
+        col(phys(f)).cast(sparkType(f.dtype)).as(f.name)): _*)
+  }
+
   /** Incremental (CDC-style) read: rows APPENDED strictly after
     * `fromSnapshotId`, up to the current (or given) end snapshot — the
     * Iceberg incremental-scan analog. Selection is by manifest sequence

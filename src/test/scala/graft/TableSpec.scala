@@ -348,6 +348,33 @@ class TableSpec extends SparkSpec {
     assert(t.scan(filter = Some("ts >= timestamp'2024-11-01 00:00:00'")).count() == 2)
   }
 
+  test("streaming tail emits appended rows exactly once per checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    val loc = tmp()
+    val t = mkOrders(loc)
+    t.append(seedDf(seed.take(3)))
+    val ckpt = Files.createTempDirectory("graft-tail-ck").toString
+    // foreachBatch sink: supports restart from the same checkpoint, so the
+    // second drain resumes the file-stream offsets and sees only new files
+    def drain(outDir: String): Long = {
+      val q = t.readStream().writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          b.write.mode("append").parquet(outDir); ()
+        })
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      if (Files.exists(java.nio.file.Paths.get(outDir)))
+        spark.read.parquet(outDir).count()
+      else 0L
+    }
+    val o1 = Files.createTempDirectory("graft-tail-o1").toString
+    val o2 = Files.createTempDirectory("graft-tail-o2").toString
+    assert(drain(s"$o1/out") == 3, "first drain sees the initial snapshot")
+    t.append(seedDf(seed.drop(3)))
+    assert(drain(s"$o2/out") == 3, "second drain sees ONLY the new commit's rows")
+  }
+
   test("z-order clustering prunes on BOTH dimensions; linear sort only on one") {
     import spark.implicits._
     // 64x64 grid in a scrambled physical order (multiplicative permutation)
