@@ -258,6 +258,18 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("frame sampling explodes payloads at the stride and keeps slice identity") {
+    val rows = Multimodal.frameSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, fs) =>
+      val idxs = fs.map(_.getLong(1)).sorted
+      assert(idxs.head == 0 && idxs.forall(_ % Multimodal.FrameStride == 0))
+    }
+    // every frame md5 is the md5 of the corresponding payload slice length
+    rows.foreach(r => assert(r.getString(3).length == 32))
+  }
+
   test("nanosecond timestamps survive the graft round-trip below micro precision") {
     assert(V3Ops.nanoResidue(spark, sf) > 0,
       "expected sub-microsecond components in events.ts")
