@@ -300,17 +300,27 @@ class GraftTable(val spark: SparkSession, val location: String) {
   /** alias for the package-level exception (kept for source compatibility) */
   type CommitConflictException = graft.table.CommitConflictException
 
+  /** current state pinned to its metadata version: validators read THIS
+    * version and publishers write at exactly version+1, so an interleaved
+    * publication becomes a create-new conflict, never a lost update */
+  private def pinned(): (TableMeta, Int) = {
+    val v = Meta.currentVersion(location)
+      .getOrElse(throw new IllegalArgumentException(s"not a graft table: $location"))
+    (Meta.readJsonVersion(location, v), v)
+  }
+
   /** Optimistic-concurrency commit: if another writer advanced the table
     * since this operation started, additive commits (appends, MoR delete
     * files — nothing physically stamped with a sequence number and nothing
     * removed) REBASE onto the new head; rewrites and physically-stamped
     * commits throw [[CommitConflictException]] for the caller to retry.
-    * Metadata version files publish by atomic rename, so a concurrent
-    * reader sees either the old or the new complete state. */
+    * The new metadata publishes at exactly the validated version + 1
+    * (create-new), so a commit that raced past validation still conflicts
+    * at publication instead of overwriting the other writer's state. */
   private def commit(op: String, branch: String, added: Seq[FileMeta],
       removedPaths: Set[String], snapId0: Long, seq0: Long,
       rebaseable: Boolean = false): SnapshotMeta = {
-    val fresh = Meta.readJson(location)
+    val (fresh, vBase) = pinned()
     var snapId = snapId0
     var seq = seq0
     var entries = added
@@ -355,14 +365,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
       } else e
     }
     val live = parentEntries.filterNot(e => removedPaths(normPath(abs(e.path)))) ++ withRid
-    val manifest = Meta.writeManifest(location, snapId.toString, live)
+    // manifest names carry a uuid: two racing committers can compute the
+    // same snapshot id, and the loser of the version-file race must not
+    // have clobbered the winner's manifest in the meantime
+    val manifest = Meta.writeManifest(location,
+      s"$snapId-${UUID.randomUUID.toString.take(8)}", live)
     val snap = SnapshotMeta(snapId, parent.map(_.snapshotId), seq,
       System.currentTimeMillis(), op, m.currentSchemaId, manifest)
-    meta = m.copy(
+    val next = m.copy(
       lastSnapshotId = snapId, lastSequenceNumber = seq, lastRowId = rid,
       snapshots = m.snapshots :+ snap,
       refs = m.refs + (branch -> RefMeta(snapId, isBranch = true)))
-    Meta.writeJson(meta, location)
+    // publish BEFORE adopting: a conflicted handle must keep published state
+    Meta.writeJsonAt(next, location, vBase + 1)
+    meta = next
     snap
   }
 
@@ -594,12 +610,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
   // ==========================================================================
 
   private def newSchema(fields: List[FieldMeta], lastFieldId: Int): Unit = {
-    val m = refresh()
+    val (m, v) = pinned()
     val sid = m.lastSchemaId + 1
-    meta = m.copy(lastSchemaId = sid, currentSchemaId = sid,
+    val next = m.copy(lastSchemaId = sid, currentSchemaId = sid,
       lastFieldId = math.max(m.lastFieldId, lastFieldId),
       schemas = m.schemas :+ SchemaMeta(sid, fields))
-    Meta.writeJson(meta, location)
+    Meta.writeJsonAt(next, location, v + 1)
+    meta = next
   }
 
   def addColumn(name: String, dtype: String, initialDefault: Option[String] = None): Unit = {
@@ -627,11 +644,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
   }
 
   def updateSpec(fields: Seq[PartFieldMeta]): Unit = {
-    val m = refresh()
+    val (m, v) = pinned()
     val sid = m.lastSpecId + 1
-    meta = m.copy(lastSpecId = sid, currentSpecId = sid,
+    val next = m.copy(lastSpecId = sid, currentSpecId = sid,
       specs = m.specs :+ PartSpecMeta(sid, fields.toList))
-    Meta.writeJson(meta, location)
+    Meta.writeJsonAt(next, location, v + 1)
+    meta = next
   }
 
   // ==========================================================================
@@ -642,11 +660,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def createTag(name: String, at: Option[Long] = None): Unit = setRef(name, at, isBranch = false)
 
   private def setRef(name: String, at: Option[Long], isBranch: Boolean): Unit = {
-    val m = refresh()
+    val (m, v) = pinned()
     val sid = at.orElse(m.refs.get("main").map(_.snapshotId))
       .getOrElse(throw new IllegalStateException("empty table"))
-    meta = m.copy(refs = m.refs + (name -> RefMeta(sid, isBranch)))
-    Meta.writeJson(meta, location)
+    val next = m.copy(refs = m.refs + (name -> RefMeta(sid, isBranch)))
+    Meta.writeJsonAt(next, location, v + 1)
+    meta = next
   }
 
   /** bin-pack compaction: rewrite ALL live data into ~targetMB files,
@@ -697,7 +716,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * physically deletes orphaned manifests/data/delete files.
     * Returns (#snapshots expired, #files deleted). */
   def expireSnapshots(olderThanMs: Long): (Int, Int) = {
-    val m = refresh()
+    val (m, v) = pinned()
     val refHeads = m.refs.values.map(_.snapshotId).toSet
     val (keep, drop) = m.snapshots.partition(s =>
       refHeads(s.snapshotId) || s.timestampMs >= olderThanMs)
@@ -707,6 +726,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val dropped = drop.flatMap(s => Meta.readManifest(location, s.manifest))
       .map(e => normPath(abs(e.path))).toSet
     val orphans = dropped -- keptFiles
+    // publish the trimmed metadata FIRST: if a concurrent commit wins the
+    // version race we must not have deleted files its state still references
+    val next = m.copy(snapshots = keep)
+    Meta.writeJsonAt(next, location, v + 1)
+    meta = next
     // delete-file entries point at parquet directories — remove recursively
     orphans.foreach { p =>
       val path = Paths.get(p)
@@ -716,8 +740,6 @@ class GraftTable(val spark: SparkSession, val location: String) {
       else Files.deleteIfExists(path)
     }
     drop.foreach(s => Files.deleteIfExists(Paths.get(location, s.manifest)))
-    meta = m.copy(snapshots = keep)
-    Meta.writeJson(meta, location)
     (drop.size, orphans.size)
   }
 
@@ -795,8 +817,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
     Files.createDirectories(Paths.get(location, "stats"))
     Files.writeString(Paths.get(location, rel),
       org.json4s.jackson.Serialization.write(ndv)(Meta.formats))
-    meta = m.copy(properties = m.properties + ("stats.current" -> rel))
-    Meta.writeJson(meta, location)
+    val (m2, v) = pinned()
+    val next = m2.copy(properties = m2.properties + ("stats.current" -> rel))
+    Meta.writeJsonAt(next, location, v + 1)
+    meta = next
     ndv
   }
 

@@ -125,7 +125,11 @@ object Meta {
   def writeJsonAt(meta: TableMeta, location: String, next: Int): Unit = {
     val dir = Paths.get(location, "metadata")
     Files.createDirectories(dir)
-    val tmp = dir.resolve(s".v$next.json.tmp")
+    // tmp name must be unique PER WRITER: two committers racing for the
+    // same version would otherwise interleave on one tmp file and the
+    // winner could link the loser's bytes
+    val tmp = dir.resolve(
+      s".v$next-${java.util.UUID.randomUUID.toString.take(8)}.json.tmp")
     Files.writeString(tmp, Serialization.writePretty(meta))
     // hard link fails if the target exists; a plain rename (ATOMIC_MOVE)
     // REPLACES an existing target on POSIX, which is exactly the
@@ -150,9 +154,15 @@ object Meta {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  def readJson(location: String): TableMeta = {
-    val v = currentVersion(location)
-      .getOrElse(throw new IllegalArgumentException(s"not a graft table: $location"))
+  def readJson(location: String): TableMeta =
+    readJsonVersion(location, currentVersion(location)
+      .getOrElse(throw new IllegalArgumentException(s"not a graft table: $location")))
+
+  /** read the table state at a SPECIFIC metadata version — committers pin
+    * the version they validated against and publish at exactly version+1,
+    * so any interleaved publication turns into a create-new conflict
+    * instead of a lost update */
+  def readJsonVersion(location: String, v: Int): TableMeta = {
     val p = Paths.get(location, "metadata", f"v$v%05d.json")
     Serialization.read[TableMeta](Files.readString(p))
   }

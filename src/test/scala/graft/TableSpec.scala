@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.table._
@@ -447,6 +449,37 @@ class TableSpec extends SparkSpec {
       Meta.writeJsonAt(m.copy(properties = Map("w" -> "2")), loc, v + 1)
     }
     assert(Meta.readJson(loc).properties("w") == "1", "winner's commit survives")
+  }
+
+  test("concurrent appenders all land under optimistic retry, nothing lost") {
+    val loc = tmp()
+    mkOrders(loc).append(seedDf(seed.take(1)))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        try {
+          (0 until 3).foreach { j =>
+            var done = false
+            var tries = 0
+            while (!done && tries < 50) {
+              tries += 1
+              // fresh handle per attempt: a conflicted handle holds
+              // unpublished in-memory state
+              val t = GraftTable.load(spark, loc)
+              try { t.append(seedDf(Seq((100L * i + j, 1L, "X", 1.0)))); done = true }
+              catch { case _: CommitConflictException => Thread.sleep(5) }
+            }
+            if (!done) throw new IllegalStateException(s"writer $i gave up")
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"writer errors: ${errors.asScala.toList}")
+    val t = GraftTable.load(spark, loc)
+    assert(t.scan().count() == 1 + 12, "every concurrent append must survive")
+    assert(t.meta.snapshots.length == 13, "one snapshot per committed append")
   }
 
   test("day/year/month transforms are timezone-independent (UTC semantics)") {
