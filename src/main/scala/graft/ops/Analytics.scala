@@ -112,6 +112,57 @@ object Analytics {
         d(sum(discPrice))).as("promo_revenue"))
   }
 
+  // --- q07: volume shipping between two nations (dual-role dim join) -------
+  /** the nation table joins twice under different roles (supplier vs
+    * customer nation) — both broadcast; the symmetric pair filter lands
+    * after the star, the year bucket comes from the ntz shipdate
+    * (timezone-free on both engines) */
+  def q07(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val s = Tables(spark, dir, "supplier")
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val l = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1995-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_9" && col("cust_nation") === "NATION_10") ||
+        (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_9"))
+      .withColumn("l_year", year(col("l_shipdate")).cast(LongType))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(d(sum(discPrice)).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  // --- q18: large-volume orders (having-subquery as semi join + top-n) -----
+  /** the HAVING subquery becomes a left-semi join against the aggregated
+    * big-order keys — the aggregation runs once, the semi join carries
+    * only the key column, and the final top-n sorts on a unique tiebreak */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"), 12, 2)).as("qsum"))
+      .filter(col("qsum") > 250)
+      .select(col("l_orderkey").as("big_key"))
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    o.join(big, col("o_orderkey") === col("big_key"), "left_semi")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(d(sum(dec(col("l_quantity"), 12, 2))).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   // --- top-k per group (window rank) ---------------------------------------
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
@@ -173,7 +224,9 @@ object Analytics {
     "q01_pricing_summary" -> q01,
     "q03_shipping_priority" -> q03,
     "q04_order_priority" -> q04,
+    "q07_volume_shipping" -> q07,
     "q14_promo_revenue" -> q14,
+    "q18_large_orders" -> q18,
     "q05_local_supplier" -> q05,
     "q06_forecast_revenue" -> q06,
     "q_topk_per_group" -> topkPerGroup,
@@ -202,6 +255,30 @@ object Analytics {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'""".stripMargin,
+    "q07_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        | AND c_custkey = o_custkey
+        | AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        | AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+        |   OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+        | AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
