@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ops._
+
+/** Physical-plan regression guards: the plan SHAPES the 100 TB design
+  * depends on — pushdown through the field-id alignment layer, broadcast
+  * star joins, single-exchange windows — asserted so an optimizer-hostile
+  * refactor fails here instead of silently degrading at scale.
+  * (PLANS.md records the full audit; these pin its load-bearing facts.)
+  *
+  * Assertions run on the string of the FINAL (post-AQE) physical plan:
+  * AQE query stages are leaf nodes to tree collection, but the string
+  * form renders the whole finalized plan. */
+class PlanSpec extends SparkSpec {
+
+  /** full plan string (final + initial sections) — for scan metadata
+    * (PushedFilters/ReadSchema), which is identical in both sections */
+  private def fullPlan(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** FINAL plan section only — for operator counting; the trailing
+    * "== Initial Plan ==" section would double every count */
+  private def planString(df: DataFrame): String =
+    fullPlan(df).split("== Initial Plan ==")(0)
+
+  private def countShuffles(plan: String): Int =
+    "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+
+  test("q06: all predicates reach the parquet scan, schema pruned") {
+    val plan = fullPlan(Analytics.q06(spark, sf))
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).mkString
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_quantity"),
+      s"expected shipdate+quantity pushdown, got $pushed")
+    val read = "ReadSchema: [^\\n]*".r.findAllIn(plan).mkString
+    assert(!read.contains("l_orderkey"),
+      s"q06 must not read unreferenced columns, got $read")
+  }
+
+  test("graft table read: filters push through the field-id layer") {
+    val plan = fullPlan(GraftOps.queries("q_read_filter_project")(spark, sf))
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).mkString
+    assert(pushed.contains("f4") || pushed.contains("f3"),
+      s"expected physical-column pushdown, got $pushed")
+  }
+
+  test("q05 star join: all dimensions broadcast, fact side never shuffles for joins") {
+    val plan = planString(Analytics.q05(spark, sf))
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 4, s"expected >=4 broadcast joins in the star, got $bhj")
+    assert("SortMergeJoin".r.findAllIn(plan).isEmpty,
+      "star join must not sort-merge any dimension")
+    // only aggregate/sort exchanges remain — no join shuffles of the fact
+    assert(countShuffles(plan) <= 2,
+      s"star join must not shuffle the fact side for joins:\n$plan")
+  }
+
+  test("sessionize: both window passes share one exchange") {
+    val plan = planString(Analytics.sessionize(spark, sf))
+    // one partition-by-user exchange (+ the final orderBy range exchange)
+    assert(countShuffles(plan) <= 2,
+      s"sessionize must reuse one user_id exchange across windows, got ${countShuffles(plan)}")
+  }
+
+  test("q18: HAVING subquery executes as one aggregation + semi join") {
+    val plan = planString(Analytics.q18(spark, sf01))
+    assert("LeftSemi".r.findAllIn(plan).nonEmpty, "expected a left-semi join")
+  }
+}
