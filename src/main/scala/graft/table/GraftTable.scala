@@ -772,6 +772,50 @@ class GraftTable(val spark: SparkSession, val location: String) {
         col(phys(f)).cast(sparkType(f.dtype)).as(f.name)): _*)
   }
 
+  /** Remove files no snapshot references — the leak path at scale: a
+    * commit that wrote its data files and then lost the optimistic race
+    * (or crashed before publishing) leaves them on storage forever, and
+    * at streaming commit rates that compounds. A first-level entry under
+    * data/ or deletes/ is orphaned when no manifest path of ANY live
+    * snapshot points into it AND it is older than `olderThanMs` (the age
+    * guard keeps in-flight writes safe). Returns units removed. */
+  def removeOrphanFiles(olderThanMs: Long): Int = {
+    val m = Meta.readJson(location)
+    val referenced = m.snapshots
+      .flatMap(s => Meta.readManifest(location, s.manifest))
+      .map(e => normPath(abs(e.path))).toSet
+    var removed = 0
+    Seq("data", "deletes").foreach { r =>
+      val root = Paths.get(location, r)
+      if (Files.isDirectory(root)) {
+        Files.list(root).iterator().asScala.toList.foreach { p =>
+          val norm = normPath(p.toAbsolutePath.toString)
+          val inUse = referenced.exists(ref => ref == norm || ref.startsWith(norm + "/"))
+          val old = Files.getLastModifiedTime(p).toMillis < olderThanMs
+          if (!inUse && old) {
+            if (Files.isDirectory(p))
+              Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .iterator().asScala.foreach(Files.deleteIfExists(_))
+            else Files.deleteIfExists(p)
+            removed += 1
+          }
+        }
+      }
+    }
+    removed
+  }
+
+  /** metadata-only row count: when no delete files are live, the manifest
+    * row counts answer COUNT(*) without launching a single task — the
+    * Iceberg metadata-aggregate pushdown analog. Falls back to a real scan
+    * when MoR deletes make manifest counts an overestimate. */
+  def countFast(ref: String = "main"): Long = {
+    val entries = liveFiles(ref)
+    if (entries.exists(_.fileType != "data"))
+      scan(ref = Some(ref)).count()
+    else entries.filter(_.fileType == "data").map(_.rowCount).sum
+  }
+
   /** Incremental (CDC-style) read: rows APPENDED strictly after
     * `fromSnapshotId`, up to the current (or given) end snapshot — the
     * Iceberg incremental-scan analog. Selection is by manifest sequence

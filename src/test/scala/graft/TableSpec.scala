@@ -451,6 +451,30 @@ class TableSpec extends SparkSpec {
     assert(Meta.readJson(loc).properties("w") == "1", "winner's commit survives")
   }
 
+  test("orphan cleanup removes unreferenced write dirs, keeps live data") {
+    val loc = tmp()
+    val t = mkOrders(loc)
+    t.append(seedDf(seed))
+    // a failed commit's leftovers: a data dir no manifest references
+    val stray = java.nio.file.Paths.get(loc, "data", "s99-deadbeef")
+    Files.createDirectories(stray)
+    Files.writeString(stray.resolve("part-0.parquet"), "not really parquet")
+    assert(t.removeOrphanFiles(olderThanMs = 0) == 0,
+      "age guard keeps files newer than the horizon")
+    val n = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 1000)
+    assert(n == 1, s"exactly the stray dir goes, removed $n")
+    assert(!Files.exists(stray))
+    assert(t.scan().count() == 6, "live data untouched")
+  }
+
+  test("countFast answers from manifests without deletes, scans with them") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    assert(t.countFast() == 6)
+    t.delete("o_custkey = 10", WriteMode.MergeOnRead)
+    assert(t.countFast() == 4, "falls back to a real scan under MoR deletes")
+  }
+
   test("concurrent appenders all land under optimistic retry, nothing lost") {
     val loc = tmp()
     mkOrders(loc).append(seedDf(seed.take(1)))
