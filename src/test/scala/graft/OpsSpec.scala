@@ -218,6 +218,14 @@ class OpsSpec extends SparkSpec {
       assert(nFiles == t.liveFiles().count(_.fileType == "data").toLong)
       assert(s2.sql("SELECT * FROM graft.db1.`kv$snapshots`").count() == 2) // append + delete
       assert(t.metaTable("refs").collect().map(_.getString(0)).contains("main"))
+      // SQL time travel: snapshot 1 predates the MoR delete
+      assert(s2.sql("SELECT * FROM graft.db1.kv VERSION AS OF 1").count() == 3)
+      assert(s2.sql("SELECT * FROM graft.db1.kv").count() == 2)
+      val ts1 = new java.sql.Timestamp(t.meta.snapshot(1L).timestampMs).toString
+      assert(s2.sql(s"SELECT * FROM graft.db1.kv TIMESTAMP AS OF '$ts1'").count() == 3)
+      // branch reads through SQL: dev stays at the pre-delete snapshot
+      t.createBranch("dev", at = Some(1L))
+      assert(s2.sql("SELECT * FROM graft.db1.`kv@dev`").count() == 3)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
