@@ -163,6 +163,25 @@ object Analytics {
       .limit(100)
   }
 
+  // --- q22: customers above average balance with no orders (anti join) ----
+  /** scalar-subquery threshold + NOT EXISTS: the threshold is an exact
+    * decimal-sum mean (order-insensitive, so it replays bit-for-bit), the
+    * NOT EXISTS becomes a left-anti join against orders */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val row = c.filter(col("c_acctbal") > 0.0)
+      .agg(sum(dec(col("c_acctbal"), 12, 2)).as("s"), count(lit(1)).as("n"))
+      .collect()(0)
+    val thr = row.getDecimal(0).doubleValue() / row.getLong(1)
+    c.filter(col("c_acctbal") > thr)
+      .join(Tables(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        d(sum(dec(col("c_acctbal"), 12, 2))).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   // --- top-k per group (window rank) ---------------------------------------
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
@@ -227,6 +246,7 @@ object Analytics {
     "q07_volume_shipping" -> q07,
     "q14_promo_revenue" -> q14,
     "q18_large_orders" -> q18,
+    "q22_lost_customers" -> q22,
     "q05_local_supplier" -> q05,
     "q06_forecast_revenue" -> q06,
     "q_topk_per_group" -> topkPerGroup,
@@ -279,6 +299,15 @@ object Analytics {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+    "q22_lost_customers" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |  FROM customer WHERE c_acctbal > 0.0)
+        | AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
