@@ -45,10 +45,16 @@ def eq(a, b):
     return a == b
 
 
-def arrow_types(rel):
-    """Sorted-by-name {col: arrow_type_str} for a duckdb relation result."""
-    tbl = rel.arrow()
-    return {f.name: str(f.type) for f in tbl.schema}
+def fetch(con, sql):
+    """Execute ONCE, return (cols, rows, {col: arrow_type_str}).
+    A single arrow() materialization provides both the physical types the
+    driver's hash check is sensitive to and the row values."""
+    tbl = con.execute(sql).arrow()
+    cols = [f.name for f in tbl.schema]
+    types = {f.name: str(f.type) for f in tbl.schema}
+    data = [c.to_pylist() for c in tbl.columns]
+    rows = list(zip(*data)) if data else []
+    return cols, rows, types
 
 
 def main():
@@ -66,10 +72,7 @@ def main():
     for name in names:
         spark_glob = os.path.join(out_dir, name, "*.parquet")
         try:
-            s_types = arrow_types(con.execute(f"SELECT * FROM '{spark_glob}'"))
-            sr = con.execute(f"SELECT * FROM '{spark_glob}'")
-            s_cols = [c[0] for c in sr.description]
-            s_rows = sr.fetchall()
+            s_cols, s_rows, s_types = fetch(con, f"SELECT * FROM '{spark_glob}'")
         except Exception as e:
             results[name] = f"SPARK-READ-FAIL {e}"
             continue
@@ -77,10 +80,7 @@ def main():
             results[name] = f"rows-only ({len(s_rows)} rows)"
             continue
         try:
-            o_types = arrow_types(con.execute(oracles[name]))
-            orr = con.execute(oracles[name])
-            o_cols = [c[0] for c in orr.description]
-            o_rows = orr.fetchall()
+            o_cols, o_rows, o_types = fetch(con, oracles[name])
         except Exception as e:
             results[name] = f"ORACLE-FAIL {e}"
             continue

@@ -19,6 +19,12 @@ object Bench {
     // SPARK_GRAFT_ONLY="q_a,q_b" restricts the run for isolated timing
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { sel =>
+      val unknown = sel -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] SPARK_GRAFT_ONLY names unknown queries: " +
+          unknown.mkString(", "))
+    }
     val picked = only
       .map(sel => SparkEntry.queries.filter { case (k, _) => sel(k) })
       .getOrElse(SparkEntry.queries)

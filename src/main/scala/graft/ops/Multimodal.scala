@@ -65,7 +65,9 @@ object Multimodal {
     import spark.implicits._
     withPayload(spark, dir).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        val nFrames = bytes.length / FrameBytes + 1
+        // ceil-division: an exact-multiple payload must NOT emit a phantom
+        // empty trailing frame; an empty payload has no frames at all
+        val nFrames = (bytes.length + FrameBytes - 1) / FrameBytes
         (0 until nFrames by FrameStride).iterator.map { f =>
           val frame = bytes.slice(f * FrameBytes,
             math.min((f + 1) * FrameBytes, bytes.length))
@@ -132,7 +134,7 @@ object Multimodal {
          |  SELECT doc_id, u.f,
          |    substr(text, u.f * $FrameBytes + 1, $FrameBytes) AS frame
          |  FROM documents,
-         |    UNNEST(range(0, length(text) // $FrameBytes + 1, $FrameStride)) AS u(f)
+         |    UNNEST(range(0, (length(text) + ${FrameBytes - 1}) // $FrameBytes, $FrameStride)) AS u(f)
          |)
          |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
          |  CAST(length(frame) AS BIGINT) AS frame_bytes, md5(frame) AS frame_md5

@@ -81,10 +81,13 @@ class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   private def timeTravel(u: UnresolvedRelation, ts: Option[Expression],
       version: Option[String]): Option[LogicalPlan] = {
     val asOfMs = ts.map { e =>
-      val micros = Cast(e, TimestampType,
-        Some(spark.sessionState.conf.sessionLocalTimeZone))
-        .eval(null).asInstanceOf[Long]
-      Math.floorDiv(micros, 1000L)
+      val v = Cast(e, TimestampType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+      // Cast returns null (not an error) for unparseable input with ANSI
+      // off — null would unbox to epoch 0 and silently read 1970 state
+      if (v == null) throw new IllegalArgumentException(
+        s"invalid TIMESTAMP AS OF expression: ${e.sql}")
+      Math.floorDiv(v.asInstanceOf[Long], 1000L)
     }
     substitute(u, None, snapshotId = version.map(_.toLong), asOfMs = asOfMs)
   }

@@ -757,7 +757,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
     *  - compaction REWRITES rows into new files and would re-emit them —
     *    pause tailing across compactions or dedupe downstream by key;
     *  - schema is fixed at stream start (files from older schema versions
-    *    null-fill added columns, like the batch path). */
+    *    null-fill added columns, like the batch path);
+    *  - the tail is FILE-driven, not manifest-driven: data files left by
+    *    a commit that lost the optimistic race (or crashed before
+    *    publishing) are visible to the stream even though no snapshot
+    *    references them — run [[removeOrphanFiles]] before starting a
+    *    tail, and prefer the manifest-driven [[scanIncremental]] when
+    *    exact snapshot semantics matter. */
   def readStream(): DataFrame = {
     val m = Meta.readJson(location)
     val schema = m.currentSchema
@@ -788,15 +794,21 @@ class GraftTable(val spark: SparkSession, val location: String) {
     Seq("data", "deletes").foreach { r =>
       val root = Paths.get(location, r)
       if (Files.isDirectory(root)) {
-        Files.list(root).iterator().asScala.toList.foreach { p =>
+        val listing = Files.list(root)
+        val entries = try listing.iterator().asScala.toList finally listing.close()
+        entries.foreach { p =>
           val norm = normPath(p.toAbsolutePath.toString)
           val inUse = referenced.exists(ref => ref == norm || ref.startsWith(norm + "/"))
           val old = Files.getLastModifiedTime(p).toMillis < olderThanMs
           if (!inUse && old) {
-            if (Files.isDirectory(p))
-              Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-                .iterator().asScala.foreach(Files.deleteIfExists(_))
-            else Files.deleteIfExists(p)
+            if (Files.isDirectory(p)) {
+              val walk = Files.walk(p)
+              val files = try {
+                walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                  .iterator().asScala.toList
+              } finally walk.close()
+              files.foreach(Files.deleteIfExists(_))
+            } else Files.deleteIfExists(p)
             removed += 1
           }
         }

@@ -33,10 +33,12 @@ object Pruning {
       case other => Seq(other)
     }
     def attr(e: Expression): Option[String] = e match {
-      // the last name part strips a relation qualifier (`t.col` → `col`);
-      // these predicates come from a filter DIRECTLY over one graft
-      // relation, so the qualifier can only name that relation
-      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      // single-part names only: before resolution, `t.col` (relation
+      // qualifier) and `s.k` (struct-field access) are indistinguishable
+      // multi-part attributes — treating the last part as a top-level
+      // column could prune on the WRONG column's stats and silently drop
+      // matching files. Multi-part predicates simply don't prune.
+      case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.name)
       case _ => None
     }
     def lit(e: Expression): Option[Any] = e match {

@@ -24,14 +24,18 @@ object Transforms {
     * `dtypes` are the source fields' DDL types (needed by truncate) */
   def column(t: PartFieldMeta, srcs: Seq[Column], dtypes: Seq[String]): Column = t.transform match {
     case "identity" => srcs.head
-    // Timestamp sources derive the calendar ordinal from unix_micros in
-    // fixed UTC (the epoch-day → date arithmetic is timezone-free), never
-    // from year()/month()/cast-to-date — those read the SESSION timezone,
-    // and a non-UTC session would disagree with evalLiteral's UTC pruning
-    // and silently prune files that contain matching rows. Date sources
-    // keep the plain date functions, which are timezone-free already.
-    case "year" | "month" | "day" if dtypes.head.startsWith("timestamp") =>
-      val us = unix_micros(srcs.head.cast("timestamp"))
+    // TIMESTAMP (instant) sources derive the calendar ordinal from
+    // unix_micros in fixed UTC (the epoch-day → date arithmetic is
+    // timezone-free), never from year()/month()/cast-to-date — those read
+    // the SESSION timezone, and a non-UTC session would disagree with
+    // evalLiteral's UTC pruning and silently prune files that contain
+    // matching rows. TIMESTAMP_NTZ and DATE sources keep the plain
+    // calendar functions below: those are wall-clock/timezone-free
+    // already and agree with evalLiteral's wall-clock-as-UTC evaluation
+    // (an ntz column must NOT take this branch — cast(ntz as timestamp)
+    // is itself session-timezone-dependent).
+    case "year" | "month" | "day" if dtypes.head == "timestamp" =>
+      val us = unix_micros(srcs.head)
       val epochDay = floor(us / lit(86400000000L)).cast("int")
       lazy val utcDate = date_add(lit(java.sql.Date.valueOf("1970-01-01")), epochDay)
       t.transform match {

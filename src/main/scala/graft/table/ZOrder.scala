@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** bits per dimension; 16 bits x up to 4 dims fits a 64-bit z-value */
+  /** bits per dimension; 16 bits x up to 3 dims fits the 63 value bits of
+    * a signed long (4 dims would need the sign bit) */
   val Bits = 16
 
   /** scale a column into [0, 2^Bits) by global [min, max]; nulls sort first */

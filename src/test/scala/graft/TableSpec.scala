@@ -516,12 +516,20 @@ class TableSpec extends SparkSpec {
       // derivation would bucket it into the previous day
       val us = java.time.Instant.parse("2024-03-05T01:30:00Z").getEpochSecond * 1000000L
       val df = Seq(us).toDF("us").select(timestamp_micros(col("us")).as("f1"))
+      // ntz carries the same WALL-CLOCK instant: string→ntz cast is
+      // timezone-free, and evalLiteral reads ntz literal micros as wall
+      // clock — both paths must bucket identically under any session tz
+      val dfNtz = Seq("2024-03-05 01:30:00").toDF("s")
+        .select(col("s").cast("timestamp_ntz").as("f1"))
       for (tr <- Seq("day", "month", "year")) {
         val pf = PartFieldMeta("p", tr, List(1))
         val w = df.select(Transforms.column(pf, Seq(col("f1")), Seq("timestamp")))
           .collect()(0).get(0).toString
         val e = Transforms.evalLiteral(pf, Seq(us)).get
         assert(w == e, s"$tr: write-side $w != prune-side $e")
+        val wNtz = dfNtz.select(Transforms.column(pf, Seq(col("f1")), Seq("timestamp_ntz")))
+          .collect()(0).get(0).toString
+        assert(wNtz == e, s"$tr (ntz): write-side $wNtz != prune-side $e")
       }
     } finally spark.conf.set(tzKey, prev)
   }
