@@ -47,6 +47,40 @@ object StreamingOps {
       .orderBy("ws", "event_type")
   }
 
+  // --- tumbling window, APPEND mode (bounded state) -------------------------
+  /** the production shape at scale: complete mode re-emits every window on
+    * every trigger and holds ALL windows in state forever; append mode
+    * emits each window once when the watermark passes it and evicts its
+    * state. Sentinel events staged 2h past the global max advance the
+    * watermark so every real window closes (their own window stays open
+    * and is never emitted, so the output equals the batch truth). */
+  def streamWindowAppend(spark: SparkSession, dir: String): DataFrame = {
+    val (tmp, src) = stage(spark, dir)
+    val maxUs = src.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val sentinels = src.select(col("event_type")).distinct()
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", timestamp_micros(lit(maxUs + 7200000000L)))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("value", lit(0.0))
+      .select(src.columns.map(col): _*)
+    src.unionByName(sentinels).write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in")
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+    val name = s"wa_${UUID.randomUUID.toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+  }
+
   // --- stateful sessionization via flatMapGroupsWithState -------------------
   case class SEv(user_id: Long, ts_us: Long, event_id: Long)
   case class SOpen(start: Long, last: Long, n: Long, closed: Long)
@@ -157,6 +191,7 @@ object StreamingOps {
 
   val queries: Map[String, Q] = Map(
     "q_stream_window" -> streamWindow,
+    "q_stream_window_append" -> streamWindowAppend,
     "q_stream_sessions" -> streamSessions,
     "q_stream_ingest" -> streamIngest,
     "q_stream_tail" -> streamTail)
@@ -171,6 +206,10 @@ object StreamingOps {
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+        | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_window_append" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
