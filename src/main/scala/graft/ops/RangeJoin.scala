@@ -35,37 +35,38 @@ object RangeJoin {
       .drop("_lk", "_ls", "_rk", "_rt", "_bin")
   }
 
-  /** driver query: events within 7 days after each order by the same
-    * customer, aggregated per order priority */
-  def ordersEventsRange(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
-        // o_orderdate is TIMESTAMP_NTZ in the parquet; UTC session makes
-        // the cast an identity on the underlying micros
-        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
-    val events = Tables(spark, dir, "events")
-      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("e_us"))
-    val week = 7L * 86400000000L
-    val day = 86400000000L
-    joinByTimeRange(
-      orders, col("o_custkey"), col("o_us"), week,
-      events, col("user_id"), col("e_us"), day)
-      .groupBy(col("o_orderpriority"))
+  /** driver query: for each event, the OTHER events of the same user in
+    * the following 30 minutes (follow-on activity), aggregated per source
+    * event type. A self range join with real volume — the orders×events
+    * variant was vacuously empty because the two tables' time domains
+    * never overlap (orders 1995-2001, events 2024), which verified
+    * nothing. */
+  def eventsFollowRange(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val left = e.select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+      col("event_type").as("a_type"), unix_micros(col("ts")).as("a_us"))
+    val right = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+      col("value"), unix_micros(col("ts")).as("b_us"))
+    val halfHour = 1800000000L
+    joinByTimeRange(left, col("a_user"), col("a_us"), halfHour,
+        right, col("b_user"), col("b_us"), halfHour)
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_type"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
-      .orderBy("o_orderpriority")
+      .orderBy("a_type")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_range_join" -> ordersEventsRange)
+    Map("q_range_join" -> eventsFollowRange)
 
   val oracles: Map[String, String] = Map(
     "q_range_join" ->
-      """SELECT o.o_orderpriority, COUNT(*) AS n_pairs,
-        | CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM orders o JOIN events e
-        |  ON e.user_id = o.o_custkey
-        | AND epoch_us(e.ts) >= epoch_us(o.o_orderdate)
-        | AND epoch_us(e.ts) < epoch_us(o.o_orderdate) + 7 * 86400000000
-        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin)
+      """SELECT a.event_type AS a_type, COUNT(*) AS n_pairs,
+        | CAST(SUM(CAST(b.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events a JOIN events b
+        |  ON b.user_id = a.user_id AND a.event_id <> b.event_id
+        | AND epoch_us(b.ts) >= epoch_us(a.ts)
+        | AND epoch_us(b.ts) < epoch_us(a.ts) + 1800000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -109,17 +109,19 @@ class OpsSpec extends SparkSpec {
 
   test("range join matches the nested-loop predicate semantics") {
     import org.apache.spark.sql.functions.unix_micros
-    val pairs = RangeJoin.ordersEventsRange(spark, sf).collect()
+    val pairs = RangeJoin.eventsFollowRange(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pairs.values.sum > 0, "self range join must produce pairs")
     // reference: direct (nested-loop) inequality join on micro data
-    val o = Tables(spark, sf, "orders")
     val e = Tables(spark, sf, "events")
-    val week = 7L * 86400000000L
-    val od = unix_micros(o("o_orderdate").cast("timestamp"))
-    val ref = o.join(e,
-        e("user_id") === o("o_custkey") &&
-          unix_micros(e("ts")) >= od && unix_micros(e("ts")) < od + week)
-      .groupBy("o_orderpriority").count().collect()
+    val a = e.select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+      col("event_type").as("a_type"), unix_micros(col("ts")).as("a_us"))
+    val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+      unix_micros(col("ts")).as("b_us"))
+    val ref = a.join(b,
+        col("b_user") === col("a_user") && col("a_id") =!= col("b_id") &&
+          col("b_us") >= col("a_us") && col("b_us") < col("a_us") + 1800000000L)
+      .groupBy("a_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(pairs == ref)
   }
