@@ -163,19 +163,22 @@ object Analytics {
       .limit(100)
   }
 
-  // --- q22: customers above average balance with no orders (anti join) ----
+  // --- q22: dormant high-balance customers (scalar subquery + anti join) --
   /** scalar-subquery threshold + NOT EXISTS: the threshold is an exact
-    * decimal-sum mean (order-insensitive, so it replays bit-for-bit), the
-    * NOT EXISTS becomes a left-anti join against orders */
+    * decimal-sum mean (order-insensitive, so it replays bit-for-bit); the
+    * NOT EXISTS becomes a left-anti join against RECENT orders ("no order
+    * since 2000" — every synthetic customer has SOME order, so the classic
+    * no-orders-at-all predicate would be vacuously empty here) */
   def q22(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
     val row = c.filter(col("c_acctbal") > 0.0)
       .agg(sum(dec(col("c_acctbal"), 12, 2)).as("s"), count(lit(1)).as("n"))
       .collect()(0)
     val thr = row.getDecimal(0).doubleValue() / row.getLong(1)
+    val recent = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
     c.filter(col("c_acctbal") > thr)
-      .join(Tables(spark, dir, "orders"),
-        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("numcust"),
         d(sum(dec(col("c_acctbal"), 12, 2))).as("totacctbal"))
@@ -306,7 +309,8 @@ object Analytics {
         |WHERE c_acctbal > (
         |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
         |  FROM customer WHERE c_acctbal > 0.0)
-        | AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        | AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                 AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
