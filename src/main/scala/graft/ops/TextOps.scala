@@ -69,6 +69,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // --- character-distribution quality signals -------------------------------
+  /** Gini impurity of the character distribution (1 - Σ p²) plus digit /
+    * uppercase ratios — the repetitiveness/formatting signals a corpus
+    * quality filter cuts on. Gini instead of entropy ON PURPOSE: log()
+    * differs in the last ulp across math libraries, while p = c/n, p², and
+    * an ascending-char-code summation are exact IEEE steps both engines
+    * reproduce bit-for-bit. One JVM pass per doc; ASCII corpus → int[128]
+    * histogram. */
+  def charStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val counts = new Array[Long](128)
+        var digits = 0L
+        var uppers = 0L
+        text.foreach { ch =>
+          counts(ch & 0x7f) += 1
+          if (ch >= '0' && ch <= '9') digits += 1
+          if (ch >= 'A' && ch <= 'Z') uppers += 1
+        }
+        val n = math.max(text.length, 1)
+        var sumP2 = 0.0
+        var c = 0
+        while (c < 128) {
+          if (counts(c) > 0) {
+            val p = counts(c).toDouble / n
+            sumP2 += p * p
+          }
+          c += 1
+        }
+        (id, 1.0 - sumP2, digits.toDouble / n, uppers.toDouble / n)
+      })
+      .toDF("doc_id", "gini", "digit_ratio", "upper_ratio")
+      .orderBy("doc_id")
+  }
+
   // --- document fingerprint ---------------------------------------------------
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
@@ -198,6 +235,7 @@ object TextOps {
     "q_token_count" -> tokenCount,
     "q_text_quality" -> quality,
     "q_text_langid" -> langid,
+    "q_text_charstats" -> charStats,
     "q_fingerprint" -> fingerprint,
     "q_fingerprint_winnow" -> fingerprintWinnow,
     "q_winnow_pairs" -> winnowPairs,
@@ -268,6 +306,34 @@ object TextOps {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id""",
+    "q_text_charstats" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unicode(substr(text, u.i, 1)) AS c
+        |  FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+        |), f AS (
+        |  SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, c
+        |), n AS (
+        |  SELECT doc_id, greatest(length(text), 1) AS n FROM documents
+        |), p AS (
+        |  SELECT f.doc_id,
+        |    list_sum(list(
+        |      (CAST(cnt AS DOUBLE) / n.n) * (CAST(cnt AS DOUBLE) / n.n)
+        |      ORDER BY c)) AS sum_p2
+        |  FROM f JOIN n ON f.doc_id = n.doc_id GROUP BY f.doc_id
+        |), dr AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS digit_ratio,
+        |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS upper_ratio
+        |  FROM documents d
+        |)
+        |SELECT d.doc_id, 1.0 - COALESCE(p.sum_p2, 0.0) AS gini,
+        |  dr.digit_ratio, dr.upper_ratio
+        |FROM documents d
+        | LEFT JOIN p ON d.doc_id = p.doc_id
+        | JOIN dr ON d.doc_id = dr.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_fingerprint_winnow" ->
       s"""WITH $winnowSelCte, agg AS (
          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp, MIN(wm) AS min_fp
