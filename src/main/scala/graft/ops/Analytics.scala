@@ -174,10 +174,14 @@ object Analytics {
     val row = c.filter(col("c_acctbal") > 0.0)
       .agg(sum(dec(col("c_acctbal"), 12, 2)).as("s"), count(lit(1)).as("n"))
       .collect()(0)
-    val thr = row.getDecimal(0).doubleValue() / row.getLong(1)
+    // SUM over zero rows is NULL; SQL's `bal > NULL` is never true, so an
+    // all-nonpositive-balance corpus yields an empty result, not an NPE
+    val thrFilter =
+      if (row.isNullAt(0)) lit(false)
+      else col("c_acctbal") > row.getDecimal(0).doubleValue() / row.getLong(1)
     val recent = Tables(spark, dir, "orders")
       .filter(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
-    c.filter(col("c_acctbal") > thr)
+    c.filter(thrFilter)
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("numcust"),

@@ -162,7 +162,7 @@ object Multimodal {
         | CAST(len(list_filter(us, u -> u % 4 = 1)) AS BIGINT) AS h1,
         | CAST(len(list_filter(us, u -> u % 4 = 2)) AS BIGINT) AS h2,
         | CAST(len(list_filter(us, u -> u % 4 = 3)) AS BIGINT) AS h3,
-        | CAST(CAST(list_sum(us) AS BIGINT) AS DOUBLE)
+        | CAST(COALESCE(CAST(list_sum(us) AS BIGINT), 0) AS DOUBLE)
         |   / greatest(len(us), 1) AS mean_byte
         |FROM b ORDER BY doc_id""".stripMargin)
 }

@@ -51,15 +51,19 @@ object StreamingOps {
   /** the production shape at scale: complete mode re-emits every window on
     * every trigger and holds ALL windows in state forever; append mode
     * emits each window once when the watermark passes it and evicts its
-    * state. Sentinel events staged 2h past the global max advance the
-    * watermark so every real window closes (their own window stays open
-    * and is never emitted, so the output equals the batch truth). */
+    * state. Sentinel events staged 3h past the global max advance the
+    * watermark so every real window closes — 3h (not 2h) so the final
+    * watermark strictly exceeds the last real window's end even when the
+    * max event falls exactly on an hour boundary, where emission would
+    * otherwise hinge on Spark's eviction comparison being inclusive
+    * (their own window stays open and is never emitted, so the output
+    * equals the batch truth). */
   def streamWindowAppend(spark: SparkSession, dir: String): DataFrame = {
     val (tmp, src) = stage(spark, dir)
     val maxUs = src.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
     val sentinels = src.select(col("event_type")).distinct()
       .withColumn("event_id", lit(-1L))
-      .withColumn("ts", timestamp_micros(lit(maxUs + 7200000000L)))
+      .withColumn("ts", timestamp_micros(lit(maxUs + 10800000000L)))
       .withColumn("user_id", lit(-1L))
       .withColumn("value", lit(0.0))
       .select(src.columns.map(col): _*)

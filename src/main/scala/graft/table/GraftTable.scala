@@ -262,8 +262,18 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val tgtParts = repartitionTo
       .orElse(m.properties.get("write.target-partitions").map(_.toInt))
     if (pcols.nonEmpty) {
-      out = out.repartition(spec.fields.map(pf => col(s"_p_${pf.name}")): _*)
-      if (sortCols.nonEmpty) out = out.sortWithinPartitions(sortCols: _*)
+      val pRefs = spec.fields.map(pf => col(s"_p_${pf.name}"))
+      out = out.repartition(pRefs: _*)
+      // with a partition spec, clustering properties apply WITHIN partitions
+      // (z-order wins over a linear sort when both are set). The sort must
+      // LEAD with the partition columns: the parquet writer requires rows
+      // ordered by them and would otherwise insert its own sort, destroying
+      // the clustering order.
+      if (zSrcCols.nonEmpty) {
+        out = out.withColumn("_gz", ZOrder.zColumn(out, zSrcCols))
+          .sortWithinPartitions(pRefs :+ col("_gz"): _*).drop("_gz")
+      } else if (sortCols.nonEmpty)
+        out = out.sortWithinPartitions(pRefs ++ sortCols: _*)
     } else if (zSrcCols.nonEmpty) {
       out = out.withColumn("_gz", ZOrder.zColumn(out, zSrcCols))
       out = tgtParts
@@ -937,13 +947,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * row-level filter stays in the plan above, and this only shrinks the
     * file list the scan launches tasks for. */
   def scanPruned(preds: Seq[Pruning.Pred]): DataFrame = {
+    // one metadata read for BOTH pruning and scanning: re-reading inside
+    // scan() would let a commit land in between, silently dropping files of
+    // the newer snapshot from the fileSubset intersection (torn read)
     val m = Meta.readJson(location)
-    val keep = m.head("main").toSeq
-      .flatMap(s => Meta.readManifest(location, s.manifest))
-      .filter(_.fileType == "data")
-      .filter(f => Pruning.fileMatches(f, m, preds))
-      .map(f => normPath(abs(f.path))).toSet
-    scan(fileSubset = Some(keep))
+    m.head("main") match {
+      case None => emptyDf(m.currentSchema, lineage = false, pos = false)
+      case Some(s) =>
+        val keep = Meta.readManifest(location, s.manifest)
+          .filter(_.fileType == "data")
+          .filter(f => Pruning.fileMatches(f, m, preds))
+          .map(f => normPath(abs(f.path))).toSet
+        scanSnapshot(m, s, m.currentSchemaId, None,
+          withLineage = false, withPos = false, fileSubset = Some(keep))
+    }
   }
 }
 

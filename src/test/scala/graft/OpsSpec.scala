@@ -26,6 +26,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q22 returns empty (not NPE) when no customer has a positive balance") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q22").toString
+    Seq((1L, "c1", 1, -5.0, "SEG"), (2L, "c2", 2, 0.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, "O", 10.0,
+        java.sql.Timestamp.valueOf("2001-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    // SUM over zero qualifying rows is NULL -> NULL threshold -> empty result
+    assert(Analytics.q22(spark, dir).count() == 0)
+  }
+
   test("q03 returns at most 10 rows ordered by revenue desc") {
     val rows = Analytics.q03(spark, sf).collect()
     assert(rows.length <= 10)

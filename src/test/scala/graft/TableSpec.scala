@@ -407,6 +407,35 @@ class TableSpec extends SparkSpec {
     assert(tz.scan().count() == n)
   }
 
+  test("write.zorder applies as the within-partition clustering on a partitioned table") {
+    import spark.implicits._
+    val n = 1024
+    val rows = (0 until n).map { r =>
+      val i = (r * 2654435761L % n).toInt
+      (i % 4, (i % 32).toLong, (i / 32).toLong) // p: partition, a/b: z dims
+    }
+    val t = GraftTable.create(spark, tmp(), "p int, a bigint, b bigint",
+      partitionBy = Seq("p"), properties = Map("write.zorder" -> "a,b"))
+    t.append(rows.toDF("p", "a", "b"))
+    assert(t.scan().count() == n)
+    // physical row order inside every data file must follow the z-value —
+    // the property used to be silently ignored when a partition spec was set
+    val ids = t.meta.currentSchema
+    val (fa, fb) = (s"f${ids.byName("a").id}", s"f${ids.byName("b").id}")
+    for (f <- t.liveFiles().filter(_.fileType == "data")) {
+      val raw = spark.read.parquet(
+        java.nio.file.Paths.get(t.location).resolve(f.path).toString)
+      // replicate the WRITE-time scaling (global min/max = 0..31 for both
+      // dims) — re-deriving min/max per file would rescale and reorder
+      val z = table.ZOrder.interleave(Seq(
+        table.ZOrder.scaled(col(fa), 0.0, 31.0),
+        table.ZOrder.scaled(col(fb), 0.0, 31.0)))
+      val zs = raw.withColumn("_z", z).select("_z").collect().map(_.getLong(0))
+      assert(zs.indices.drop(1).forall(i => zs(i - 1) <= zs(i)),
+        s"rows in ${f.path} are not z-clustered")
+    }
+  }
+
   test("merge raises on ambiguous (multi-source) match instead of duplicating") {
     import spark.implicits._
     val t = mkOrders(tmp())
