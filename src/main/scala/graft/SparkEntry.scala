@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
+    Analytics.queries ++ AnalyticsDeep.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
       GraftOps.queries ++ V3Ops.queries ++ Multimodal.queries ++
       StreamingOps.queries
@@ -21,7 +21,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    Analytics.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
+    Analytics.oracles ++ AnalyticsDeep.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
       TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       GraftOps.oracles ++ V3Ops.oracles ++ Multimodal.oracles ++
       StreamingOps.oracles

@@ -26,6 +26,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("deep analytics: every query is non-vacuous at sf0.01") {
+    // exact value parity is the oracle gate's job; this guards the
+    // vacuous-result trap (a predicate that silently matches nothing)
+    AnalyticsDeep.queries.foreach { case (k, fn) =>
+      assert(fn(spark, sf01).count() > 0, s"$k returned zero rows")
+    }
+  }
+
+  test("q13 count-distribution buckets partition the customer table") {
+    val dist = AnalyticsDeep.q13(spark, sf)
+    val total = dist.agg(sum(col("custdist"))).collect()(0).getLong(0)
+    assert(total == graft.Tables(spark, sf, "customer").count())
+  }
+
+  test("q21 sole-late suppliers: every reported order group excludes multi-late orders") {
+    val rows = AnalyticsDeep.q21(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // numwait must be positive and the ordering deterministic
+    assert(rows.forall(_.getAs[Long]("numwait") > 0))
+    val sorted = rows.map(r => (-r.getAs[Long]("numwait"), r.getAs[String]("s_name")))
+    assert(sorted.sameElements(sorted.sorted))
+  }
+
   test("q22 returns empty (not NPE) when no customer has a positive balance") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-q22").toString
