@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -231,7 +232,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // --- repetition signals (Gopher-style quality filters) ---------------------
+  /** Per-document repetition metrics for filtering low-quality generated or
+    * boilerplate text: duplicate-word fraction, the most frequent bigram's
+    * share of all bigrams, and the longest run of one repeated word.
+    * Every aggregation is keyed by doc_id, so the whole stage is
+    * embarrassingly parallel at 100 TB — three doc-local aggregations
+    * joined back on the document key, no global state. The run-length
+    * metric is the gaps-and-islands pattern (position minus per-word rank
+    * is constant within a run). */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docWords = Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("i", "w")))
+    val perDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val bigrams = docWords
+      .withColumn("w2", lead(col("w"), 1).over(perDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w2")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top_bigram_frac"))
+    val dups = docWords.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), countDistinct(col("w")).as("ndw"))
+      .select(col("doc_id"), col("n_words"),
+        (lit(1.0) - col("ndw").cast("double") / col("n_words").cast("double"))
+          .as("dup_word_frac"))
+    val runRank = Window.partitionBy(col("doc_id"), col("w")).orderBy(col("i"))
+    val runs = docWords
+      .withColumn("grp", col("i") - row_number().over(runRank))
+      .groupBy(col("doc_id"), col("w"), col("grp")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_run"))
+    dups
+      .join(bigrams, Seq("doc_id"), "left_outer")
+      .join(runs, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("max_run"), lit(1L)).as("max_run"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_repetition" -> textRepetition,
     "q_token_count" -> tokenCount,
     "q_text_quality" -> quality,
     "q_text_langid" -> langid,
@@ -278,6 +320,43 @@ object TextOps {
     s"lpad(CAST(${sqlCountIn(markers)} AS VARCHAR), 10, '0') || '$code'"
 
   val oracles: Map[String, String] = Map(
+    "q_text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), words AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS i, ws[CAST(u.i AS INT)] AS wd
+        |  FROM w, UNNEST(range(1, len(ws) + 1)) u(i)
+        |), bg AS (
+        |  SELECT a.doc_id, a.wd || ' ' || b.wd AS g
+        |  FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |), bgc AS (
+        |  SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g
+        |), bga AS (
+        |  SELECT doc_id,
+        |    CAST(MAX(c) AS DOUBLE) / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+        |      AS top_bigram_frac
+        |  FROM bgc GROUP BY doc_id
+        |), dup AS (
+        |  SELECT doc_id, COUNT(*) AS n_words,
+        |    1.0 - CAST(COUNT(DISTINCT wd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |      AS dup_word_frac
+        |  FROM words GROUP BY doc_id
+        |), runc AS (
+        |  SELECT doc_id, MAX(c) AS max_run FROM (
+        |    SELECT doc_id, wd, grp, COUNT(*) AS c FROM (
+        |      SELECT doc_id, wd,
+        |        i - ROW_NUMBER() OVER (PARTITION BY doc_id, wd ORDER BY i) AS grp
+        |      FROM words) r
+        |    GROUP BY doc_id, wd, grp) rc
+        |  GROUP BY doc_id
+        |)
+        |SELECT dup.doc_id, n_words, dup_word_frac,
+        |  COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac,
+        |  COALESCE(max_run, 1) AS max_run
+        |FROM dup
+        | LEFT JOIN bga ON dup.doc_id = bga.doc_id
+        | LEFT JOIN runc ON dup.doc_id = runc.doc_id
+        |ORDER BY dup.doc_id""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id,
          | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -26,6 +26,53 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample: per-language rates land near target, weights invert rates") {
+    val s = Sampling.sampleStratified(spark, sf01).collect()
+    val docs = graft.Tables(spark, sf01, "documents")
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // md5 gate is uniform: expect rate +- generous binomial slack
+    val enFrac = kept("en").toDouble / byLang("en")
+    assert(enFrac > 0.03 && enFrac < 0.25, s"en kept $enFrac, want ~0.1")
+    val deFrac = kept("de").toDouble / byLang("de")
+    assert(deFrac > 0.3 && deFrac < 0.7, s"de kept $deFrac, want ~0.5")
+    assert(s.forall(r =>
+      r.getDouble(2) == (if (r.getString(1) == "en") 1.0 / 0.1 else 1.0 / 0.5)))
+    // deterministic: the sample is a pure function of doc_id
+    assert(Sampling.sampleStratified(spark, sf01).collect().map(_.getLong(0))
+      .sameElements(s.map(_.getLong(0))))
+  }
+
+  test("pack chunks: per-source chunk ids are contiguous and span counts consistent") {
+    val rows = Sampling.packChunks(spark, sf01).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_._2)
+      var cum = 0L
+      ordered.foreach { case (_, _, nTok, chunkId, nChunks) =>
+        assert(chunkId == cum / Sampling.ChunkTokens, "first chunk = floor(start/C)")
+        val lastChunk = (cum + nTok - 1) / Sampling.ChunkTokens
+        assert(nChunks == lastChunk - chunkId + 1, "span covers the doc's tokens")
+        cum += nTok
+      }
+    }
+  }
+
+  test("text repetition metrics stay in range") {
+    val rows = TextOps.textRepetition(spark, sf01).collect()
+    assert(rows.length == graft.Tables(spark, sf01, "documents").count())
+    rows.foreach { r =>
+      val (dup, top, run) = (r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(top >= 0.0 && top <= 1.0)
+      assert(run >= 1L && run <= r.getLong(1))
+    }
+    // the corpus is word-soup: repeated words must actually occur
+    assert(rows.exists(_.getLong(4) >= 2), "expected at least one run >= 2")
+  }
+
   test("deep analytics: every query is non-vacuous at sf0.01") {
     // exact value parity is the oracle gate's job; this guards the
     // vacuous-result trap (a predicate that silently matches nothing)
