@@ -182,6 +182,13 @@ object Similarity {
   val IvfLists = 32
   val Probes = 4
 
+  /** Buckets each vector enlists in for semantic dedup candidate pairing.
+    * The corpus's near-duplicates sit around cosine ~0.5 — far from the
+    * planted-identical regime — so matching the query-side probe count
+    * is what keeps recall vs the brute baseline high; identical twins
+    * would tolerate 1-2 probes. */
+  val DedupProbes = 4
+
   private def nearestCentroid(v: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0
     var bestCos = Double.MinValue
@@ -199,15 +206,14 @@ object Similarity {
       .map(c => c -> graft.functions.CosineSimilarity.compute(v, cents(c)))
       .sortBy { case (c, cos) => (-cos, c) }.take(p).map(_._1)
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** deterministic refined centroids — shared by [[annIvf]] and
+    * [[dedupSemantic]]: seeds from the first `IvfLists` vectors, one
+    * k-means step over 2^20-quantized coordinates (exact, order-free) */
+  private def ivfCentroids(spark: SparkSession,
+      e: org.apache.spark.sql.Dataset[(Long, Array[Double])]): Array[Array[Double]] = {
     import spark.implicits._
-    val e = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), vdouble(col("embedding")).as("v"))
-      .as[(Long, Array[Double])]
-    // seed centroids: the first IvfLists vectors (deterministic)
     val seedCents = e.filter(_._1 < IvfLists).collect().sortBy(_._1).map(_._2)
     val bc0 = spark.sparkContext.broadcast(seedCents)
-    // one k-means refinement: mean of vectors assigned to each seed
     val refined = e
       .map { case (_, v) => (nearestCentroid(v, bc0.value), v) }
       .toDF("c", "v")
@@ -220,11 +226,19 @@ object Similarity {
       .groupBy("c").agg(map_from_arrays(collect_list(col("i")), collect_list(col("m"))).as("dims"))
       .as[(Int, Map[Int, Double])].collect()
       .sortBy(_._1)
-    val cents = seedCents.indices.map { c =>
+    seedCents.indices.map { c =>
       refined.find(_._1 == c).map { case (_, dims) =>
         Array.tabulate(dim)(i => dims(i))
       }.getOrElse(seedCents(c))
     }.toArray
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), vdouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+    val cents = ivfCentroids(spark, e)
     val bc = spark.sparkContext.broadcast(cents)
 
     val bucketed = e.map { case (id, v) => (id, v, nearestCentroid(v, bc.value)) }
@@ -242,6 +256,39 @@ object Similarity {
       .filter(col("rnk") <= 5)
       .select("q_id", "rnk", "n_id")
       .orderBy("q_id", "rnk")
+  }
+
+  /** Semantic (embedding-space) deduplication at scale: vectors are
+    * bucketed by their nearest IVF centroid, candidate pairs form ONLY
+    * within a bucket (equi-join on the centroid id — no all-pairs), each
+    * candidate is verified with the exact cosine, and the higher vec_id of
+    * every confirmed near-duplicate pair is dropped. This is the SemDeDup
+    * shape: clustering bounds the quadratic term by the largest cluster,
+    * so the cost is sum(|cluster|^2) instead of n^2 — at 100 TB the
+    * centroid count grows with the corpus and each bucket's pair join
+    * stays a local problem. Vectors enlist in their `DedupProbes` nearest
+    * buckets (multi-probe), because a near-duplicate pair near a Voronoi
+    * boundary otherwise splits across buckets and is never compared.
+    * Same tau as the brute-force baseline (q_dedup_embedding), so recall
+    * against it is measurable. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val e = emb.select(col("vec_id"), vdouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+    val bc = spark.sparkContext.broadcast(ivfCentroids(spark, e))
+    val bucketed = e.flatMap { case (id, v) =>
+      topCentroids(v, bc.value, DedupProbes).map(c => (id, v, c))
+    }.toDF("vec_id", "v", "bucket")
+    val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("av"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("bv"))
+    val dropped = a.join(b, "bucket")
+      .filter(col("a_id") < col("b_id"))
+      .filter(graft.functions.GraftFunctions.cosine(col("av"), col("bv")) >= 0.45)
+      .select(col("b_id").as("vec_id")).distinct()
+    emb.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
   }
 
   /** int8 embedding quantization — the storage-side half of a production
@@ -293,6 +340,7 @@ object Similarity {
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLsh,
     "q_ann_ivf" -> annIvf,
+    "q_dedup_semantic" -> dedupSemantic,
     "q_ann_int8" -> annInt8,
     "q_embed_quantize" -> embedQuantize)
 
@@ -348,7 +396,10 @@ object Similarity {
        |  WHERE q.vec_id < 10 AND m.vec_id <> q.vec_id
        |)""".stripMargin)
 
-  private val ivfOracle = rerankSql(
+  /** centroid-assignment CTE chain shared by the IVF and semantic-dedup
+    * oracles: seeds → one exact k-means step → refined cents → a1 maps
+    * every vector to its nearest refined centroid */
+  private val ivfCentsCte =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
@@ -376,7 +427,10 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${sqlCos("e.v", "ct.cv")} DESC, ct.c) AS rnk
        |    FROM e CROSS JOIN cents ct) z WHERE rnk = 1
-       |), probes AS (
+       |)""".stripMargin
+
+  private val ivfOracle = rerankSql(
+    s"""$ivfCentsCte, probes AS (
        |  SELECT vec_id AS q_id, c FROM (
        |    SELECT e.vec_id, ct.c,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -405,6 +459,24 @@ object Similarity {
        |)""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_semantic" ->
+      s"""$ivfCentsCte, am AS (
+         |  SELECT vec_id, c AS bucket FROM (
+         |    SELECT e.vec_id, ct.c,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlCos("e.v", "ct.cv")} DESC, ct.c) AS rnk
+         |    FROM e CROSS JOIN cents ct) z WHERE rnk <= $DedupProbes
+         |), dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM am a JOIN am b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE ${sqlCos("ea.v", "eb.v")} >= 0.45
+         |)
+         |SELECT emb.vec_id, emb.label
+         |FROM embeddings emb LEFT JOIN dropped d ON emb.vec_id = d.vec_id
+         |WHERE d.vec_id IS NULL
+         |ORDER BY emb.vec_id""".stripMargin,
     "q_ann_lsh" -> lshOracle,
     "q_ann_ivf" -> ivfOracle,
     "q_ann_int8" -> int8Oracle,

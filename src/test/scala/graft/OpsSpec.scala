@@ -73,6 +73,22 @@ class OpsSpec extends SparkSpec {
     assert(rows.exists(_.getLong(4) >= 2), "expected at least one run >= 2")
   }
 
+  test("semantic dedup: dropped set is sound and recalls the brute-force dups") {
+    val emb = graft.Tables(spark, sf01, "embeddings")
+    val survivors = Similarity.dedupSemantic(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropped = all -- survivors
+    val bruteDropped = Similarity.cosinePairs(emb, 0.45).collect()
+      .map(_.getLong(1)).toSet
+    // soundness: every drop is a verified near-duplicate of a lower id
+    assert(dropped.subsetOf(bruteDropped),
+      s"unsound drops: ${dropped -- bruteDropped}")
+    // recall: near-duplicates usually share a centroid bucket
+    assert(dropped.nonEmpty && dropped.size * 10 >= bruteDropped.size * 6,
+      s"recall ${dropped.size}/${bruteDropped.size}")
+  }
+
   test("deep analytics: every query is non-vacuous at sf0.01") {
     // exact value parity is the oracle gate's job; this guards the
     // vacuous-result trap (a predicate that silently matches nothing)
