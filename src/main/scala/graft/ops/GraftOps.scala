@@ -233,6 +233,56 @@ object GraftOps {
       .select("ref", "n", "sum_keys").orderBy("ref")
   }
 
+  // --- snapshot rollback: undo a commit, then diverge ------------------------
+  /** rollbackTo moves only the main ref; the undone snapshot stays
+    * time-travelable and the next append diverges from the restored head */
+  def rollback(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    val o = orders(spark, dir)
+    val s1 = t.append(o.filter(col("o_orderkey") % 3 === 0))
+    t.append(o.filter(col("o_orderkey") % 3 === 1))
+    t.rollbackTo(s1.snapshotId)
+    t.append(o.filter(col("o_orderkey") % 3 === 2))
+    aggByStatus(t.scan())
+  }
+
+  // --- write-audit-publish via branch + fast-forward -------------------------
+  /** the WAP pattern: stage on an audit branch, validate THERE, then
+    * publish by fast-forwarding main — readers of main never see
+    * unaudited data, and the publish is a metadata-only atomic ref move */
+  def wap(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    val o = orders(spark, dir)
+    t.append(o.filter(col("o_orderstatus") === "F"))
+    t.createBranch("audit")
+    t.append(o.filter(col("o_orderstatus") === "O"), branch = "audit")
+    val bad = t.scan(ref = Some("audit"))
+      .filter(col("o_totalprice") <= 0.0).count()
+    require(bad == 0, s"audit failed: $bad non-positive totals staged")
+    t.fastForward("main", "audit")
+    aggByStatus(t.scan())
+  }
+
+  // --- CDC changelog (insert/delete/update classification) -------------------
+  /** one window over an append + a MoR delete + a CoW update; the
+    * changelog must classify the net change per row id — including
+    * rows inserted then updated in-window (squash to insert with the
+    * final value) and unchanged rows carried through the CoW rewrite
+    * (no change emitted) */
+  def cdcChanges(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    val o = orders(spark, dir)
+    val s1 = t.append(o.filter(col("o_orderkey") % 2 === 0))
+    t.append(o.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 5 =!= 0))
+    t.delete("o_orderkey % 10 = 0", WriteMode.MergeOnRead)
+    t.update("o_orderkey % 7 = 0", Map("o_totalprice" -> "o_totalprice + 1.0"))
+    t.changes(s1.snapshotId)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"),
+        d(sum(dec(col("o_totalprice")))).as("sum_total"))
+      .orderBy("_change_type")
+  }
+
   // --- #16 hidden partitioning: day(ts), pruning exercised -------------------
   def hiddenPartitioning(spark: SparkSession, dir: String): DataFrame = {
     val t = GraftTable.create(spark, scratch(),
@@ -349,6 +399,9 @@ object GraftOps {
     "q_time_travel" -> timeTravel,
     "q_compaction" -> compaction,
     "q_branch_tag" -> branchTag,
+    "q_rollback" -> rollback,
+    "q_wap" -> wap,
+    "q_cdc_changes" -> cdcChanges,
     "q_hidden_partitioning" -> hiddenPartitioning,
     "q_partition_evolution" -> partitionEvolution,
     "q_multiarg_bucket" -> multiargBucket,
@@ -361,6 +414,31 @@ object GraftOps {
     "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total"
 
   val oracles: Map[String, String] = Map(
+    "q_rollback" ->
+      aggByStatusSql.replace("%SRC%",
+        "(SELECT * FROM orders WHERE o_orderkey % 3 IN (0, 2))"),
+    "q_wap" ->
+      aggByStatusSql.replace("%SRC%",
+        "(SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O'))"),
+    "q_cdc_changes" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+        |ins0 AS (SELECT * FROM orders
+        |         WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 <> 0),
+        |dels AS (SELECT * FROM base WHERE o_orderkey % 10 = 0),
+        |upd AS (SELECT * FROM base
+        |        WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0),
+        |ch AS (
+        |  SELECT 'insert' AS _change_type, o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS p
+        |  FROM ins0
+        |  UNION ALL SELECT 'delete', o_orderkey, o_totalprice FROM dels
+        |  UNION ALL SELECT 'update_before', o_orderkey, o_totalprice FROM upd
+        |  UNION ALL SELECT 'update_after', o_orderkey, o_totalprice + 1.0 FROM upd)
+        |SELECT _change_type, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM ch GROUP BY _change_type ORDER BY _change_type""".stripMargin,
     "q_table_create" ->
       ("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
         "CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation ORDER BY n_nationkey"),

@@ -678,6 +678,99 @@ class GraftTable(val spark: SparkSession, val location: String) {
     meta = next
   }
 
+  private def ancestorsOf(m: TableMeta, headId: Long): Set[Long] =
+    Iterator.iterate(Option(m.snapshot(headId)))(_.flatMap(_.parentId).map(m.snapshot))
+      .takeWhile(_.isDefined).map(_.get.snapshotId).toSet
+
+  /** Roll `main` back to an earlier snapshot (the Iceberg
+    * rollback-to-snapshot operation): only the ref moves — history is
+    * preserved, so time travel to the rolled-back-over snapshots keeps
+    * working until they expire, and the next append diverges from the
+    * restored snapshot. */
+  def rollbackTo(snapshotId: Long): Unit = {
+    val (m, v) = pinned()
+    val headId = m.refs.get("main").map(_.snapshotId)
+      .getOrElse(throw new IllegalStateException("empty table"))
+    require(ancestorsOf(m, headId)(snapshotId),
+      s"snapshot $snapshotId is not an ancestor of main — cannot roll back to it")
+    val next = m.copy(refs = m.refs + ("main" -> RefMeta(snapshotId, isBranch = true)))
+    Meta.writeJsonAt(next, location, v + 1)
+    meta = next
+  }
+
+  /** Fast-forward branch `ref` to the head of branch `from` — the publish
+    * step of write-audit-publish: stage writes on an audit branch, verify
+    * them there, then move main atomically. Requires `ref`'s head to be an
+    * ancestor of `from`'s head (a true fast-forward, never a silent merge). */
+  def fastForward(ref: String, from: String): Unit = {
+    val (m, v) = pinned()
+    val srcHead = m.refs.get(from)
+      .getOrElse(throw new IllegalArgumentException(s"no ref '$from'")).snapshotId
+    require(m.refs.get(ref).forall(_.isBranch), s"'$ref' is a tag, not a branch")
+    m.refs.get(ref).map(_.snapshotId).foreach { dst =>
+      require(ancestorsOf(m, srcHead)(dst),
+        s"$ref head $dst is not an ancestor of $from head $srcHead — not a fast-forward")
+    }
+    val next = m.copy(refs = m.refs + (ref -> RefMeta(srcHead, isBranch = true)))
+    Meta.writeJsonAt(next, location, v + 1)
+    meta = next
+  }
+
+  /** CDC changelog between two snapshots, driven by v3 row lineage:
+    * `_row_id` is stable across rewrites and `_last_updated_sequence_number`
+    * bumps exactly when a row's content changes, so a full-outer join on
+    * the row id classifies every change — insert / delete /
+    * update_before+update_after — regardless of HOW it was written (CoW
+    * rewrite, MoR delete file, DV, compaction). Mid-window churn squashes
+    * to the net change, matching changelog semantics. An append-only
+    * window skips the join entirely and reads just the new data files off
+    * the manifest (cost = the delta, the steady-state CDC path at scale).
+    * Output: table columns + `_change_type` + `_commit_seq` (null for
+    * deletes — the removing commit does not stamp removed rows). */
+  def changes(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
+    val m = Meta.readJson(location)
+    require(m.formatVersion >= 3, "changes() needs v3 row lineage")
+    val from = m.snapshot(fromSnapshotId)
+    val toSnap = toSnapshotId.map(m.snapshot).orElse(m.head("main"))
+      .getOrElse(throw new IllegalStateException("empty table"))
+    val names = m.schema(toSnap.schemaId).fields.map(_.name)
+    val windowOps = m.snapshots.filter(s =>
+      s.sequenceNumber > from.sequenceNumber &&
+        s.sequenceNumber <= toSnap.sequenceNumber)
+    if (windowOps.forall(_.operation == "append")) {
+      val entries = Meta.readManifest(location, toSnap.manifest)
+      val newFiles = entries
+        .filter(e => e.fileType == "data" && e.sequenceNumber > from.sequenceNumber)
+        .map(e => normPath(abs(e.path))).toSet
+      val base =
+        if (newFiles.isEmpty) emptyDf(m.schema(toSnap.schemaId), lineage = true, pos = false)
+        else scanSnapshot(m, toSnap, toSnap.schemaId, None,
+          withLineage = true, withPos = false, fileSubset = Some(newFiles))
+      return base.select(names.map(col) ++ Seq(lit("insert").as("_change_type"),
+        col("_last_updated_sequence_number").as("_commit_seq")): _*)
+    }
+    def side(s: SnapshotMeta) =
+      scanSnapshot(m, s, toSnap.schemaId, None,
+        withLineage = true, withPos = false, fileSubset = None)
+        .select(struct(names.map(col): _*).as("_v"), col("_row_id"),
+          col("_last_updated_sequence_number").as("_seqn"))
+    val a = side(from).select(col("_v").as("_av"), col("_row_id"), col("_seqn").as("_aseq"))
+    val b = side(toSnap).select(col("_v").as("_bv"), col("_row_id"), col("_seqn").as("_bseq"))
+    val j = a.join(b, Seq("_row_id"), "full_outer")
+    def emit(v: Column, typ: String, seq: Column) =
+      names.map(n => v.getField(n).as(n)) :+ lit(typ).as("_change_type") :+
+        seq.cast(LongType).as("_commit_seq")
+    val ins = j.filter(col("_aseq").isNull)
+      .select(emit(col("_bv"), "insert", col("_bseq")): _*)
+    val del = j.filter(col("_bseq").isNull)
+      .select(emit(col("_av"), "delete", lit(null)): _*)
+    val changed = j.filter(col("_aseq").isNotNull && col("_bseq").isNotNull &&
+      !(col("_av") <=> col("_bv")))
+    val updB = changed.select(emit(col("_av"), "update_before", col("_bseq")): _*)
+    val updA = changed.select(emit(col("_bv"), "update_after", col("_bseq")): _*)
+    ins.unionByName(del).unionByName(updB).unionByName(updA)
+  }
+
   /** bin-pack compaction: rewrite ALL live data into ~targetMB files,
     * applying outstanding deletes and materializing lineage; one replace
     * commit drops every old data/delete file from the manifest */

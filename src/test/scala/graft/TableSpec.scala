@@ -436,6 +436,62 @@ class TableSpec extends SparkSpec {
     }
   }
 
+  test("rollback moves the ref, keeps history, and rejects non-ancestors") {
+    val t = mkOrders(tmp())
+    val s1 = t.append(seedDf(seed.take(3)))
+    val s2 = t.append(seedDf(seed.slice(3, 5)))
+    t.rollbackTo(s1.snapshotId)
+    assert(t.scan().count() == 3)
+    // the undone snapshot remains time-travelable
+    assert(t.scan(snapshotId = Some(s2.snapshotId)).count() == 5)
+    // divergence: append after rollback builds on the restored head
+    t.append(seedDf(seed.drop(5)))
+    assert(t.scan().count() == 4)
+    // s2 is no longer an ancestor of main — rolling "back" to it must fail
+    intercept[IllegalArgumentException](t.rollbackTo(s2.snapshotId))
+  }
+
+  test("fast-forward publishes a branch; refuses when main diverged") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed.take(2)))
+    t.createBranch("audit")
+    t.append(seedDf(seed.slice(2, 4)), branch = "audit")
+    t.fastForward("main", "audit")
+    assert(t.scan().count() == 4)
+    // diverge: write to main directly, then a branch write — no longer FF-able
+    t.createBranch("audit2")
+    t.append(seedDf(seed.slice(4, 5)), branch = "audit2")
+    t.append(seedDf(seed.slice(5, 6)))
+    intercept[IllegalArgumentException](t.fastForward("main", "audit2"))
+  }
+
+  test("changes() classifies inserts, deletes, and updates; mid-window churn squashes") {
+    val t = mkOrders(tmp())
+    val s1 = t.append(seedDf(seed.take(3))) // keys 1,2,3
+    t.append(seedDf(seed.slice(3, 5)))      // +4,5
+    t.delete("o_orderkey = 2", WriteMode.MergeOnRead)
+    t.update("o_orderkey = 3", Map("o_total" -> "o_total + 5.0"))
+    t.delete("o_orderkey = 4")               // inserted then deleted: squashed away
+    val ch = t.changes(s1.snapshotId).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("o_orderkey"))).sorted
+    assert(ch.toSeq == Seq(
+      ("delete", 2L), ("insert", 5L),
+      ("update_after", 3L), ("update_before", 3L)), s"got ${ch.toSeq}")
+    // value content: the update pair carries before/after totals
+    val upd = t.changes(s1.snapshotId)
+      .filter(col("_change_type").startsWith("update"))
+      .collect().map(r => r.getAs[String]("_change_type") -> r.getAs[Double]("o_total")).toMap
+    assert(upd == Map("update_before" -> 300.0, "update_after" -> 305.0))
+    // append-only window takes the manifest fast path and tags commit seq
+    val t2 = mkOrders(tmp())
+    val a1 = t2.append(seedDf(seed.take(2)))
+    val a2 = t2.append(seedDf(seed.slice(2, 4)))
+    val fast = t2.changes(a1.snapshotId).collect()
+    assert(fast.length == 2 &&
+      fast.forall(_.getAs[String]("_change_type") == "insert") &&
+      fast.forall(_.getAs[Long]("_commit_seq") == a2.sequenceNumber))
+  }
+
   test("merge raises on ambiguous (multi-source) match instead of duplicating") {
     import spark.implicits._
     val t = mkOrders(tmp())
