@@ -147,6 +147,45 @@ object StreamingOps {
       .orderBy("user_id", "session_id")
   }
 
+  // --- streaming MERGE upsert into the graft table ---------------------------
+  /** CDC-style streaming apply: every micro-batch MERGEs into the table
+    * (matched keys update, new keys insert), one atomic snapshot commit
+    * per batch. Stream keys are disjoint across rows, so the final state
+    * is independent of how the files split into batches — the property a
+    * production apply stream needs, since micro-batch boundaries are not
+    * deterministic under retries. maxFilesPerTrigger forces several
+    * batches so the multi-commit path is actually exercised. */
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val o = Tables(spark, dir, "orders").select(cols.map(col): _*)
+    val t = graft.table.GraftTable.create(spark, s"$tmp/tbl",
+      "o_orderkey bigint, o_custkey bigint, o_orderstatus string, " +
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    t.append(o.filter(col("o_orderkey") % 3 === 0))
+    val updates = o.filter(col("o_orderkey") % 6 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    o.filter(col("o_orderkey") % 3 === 1).unionByName(updates)
+      .write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(o.schema)
+      .option("maxFilesPerTrigger", 2).parquet(s"$tmp/in")
+    val q = stream.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => {
+        t.merge(batch, on = "t.o_orderkey = s.o_orderkey",
+          matchedSet = Map("o_totalprice" -> "s.o_totalprice"),
+          insertValues = Some(cols.map(c => c -> s"s.$c").toMap))
+        ()
+      })
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    t.scan().groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_total"))
+      .orderBy("o_orderpriority")
+  }
+
   // --- streaming ingest INTO the graft table format -------------------------
   /** micro-batch writes through foreachBatch → GraftTable.append: each
     * batch is one atomic snapshot commit, so a crash between batches leaves
@@ -198,9 +237,22 @@ object StreamingOps {
     "q_stream_window_append" -> streamWindowAppend,
     "q_stream_sessions" -> streamSessions,
     "q_stream_ingest" -> streamIngest,
+    "q_stream_upsert" -> streamUpsert,
     "q_stream_tail" -> streamTail)
 
   val oracles: Map[String, String] = Map(
+    "q_stream_upsert" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1) t
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_stream_ingest" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -73,6 +73,23 @@ class OpsSpec extends SparkSpec {
     assert(rows.exists(_.getLong(4) >= 2), "expected at least one run >= 2")
   }
 
+  test("salted join equals the plain join and actually shuffles on (key, salt)") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val stats = graft.Tables(spark, sf, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("lang_docs"))
+    val plain = docs.join(stats, "lang")
+      .select("doc_id", "lang", "lang_docs").orderBy("doc_id").collect()
+    val salted = SkewJoin.saltedJoin(docs, stats.hint("merge"), "lang", 8, col("doc_id"))
+      .select("doc_id", "lang", "lang_docs").orderBy("doc_id").collect()
+    assert(salted.sameElements(plain))
+    // and the salted plan keeps the join on the shuffle path with the salt key
+    val plan = SkewJoin.saltedJoin(docs, stats.hint("merge"), "lang", 8, col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), "salt column must reach the join keys")
+    assert(!plan.contains("BroadcastHashJoin"), "demo must exercise the shuffle join")
+  }
+
   test("semantic dedup: dropped set is sound and recalls the brute-force dups") {
     val emb = graft.Tables(spark, sf01, "embeddings")
     val survivors = Similarity.dedupSemantic(spark, sf01)
