@@ -382,8 +382,80 @@ object GraftOps {
     rows.withColumn("rows_in_t1", lit(n1)).orderBy("ns", "tbl")
   }
 
+  // --- SQL DML: the reference's native surface (MERGE/UPDATE/DELETE/INSERT
+  // as Spark SQL statements — tests/iceberg_feature_tests.py:520-780) ---------
+
+  /** run `body` in a sibling session with GraftExtensions injected (same
+    * SparkContext); the result is re-materialized on the caller's session
+    * so Verify/Bench never hold a frame bound to the sub-session */
+  private def withSqlSession(spark: SparkSession)(
+      body: SparkSession => DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .config("spark.sql.shuffle.partitions",
+          spark.conf.get("spark.sql.shuffle.partitions"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      val df = body(s2)
+      val rows = df.collect().toList.asJava
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+      spark.createDataFrame(rows, df.schema)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  /** INSERT / UPDATE / DELETE statements end to end: each is one atomic
+    * snapshot commit through the same paths the DataFrame API uses */
+  def sqlDml(spark: SparkSession, dir: String): DataFrame =
+    withSqlSession(spark) { s2 =>
+      val wh = Files.createTempDirectory("graft-sqlwh").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+      new GraftCatalog(s2, wh).createTable("db", "o", ordersDdl)
+      Tables(s2, dir, "orders").createOrReplaceTempView("orders_src")
+      s2.sql("INSERT INTO graft.db.o SELECT * FROM orders_src WHERE o_orderkey % 2 = 1")
+      s2.sql("UPDATE graft.db.o SET o_totalprice = o_totalprice + 1000.0 " +
+        "WHERE o_orderstatus = 'F'")
+      s2.sql("DELETE FROM graft.db.o WHERE o_orderkey % 10 = 3")
+      s2.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+               |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+               |FROM graft.db.o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }
+
+  /** MERGE INTO statement: same data shape as q_merge_upsert, driven
+    * through SQL with user aliases — shares that query's oracle shape */
+  def sqlMerge(spark: SparkSession, dir: String): DataFrame =
+    withSqlSession(spark) { s2 =>
+      val wh = Files.createTempDirectory("graft-sqlwh").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+      val t = new GraftCatalog(s2, wh).createTable("db", "m", ordersDdl)
+      val o = Tables(s2, dir, "orders")
+      t.append(o.filter(col("o_orderkey") % 2 === 0))
+      o.filter(col("o_orderkey") % 4 === 1 || col("o_orderkey") % 4 === 2)
+        .select(col("o_orderkey").as("k"), col("o_custkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("newprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .createOrReplaceTempView("msrc")
+      s2.sql("""MERGE INTO graft.db.m tgt USING msrc src ON tgt.o_orderkey = src.k
+               |WHEN MATCHED THEN UPDATE SET o_totalprice = src.newprice
+               |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus,
+               |  o_totalprice, o_orderdate, o_orderpriority)
+               |  VALUES (src.k, src.o_custkey, src.o_orderstatus, src.newprice,
+               |          src.o_orderdate, src.o_orderpriority)""".stripMargin)
+      s2.sql("""SELECT o_orderpriority, COUNT(*) AS n,
+               |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+               |FROM graft.db.m GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }
+
   // --- registry --------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_sql_dml" -> sqlDml,
+    "q_sql_merge" -> sqlMerge,
     "q_table_create" -> tableCreate,
     "q_read_filter_project" -> readFilterProject,
     "q_write_insert" -> writeInsert,
@@ -414,6 +486,33 @@ object GraftOps {
     "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total"
 
   val oracles: Map[String, String] = Map(
+    "q_sql_dml" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1000.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM base),
+        |fin AS (SELECT * FROM upd WHERE NOT (o_orderkey % 10 = 3))
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_sql_merge" ->
+      s"""WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+         |src AS (
+         |  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+         |         o_totalprice + 1000.0 AS newprice, o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 4 IN (1, 2)),
+         |merged AS (
+         |  SELECT t.o_orderpriority,
+         |         CASE WHEN s.k IS NOT NULL THEN s.newprice ELSE t.o_totalprice END AS o_totalprice
+         |  FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.k
+         |  UNION ALL
+         |  SELECT s.o_orderpriority, s.newprice
+         |  FROM src s LEFT JOIN tgt t ON s.k = t.o_orderkey
+         |  WHERE t.o_orderkey IS NULL)
+         |SELECT o_orderpriority, COUNT(*) AS n, $sumTotal
+         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_rollback" ->
       aggByStatusSql.replace("%SRC%",
         "(SELECT * FROM orders WHERE o_orderkey % 3 IN (0, 2))"),

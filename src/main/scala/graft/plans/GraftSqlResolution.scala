@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.TimestampType
 
@@ -92,8 +92,125 @@ class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     substitute(u, None, snapshotId = version.map(_.toLong), asOfMs = asOfMs)
   }
 
+  // ==========================================================================
+  // SQL DML → GraftDml commands
+  // ==========================================================================
+
+  /** a DML target: `graft.ns.tbl` optionally under an alias */
+  private def dmlTarget(p: LogicalPlan): Option[(String, String, Option[String])] =
+    p match {
+      case SubqueryAlias(id, u: UnresolvedRelation) if isGraft(u) =>
+        Some((u.multipartIdentifier(1), u.multipartIdentifier(2), Some(id.name)))
+      case u: UnresolvedRelation if isGraft(u) =>
+        Some((u.multipartIdentifier(1), u.multipartIdentifier(2), None))
+      case _ => None
+    }
+
+  /** every qualifier spelling that refers to the target relation */
+  private def targetQuals(ns: String, tbl: String, alias: Option[String]): Set[Seq[String]] =
+    (Seq(Seq(tbl), Seq(ns, tbl), Seq("graft", ns, tbl)) ++ alias.map(Seq(_)))
+      .map(_.map(_.toLowerCase)).toSet
+
+  /** qualifier spellings of a MERGE source: its alias, or the relation
+    * name parts when it is a bare (view/table) reference */
+  private def sourceQuals(p: LogicalPlan): Set[Seq[String]] = p match {
+    case SubqueryAlias(id, _) => Set(Seq(id.name.toLowerCase))
+    case u: UnresolvedRelation =>
+      val parts = u.multipartIdentifier.map(_.toLowerCase)
+      parts.indices.map(i => parts.drop(i)).toSet
+    case _ => Set.empty
+  }
+
+  /** rewrite qualified attribute references: target spellings → `t`,
+    * source spellings → `s`, so the emitted SQL binds against the aliases
+    * [[graft.table.GraftTable.merge]] establishes; for single-table DML
+    * (`srcQ` empty + tgt mapped to nothing) qualifiers are dropped. */
+  private def requalify(e: Expression, tgtQ: Set[Seq[String]],
+      srcQ: Set[Seq[String]], tgtAs: Option[String]): Expression =
+    e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        val q = a.nameParts.init.map(_.toLowerCase)
+        if (tgtQ.contains(q))
+          UnresolvedAttribute(tgtAs.toSeq :+ a.nameParts.last)
+        else if (srcQ.contains(q)) UnresolvedAttribute(Seq("s", a.nameParts.last))
+        else a
+    }
+
+  private def toSql(e: Expression, tgtQ: Set[Seq[String]],
+      srcQ: Set[Seq[String]] = Set.empty, tgtAs: Option[String] = None): String =
+    requalify(e, tgtQ, srcQ, tgtAs).sql
+
+  private def assignPairs(assigns: Seq[Assignment], tgtQ: Set[Seq[String]],
+      srcQ: Set[Seq[String]] = Set.empty,
+      tgtAs: Option[String] = None): Seq[(String, String)] =
+    assigns.map { a =>
+      val name = a.key match {
+        case k: UnresolvedAttribute => k.nameParts.last
+        case other => throw new UnsupportedOperationException(
+          s"graft DML: unsupported assignment target ${other.sql}")
+      }
+      name -> toSql(a.value, tgtQ, srcQ, tgtAs)
+    }
+
+  private def mergeCommand(m: MergeIntoTable, ns: String, tbl: String,
+      alias: Option[String]): GraftMergeCommand = {
+    if (m.withSchemaEvolution) throw new UnsupportedOperationException(
+      "graft MERGE: WITH SCHEMA EVOLUTION is not supported")
+    if (m.notMatchedBySourceActions.nonEmpty) throw new UnsupportedOperationException(
+      "graft MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
+    val tgtQ = targetQuals(ns, tbl, alias)
+    val srcQ = sourceQuals(m.sourceTable)
+    def noCond(c: Option[Expression], what: String): Unit = if (c.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft MERGE: conditional $what clauses are not supported")
+    var mset: Seq[(String, String)] = Nil
+    var mstar = false
+    var mdel = false
+    m.matchedActions match {
+      case Seq() =>
+      case Seq(DeleteAction(c)) => noCond(c, "WHEN MATCHED"); mdel = true
+      case Seq(UpdateStarAction(c)) => noCond(c, "WHEN MATCHED"); mstar = true
+      case Seq(UpdateAction(c, assigns, _)) =>
+        noCond(c, "WHEN MATCHED")
+        mset = assignPairs(assigns, tgtQ, srcQ, Some("t"))
+      case other => throw new UnsupportedOperationException(
+        s"graft MERGE: unsupported WHEN MATCHED actions: $other")
+    }
+    var ins: Option[Seq[(String, String)]] = None
+    var istar = false
+    m.notMatchedActions match {
+      case Seq() =>
+      case Seq(InsertStarAction(c)) => noCond(c, "WHEN NOT MATCHED"); istar = true
+      case Seq(InsertAction(c, assigns)) =>
+        noCond(c, "WHEN NOT MATCHED")
+        ins = Some(assignPairs(assigns, tgtQ, srcQ, Some("t")))
+      case other => throw new UnsupportedOperationException(
+        s"graft MERGE: unsupported WHEN NOT MATCHED actions: $other")
+    }
+    GraftMergeCommand(ns, tbl, m.sourceTable,
+      toSql(m.mergeCondition, tgtQ, srcQ, Some("t")), mset, mstar, mdel, ins, istar)
+  }
+
   // top-down so Filter-over-relation matches before the bare relation does
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case i @ InsertIntoStatement(target, partSpec, userCols, query, overwrite,
+        ifNotExists, byName) if dmlTarget(target).isDefined =>
+      val (ns, tbl, _) = dmlTarget(target).get
+      if (partSpec.nonEmpty || ifNotExists) throw new UnsupportedOperationException(
+        "graft INSERT: static PARTITION clauses are not supported " +
+          "(partitioning is hidden — just insert the rows)")
+      GraftInsertCommand(ns, tbl, query, userCols, overwrite, byName)
+    case DeleteFromTable(target, cond) if dmlTarget(target).isDefined =>
+      val (ns, tbl, alias) = dmlTarget(target).get
+      GraftDeleteCommand(ns, tbl, toSql(cond, targetQuals(ns, tbl, alias)))
+    case UpdateTable(target, assigns, cond) if dmlTarget(target).isDefined =>
+      val (ns, tbl, alias) = dmlTarget(target).get
+      val tgtQ = targetQuals(ns, tbl, alias)
+      GraftUpdateCommand(ns, tbl, assignPairs(assigns, tgtQ),
+        cond.map(toSql(_, tgtQ)).getOrElse("true"))
+    case m: MergeIntoTable if dmlTarget(m.targetTable).isDefined =>
+      val (ns, tbl, alias) = dmlTarget(m.targetTable).get
+      mergeCommand(m, ns, tbl, alias)
     case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, version) if isGraft(u) =>
       timeTravel(u, ts, version).getOrElse(tt)
     case f @ Filter(cond, u: UnresolvedRelation) if isGraft(u) =>

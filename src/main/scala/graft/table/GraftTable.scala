@@ -403,6 +403,21 @@ class GraftTable(val spark: SparkSession, val location: String) {
     commit("append", branch, files, Set.empty, snapId, seq, rebaseable = true)
   }
 
+  /** INSERT OVERWRITE: atomically replace the branch's visible contents —
+    * one snapshot whose manifest holds only the new files. Every prior
+    * entry (data AND delete files) is dropped, so no stale position
+    * delete or DV can mask the new rows. Non-rebaseable: a concurrent
+    * writer raises [[CommitConflictException]] instead of interleaving. */
+  def overwrite(df: DataFrame, branch: String = "main"): SnapshotMeta = {
+    val (snapId, seq) = nextIds()
+    val files = writeDataFiles(toPhysical(df, meta.currentSchema), snapId, seq,
+      meta.currentSchemaId, meta.currentSpecId)
+    val prior = meta.head(branch).toSeq
+      .flatMap(s => Meta.readManifest(location, s.manifest))
+      .map(e => normPath(abs(e.path))).toSet
+    commit("overwrite", branch, files, prior, snapId, seq)
+  }
+
   // ==========================================================================
   // Row-level operations
   // ==========================================================================

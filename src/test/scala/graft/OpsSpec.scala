@@ -309,6 +309,73 @@ class OpsSpec extends SparkSpec {
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("SQL DML: INSERT / UPDATE / DELETE / MERGE through spark.sql") {
+    import org.apache.spark.sql.SparkSession
+    val wh = java.nio.file.Files.createTempDirectory("graft-dmlwh").toString
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    try {
+      s2.conf.set("spark.graft.warehouse", wh)
+      val cat = new graft.table.GraftCatalog(s2, wh)
+      val t = cat.createTable("db", "kv", "k bigint, v string, amt double")
+      import s2.implicits._
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("k", "v", "amt").createOrReplaceTempView("src")
+      // INSERT ... SELECT (positional)
+      s2.sql("INSERT INTO graft.db.kv SELECT * FROM src")
+      assert(t.scan().count() == 3)
+      // INSERT ... VALUES with a column list: amt defaults to NULL
+      s2.sql("INSERT INTO graft.db.kv (k, v) VALUES (4, 'd')")
+      assert(t.scan().filter(col("k") === 4 && col("amt").isNull).count() == 1)
+      // UPDATE with alias-qualified references
+      s2.sql("UPDATE graft.db.kv SET amt = amt * 2 WHERE v = 'a'")
+      assert(t.scan().filter(col("k") === 1).head().getAs[Double]("amt") == 20.0)
+      // DELETE honors the session write-mode conf (MoR leaves a delete file)
+      s2.conf.set("spark.graft.write.mode", "merge-on-read")
+      s2.sql("DELETE FROM graft.db.kv WHERE k = 2")
+      s2.conf.unset("spark.graft.write.mode")
+      assert(t.scan().count() == 3)
+      assert(t.liveFiles().exists(_.fileType == "posdel"),
+        "SQL DELETE under merge-on-read must write a position-delete file")
+      // MERGE: update matched, insert unmatched, arbitrary aliases
+      Seq((1L, "A", 111.0), (9L, "i", 90.0)).toDF("k", "v", "amt")
+        .createOrReplaceTempView("updates")
+      s2.sql("""MERGE INTO graft.db.kv tgt USING updates u ON tgt.k = u.k
+                WHEN MATCHED THEN UPDATE SET v = u.v, amt = u.amt
+                WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (u.k, u.v, u.amt)""")
+      val after = t.scan().orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.get(2))))
+      assert(after.toSeq == Seq((1L, "A", Some(111.0)), (3L, "c", Some(30.0)),
+        (4L, "d", None), (9L, "i", Some(90.0))))
+      // MERGE with star actions
+      Seq((3L, "C", 333.0)).toDF("k", "v", "amt").createOrReplaceTempView("star_src")
+      s2.sql("""MERGE INTO graft.db.kv USING star_src s ON kv.k = s.k
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
+      assert(t.scan().filter(col("k") === 3).head().getAs[String]("v") == "C")
+      // MERGE matched-delete
+      s2.sql("""MERGE INTO graft.db.kv USING star_src s ON kv.k = s.k
+                WHEN MATCHED THEN DELETE""")
+      assert(t.scan().filter(col("k") === 3).count() == 0)
+      // INSERT OVERWRITE atomically replaces contents (deletes included)
+      s2.sql("INSERT OVERWRITE graft.db.kv SELECT * FROM src")
+      assert(t.scan().count() == 3)
+      assert(t.scan().orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      // unsupported shapes fail loudly, not silently
+      intercept[UnsupportedOperationException] {
+        s2.sql("""MERGE INTO graft.db.kv USING star_src s ON kv.k = s.k
+                  WHEN MATCHED AND s.amt > 0 THEN DELETE""")
+      }
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("SQL resolution: SELECT from graft.<ns>.<table> via extensions") {
     import org.apache.spark.sql.SparkSession
     val wh = java.nio.file.Files.createTempDirectory("graft-sqlwh").toString
