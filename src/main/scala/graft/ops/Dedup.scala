@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -191,11 +192,60 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  // --- benchmark decontamination: n-gram overlap vs a held-out eval set ----
+
+  /** Training-corpus decontamination — the pre-training check that flags
+    * documents sharing any 13-word-gram with an evaluation benchmark
+    * (`doc_id % 20 == 0` stands in for the benchmark split). Scale shape:
+    * the benchmark gram set is tiny next to the corpus, so it broadcasts;
+    * the corpus side is one linear explode with NO shuffle before the
+    * join — at 100 TB the cost is a scan plus a map-side hash probe. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir, "documents")
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 13)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 13), " +
+          "i -> concat_ws(' ', slice(w, i + 1, 13)))")).as("g"))
+    val bench = grams.filter(col("doc_id") % 20 === 0).select("g").distinct()
+    val corpus = grams.filter(col("doc_id") % 20 =!= 0)
+    corpus.join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  // --- span-level exact dedup (boilerplate stripping) -----------------------
+
+  /** Fixed-width span dedup: texts chop into 20-word chunks; the first
+    * occurrence of each distinct chunk (lowest doc_id, then chunk index)
+    * survives, later repeats are flagged for removal — the cheap pass that
+    * strips repeated boilerplate spans without dropping whole documents.
+    * One shuffle, keyed by chunk text. */
+  def dedupSpan(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables(spark, dir, "documents")
+      .withColumn("w", split(lower(col("text")), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, cast(ceil(size(w) / 20.0) as int)), " +
+          "i -> named_struct('ci', cast(i as bigint), " +
+          "'chunk', concat_ws(' ', slice(w, (i - 1) * 20 + 1, 20))))")).as("c"))
+      .select(col("doc_id"), col("c.ci"), col("c.chunk"))
+    val firstWins = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("ci"))
+    chunks.withColumn("rn", row_number().over(firstWins))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"))
+      .filter(col("n_removed") > 0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> exact,
     "q_dedup_jaccard" -> jaccard,
     "q_dedup_minhash" -> minhash,
-    "q_dedup_simhash" -> simhash)
+    "q_dedup_simhash" -> simhash,
+    "q_decontaminate" -> decontaminate,
+    "q_dedup_span" -> dedupSpan)
 
   private val jaccardOracle =
     """WITH toks AS (
@@ -276,6 +326,36 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         array_to_string(w[CAST(u.i AS INT):CAST(u.i + 12 AS INT)], ' ') AS g
+        |  FROM tok, UNNEST(range(1, len(w) - 11)) AS u(i)
+        |  WHERE len(w) >= 13),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+        |corp AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 != 0)
+        |SELECT doc_id, count(DISTINCT corp.g) AS n_hits
+        |FROM corp JOIN bench USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_span" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS ci,
+        |         array_to_string(
+        |           w[CAST((u.i - 1) * 20 + 1 AS INT):CAST(u.i * 20 AS INT)], ' ') AS chunk
+        |  FROM tok, UNNEST(range(1, CAST(ceil(len(w) / 20.0) AS BIGINT) + 1)) AS u(i)),
+        |rn AS (
+        |  SELECT doc_id, ci,
+        |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn
+        |  FROM chunks)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |FROM rn GROUP BY doc_id
+        |HAVING CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) > 0
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
     "q_dedup_jaccard" -> jaccardOracle.replace("%TAU%", "0.6"),

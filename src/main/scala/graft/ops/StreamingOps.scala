@@ -232,7 +232,57 @@ object StreamingOps {
       .orderBy("event_type")
   }
 
+  // --- stream-stream interval join ------------------------------------------
+
+  /** Click→purchase attribution as a stream-stream inner join: purchases
+    * joining clicks of the same user within 30 minutes after the click.
+    * BOTH sides carry watermarks and the join predicate bounds event time
+    * in both directions, so Spark evicts join state as the watermarks
+    * advance — state is O(rate × window), not O(stream), the only shape
+    * that survives an unbounded stream. Sentinels staged 3h past the
+    * global max push the final watermark beyond every real pair under
+    * Trigger.AvailableNow (append is the sole output mode stream-stream
+    * joins support); sentinel rows use user_id = -1 and are dropped in
+    * the batch readback. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (tmp, src) = stage(spark, dir)
+    val maxUs = src.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val sentinels = src.select(col("event_type")).distinct()
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", timestamp_micros(lit(maxUs + 10800000000L)))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("value", lit(0.0))
+      .select(src.columns.map(col): _*)
+    src.unionByName(sentinels).write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in")
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    val name = s"j_${UUID.randomUUID.toString.replace("-", "")}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).filter(col("c_user") >= 0)
+      .groupBy(col("c_user"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("c_user").as("user_id"), col("n_pairs"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_join" -> streamJoin,
     "q_stream_window" -> streamWindow,
     "q_stream_window_append" -> streamWindowAppend,
     "q_stream_sessions" -> streamSessions,
@@ -241,6 +291,13 @@ object StreamingOps {
     "q_stream_tail" -> streamTail)
 
   val oracles: Map[String, String] = Map(
+    "q_stream_join" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, COUNT(*) AS n_pairs
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
     "q_stream_upsert" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total

@@ -272,7 +272,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // --- PII redaction --------------------------------------------------------
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing for training corpora: regex redaction of emails and
+    * phone numbers with per-language accounting. The synthetic corpus
+    * carries no natural PII, so the query PLANTS deterministic addresses
+    * and numbers first (mirrored exactly in the oracle) — the redaction
+    * pass itself is the operator under test. Pure per-row codegen'd
+    * expressions: no shuffle until the final small aggregate. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(spark, dir, "documents").withColumn("txt", concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit(" call 555-123-4567 or 555-987-6543")).otherwise(lit(""))))
+    val red = planted
+      .withColumn("n_email", regexp_count(col("txt"), lit(EmailRe)))
+      .withColumn("n_phone", regexp_count(col("txt"), lit(PhoneRe)))
+      .withColumn("clean", regexp_replace(
+        regexp_replace(col("txt"), EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"))
+    red.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).cast("long").as("emails"),
+        sum(col("n_phone")).cast("long").as("phones"),
+        sum(length(col("txt")) - length(col("clean"))).cast("long").as("chars_removed"),
+        min(md5(col("clean"))).as("md5_min"),
+        max(md5(col("clean"))).as("md5_max"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pii_redact" -> piiRedact,
     "q_text_repetition" -> textRepetition,
     "q_token_count" -> tokenCount,
     "q_text_quality" -> quality,
@@ -320,6 +355,30 @@ object TextOps {
     s"lpad(CAST(${sqlCountIn(markers)} AS VARCHAR), 10, '0') || '$code'"
 
   val oracles: Map[String, String] = Map(
+    "q_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT lang, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN ' call 555-123-4567 or 555-987-6543' ELSE '' END AS txt
+        |  FROM documents),
+        |red AS (
+        |  SELECT lang, txt,
+        |    len(regexp_extract_all(txt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(txt, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+        |    regexp_replace(regexp_replace(txt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS clean
+        |  FROM planted)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_email) AS BIGINT) AS emails,
+        |       CAST(SUM(n_phone) AS BIGINT) AS phones,
+        |       CAST(SUM(length(txt) - length(clean)) AS BIGINT) AS chars_removed,
+        |       MIN(md5(clean)) AS md5_min, MAX(md5(clean)) AS md5_max
+        |FROM red GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_repetition" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -309,6 +309,45 @@ class OpsSpec extends SparkSpec {
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("pii redaction: planted PII all removed, clean text has no residual matches") {
+    val docs = graft.Tables(spark, sf01, "documents")
+    val planted = docs.withColumn("txt", concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit(" call 555-123-4567 or 555-987-6543")).otherwise(lit(""))))
+    val clean = planted.withColumn("clean", regexp_replace(regexp_replace(col("txt"),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+      "[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"))
+    // nothing PII-shaped survives redaction
+    assert(clean.filter(
+      regexp_count(col("clean"), lit("[A-Za-z0-9._%+-]+@")) > 0 ||
+        regexp_count(col("clean"), lit("[0-9]{3}-[0-9]{3}-[0-9]{4}")) > 0).count() == 0)
+    // and the operator found every planted doc
+    val agg = TextOps.piiRedact(spark, sf01)
+      .agg(sum("emails"), sum("phones")).collect()(0)
+    val expectEmails = docs.filter(col("doc_id") % 7 === 0).count()
+    val expectPhones = docs.filter(col("doc_id") % 11 === 0).count() * 2
+    assert(agg.getLong(0) == expectEmails && agg.getLong(1) == expectPhones)
+  }
+
+  test("span dedup: removed spans never exceed totals; duplicate docs flagged") {
+    val rows = Dedup.dedupSpan(spark, sf01).collect()
+    assert(rows.nonEmpty, "planted duplicate docs must surface span repeats")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("n_chunks"))
+    }
+  }
+
+  test("decontaminate: flagged docs genuinely share a 13-gram with the benchmark split") {
+    val flagged = Dedup.decontaminate(spark, sf01).collect()
+    assert(flagged.nonEmpty, "corpus has planted duplicates spanning the split")
+    flagged.foreach(r => assert(r.getAs[Long]("n_hits") > 0))
+    // no flagged doc is itself in the benchmark split
+    assert(flagged.forall(_.getAs[Long]("doc_id") % 20 != 0))
+  }
+
   test("SQL DML: INSERT / UPDATE / DELETE / MERGE through spark.sql") {
     import org.apache.spark.sql.SparkSession
     val wh = java.nio.file.Files.createTempDirectory("graft-dmlwh").toString
