@@ -452,10 +452,33 @@ object GraftOps {
                |FROM graft.db.m GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }
 
+  /** the whole SQL lifecycle in one pass: CREATE TABLE with a hidden
+    * bucket partition spec, INSERT, ALTER ADD COLUMNS with a v3
+    * initial-default (applies to pre-existing rows at read, no rewrite),
+    * a second INSERT carrying the new column, aggregate readback */
+  def sqlLifecycle(spark: SparkSession, dir: String): DataFrame =
+    withSqlSession(spark) { s2 =>
+      val wh = Files.createTempDirectory("graft-sqlwh").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+      Tables(s2, dir, "orders").createOrReplaceTempView("orders_src")
+      s2.sql(s"CREATE TABLE graft.db.lc ($ordersDdl) " +
+        "PARTITIONED BY (bucket(8, o_orderkey))")
+      s2.sql("INSERT INTO graft.db.lc SELECT * FROM orders_src WHERE o_orderkey % 2 = 0")
+      s2.sql("ALTER TABLE graft.db.lc ADD COLUMNS (channel STRING DEFAULT 'web')")
+      s2.sql("INSERT INTO graft.db.lc " +
+        "SELECT *, 'store' AS channel FROM orders_src WHERE o_orderkey % 4 = 1")
+      s2.sql("""SELECT channel, o_orderstatus, COUNT(*) AS n,
+               |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+               |FROM graft.db.lc
+               |GROUP BY channel, o_orderstatus
+               |ORDER BY channel, o_orderstatus""".stripMargin)
+    }
+
   // --- registry --------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_sql_dml" -> sqlDml,
     "q_sql_merge" -> sqlMerge,
+    "q_sql_lifecycle" -> sqlLifecycle,
     "q_table_create" -> tableCreate,
     "q_read_filter_project" -> readFilterProject,
     "q_write_insert" -> writeInsert,
@@ -486,6 +509,17 @@ object GraftOps {
     "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total"
 
   val oracles: Map[String, String] = Map(
+    "q_sql_lifecycle" ->
+      """WITH rows_all AS (
+        |  SELECT 'web' AS channel, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'store' AS channel, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 = 1)
+        |SELECT channel, o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM rows_all GROUP BY channel, o_orderstatus
+        |ORDER BY channel, o_orderstatus""".stripMargin,
     "q_sql_dml" ->
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
         |upd AS (

@@ -1,0 +1,214 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, StringType}
+
+import graft.table.GraftCatalog
+
+/** SQL DDL + stored procedures over graft tables — the rest of the SQL
+  * lifecycle the reference exercises (`tests/iceberg_feature_tests.py`
+  * issues CREATE TABLE ... PARTITIONED BY (transforms), ALTER TABLE
+  * ADD/RENAME/DROP/ALTER COLUMN, CREATE/DROP NAMESPACE, SHOW/DESCRIBE
+  * and `CALL catalog.system.<proc>` maintenance procedures as SQL).
+  * Schema changes ride graft's metadata-only evolution paths: each ALTER
+  * is one new schema version, no data rewrite.
+  */
+private[plans] object GraftDdl {
+  def catalog(spark: SparkSession): GraftCatalog = {
+    val wh = spark.conf.getOption("spark.graft.warehouse").getOrElse(
+      throw new IllegalStateException(
+        "set spark.graft.warehouse to resolve graft.<ns>.<table> relations"))
+    new GraftCatalog(spark, wh)
+  }
+  def info(s: String): Seq[Row] = Seq(Row(s))
+  val infoOutput: Seq[Attribute] = Seq(AttributeReference("info", StringType)())
+}
+
+/** `CREATE TABLE graft.ns.t (cols) [PARTITIONED BY (transforms)]
+  * [TBLPROPERTIES (...)]` — transforms in Iceberg spelling:
+  * bucket(n, cols...), year/month/day/hour, truncate(w, col), identity */
+case class GraftCreateTableCommand(ns: String, tbl: String, ddl: String,
+    partitionBy: Seq[String], props: Map[String, String], ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftDdl.catalog(spark)
+    if (cat.tableExists(ns, tbl)) {
+      if (ifNotExists) return Nil
+      throw new IllegalStateException(s"table graft.$ns.$tbl already exists")
+    }
+    cat.createTable(ns, tbl, ddl, partitionBy, props)
+    Nil
+  }
+}
+
+case class GraftDropTableCommand(ns: String, tbl: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftDdl.catalog(spark)
+    if (!cat.tableExists(ns, tbl)) {
+      if (ifExists) return Nil
+      throw new IllegalStateException(s"no such table graft.$ns.$tbl")
+    }
+    cat.dropTable(ns, tbl)
+    Nil
+  }
+}
+
+/** ALTER TABLE ... ADD COLUMNS — metadata-only; a DEFAULT becomes the
+  * graft v3 `initial-default`, applied at read to pre-existing files */
+case class GraftAddColumnsCommand(ns: String, tbl: String,
+    cols: Seq[(String, String, Option[String])]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftDdl.catalog(spark).loadTable(ns, tbl)
+    cols.foreach { case (name, dtype, dflt) => t.addColumn(name, dtype, dflt) }
+    Nil
+  }
+}
+
+case class GraftRenameColumnCommand(ns: String, tbl: String,
+    from: String, to: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftDdl.catalog(spark).loadTable(ns, tbl).renameColumn(from, to)
+    Nil
+  }
+}
+
+case class GraftDropColumnsCommand(ns: String, tbl: String, names: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftDdl.catalog(spark).loadTable(ns, tbl)
+    names.foreach(t.dropColumn)
+    Nil
+  }
+}
+
+/** ALTER COLUMN ... TYPE — graft type promotion (int→bigint,
+  * float→double, decimal widening): metadata-only, old files cast at read */
+case class GraftAlterColumnTypeCommand(ns: String, tbl: String,
+    specs: Seq[(String, String)]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftDdl.catalog(spark).loadTable(ns, tbl)
+    specs.foreach { case (name, dtype) => t.promoteType(name, dtype) }
+    Nil
+  }
+}
+
+case class GraftCreateNamespaceCommand(ns: String, ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftDdl.catalog(spark)
+    if (!ifNotExists && cat.listNamespaces().contains(ns))
+      throw new IllegalStateException(s"namespace $ns already exists")
+    cat.createNamespace(ns)
+    Nil
+  }
+}
+
+case class GraftDropNamespaceCommand(ns: String, ifExists: Boolean,
+    cascade: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftDdl.catalog(spark)
+    if (!cat.listNamespaces().contains(ns)) {
+      if (ifExists) return Nil
+      throw new IllegalStateException(s"no such namespace $ns")
+    }
+    if (cascade) cat.listTables(ns).foreach(cat.dropTable(ns, _))
+    else require(cat.listTables(ns).isEmpty,
+      s"namespace $ns is not empty (use CASCADE)")
+    cat.dropNamespace(ns)
+    Nil
+  }
+}
+
+case class GraftShowTablesCommand(ns: Option[String],
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftDdl.catalog(spark)
+    val nss = ns.map(Seq(_)).getOrElse(cat.listNamespaces())
+    for (n <- nss; t <- cat.listTables(n)) yield Row(n, t, false)
+  }
+}
+
+case class GraftShowNamespacesCommand(override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftDdl.catalog(spark).listNamespaces().map(Row(_))
+}
+
+/** DESCRIBE TABLE: logical schema (name, type, nullability comment) +
+  * partition-spec section, mirroring Spark's layout */
+case class GraftDescribeCommand(ns: String, tbl: String,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftDdl.catalog(spark).loadTable(ns, tbl)
+    val m = t.meta
+    val colRows = m.currentSchema.fields.map(f =>
+      Row(f.name, f.dtype, if (f.nullable) null else "not null"))
+    val spec = m.spec(m.currentSpecId).fields
+    val specRows =
+      if (spec.isEmpty) Nil
+      else Row("# Partition Information", "", null) +:
+        spec.map(p => Row(p.name, p.transform, null))
+    colRows ++ specRows
+  }
+}
+
+/** `CALL graft.system.<proc>(...)` — Iceberg-style maintenance procedures
+  * routed to the table API. Args positional or named; `table` is
+  * `'ns.tbl'`. Each returns one info row. */
+case class GraftCallCommand(proc: String, args: Seq[(Option[String], String)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDdl.infoOutput
+
+  private def arg(i: Int, name: String): Option[String] = {
+    val named = args.collectFirst { case (Some(n), v) if n == name => v }
+    named.orElse(args.collect { case (None, v) => v }.lift(i))
+  }
+  private def required(i: Int, name: String): String = arg(i, name).getOrElse(
+    throw new IllegalArgumentException(s"$proc: missing argument '$name'"))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val Array(ns, tbl) = required(0, "table").split("\\.", 2)
+    val t = GraftDdl.catalog(spark).loadTable(ns, tbl)
+    proc match {
+      case "rewrite_data_files" =>
+        val target = arg(1, "target_mb").map(_.toInt).getOrElse(128)
+        val snap = t.compact(targetMB = target)
+        GraftDdl.info(s"rewritten as snapshot ${snap.snapshotId}")
+      case "rewrite_small_files" =>
+        val snap = t.compactSmallFiles()
+        GraftDdl.info(s"rewritten as snapshot ${snap.snapshotId}")
+      case "expire_snapshots" =>
+        val olderThan = arg(1, "older_than_ms").map(_.toLong)
+          .getOrElse(System.currentTimeMillis())
+        val (snaps, files) = t.expireSnapshots(olderThan)
+        GraftDdl.info(s"expired $snaps snapshots, removed $files files")
+      case "rollback_to_snapshot" =>
+        t.rollbackTo(required(1, "snapshot_id").toLong)
+        GraftDdl.info(s"rolled back to ${required(1, "snapshot_id")}")
+      case "remove_orphan_files" =>
+        val olderThan = arg(1, "older_than_ms").map(_.toLong).getOrElse(0L)
+        val n = t.removeOrphanFiles(olderThan)
+        GraftDdl.info(s"removed $n orphan files")
+      case "fast_forward" =>
+        t.fastForward(required(1, "branch"), required(2, "from"))
+        GraftDdl.info(s"fast-forwarded ${required(1, "branch")}")
+      case "create_branch" =>
+        t.createBranch(required(1, "branch"), arg(2, "snapshot_id").map(_.toLong))
+        GraftDdl.info(s"created branch ${required(1, "branch")}")
+      case "create_tag" =>
+        t.createTag(required(1, "tag"), arg(2, "snapshot_id").map(_.toLong))
+        GraftDdl.info(s"created tag ${required(1, "tag")}")
+      case "analyze_table" =>
+        val ndv = t.analyze()
+        ndv.toSeq.sortBy(_._1).map { case (c, n) => Row(s"$c ndv=$n") }
+      case other => throw new UnsupportedOperationException(
+        s"unknown graft procedure: $other (known: rewrite_data_files, " +
+          "rewrite_small_files, expire_snapshots, rollback_to_snapshot, " +
+          "remove_orphan_files, fast_forward, create_branch, create_tag, " +
+          "analyze_table)")
+    }
+  }
+}

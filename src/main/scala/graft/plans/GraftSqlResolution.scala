@@ -1,11 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.analysis.{FieldName, RelationTimeTravel, UnresolvedAttribute, UnresolvedFieldName, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedProcedure, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, NamedArgumentExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, Call, ColumnDefinition, CreateNamespace, CreateTable, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropNamespace, DropTable, Filter, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, QualifiedColType, RenameColumn, ShowTables, SubqueryAlias, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.command.ShowNamespacesCommand
+import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
 
 import graft.table.{GraftCatalog, GraftTable, Pruning}
 
@@ -191,8 +193,112 @@ class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       toSql(m.mergeCondition, tgtQ, srcQ, Some("t")), mset, mstar, mdel, ins, istar)
   }
 
+  // ==========================================================================
+  // SQL DDL + procedures → GraftDdl commands
+  // ==========================================================================
+
+  private def graftParts(parts: Seq[String]): Option[(String, String)] =
+    if (parts.length == 3 && parts.head.equalsIgnoreCase("graft"))
+      Some((parts(1), parts(2)))
+    else None
+
+  private def graftNs(parts: Seq[String]): Option[Option[String]] =
+    if (parts.nonEmpty && parts.head.equalsIgnoreCase("graft") && parts.length <= 2)
+      Some(parts.lift(1))
+    else None
+
+  /** connector transform → graft spec string (Iceberg spelling) */
+  private def transformStr(t: Transform): String = t.describe()
+    .replaceFirst("^years\\(", "year(").replaceFirst("^months\\(", "month(")
+    .replaceFirst("^days\\(", "day(").replaceFirst("^hours\\(", "hour(")
+
+  private def fieldName(f: FieldName): String = f match {
+    case UnresolvedFieldName(Seq(one)) => one
+    case other => throw new UnsupportedOperationException(
+      s"graft DDL: nested column paths are not supported: $other")
+  }
+
+  private def litStr(e: Expression): String = e match {
+    case Literal(null, _) => throw new IllegalArgumentException(
+      "graft CALL: NULL argument")
+    case l: Literal => String.valueOf(l.value)
+    case other => throw new UnsupportedOperationException(
+      s"graft CALL: arguments must be literals, got ${other.sql}")
+  }
+
   // top-down so Filter-over-relation matches before the bare relation does
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case CreateTable(UnresolvedIdentifier(parts, _), cols, partitioning,
+        spec: UnresolvedTableSpec, ifNotExists) if graftParts(parts).isDefined =>
+      val (ns, tbl) = graftParts(parts).get
+      if (cols.exists(_.defaultValue.nonEmpty)) throw new UnsupportedOperationException(
+        "graft CREATE TABLE: column DEFAULTs are not supported at creation " +
+          "(add the column with a default via ALTER TABLE ... ADD COLUMNS)")
+      spec.provider.filterNot(_.equalsIgnoreCase("graft")).foreach(p =>
+        throw new UnsupportedOperationException(
+          s"graft CREATE TABLE: USING $p conflicts with the graft.* identifier"))
+      val ddl = StructType(cols.map(c =>
+        StructField(c.name, c.dataType, c.nullable))).toDDL
+      GraftCreateTableCommand(ns, tbl, ddl, partitioning.map(transformStr),
+        spec.properties, ifNotExists)
+    case DropTable(UnresolvedIdentifier(parts, _), ifExists, _)
+        if graftParts(parts).isDefined =>
+      val (ns, tbl) = graftParts(parts).get
+      GraftDropTableCommand(ns, tbl, ifExists)
+    case AddColumns(UnresolvedTable(parts, _, _), cols)
+        if graftParts(parts).isDefined =>
+      val (ns, tbl) = graftParts(parts).get
+      val added = cols.map { c: QualifiedColType =>
+        if (c.path.nonEmpty) throw new UnsupportedOperationException(
+          "graft ALTER TABLE: nested ADD COLUMNS is not supported")
+        (c.colName, c.dataType.sql.toLowerCase,
+          c.default.map(_.originalSQL))
+      }
+      GraftAddColumnsCommand(ns, tbl, added)
+    case RenameColumn(UnresolvedTable(parts, _, _), from, to)
+        if graftParts(parts).isDefined =>
+      val (ns, tbl) = graftParts(parts).get
+      GraftRenameColumnCommand(ns, tbl, fieldName(from), to)
+    case DropColumns(UnresolvedTable(parts, _, _), cols, _)
+        if graftParts(parts).isDefined =>
+      val (ns, tbl) = graftParts(parts).get
+      GraftDropColumnsCommand(ns, tbl, cols.map(fieldName))
+    case AlterColumns(UnresolvedTable(parts, _, _), specs)
+        if graftParts(parts).isDefined =>
+      val (ns, tbl) = graftParts(parts).get
+      val changes = specs.map { s =>
+        val tpe = s.newDataType.getOrElse(throw new UnsupportedOperationException(
+          "graft ALTER COLUMN: only TYPE changes are supported"))
+        (fieldName(s.column), tpe.sql.toLowerCase)
+      }
+      GraftAlterColumnTypeCommand(ns, tbl, changes)
+    case CreateNamespace(UnresolvedNamespace(parts, _), ifNotExists, _)
+        if graftNs(parts).exists(_.isDefined) =>
+      GraftCreateNamespaceCommand(graftNs(parts).get.get, ifNotExists)
+    case DropNamespace(UnresolvedNamespace(parts, _), ifExists, cascade)
+        if graftNs(parts).exists(_.isDefined) =>
+      GraftDropNamespaceCommand(graftNs(parts).get.get, ifExists, cascade)
+    case st @ ShowTables(UnresolvedNamespace(parts, _), pattern, output)
+        if graftNs(parts).isDefined =>
+      if (pattern.nonEmpty) throw new UnsupportedOperationException(
+        "graft SHOW TABLES: LIKE patterns are not supported")
+      GraftShowTablesCommand(graftNs(parts).get, output)
+    case sn: ShowNamespacesCommand if (sn.child match {
+          case UnresolvedNamespace(parts, _) => graftNs(parts).isDefined
+          case _ => false
+        }) =>
+      GraftShowNamespacesCommand(sn.output)
+    case DescribeRelation(UnresolvedTableOrView(parts, _, _), _, _, output)
+        if graftParts(parts).isDefined =>
+      val (ns, tbl) = graftParts(parts).get
+      GraftDescribeCommand(ns, tbl, output)
+    case Call(UnresolvedProcedure(parts), args, _)
+        if parts.length == 3 && parts.head.equalsIgnoreCase("graft") &&
+          parts(1).equalsIgnoreCase("system") =>
+      GraftCallCommand(parts(2).toLowerCase, args.map {
+        case NamedArgumentExpression(name, v) => (Some(name), litStr(v))
+        case e => (None, litStr(e))
+      })
     case i @ InsertIntoStatement(target, partSpec, userCols, query, overwrite,
         ifNotExists, byName) if dmlTarget(target).isDefined =>
       val (ns, tbl, _) = dmlTarget(target).get

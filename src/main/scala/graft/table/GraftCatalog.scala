@@ -62,4 +62,8 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .iterator().asScala.foreach(Files.deleteIfExists(_))
   }
+
+  /** drop an EMPTY namespace (callers enforce emptiness for DDL) */
+  def dropNamespace(ns: String): Unit =
+    Files.deleteIfExists(nsPath(ns))
 }

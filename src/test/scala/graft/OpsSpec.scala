@@ -348,6 +348,73 @@ class OpsSpec extends SparkSpec {
     assert(flagged.forall(_.getAs[Long]("doc_id") % 20 != 0))
   }
 
+  test("SQL DDL + procedures: full lifecycle through spark.sql") {
+    import org.apache.spark.sql.SparkSession
+    val wh = java.nio.file.Files.createTempDirectory("graft-ddlwh").toString
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    try {
+      s2.conf.set("spark.graft.warehouse", wh)
+      s2.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s2.sql("CREATE TABLE graft.db.t (id BIGINT, name STRING, amount INT) " +
+        "PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('write.sort'='id')")
+      val cat = new graft.table.GraftCatalog(s2, wh)
+      assert(cat.tableExists("db", "t"))
+      assert(cat.loadTable("db", "t").meta.properties("write.sort") == "id")
+      assert(cat.loadTable("db", "t").meta.spec(0).fields.head.transform == "bucket")
+      // idempotent create
+      s2.sql("CREATE TABLE IF NOT EXISTS graft.db.t (id BIGINT)")
+      intercept[IllegalStateException] { s2.sql("CREATE TABLE graft.db.t (id BIGINT)") }
+      // inserts + schema evolution, all SQL
+      s2.sql("INSERT INTO graft.db.t VALUES (1, 'alice', 10), (2, 'bob', 20)")
+      s2.sql("ALTER TABLE graft.db.t ADD COLUMNS (age INT)")
+      s2.sql("ALTER TABLE graft.db.t RENAME COLUMN name TO full_name")
+      s2.sql("ALTER TABLE graft.db.t ALTER COLUMN amount TYPE BIGINT")
+      s2.sql("INSERT INTO graft.db.t VALUES (3, 'carol', 30, 44)")
+      val rows = s2.sql("SELECT id, full_name, amount, age FROM graft.db.t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), Option(r.get(3))))
+      assert(rows.toSeq == Seq((1L, "alice", 10L, None), (2L, "bob", 20L, None),
+        (3L, "carol", 30L, Some(44))))
+      // ADD COLUMNS with DEFAULT = v3 initial-default (applies to OLD rows)
+      s2.sql("ALTER TABLE graft.db.t ADD COLUMNS (tier STRING DEFAULT 'basic')")
+      assert(s2.sql("SELECT count(*) FROM graft.db.t WHERE tier = 'basic'")
+        .head().getLong(0) == 3)
+      s2.sql("ALTER TABLE graft.db.t DROP COLUMN age")
+      assert(!s2.sql("SELECT * FROM graft.db.t").columns.contains("age"))
+      // DESCRIBE surfaces logical schema + partition spec
+      val desc = s2.sql("DESCRIBE TABLE graft.db.t").collect().map(_.getString(0))
+      assert(desc.contains("full_name") && desc.contains("# Partition Information"))
+      // SHOW TABLES / NAMESPACES
+      assert(s2.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).contains("t"))
+      assert(s2.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0)).contains("db"))
+      // CALL procedures: branch/tag, rollback, compaction, expiry
+      val t = cat.loadTable("db", "t")
+      val headBefore = t.meta.lastSnapshotId
+      s2.sql(s"CALL graft.system.create_tag('db.t', 'v1', $headBefore)")
+      s2.sql("INSERT INTO graft.db.t VALUES (9, 'zed', 90, 'gold')")
+      s2.sql(s"CALL graft.system.rollback_to_snapshot('db.t', $headBefore)")
+      assert(s2.sql("SELECT count(*) FROM graft.db.t").head().getLong(0) == 3)
+      s2.sql("CALL graft.system.rewrite_data_files(table => 'db.t')")
+      val expired = s2.sql("CALL graft.system.expire_snapshots('db.t')")
+        .head().getString(0)
+      assert(expired.startsWith("expired"), expired)
+      assert(s2.sql("SELECT count(*) FROM graft.db.t").head().getLong(0) == 3)
+      // DROP TABLE / NAMESPACE
+      s2.sql("CREATE TABLE graft.db2.tmp (k BIGINT)")
+      s2.sql("DROP NAMESPACE graft.db2 CASCADE")
+      assert(!cat.listNamespaces().contains("db2"))
+      s2.sql("DROP TABLE graft.db.t")
+      assert(!cat.tableExists("db", "t"))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("SQL DML: INSERT / UPDATE / DELETE / MERGE through spark.sql") {
     import org.apache.spark.sql.SparkSession
     val wh = java.nio.file.Files.createTempDirectory("graft-dmlwh").toString
