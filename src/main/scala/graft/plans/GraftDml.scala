@@ -73,32 +73,35 @@ private[plans] object GraftDml {
 
 /** `INSERT INTO | OVERWRITE graft.ns.tbl [(cols)] [BY NAME] <query>` */
 case class GraftInsertCommand(ns: String, tbl: String, query: LogicalPlan,
-    userCols: Seq[String], overwrite: Boolean, byName: Boolean)
+    userCols: Seq[String], overwrite: Boolean, byName: Boolean,
+    branch: String = "main")
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftDml.load(spark, ns, tbl)
     val aligned = GraftDml.align(t, Bridge.ofRows(spark, query), userCols, byName)
-    if (overwrite) t.overwrite(aligned) else t.append(aligned)
+    if (overwrite) t.overwrite(aligned, branch) else t.append(aligned, branch)
     Nil
   }
 }
 
 /** `DELETE FROM graft.ns.tbl WHERE <cond>` */
-case class GraftDeleteCommand(ns: String, tbl: String, condSql: String)
+case class GraftDeleteCommand(ns: String, tbl: String, condSql: String,
+    branch: String = "main")
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftDml.load(spark, ns, tbl).delete(condSql, GraftDml.writeMode(spark))
+    GraftDml.load(spark, ns, tbl)
+      .delete(condSql, GraftDml.writeMode(spark), branch)
     Nil
   }
 }
 
 /** `UPDATE graft.ns.tbl SET c = e, ... [WHERE <cond>]` */
 case class GraftUpdateCommand(ns: String, tbl: String,
-    set: Seq[(String, String)], condSql: String)
+    set: Seq[(String, String)], condSql: String, branch: String = "main")
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftDml.load(spark, ns, tbl)
-      .update(condSql, set.toMap, GraftDml.writeMode(spark))
+      .update(condSql, set.toMap, GraftDml.writeMode(spark), branch)
     Nil
   }
 }
@@ -113,7 +116,7 @@ case class GraftUpdateCommand(ns: String, tbl: String,
 case class GraftMergeCommand(ns: String, tbl: String, source: LogicalPlan,
     onSql: String, matchedSet: Seq[(String, String)], matchedStar: Boolean,
     matchedDelete: Boolean, insertSet: Option[Seq[(String, String)]],
-    insertStar: Boolean)
+    insertStar: Boolean, branch: String = "main")
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftDml.load(spark, ns, tbl)
@@ -121,7 +124,7 @@ case class GraftMergeCommand(ns: String, tbl: String, source: LogicalPlan,
     def star = t.scan().schema.fieldNames.map(f => f -> s"s.`$f`").toSeq
     val mset = if (matchedStar) star else matchedSet
     val ins = if (insertStar) Some(star) else insertSet
-    t.merge(src, onSql, mset.toMap, matchedDelete, ins.map(_.toMap))
+    t.merge(src, onSql, mset.toMap, matchedDelete, ins.map(_.toMap), branch)
     Nil
   }
 }

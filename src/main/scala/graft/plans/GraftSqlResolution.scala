@@ -98,14 +98,23 @@ class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   // SQL DML → GraftDml commands
   // ==========================================================================
 
-  /** a DML target: `graft.ns.tbl` optionally under an alias */
-  private def dmlTarget(p: LogicalPlan): Option[(String, String, Option[String])] =
+  /** a DML target: `graft.ns.tbl[@branch]` optionally under an alias */
+  private def dmlTarget(p: LogicalPlan)
+      : Option[(String, String, String, Option[String])] =
     p match {
       case SubqueryAlias(id, u: UnresolvedRelation) if isGraft(u) =>
-        Some((u.multipartIdentifier(1), u.multipartIdentifier(2), Some(id.name)))
+        val (tbl, br) = splitBranch(u.multipartIdentifier(2))
+        Some((u.multipartIdentifier(1), tbl, br, Some(id.name)))
       case u: UnresolvedRelation if isGraft(u) =>
-        Some((u.multipartIdentifier(1), u.multipartIdentifier(2), None))
+        val (tbl, br) = splitBranch(u.multipartIdentifier(2))
+        Some((u.multipartIdentifier(1), tbl, br, None))
       case _ => None
+    }
+
+  private def splitBranch(ident: String): (String, String) =
+    ident.indexOf('@') match {
+      case -1 => (ident, "main")
+      case i => (ident.substring(0, i), ident.substring(i + 1))
     }
 
   /** every qualifier spelling that refers to the target relation */
@@ -155,7 +164,7 @@ class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   private def mergeCommand(m: MergeIntoTable, ns: String, tbl: String,
-      alias: Option[String]): GraftMergeCommand = {
+      branch: String, alias: Option[String]): GraftMergeCommand = {
     if (m.withSchemaEvolution) throw new UnsupportedOperationException(
       "graft MERGE: WITH SCHEMA EVOLUTION is not supported")
     if (m.notMatchedBySourceActions.nonEmpty) throw new UnsupportedOperationException(
@@ -190,7 +199,8 @@ class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         s"graft MERGE: unsupported WHEN NOT MATCHED actions: $other")
     }
     GraftMergeCommand(ns, tbl, m.sourceTable,
-      toSql(m.mergeCondition, tgtQ, srcQ, Some("t")), mset, mstar, mdel, ins, istar)
+      toSql(m.mergeCondition, tgtQ, srcQ, Some("t")), mset, mstar, mdel, ins,
+      istar, branch)
   }
 
   // ==========================================================================
@@ -301,22 +311,22 @@ class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       })
     case i @ InsertIntoStatement(target, partSpec, userCols, query, overwrite,
         ifNotExists, byName) if dmlTarget(target).isDefined =>
-      val (ns, tbl, _) = dmlTarget(target).get
+      val (ns, tbl, branch, _) = dmlTarget(target).get
       if (partSpec.nonEmpty || ifNotExists) throw new UnsupportedOperationException(
         "graft INSERT: static PARTITION clauses are not supported " +
           "(partitioning is hidden — just insert the rows)")
-      GraftInsertCommand(ns, tbl, query, userCols, overwrite, byName)
+      GraftInsertCommand(ns, tbl, query, userCols, overwrite, byName, branch)
     case DeleteFromTable(target, cond) if dmlTarget(target).isDefined =>
-      val (ns, tbl, alias) = dmlTarget(target).get
-      GraftDeleteCommand(ns, tbl, toSql(cond, targetQuals(ns, tbl, alias)))
+      val (ns, tbl, branch, alias) = dmlTarget(target).get
+      GraftDeleteCommand(ns, tbl, toSql(cond, targetQuals(ns, tbl, alias)), branch)
     case UpdateTable(target, assigns, cond) if dmlTarget(target).isDefined =>
-      val (ns, tbl, alias) = dmlTarget(target).get
+      val (ns, tbl, branch, alias) = dmlTarget(target).get
       val tgtQ = targetQuals(ns, tbl, alias)
       GraftUpdateCommand(ns, tbl, assignPairs(assigns, tgtQ),
-        cond.map(toSql(_, tgtQ)).getOrElse("true"))
+        cond.map(toSql(_, tgtQ)).getOrElse("true"), branch)
     case m: MergeIntoTable if dmlTarget(m.targetTable).isDefined =>
-      val (ns, tbl, alias) = dmlTarget(m.targetTable).get
-      mergeCommand(m, ns, tbl, alias)
+      val (ns, tbl, branch, alias) = dmlTarget(m.targetTable).get
+      mergeCommand(m, ns, tbl, branch, alias)
     case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, version) if isGraft(u) =>
       timeTravel(u, ts, version).getOrElse(tt)
     case f @ Filter(cond, u: UnresolvedRelation) if isGraft(u) =>

@@ -693,9 +693,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
     meta = next
   }
 
-  private def ancestorsOf(m: TableMeta, headId: Long): Set[Long] =
-    Iterator.iterate(Option(m.snapshot(headId)))(_.flatMap(_.parentId).map(m.snapshot))
+  /** ancestor chain of `headId`; stops (rather than throws) where expired
+    * snapshots have pruned the history — an expired parent simply ends
+    * the known ancestry */
+  private def ancestorsOf(m: TableMeta, headId: Long): Set[Long] = {
+    val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+    Iterator.iterate(byId.get(headId))(_.flatMap(_.parentId).flatMap(byId.get))
       .takeWhile(_.isDefined).map(_.get.snapshotId).toSet
+  }
 
   /** Roll `main` back to an earlier snapshot (the Iceberg
     * rollback-to-snapshot operation): only the ref moves — history is

@@ -403,6 +403,15 @@ class OpsSpec extends SparkSpec {
         .head().getString(0)
       assert(expired.startsWith("expired"), expired)
       assert(s2.sql("SELECT count(*) FROM graft.db.t").head().getLong(0) == 3)
+      // branch-addressed DML: write-audit-publish entirely in SQL
+      s2.sql("CALL graft.system.create_branch('db.t', 'audit')")
+      s2.sql("INSERT INTO graft.db.`t@audit` VALUES (7, 'eve', 70, 'silver')")
+      assert(s2.sql("SELECT count(*) FROM graft.db.t").head().getLong(0) == 3,
+        "main must not see unpublished audit-branch writes")
+      assert(s2.sql("SELECT count(*) FROM graft.db.`t@audit`").head().getLong(0) == 4)
+      s2.sql("CALL graft.system.fast_forward('db.t', 'main', 'audit')")
+      assert(s2.sql("SELECT count(*) FROM graft.db.t").head().getLong(0) == 4,
+        "fast_forward must publish the audited branch to main")
       // DROP TABLE / NAMESPACE
       s2.sql("CREATE TABLE graft.db2.tmp (k BIGINT)")
       s2.sql("DROP NAMESPACE graft.db2 CASCADE")
