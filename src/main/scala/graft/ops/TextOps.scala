@@ -306,7 +306,32 @@ object TextOps {
       .orderBy("lang")
   }
 
+  // --- keyword extraction ---------------------------------------------------
+
+  /** Per-document salient terms by TF/DF ratio (term frequency over corpus
+    * document frequency — the broadcast-friendly cousin of TF-IDF with no
+    * floating log): two passes over the token stream, the corpus DF table
+    * is vocabulary-sized so it BROADCASTS onto the per-doc TF aggregate;
+    * ranking is a per-doc window. At 100 TB the heavy side shuffles once
+    * (doc_id, w) for TF; DF rides a distinct + small agg. */
+  def keywordTerms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "w")
+      .withColumn("salience", col("tf").cast("double") / col("df"))
+    val top = Window.partitionBy(col("doc_id"))
+      .orderBy(col("salience").desc, col("w").asc)
+    scored.withColumn("rk", row_number().over(top).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("w"), col("tf"), col("df"),
+        col("salience"))
+      .orderBy("doc_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_keyword_terms" -> keywordTerms,
     "q_pii_redact" -> piiRedact,
     "q_text_repetition" -> textRepetition,
     "q_token_count" -> tokenCount,
@@ -355,6 +380,22 @@ object TextOps {
     s"lpad(CAST(${sqlCountIn(markers)} AS VARCHAR), 10, '0') || '$code'"
 
   val oracles: Map[String, String] = Map(
+    "q_keyword_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.w FROM documents, UNNEST(string_split(text, ' ')) u(w)),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+        |dfreq AS (
+        |  SELECT w, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, w FROM toks) GROUP BY w),
+        |scored AS (
+        |  SELECT doc_id, w, tf, df, CAST(tf AS DOUBLE) / df AS salience
+        |  FROM tf JOIN dfreq USING (w)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY salience DESC, w ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, w, tf, df, salience
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "q_pii_redact" ->
       """WITH planted AS (
         |  SELECT lang, text ||

@@ -1055,6 +1055,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
     liveFiles().filter(_.fileType == "data").filter(f => Pruning.fileMatches(f, m, preds))
   }
 
+  /** distinct values of one partition field across live data files —
+    * the driver-side bucket/partition directory for co-located planning */
+  def partitionValues(field: String): Seq[String] =
+    liveFiles().filter(_.fileType == "data")
+      .flatMap(_.partition.get(field)).distinct.sorted
+
+  /** scan restricted to the data files of ONE partition-field value (plus
+    * any live delete files, which scan() applies as usual) — the unit of
+    * bucket-wise co-located execution */
+  def scanPartition(field: String, value: String): DataFrame = {
+    val keep = liveFiles().filter(f => f.fileType == "data" &&
+      f.partition.get(field).contains(value))
+      .map(f => normPath(abs(f.path))).toSet
+    scan(fileSubset = Some(keep))
+  }
+
   /** Scan with manifest pruning driven by already-extracted predicates —
     * the SQL-analyzer path: the WHERE clause exists as a Catalyst tree, the
     * row-level filter stays in the plan above, and this only shrinks the

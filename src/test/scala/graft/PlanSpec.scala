@@ -58,6 +58,30 @@ class PlanSpec extends SparkSpec {
       s"star join must not shuffle the fact side for joins:\n$plan")
   }
 
+  test("bucket join: co-located — every bucket joins broadcast, no join shuffle") {
+    import graft.table.GraftTable
+    val base = java.nio.file.Files.createTempDirectory("graft-bjspec")
+    val facts = GraftTable.create(spark, base.resolve("f").toString,
+      "k bigint, v double", partitionBy = Seq("bucket(4, k)"))
+    import spark.implicits._
+    facts.append((0L until 256L).map(k => (k, k * 1.5)).toDF("k", "v"))
+    val dims = GraftTable.create(spark, base.resolve("d").toString,
+      "dk bigint, name string", partitionBy = Seq("bucket(4, dk)"))
+    dims.append((0L until 64L).map(k => (k, s"n$k")).toDF("dk", "name"))
+    val joined = BucketJoin.join(facts, dims, "k", "dk")
+    // correctness: equals the plain join
+    val expected = facts.scan().join(dims.scan(),
+      org.apache.spark.sql.functions.col("k") ===
+        org.apache.spark.sql.functions.col("dk")).count()
+    assert(joined.count() == expected && expected == 64L)
+    val plan = planString(joined)
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj == 4, s"expected one broadcast join per bucket (4), got $bhj")
+    assert("SortMergeJoin".r.findAllIn(plan).isEmpty, "co-located join must not SMJ")
+    assert(countShuffles(plan) == 0,
+      s"co-located bucket join must have ZERO shuffles:\n$plan")
+  }
+
   test("sessionize: both window passes share one exchange") {
     val plan = planString(Analytics.sessionize(spark, sf))
     // one partition-by-user exchange (+ the final orderBy range exchange)
