@@ -155,6 +155,67 @@ case class GraftDescribeCommand(ns: String, tbl: String,
   }
 }
 
+case class GraftSetPropertiesCommand(ns: String, tbl: String,
+    props: Map[String, String], unset: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftDdl.catalog(spark).loadTable(ns, tbl).updateProperties(props, unset)
+    Nil
+  }
+}
+
+case class GraftRenameTableCommand(ns: String, from: String, toNs: String,
+    to: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(ns == toNs, "graft RENAME TO: cross-namespace renames are not supported")
+    GraftDdl.catalog(spark).renameTable(ns, from, to)
+    Nil
+  }
+}
+
+/** TRUNCATE = one overwrite snapshot with zero files; history (and
+  * therefore rollback) is preserved, matching graft's snapshot model */
+case class GraftTruncateCommand(ns: String, tbl: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftDdl.catalog(spark).loadTable(ns, tbl)
+    t.overwrite(t.scan().limit(0))
+    Nil
+  }
+}
+
+case class GraftShowCreateCommand(ns: String, tbl: String,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val m = GraftDdl.catalog(spark).loadTable(ns, tbl).meta
+    val cols = m.currentSchema.fields.map(f =>
+      s"  ${f.name} ${f.dtype}${if (f.nullable) "" else " NOT NULL"}").mkString(",\n")
+    val part = m.spec(m.currentSpecId).fields match {
+      case Nil => ""
+      case fs => fs.map { p =>
+        val srcs = p.sourceIds.map(id =>
+          m.currentSchema.fields.find(_.id == id).map(_.name).getOrElse(s"#$id"))
+        p.transform match {
+          case "identity" => srcs.head
+          case "bucket" => s"bucket(${p.param.get}, ${srcs.mkString(", ")})"
+          case "truncate" => s"truncate(${p.param.get}, ${srcs.head})"
+          case t => s"$t(${srcs.head})"
+        }
+      }.mkString("\nPARTITIONED BY (", ", ", ")")
+    }
+    val props = if (m.properties.isEmpty) "" else
+      m.properties.toSeq.sorted.map { case (k, v) => s"'$k' = '$v'" }
+        .mkString("\nTBLPROPERTIES (", ", ", ")")
+    GraftDdl.info(s"CREATE TABLE graft.$ns.$tbl (\n$cols)$part$props")
+  }
+}
+
+case class GraftShowPropertiesCommand(ns: String, tbl: String,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftDdl.catalog(spark).loadTable(ns, tbl).meta.properties.toSeq.sorted
+      .map { case (k, v) => Row(k, v) }
+}
+
 /** `CALL graft.system.<proc>(...)` — Iceberg-style maintenance procedures
   * routed to the table API. Args positional or named; `table` is
   * `'ns.tbl'`. Each returns one info row. */

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{FieldName, RelationTimeTravel, UnresolvedAttribute, UnresolvedFieldName, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedProcedure, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, NamedArgumentExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, Call, ColumnDefinition, CreateNamespace, CreateTable, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropNamespace, DropTable, Filter, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, QualifiedColType, RenameColumn, ShowTables, SubqueryAlias, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, Call, ColumnDefinition, CreateNamespace, CreateTable, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropNamespace, DropTable, Filter, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, QualifiedColType, RenameColumn, RenameTable, SetTableProperties, ShowCreateTable, ShowTableProperties, ShowTables, SubqueryAlias, TruncateTable, UnresolvedTableSpec, UnsetTableProperties, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.command.ShowNamespacesCommand
@@ -302,6 +302,34 @@ class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         if graftParts(parts).isDefined =>
       val (ns, tbl) = graftParts(parts).get
       GraftDescribeCommand(ns, tbl, output)
+    case SetTableProperties(UnresolvedTable(parts, _, _), props)
+        if graftParts(parts).isDefined =>
+      val (ns, tbl) = graftParts(parts).get
+      GraftSetPropertiesCommand(ns, tbl, props, Nil)
+    case UnsetTableProperties(UnresolvedTable(parts, _, _), keys, _)
+        if graftParts(parts).isDefined =>
+      val (ns, tbl) = graftParts(parts).get
+      GraftSetPropertiesCommand(ns, tbl, Map.empty, keys)
+    case RenameTable(UnresolvedTableOrView(parts, _, _), newParts, _)
+        if graftParts(parts).isDefined =>
+      val (ns, tbl) = graftParts(parts).get
+      val (toNs, toTbl) = graftParts(newParts).getOrElse(
+        if (newParts.length == 1) (ns, newParts.head)
+        else throw new UnsupportedOperationException(
+          s"graft RENAME TO: target must be graft.<ns>.<table>, got $newParts"))
+      GraftRenameTableCommand(ns, tbl, toNs, toTbl)
+    case TruncateTable(UnresolvedTable(parts, _, _))
+        if graftParts(parts).isDefined =>
+      val (ns, tbl) = graftParts(parts).get
+      GraftTruncateCommand(ns, tbl)
+    case ShowCreateTable(UnresolvedTableOrView(parts, _, _), _, output)
+        if graftParts(parts).isDefined =>
+      val (ns, tbl) = graftParts(parts).get
+      GraftShowCreateCommand(ns, tbl, output)
+    case ShowTableProperties(UnresolvedTableOrView(parts, _, _), _, output)
+        if graftParts(parts).isDefined =>
+      val (ns, tbl) = graftParts(parts).get
+      GraftShowPropertiesCommand(ns, tbl, output)
     case Call(UnresolvedProcedure(parts), args, _)
         if parts.length == 3 && parts.head.equalsIgnoreCase("graft") &&
           parts(1).equalsIgnoreCase("system") =>

@@ -1036,9 +1036,30 @@ class GraftTable(val spark: SparkSession, val location: String) {
         m.refs.toSeq.sortBy(_._1)
           .map { case (n, r) => (n, r.snapshotId, if (r.isBranch) "BRANCH" else "TAG") }
           .toDF("name", "snapshot_id", "type")
+      case "partitions" =>
+        // per-partition rollup from manifest entries — answers "how is my
+        // data distributed" without reading a single data file
+        m.head(ref).map(s => Meta.readManifest(location, s.manifest)).getOrElse(Nil)
+          .filter(_.fileType == "data")
+          .groupBy(_.partition).toSeq
+          .map { case (p, fs) =>
+            (p.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/"),
+              fs.size.toLong, fs.map(_.rowCount).sum, fs.map(_.sizeBytes).sum)
+          }.sortBy(_._1)
+          .toDF("partition", "file_count", "row_count", "size_bytes")
+      case "history" =>
+        // ref lineage: every snapshot with whether main's current state
+        // descends from it (Iceberg's history table shape)
+        val mainAnc = m.refs.get("main").map(r => ancestorsOf(m, r.snapshotId))
+          .getOrElse(Set.empty[Long])
+        m.snapshots
+          .map(s => (new java.sql.Timestamp(s.timestampMs), s.snapshotId,
+            s.parentId, mainAnc(s.snapshotId)))
+          .toDF("made_current_at", "snapshot_id", "parent_id",
+            "is_current_ancestor")
       case other =>
         throw new IllegalArgumentException(
-          s"unknown metadata table '$other' (files|snapshots|refs)")
+          s"unknown metadata table '$other' (files|snapshots|refs|partitions|history)")
     }
   }
 
@@ -1053,6 +1074,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = Meta.readJson(location)
     val preds = Pruning.extract(filter, spark)
     liveFiles().filter(_.fileType == "data").filter(f => Pruning.fileMatches(f, m, preds))
+  }
+
+  /** table-property update: one metadata-only commit (version file),
+    * same optimistic-concurrency path as every other metadata change */
+  def updateProperties(set: Map[String, String], unset: Seq[String] = Nil): Unit = {
+    val (m, v) = pinned()
+    val next = m.copy(properties = m.properties ++ set -- unset)
+    Meta.writeJsonAt(next, location, v + 1)
+    meta = next
   }
 
   /** distinct values of one partition field across live data files —

@@ -403,6 +403,31 @@ class OpsSpec extends SparkSpec {
         .head().getString(0)
       assert(expired.startsWith("expired"), expired)
       assert(s2.sql("SELECT count(*) FROM graft.db.t").head().getLong(0) == 3)
+      // table properties via SQL; SHOW TBLPROPERTIES / SHOW CREATE TABLE
+      s2.sql("ALTER TABLE graft.db.t SET TBLPROPERTIES ('write.sort'='full_name')")
+      assert(cat.loadTable("db", "t").meta.properties("write.sort") == "full_name")
+      val shown = s2.sql("SHOW TBLPROPERTIES graft.db.t").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(shown("write.sort") == "full_name")
+      s2.sql("ALTER TABLE graft.db.t UNSET TBLPROPERTIES ('write.sort')")
+      assert(!cat.loadTable("db", "t").meta.properties.contains("write.sort"))
+      val ct = s2.sql("SHOW CREATE TABLE graft.db.t").head().getString(0)
+      assert(ct.contains("CREATE TABLE graft.db.t") && ct.contains("full_name") &&
+        ct.contains("bucket(4, id)"), ct)
+      // $partitions / $history metadata tables
+      val parts = s2.sql("SELECT * FROM graft.db.`t$partitions`").collect()
+      assert(parts.nonEmpty && parts.map(_.getAs[Long]("row_count")).sum == 3)
+      assert(s2.sql("SELECT * FROM graft.db.`t$history`")
+        .filter("is_current_ancestor").count() >= 1)
+      // RENAME TO + TRUNCATE (truncate preserves history → rollback works)
+      s2.sql("ALTER TABLE graft.db.t RENAME TO graft.db.t1")
+      assert(cat.tableExists("db", "t1") && !cat.tableExists("db", "t"))
+      s2.sql("ALTER TABLE graft.db.t1 RENAME TO graft.db.t")
+      val preTrunc = cat.loadTable("db", "t").meta.lastSnapshotId
+      s2.sql("TRUNCATE TABLE graft.db.t")
+      assert(s2.sql("SELECT count(*) FROM graft.db.t").head().getLong(0) == 0)
+      s2.sql(s"CALL graft.system.rollback_to_snapshot('db.t', $preTrunc)")
+      assert(s2.sql("SELECT count(*) FROM graft.db.t").head().getLong(0) == 3)
       // branch-addressed DML: write-audit-publish entirely in SQL
       s2.sql("CALL graft.system.create_branch('db.t', 'audit')")
       s2.sql("INSERT INTO graft.db.`t@audit` VALUES (7, 'eve', 70, 'silver')")
