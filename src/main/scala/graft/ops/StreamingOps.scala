@@ -281,7 +281,37 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  // --- streaming exactly-once dedup -----------------------------------------
+
+  /** At-least-once delivery repaired to exactly-once: a third of the
+    * stream is re-delivered (duplicate event_ids), and
+    * `dropDuplicatesWithinWatermark` keeps the first arrival per key while
+    * the watermark EVICTS seen-key state — O(rate × delay) state, the only
+    * dedup shape an unbounded stream can afford (plain dropDuplicates
+    * would grow state forever). First-seen rows emit immediately in
+    * append mode, so no sentinels are needed. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (tmp, src) = stage(spark, dir)
+    src.unionByName(src.filter(col("event_id") % 3 === 0)) // re-delivery
+      .write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in")
+    val deduped = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = s"d_${UUID.randomUUID.toString.replace("-", "")}"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_dedup" -> streamDedup,
     "q_stream_join" -> streamJoin,
     "q_stream_window" -> streamWindow,
     "q_stream_window_append" -> streamWindowAppend,
@@ -291,6 +321,10 @@ object StreamingOps {
     "q_stream_tail" -> streamTail)
 
   val oracles: Map[String, String] = Map(
+    "q_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_join" ->
       """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
         |p AS (SELECT * FROM events WHERE event_type = 'purchase')

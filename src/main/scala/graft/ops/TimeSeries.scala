@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Time-series resampling — the gap-fill / forward-fill operator family
+  * (DuckDB exposes it as ASOF+range tricks, Flink as temporal tables;
+  * Spark has no native resample). Declarative composition: last-per-bucket
+  * window → driver-free grid explode via `sequence()` → left join →
+  * `last(ignoreNulls)` running window. Every step is a plain shuffle on
+  * (user, hour) — no driver loops, no UDFs, codegen throughout.
+  *
+  * Scale: the grid explode produces span×users rows but they are GENERATED
+  * distributed (sequence per user row, exploded in the same task), and the
+  * forward-fill window rides the same hash partitioning as the join — one
+  * exchange end to end at 100 TB.
+  */
+object TimeSeries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** hourly resample of each user's event stream with forward fill;
+    * readback = per-user totals over the filled grid */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("h", date_trunc("hour", col("ts")))
+    // deterministic last observation per (user, hour): latest (ts, event_id)
+    val perHour = Window.partitionBy(col("user_id"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val lastPerHour = ev.withColumn("rn", row_number().over(perHour))
+      .filter(col("rn") === 1).select(col("user_id"), col("h"), col("value"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val ffill = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastPerHour, Seq("user_id", "h"), "left_outer")
+      .withColumn("filled", last(col("value"), ignoreNulls = true).over(ffill))
+      .withColumn("observed", col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("observed"), 1L).otherwise(0L)).as("n_observed"),
+        sum(col("filled").cast(DecimalType(18, 6))).cast("double").as("sum_filled"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, Q] = Map("q_gap_fill" -> gapFill)
+
+  val oracles: Map[String, String] = Map(
+    "q_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts, value, date_trunc('hour', ts) AS h
+        |  FROM events),
+        |lastph AS (
+        |  SELECT user_id, h, value FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, h ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1),
+        |bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, u.h
+        |  FROM bounds, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) u(h)),
+        |j AS (
+        |  SELECT g.user_id, g.h, l.value
+        |  FROM grid g LEFT JOIN lastph l ON g.user_id = l.user_id AND g.h = l.h),
+        |f AS (
+        |  SELECT user_id, h, value IS NOT NULL AS observed,
+        |    last_value(value IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM j)
+        |SELECT user_id, COUNT(*) AS n_hours,
+        |  CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
+        |  CAST(SUM(CAST(filled AS DECIMAL(18,6))) AS DOUBLE) AS sum_filled
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

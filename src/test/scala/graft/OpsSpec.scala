@@ -348,6 +348,32 @@ class OpsSpec extends SparkSpec {
     assert(flagged.forall(_.getAs[Long]("doc_id") % 20 != 0))
   }
 
+  test("gap fill: grid is contiguous per user and every slot is filled") {
+    val rows = TimeSeries.gapFill(spark, sf01).collect()
+    val ev = graft.Tables(spark, sf01, "events")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+    val spans = ev.groupBy("user_id")
+      .agg(((unix_timestamp(max(col("h"))) - unix_timestamp(min(col("h")))) / 3600 + 1)
+        .cast("long").as("span"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      assert(r.getAs[Long]("n_hours") == spans(u),
+        s"user $u grid must cover min..max hours exactly")
+      assert(r.getAs[Long]("n_observed") <= r.getAs[Long]("n_hours"))
+      assert(!r.isNullAt(r.fieldIndex("sum_filled")),
+        "forward fill from the first observed hour leaves no gaps")
+    }
+  }
+
+  test("stream dedup: re-delivered events collapse to exactly-once counts") {
+    val out = StreamingOps.streamDedup(spark, sf01)
+      .agg(sum("n")).collect()(0).getLong(0)
+    val distinct = graft.Tables(spark, sf01, "events").select("event_id").distinct().count()
+    assert(out == distinct, s"deduped stream must equal $distinct distinct events, got $out")
+  }
+
   test("SQL DDL + procedures: full lifecycle through spark.sql") {
     import org.apache.spark.sql.SparkSession
     val wh = java.nio.file.Files.createTempDirectory("graft-ddlwh").toString
