@@ -348,6 +348,36 @@ class OpsSpec extends SparkSpec {
     assert(flagged.forall(_.getAs[Long]("doc_id") % 20 != 0))
   }
 
+  test("incremental agg: refresh consumes only the delta; mutation is rejected") {
+    import graft.table.GraftTable
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incrspec")
+    val base = GraftTable.create(spark, tmp.resolve("b").toString,
+      "k string, v double")
+    val result = IncrementalAgg.createResult(spark, tmp.resolve("r").toString,
+      "k", "string")
+    import spark.implicits._
+    base.append(Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"))
+    IncrementalAgg.refresh(base, result, "k", "v")
+    val cursor1 = result.meta.properties("incr.last-snapshot-id")
+    base.append(Seq(("a", 10.0), ("c", 5.0)).toDF("k", "v"))
+    // the second refresh's delta is exactly the second append's files
+    val deltaRows = base.scanIncremental(cursor1.toLong).count()
+    assert(deltaRows == 2, s"delta must be the new files only, got $deltaRows rows")
+    IncrementalAgg.refresh(base, result, "k", "v")
+    val rows = result.scan().orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue()))
+    assert(rows.toSeq == Seq(("a", 2L, 11.0), ("b", 1L, 2.0), ("c", 1L, 5.0)))
+    // idempotent: nothing new → no-op, same state
+    IncrementalAgg.refresh(base, result, "k", "v")
+    assert(result.scan().count() == 3)
+    // a CoW delete on consumed files invalidates pure-append refresh
+    base.delete("k = 'a'")
+    base.append(Seq(("d", 1.0)).toDF("k", "v"))
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.refresh(base, result, "k", "v")
+    }
+  }
+
   test("gap fill: grid is contiguous per user and every slot is filled") {
     val rows = TimeSeries.gapFill(spark, sf01).collect()
     val ev = graft.Tables(spark, sf01, "events")
