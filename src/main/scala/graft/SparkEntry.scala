@@ -17,7 +17,7 @@ object SparkEntry {
       SkewJoin.queries ++ BucketJoin.queries ++ TimeSeries.queries ++
       TextOps.queries ++ Sampling.queries ++ Dedup.queries ++ Similarity.queries ++
       GraftOps.queries ++ V3Ops.queries ++ Multimodal.queries ++
-      IncrementalAgg.queries ++
+      IncrementalAgg.queries ++ CorpusGraph.queries ++ Clustering.queries ++
       StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,6 +27,6 @@ object SparkEntry {
       SkewJoin.oracles ++ BucketJoin.oracles ++ TimeSeries.oracles ++
       TextOps.oracles ++ Sampling.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       GraftOps.oracles ++ V3Ops.oracles ++ Multimodal.oracles ++
-      IncrementalAgg.oracles ++
+      IncrementalAgg.oracles ++ CorpusGraph.oracles ++ Clustering.oracles ++
       StreamingOps.oracles
 }

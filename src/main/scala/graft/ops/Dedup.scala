@@ -109,8 +109,13 @@ object Dedup {
       .distinct()
   }
 
-  def minhash(spark: SparkSession, dir: String): DataFrame = {
-    val arr = shingleArr(Tables(spark, dir, "documents")).cache()
+  /** LSH candidates verified with exact Jaccard over the shingle arrays —
+    * the output equals the exact Jaccard(tau) pair set up to the banding
+    * miss probability (~4e-8 per pair at the planted-dup similarity). The
+    * LSH filter keeps verification linear in candidates, never the full
+    * self-join. Unordered; shared by [[minhash]] and CorpusGraph. */
+  def minhashVerifiedPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val arr = shingleArr(docs).cache()
     val cand = {
       val sigs = bandSigs(arr).drop("sh")
       sigs.as("a").join(sigs.as("b"),
@@ -119,18 +124,18 @@ object Dedup {
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
     }
-    // verify ONLY the candidate pairs with exact Jaccard over the shingle
-    // arrays (tau=0.5; planted dups are >=0.9) — the LSH filter keeps the
-    // verification linear in candidates, never the full self-join
     cand
       .join(arr.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
       .join(arr.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .filter(col("inter").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("inter")) >= 0.5)
+        (size(col("sa")) + size(col("sb")) - col("inter")) >= tau)
       .select("a_id", "b_id")
-      .orderBy("a_id", "b_id")
   }
+
+  def minhash(spark: SparkSession, dir: String): DataFrame =
+    minhashVerifiedPairs(Tables(spark, dir, "documents"), 0.5)
+      .orderBy("a_id", "b_id")
 
   // --- SimHash ---------------------------------------------------------------
   // 64-bit token-hash sign aggregation; near-dup candidates share one of four

@@ -69,19 +69,113 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  // --- deterministic training shuffle (shard + order for the dataloader) ---
+  /** The last pipeline step before training: a reproducible global shuffle.
+    * Every document is assigned a shard (`fold32(md5("shd:" || doc_id)) mod
+    * NumShards`) and a position within the shard (rank of its md5 key), so
+    * the full permutation is a pure function of the corpus — any executor
+    * can rebuild any shard independently, and appending documents never
+    * perturbs the relative order of existing ones within a shard.
+    *
+    * Scale shape: one hash-partitioned shuffle into NumShards groups, one
+    * sort WITHIN each shard (Spark sorts per-partition; no global sort, no
+    * single-reducer bottleneck). The output here is the per-shard manifest
+    * (count + a position-weighted checksum pinning the exact permutation)
+    * rather than the shards themselves, so the oracle can verify the whole
+    * permutation without 60k rows of output. */
+  val NumShards = 16
+
+  def trainShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat(lit("shd:"), col("doc_id").cast("string")).cast("binary"))
+    val shard = pmod(conv(substring(key, 1, 8), 16, 10).cast(LongType),
+      lit(NumShards.toLong))
+    val pos = row_number().over(
+      Window.partitionBy(col("shard")).orderBy(col("key"), col("doc_id")))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), key.as("key"), shard.as("shard"))
+      .withColumn("pos", pos.cast(LongType))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pos") * col("doc_id")).cast(LongType).as("perm_check"),
+        min(when(col("pos") === 1, col("doc_id"))).as("head_doc"))
+      .orderBy("shard")
+  }
+
+  // --- temperature-scaled domain mixture ------------------------------------
+  /** Mixture re-balancing with temperature α = 1/2: each language keeps
+    * documents with probability sqrt(n_min / n_lang) — the rarest language
+    * keeps everything, the dominant one is damped toward sqrt-scaled
+    * proportions (the standard multilingual-mixture trick). Membership is
+    * the same md5 gate as [[sampleStratified]], so the exact sample is
+    * reproducible and the oracle replays it. Rates are pure IEEE ops on
+    * exact integers (sqrt of an exact ratio), so both engines compute
+    * bit-identical doubles. Two scans + one tiny broadcast join: counts
+    * are per-language (a handful of rows), never collected to the driver. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val withMin = counts.withColumn("n_min",
+      min(col("n_docs")).over(Window.partitionBy()))
+      .withColumn("rate",
+        sqrt(col("n_min").cast("double") / col("n_docs").cast("double")))
+    val u = conv(substring(
+      md5(concat(lit("mix:"), col("doc_id").cast("string")).cast("binary")),
+      1, 8), 16, 10).cast(LongType).cast("double")
+    val sampled = docs.select(col("doc_id"), col("lang"), u.as("u"))
+      .join(broadcast(withMin.select(col("lang"), col("rate"))), "lang")
+      .filter(col("u") < col("rate") * lit(4294967296.0))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    withMin.select(col("lang"), col("n_docs"), col("rate"))
+      .join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("rate"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sample_stratified" -> sampleStratified,
-    "q_pack_chunks" -> packChunks)
+    "q_pack_chunks" -> packChunks,
+    "q_train_shuffle" -> trainShuffle,
+    "q_mix_temperature" -> mixTemperature)
 
   /** DuckDB lacks a hex-to-int cast, so the oracle folds the 8 hex digits
     * positionally; every term is an exact small-integer double. */
-  private val sqlU =
-    """list_sum(list_transform(range(1, 9),
-      |  i -> CAST(strpos('0123456789abcdef',
-      |         substr(md5('smp:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1))
-      |       - 1 AS DOUBLE) * power(16, 8 - i)))""".stripMargin
+  private def sqlFold(prefix: String): String =
+    s"""list_sum(list_transform(range(1, 9),
+       |  i -> CAST(strpos('0123456789abcdef',
+       |         substr(md5('$prefix:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1))
+       |       - 1 AS DOUBLE) * power(16, 8 - i)))""".stripMargin
+
+  private val sqlU = sqlFold("smp")
 
   val oracles: Map[String, String] = Map(
+    "q_train_shuffle" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, md5('shd:' || CAST(doc_id AS VARCHAR)) AS key,
+         |    CAST(${sqlFold("shd")} AS BIGINT) % $NumShards AS shard
+         |  FROM documents
+         |), p AS (
+         |  SELECT shard, doc_id,
+         |    row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
+         |  FROM k
+         |)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(pos * doc_id) AS BIGINT) AS perm_check,
+         |  MIN(CASE WHEN pos = 1 THEN doc_id END) AS head_doc
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_mix_temperature" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+         |m AS (SELECT lang, n_docs,
+         |  sqrt(CAST((SELECT MIN(n_docs) FROM c) AS DOUBLE)
+         |       / CAST(n_docs AS DOUBLE)) AS rate FROM c),
+         |s AS (
+         |  SELECT d.lang, COUNT(*) AS n_sampled
+         |  FROM documents d JOIN m USING (lang)
+         |  WHERE ${sqlFold("mix")} < rate * 4294967296.0
+         |  GROUP BY d.lang
+         |)
+         |SELECT m.lang, m.n_docs, m.rate, COALESCE(s.n_sampled, 0) AS n_sampled
+         |FROM m LEFT JOIN s USING (lang) ORDER BY lang""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang,
          | 1.0 / (CASE WHEN lang = 'en' THEN 0.1 ELSE 0.5 END) AS weight

@@ -378,6 +378,60 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("kmeans: clusters partition the corpus; update reduces inertia") {
+    val out = Clustering.kmeansQuery(spark, sf01).collect()
+    assert(out.nonEmpty && out.length <= Clustering.K)
+    val n = out.map(_.getAs[Long]("n_vecs")).sum
+    assert(n == graft.Tables(spark, sf01, "embeddings").count())
+    out.foreach(r => assert(r.getAs[Long]("inertia") >= 0L))
+    // determinism: identical stats on a re-run
+    val again = Clustering.kmeansQuery(spark, sf01).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("train shuffle: shards partition the corpus; permutation is stable") {
+    val out = Sampling.trainShuffle(spark, sf01).collect()
+    assert(out.length == Sampling.NumShards)
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.Tables(spark, sf01, "documents").count())
+    // deterministic: a second run yields the identical manifest
+    val again = Sampling.trainShuffle(spark, sf01).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("mix temperature: rarest lang keeps all, dominant is damped") {
+    val rows = Sampling.mixTemperature(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byRate = rows.sortBy(_._2)
+    assert(byRate.head._3 == 1.0) // sqrt(n_min/n_min)
+    assert(byRate.last._3 < byRate.head._3)
+    // sampled count is near expectation (md5 gate is uniform)
+    rows.foreach { case (_, n, rate, sampled) =>
+      assert(math.abs(sampled - n * rate) <= 4 * math.sqrt(n * rate * (1 - rate)) + 1)
+    }
+  }
+
+  test("dup clusters: valid connected components of the pair graph") {
+    import spark.implicits._
+    // a path A-B-C (diameter 2, needs >1 propagation round), a pair, a clique
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (21L, 22L)).toDF("a_id", "b_id")
+    val rep = CorpusGraph.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rep == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // on real data: every dup pair's endpoints land in the same cluster,
+    // every rep is a member of its own cluster
+    val out = CorpusGraph.dupClusters(spark, sf01).cache()
+    val byDoc = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val realPairs = graft.ops.Dedup
+      .minhashVerifiedPairs(graft.Tables(spark, sf01, "documents"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(realPairs.nonEmpty)
+    realPairs.foreach { case (a, b) => assert(byDoc(a) == byDoc(b)) }
+    byDoc.values.toSet.foreach { (rp: Long) => assert(byDoc(rp) == rp) }
+  }
+
   test("gap fill: grid is contiguous per user and every slot is filled") {
     val rows = TimeSeries.gapFill(spark, sf01).collect()
     val ev = graft.Tables(spark, sf01, "events")
