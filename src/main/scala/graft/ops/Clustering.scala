@@ -56,7 +56,9 @@ object Clustering {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("k"), col("d"), col("m"))
 
-  def kmeansQuery(spark: SparkSession, dir: String): DataFrame = {
+  /** final (vec_id, k, d, m) assignment after one Lloyd iteration —
+    * shared by the stats query and cluster-balanced curation */
+  def assignments(spark: SparkSession, dir: String): DataFrame = {
     val emb = micro(spark, dir).cache()
     // deterministic seeding: the K lowest vec_ids (TakeOrdered, no full sort)
     val c0 = emb.orderBy("vec_id").limit(K)
@@ -73,16 +75,41 @@ object Clustering {
       .groupBy(col("k"))
       .agg(expr("transform(array_sort(collect_list(struct(i, ci))), p -> p.ci)")
         .as("c"))
-    val a2 = assign(emb, c1)
-    a2.groupBy(col("k").as("cluster"))
+    assign(emb, c1)
+  }
+
+  def kmeansQuery(spark: SparkSession, dir: String): DataFrame =
+    assignments(spark, dir).groupBy(col("k").as("cluster"))
       .agg(count(lit(1)).as("n_vecs"),
         min(col("vec_id")).as("min_vec"),
         max(col("vec_id")).as("max_vec"),
         sum(col("d")).as("inertia"))
       .orderBy("cluster")
+
+  /** Cluster-balanced curation: the per-cluster top documents by length —
+    * the selection pattern behind diversity-preserving subset extraction
+    * (sample evenly across semantic clusters instead of letting one domain
+    * dominate). Top-k per cluster rides WindowGroupLimit, so each cluster's
+    * candidates are pruned to k rows BEFORE the shuffle. */
+  val TopPerCluster = 3
+
+  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val picked = assignments(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("k").as("cluster"))
+      .join(docs, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("n_chars").desc, col("doc_id"))).cast("bigint"))
+      .filter(col("rk") <= TopPerCluster)
+    picked.select(col("cluster"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy("cluster", "rk")
   }
 
-  val queries: Map[String, Q] = Map("q_cluster_kmeans" -> kmeansQuery)
+  val queries: Map[String, Q] = Map(
+    "q_cluster_kmeans" -> kmeansQuery,
+    "q_cluster_sample" -> clusterSample)
 
   private val sqlMicro =
     s"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) " +
@@ -92,38 +119,51 @@ object Clustering {
     s"list_sum(list_transform(range(1, ${Dim + 1}), " +
       s"i -> ($m[i] - $c[i]) * ($m[i] - $c[i])))"
 
+  /** shared CTE chain ending at the post-Lloyd assignment a2(vec_id, k, d) */
+  private val sqlA2 =
+    s"""e AS (
+       |  SELECT vec_id, $sqlMicro AS m FROM embeddings
+       |), c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, m AS c
+       |  FROM e ORDER BY vec_id LIMIT $K
+       |), d1 AS (
+       |  SELECT e.vec_id, c0.k, e.m, ${sqlDist("e.m", "c0.c")} AS d
+       |  FROM e CROSS JOIN c0
+       |), a1 AS (
+       |  SELECT vec_id, k, m, d FROM (
+       |    SELECT vec_id, k, m, d,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+       |    FROM d1) WHERE rn = 1
+       |), sums AS (
+       |  SELECT k, u.i AS i, SUM(m[i]) AS s
+       |  FROM a1, UNNEST(range(1, ${Dim + 1})) u(i) GROUP BY k, u.i
+       |), cnt AS (SELECT k, COUNT(*) AS n FROM a1 GROUP BY k
+       |), c1 AS (
+       |  SELECT k, list(CAST(s // n AS BIGINT) ORDER BY i) AS c
+       |  FROM sums JOIN cnt USING (k) GROUP BY k
+       |), d2 AS (
+       |  SELECT e.vec_id, c1.k, ${sqlDist("e.m", "c1.c")} AS d
+       |  FROM e CROSS JOIN c1
+       |), a2 AS (
+       |  SELECT vec_id, k, d FROM (
+       |    SELECT vec_id, k, d,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+       |    FROM d2) WHERE rn = 1
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_cluster_kmeans" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, $sqlMicro AS m FROM embeddings
-         |), c0 AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, m AS c
-         |  FROM e ORDER BY vec_id LIMIT $K
-         |), d1 AS (
-         |  SELECT e.vec_id, c0.k, e.m, ${sqlDist("e.m", "c0.c")} AS d
-         |  FROM e CROSS JOIN c0
-         |), a1 AS (
-         |  SELECT vec_id, k, m, d FROM (
-         |    SELECT vec_id, k, m, d,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
-         |    FROM d1) WHERE rn = 1
-         |), sums AS (
-         |  SELECT k, u.i AS i, SUM(m[i]) AS s
-         |  FROM a1, UNNEST(range(1, ${Dim + 1})) u(i) GROUP BY k, u.i
-         |), cnt AS (SELECT k, COUNT(*) AS n FROM a1 GROUP BY k
-         |), c1 AS (
-         |  SELECT k, list(CAST(s // n AS BIGINT) ORDER BY i) AS c
-         |  FROM sums JOIN cnt USING (k) GROUP BY k
-         |), d2 AS (
-         |  SELECT e.vec_id, c1.k, ${sqlDist("e.m", "c1.c")} AS d
-         |  FROM e CROSS JOIN c1
-         |), a2 AS (
-         |  SELECT vec_id, k, d FROM (
-         |    SELECT vec_id, k, d,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
-         |    FROM d2) WHERE rn = 1
-         |)
+      s"""WITH $sqlA2
          |SELECT k AS cluster, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec,
          |  MAX(vec_id) AS max_vec, CAST(SUM(d) AS BIGINT) AS inertia
-         |FROM a2 GROUP BY k ORDER BY cluster""".stripMargin)
+         |FROM a2 GROUP BY k ORDER BY cluster""".stripMargin,
+    "q_cluster_sample" ->
+      s"""WITH $sqlA2, ranked AS (
+         |  SELECT a2.k AS cluster, d.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY a2.k
+         |      ORDER BY d.n_chars DESC, d.doc_id) AS rk
+         |  FROM a2 JOIN documents d ON d.doc_id = a2.vec_id
+         |)
+         |SELECT cluster, rk, doc_id, n_chars FROM ranked
+         |WHERE rk <= $TopPerCluster ORDER BY cluster, rk""".stripMargin)
 }

@@ -20,7 +20,7 @@ object Dedup {
   /** distinct word 3-gram shingles per doc, as one ARRAY row per doc —
     * signature computation then happens in-expression with no exploded-row
     * shuffle (at sf0.1 the exploded form was 38M rows through a groupBy) */
-  private def shingleArr(docs: DataFrame): DataFrame =
+  private[ops] def shingleArr(docs: DataFrame): DataFrame =
     docs.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
@@ -72,7 +72,7 @@ object Dedup {
     * candidates are bit-identical to the expression form — higher-order
     * transform() lambdas evaluate interpreted, which made the pure-SQL
     * version the slowest query in the bench. */
-  private def bandSigs(arr: DataFrame): DataFrame = {
+  private[ops] def bandSigs(arr: DataFrame): DataFrame = {
     val spark = arr.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.XXH64

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Mergeable cardinality sketch: HyperLogLog with p = 9 (512 registers)
+  * over an md5-derived 32-bit hash — the NDV machinery that backs stats
+  * collection (`GraftTable.analyze`) at 100 TB scale, where an exact
+  * COUNT(DISTINCT) means shuffling every key and the sketch means
+  * shuffling 512 cells.
+  *
+  * Scale shape: each row maps to (register, rank) with NO shuffle; the
+  * register table is a groupBy-max over 512 keys with map-side partial
+  * aggregation, so the exchange carries at most 512 rows per partition
+  * regardless of input size, and sketches of different partitions /
+  * tables / snapshots merge by the same max — the standard mergeable-
+  * summary contract.
+  *
+  * Reproducibility: the register array and the harmonic-sum numerator are
+  * EXACT integers (rank via binary-string length, 2^(24-rank) via shifts),
+  * and the final estimate is a fixed sequence of IEEE double ops on those
+  * integers, so Spark and DuckDB produce bit-identical estimates. The
+  * small-range (linear counting) and 32-bit-collision corrections are
+  * deliberately not applied — inputs here sit in the plain-HLL regime —
+  * keeping the estimator a pure rational function. Baseline accuracy
+  * 1.04/sqrt(512) ≈ 4.6 % relative error; the query emits the exact NDV
+  * alongside so the error is visible.
+  */
+object Sketches {
+  type Q = (SparkSession, String) => DataFrame
+
+  val P = 9
+  val M = 1 << P // 512 registers
+  private val WBits = 32 - P // 23 bits of rank material
+  private val WMask = (1L << WBits) - 1
+
+  /** per-row (register, rank) from the first 32 bits of md5("hll:" || key) */
+  private def regRank(keyCol: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val u = conv(substring(
+      md5(concat(lit("hll:"), col(keyCol).cast("string")).cast("binary")),
+      1, 8), 16, 10).cast("long")
+    val idx = shiftright(u, WBits)
+    val w = u.bitwiseAND(lit(WMask))
+    // rank = position of the first 1-bit in the 23-bit word from the MSB;
+    // all-zero word -> WBits + 1. bin() has no leading zeros, so
+    // rank = WBits + 1 - length(bin(w)) for w > 0 in both engines.
+    val rank = when(w === 0L, lit(WBits + 1))
+      .otherwise(lit(WBits + 1) - length(bin(w)))
+    (idx, rank)
+  }
+
+  /** HLL NDV estimate for lineitem.l_orderkey, with the exact NDV beside it */
+  def hllNdv(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val (idx, rank) = regRank("l_orderkey")
+    val regs = li.select(idx.as("idx"), rank.as("rank"))
+      .groupBy(col("idx")).agg(max(col("rank")).as("r"))
+    // exact integer harmonic numerator: T = sum(2^(24-r)) + zeros * 2^24
+    // (scaling the 2^-r sum by 2^24 keeps it integral)
+    val agg = regs.agg(
+      count(lit(1)).as("n_registers"),
+      sum(expr(s"shiftleft(cast(1 as bigint), cast(${WBits + 1} - r as int))"))
+        .cast("long").as("t_present"))
+    val sketch = agg.select(
+      col("n_registers"),
+      (col("t_present") +
+        (lit(M.toLong) - col("n_registers")) * lit(1L << (WBits + 1))).as("t"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(M.toDouble))
+    val est = sketch.select(
+      col("n_registers"), col("t"),
+      (alpha * lit(M.toDouble) * lit(M.toDouble) *
+        lit((1L << (WBits + 1)).toDouble) / col("t").cast("double"))
+        .as("ndv_est"))
+    val exact = li.agg(countDistinct(col("l_orderkey")).as("ndv_exact"))
+    est.crossJoin(exact)
+      .select("n_registers", "t", "ndv_est", "ndv_exact")
+  }
+
+  val queries: Map[String, Q] = Map("q_hll_ndv" -> hllNdv)
+
+  /** the md5 32-bit fold, as in Sampling's oracle */
+  private val sqlU =
+    """CAST(list_sum(list_transform(range(1, 9),
+      |  i -> CAST(strpos('0123456789abcdef',
+      |         substr(md5('hll:' || CAST(l_orderkey AS VARCHAR)), CAST(i AS INT), 1))
+      |       - 1 AS DOUBLE) * power(16, 8 - i))) AS BIGINT)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_hll_ndv" ->
+      s"""WITH h AS (
+         |  SELECT $sqlU AS u FROM lineitem
+         |), rr AS (
+         |  SELECT u // ${1L << WBits} AS idx,
+         |    CASE WHEN u % ${1L << WBits} = 0 THEN ${WBits + 1}
+         |         ELSE ${WBits + 1} - length(bin(u % ${1L << WBits})) END AS rank
+         |  FROM h
+         |), regs AS (
+         |  SELECT idx, MAX(rank) AS r FROM rr GROUP BY idx
+         |), agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_registers,
+         |    CAST(SUM(CAST(1 AS BIGINT) << CAST(${WBits + 1} - r AS BIGINT))
+         |         AS BIGINT) AS t_present
+         |  FROM regs
+         |), sk AS (
+         |  SELECT n_registers,
+         |    t_present + ($M - n_registers) * ${1L << (WBits + 1)} AS t
+         |  FROM agg
+         |)
+         |SELECT n_registers, t,
+         |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+         |      + CAST(1.079 AS DOUBLE) / CAST($M.0 AS DOUBLE))
+         |    * CAST($M.0 AS DOUBLE) * CAST($M.0 AS DOUBLE)
+         |    * CAST(${1L << (WBits + 1)}.0 AS DOUBLE)
+         |    / CAST(t AS DOUBLE) AS ndv_est,
+         |  (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+         |    AS ndv_exact
+         |FROM sk""".stripMargin)
+}

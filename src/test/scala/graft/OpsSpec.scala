@@ -378,6 +378,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("cluster sample: at most k docs per cluster, ranked by length") {
+    val rows = Clustering.clusterSample(spark, sf01).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    assert(byCluster.nonEmpty)
+    byCluster.values.foreach { rs =>
+      assert(rs.length <= Clustering.TopPerCluster)
+      val lens = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("n_chars"))
+      assert(lens.zip(lens.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("incremental dedup: index probe finds cross-partition dups only") {
+    val out = IncrementalDedup.incrementalDedup(spark, sf01).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % 10 == 0, "new_id must be from the batch")
+      assert(r.getLong(1) % 10 != 0, "old_id must be from history")
+    }
+  }
+
+  test("hll ndv: estimate within 15% of exact; register bounds hold") {
+    val r = Sketches.hllNdv(spark, sf01).collect().head
+    val (nreg, est, exact) = (r.getAs[Long]("n_registers"),
+      r.getAs[Double]("ndv_est"), r.getAs[Long]("ndv_exact"))
+    assert(nreg > 0 && nreg <= Sketches.M)
+    assert(math.abs(est - exact) / exact < 0.15,
+      s"est $est vs exact $exact drifts beyond 3 sigma")
+  }
+
   test("kmeans: clusters partition the corpus; update reduces inertia") {
     val out = Clustering.kmeansQuery(spark, sf01).collect()
     assert(out.nonEmpty && out.length <= Clustering.K)
