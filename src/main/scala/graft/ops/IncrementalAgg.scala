@@ -97,11 +97,49 @@ object IncrementalAgg {
       .orderBy("o_orderpriority")
   }
 
-  val queries: Map[String, Q] = Map("q_incr_agg" -> incrAggQuery)
+  /** streaming maintenance of the same materialized aggregate: each
+    * micro-batch appends to the base table (one atomic snapshot commit)
+    * and refresh() advances the result table from the cursor — the
+    * lakehouse "streaming materialized view" loop. Batch boundaries don't
+    * affect the result: refresh is exact over whatever delta landed, so
+    * the final table equals the full aggregate regardless of how the
+    * stream was chopped. */
+  def streamIncrAggQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("graft-sincr")
+    val base = GraftTable.create(spark, tmp.resolve("base").toString,
+      "o_orderkey bigint, o_orderpriority string, o_totalprice double")
+    val result = createResult(spark, tmp.resolve("agg").toString,
+      "o_orderpriority", "string")
+    val o = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    o.repartition(3).write.parquet(tmp.resolve("in").toString)
+    val stream = spark.readStream.schema(o.schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp.resolve("in").toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        base.append(batch)
+        refresh(base, result, "o_orderpriority", "o_totalprice")
+      }
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    result.scan()
+      .select(col("o_orderpriority"), col("cnt").as("n"),
+        col("total").cast("double").as("sum_total"))
+      .orderBy("o_orderpriority")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_incr_agg" -> incrAggQuery,
+    "q_stream_incr_agg" -> streamIncrAggQuery)
+
+  private val fullAggSql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "q_incr_agg" ->
-      """SELECT o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    "q_incr_agg" -> fullAggSql,
+    "q_stream_incr_agg" -> fullAggSql)
 }

@@ -78,7 +78,24 @@ object Sketches {
       .select("n_registers", "t", "ndv_est", "ndv_exact")
   }
 
-  val queries: Map[String, Q] = Map("q_hll_ndv" -> hllNdv)
+  /** Exact distributed quantiles (R-7 linear interpolation) of document
+    * length per language — Spark's `percentile` aggregate against DuckDB's
+    * `quantile_cont`. Exact quantiles sort within each group (here: 5
+    * groups), which is the honest cost; the sketch-based alternative at
+    * 100 TB is a fixed-bin histogram (deterministic), not t-digest
+    * (merge-order-dependent). */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        expr("percentile(cast(n_chars as double), 0.5)").as("p50"),
+        expr("percentile(cast(n_chars as double), 0.9)").as("p90"),
+        expr("percentile(cast(n_chars as double), 0.99)").as("p99"))
+      .orderBy("lang")
+
+  val queries: Map[String, Q] = Map(
+    "q_hll_ndv" -> hllNdv,
+    "q_quantiles" -> quantiles)
 
   /** the md5 32-bit fold, as in Sampling's oracle */
   private val sqlU =
@@ -88,6 +105,12 @@ object Sketches {
       |       - 1 AS DOUBLE) * power(16, 8 - i))) AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_quantiles" ->
+      """SELECT lang,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.99) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_hll_ndv" ->
       s"""WITH h AS (
          |  SELECT $sqlU AS u FROM lineitem

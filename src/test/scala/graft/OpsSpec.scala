@@ -378,6 +378,12 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("stream incr agg: streaming maintenance equals the batch result") {
+    val s = IncrementalAgg.streamIncrAggQuery(spark, sf01).collect().map(_.toSeq)
+    val b = IncrementalAgg.incrAggQuery(spark, sf01).collect().map(_.toSeq)
+    assert(s.toSeq == b.toSeq)
+  }
+
   test("cluster sample: at most k docs per cluster, ranked by length") {
     val rows = Clustering.clusterSample(spark, sf01).collect()
     val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
