@@ -18,7 +18,7 @@ object SparkEntry {
       TextOps.queries ++ Sampling.queries ++ Dedup.queries ++ Similarity.queries ++
       GraftOps.queries ++ V3Ops.queries ++ Multimodal.queries ++
       IncrementalAgg.queries ++ CorpusGraph.queries ++ Clustering.queries ++
-      IncrementalDedup.queries ++ Sketches.queries ++
+      IncrementalDedup.queries ++ Sketches.queries ++ Behavioral.queries ++
       StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,6 +29,6 @@ object SparkEntry {
       TextOps.oracles ++ Sampling.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       GraftOps.oracles ++ V3Ops.oracles ++ Multimodal.oracles ++
       IncrementalAgg.oracles ++ CorpusGraph.oracles ++ Clustering.oracles ++
-      IncrementalDedup.oracles ++ Sketches.oracles ++
+      IncrementalDedup.oracles ++ Sketches.oracles ++ Behavioral.oracles ++
       StreamingOps.oracles
 }

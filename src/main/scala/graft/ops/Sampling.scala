@@ -132,11 +132,30 @@ object Sampling {
       .orderBy("lang")
   }
 
+  // --- deterministic train/val/test split -----------------------------------
+  /** Holdout assignment as a pure hash of the document key (80/10/10):
+    * membership never changes when the corpus grows, documents never leak
+    * between splits across pipeline runs, and any machine can recompute
+    * any split without coordination — the properties random splits lose.
+    * One linear scan, no shuffle before the per-(lang, split) rollup. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val b = pmod(conv(substring(
+      md5(concat(lit("spl:"), col("doc_id").cast("string")).cast("binary")),
+      1, 8), 16, 10).cast(LongType), lit(100L))
+    Tables(spark, dir, "documents")
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sample_stratified" -> sampleStratified,
     "q_pack_chunks" -> packChunks,
     "q_train_shuffle" -> trainShuffle,
-    "q_mix_temperature" -> mixTemperature)
+    "q_mix_temperature" -> mixTemperature,
+    "q_split_assign" -> splitAssign)
 
   /** DuckDB lacks a hex-to-int cast, so the oracle folds the 8 hex digits
     * positionally; every term is an exact small-integer double. */
@@ -149,6 +168,16 @@ object Sampling {
   private val sqlU = sqlFold("smp")
 
   val oracles: Map[String, String] = Map(
+    "q_split_assign" ->
+      s"""WITH s AS (
+         |  SELECT lang,
+         |    CASE WHEN CAST(${sqlFold("spl")} AS BIGINT) % 100 < 80 THEN 'train'
+         |         WHEN CAST(${sqlFold("spl")} AS BIGINT) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |)
+         |SELECT lang, split, COUNT(*) AS n_docs
+         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "q_train_shuffle" ->
       s"""WITH k AS (
          |  SELECT doc_id, md5('shd:' || CAST(doc_id AS VARCHAR)) AS key,

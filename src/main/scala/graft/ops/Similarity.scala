@@ -335,6 +335,29 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the most-similar vectors carrying a DIFFERENT label — the pairs that
+    * teach a retriever the most. Same broadcast-queries × linear-scan shape
+    * as [[annTopK]] (a small query batch against the corpus never
+    * shuffles); the production-scale variant swaps the scan for the LSH
+    * candidate join of [[annLsh]] and re-ranks exactly, unchanged here
+    * because mining quality is defined by the exact top-k. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), vdouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(e, col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("label").as("n_label"),
+        graft.functions.GraftFunctions.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 2)
+      .select("q_id", "rnk", "n_id", "n_label")
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_embedding" -> dedupEmbedding,
     "q_ann_topk" -> annTopK,
@@ -342,7 +365,8 @@ object Similarity {
     "q_ann_ivf" -> annIvf,
     "q_dedup_semantic" -> dedupSemantic,
     "q_ann_int8" -> annInt8,
-    "q_embed_quantize" -> embedQuantize)
+    "q_embed_quantize" -> embedQuantize,
+    "q_hard_negatives" -> hardNegatives)
 
   private val cosExpr =
     """list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
@@ -459,6 +483,21 @@ object Similarity {
        |)""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    "q_hard_negatives" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, b.label AS n_label,
+         |    ${sqlCos("a.v", "b.v")} AS cos
+         |  FROM e a JOIN e b ON a.vec_id < 20 AND b.label <> a.label
+         |)
+         |SELECT q_id, rnk, n_id, n_label FROM (
+         |  SELECT q_id, n_id, n_label,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored) t
+         |WHERE rnk <= 2 ORDER BY q_id, rnk""".stripMargin,
     "q_dedup_semantic" ->
       s"""$ivfCentsCte, am AS (
          |  SELECT vec_id, c AS bucket FROM (

@@ -378,6 +378,50 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: mined pairs always cross labels") {
+    val e = graft.Tables(spark, sf01, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val rows = Similarity.hardNegatives(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(e(r.getAs[Long]("q_id")) != r.getAs[Int]("n_label"))
+      assert(e(r.getAs[Long]("n_id")) == r.getAs[Int]("n_label"))
+    }
+  }
+
+  test("split assign: stable 80/10/10 partition of every language") {
+    val rows = Sampling.splitAssign(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = rows.map(_._3).sum
+    assert(total == graft.Tables(spark, sf01, "documents").count())
+    val bySplit = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
+  test("funnel: step counts are monotonically non-increasing") {
+    val r = Behavioral.funnel(spark, sf01).collect().head
+    val steps = Seq("n_signup", "n_view", "n_click", "n_purchase")
+      .map(r.getAs[Long])
+    assert(steps.head > 0)
+    assert(steps.zip(steps.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("cohort retention: offset-0 row equals cohort size; offsets bounded") {
+    val rows = Behavioral.cohortRetention(spark, sf01).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every user is active in their own cohort week -> offset 0 is the max
+    val byCohort = rows.groupBy(_._1)
+    byCohort.values.foreach { rs =>
+      val m = rs.map(r => r._2 -> r._3).toMap
+      assert(m.contains(0L))
+      assert(m.values.forall(_ <= m(0L)))
+    }
+    // 30-day window -> offsets 0..4
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 4))
+  }
+
   test("stream incr agg: streaming maintenance equals the batch result") {
     val s = IncrementalAgg.streamIncrAggQuery(spark, sf01).collect().map(_.toSeq)
     val b = IncrementalAgg.incrAggQuery(spark, sf01).collect().map(_.toSeq)
