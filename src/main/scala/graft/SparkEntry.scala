@@ -19,6 +19,7 @@ object SparkEntry {
       GraftOps.queries ++ V3Ops.queries ++ Multimodal.queries ++
       IncrementalAgg.queries ++ CorpusGraph.queries ++ Clustering.queries ++
       IncrementalDedup.queries ++ Sketches.queries ++ Behavioral.queries ++
+      Scd2.queries ++
       StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,5 +31,6 @@ object SparkEntry {
       GraftOps.oracles ++ V3Ops.oracles ++ Multimodal.oracles ++
       IncrementalAgg.oracles ++ CorpusGraph.oracles ++ Clustering.oracles ++
       IncrementalDedup.oracles ++ Sketches.oracles ++ Behavioral.oracles ++
+      Scd2.oracles ++
       StreamingOps.oracles
 }

@@ -72,9 +72,43 @@ object CorpusGraph {
       .orderBy("doc_id")
   }
 
-  val queries: Map[String, Q] = Map("q_dup_clusters" -> dupClusters)
+  /** Inverted-index construction — the retrieval-side artifact a corpus
+    * pipeline materializes for BM25 search / contamination lookup: per
+    * term, the document frequency, total term frequency, and the sorted
+    * posting list. One shuffle keyed by (term, doc) for TF, one by term
+    * for the postings; posting lists build distributed via collect_list
+    * and never pass through the driver. At 100 TB the term key is the
+    * natural partition — skew on stop-words is the known hazard, handled
+    * by the df floor here (common terms are few) and salting if needed. */
+  def postings(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+    val byDoc = toks.groupBy(col("w"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    byDoc.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).cast("long").as("total_tf"),
+        sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(col("df") >= 100)
+      .orderBy("w")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dup_clusters" -> dupClusters,
+    "q_postings" -> postings)
 
   val oracles: Map[String, String] = Map(
+    "q_postings" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.w
+        |  FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)
+        |), bd AS (
+        |  SELECT w, doc_id, COUNT(*) AS tf FROM toks GROUP BY w, doc_id
+        |)
+        |SELECT w, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+        |  list(doc_id ORDER BY doc_id) AS docs
+        |FROM bd GROUP BY w
+        |HAVING COUNT(*) >= 100 ORDER BY w""".stripMargin,
     "q_dup_clusters" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

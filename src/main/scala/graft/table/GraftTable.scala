@@ -777,18 +777,24 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val a = side(from).select(col("_v").as("_av"), col("_row_id"), col("_seqn").as("_aseq"))
     val b = side(toSnap).select(col("_v").as("_bv"), col("_row_id"), col("_seqn").as("_bseq"))
     val j = a.join(b, Seq("_row_id"), "full_outer")
-    def emit(v: Column, typ: String, seq: Column) =
-      names.map(n => v.getField(n).as(n)) :+ lit(typ).as("_change_type") :+
-        seq.cast(LongType).as("_commit_seq")
-    val ins = j.filter(col("_aseq").isNull)
-      .select(emit(col("_bv"), "insert", col("_bseq")): _*)
-    val del = j.filter(col("_bseq").isNull)
-      .select(emit(col("_av"), "delete", lit(null)): _*)
-    val changed = j.filter(col("_aseq").isNotNull && col("_bseq").isNotNull &&
-      !(col("_av") <=> col("_bv")))
-    val updB = changed.select(emit(col("_av"), "update_before", col("_bseq")): _*)
-    val updA = changed.select(emit(col("_bv"), "update_after", col("_bseq")): _*)
-    ins.unionByName(del).unionByName(updB).unionByName(updA)
+    // classify each joined row into its change rows in ONE pass (an
+    // unioned-filters form would re-execute the full-outer join — and the
+    // MoR overlay scans under it — once per change type)
+    def chg(v: Column, typ: String, seq: Column) =
+      struct(v.as("_v"), lit(typ).as("_t"), seq.cast(LongType).as("_s"))
+    val changeArr =
+      when(col("_aseq").isNull,
+        array(chg(col("_bv"), "insert", col("_bseq"))))
+      .when(col("_bseq").isNull,
+        array(chg(col("_av"), "delete", lit(null))))
+      .when(!(col("_av") <=> col("_bv")),
+        array(chg(col("_av"), "update_before", col("_bseq")),
+          chg(col("_bv"), "update_after", col("_bseq"))))
+    // unchanged rows fall through to NULL; explode emits nothing for them
+    j.select(explode(changeArr).as("_c"))
+      .select(names.map(n => col("_c._v").getField(n).as(n)) :+
+        col("_c._t").as("_change_type") :+
+        col("_c._s").as("_commit_seq"): _*)
   }
 
   /** bin-pack compaction: rewrite ALL live data into ~targetMB files,

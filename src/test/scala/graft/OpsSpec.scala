@@ -378,6 +378,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("scd2: as-of reads reconstruct every version; one open row per key") {
+    import graft.table.GraftTable
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scd2spec")
+    val dim = GraftTable.create(spark, tmp.resolve("d").toString,
+      "k bigint, v double, valid_from bigint, valid_to bigint, is_current boolean")
+    import spark.implicits._
+    dim.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .withColumn("valid_from", lit(1L))
+      .withColumn("valid_to", lit(Long.MaxValue))
+      .withColumn("is_current", lit(true)))
+    Scd2.apply2(dim, Seq((1L, 11.0)).toDF("k", "v"), "k", "v", version = 2L)
+    Scd2.apply2(dim, Seq((1L, 12.0)).toDF("k", "v"), "k", "v", version = 3L)
+    def asOf(ver: Long): Map[Long, Double] =
+      dim.scan().filter(col("valid_from") <= ver && col("valid_to") > ver)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(asOf(1L) == Map(1L -> 10.0, 2L -> 20.0))
+    assert(asOf(2L) == Map(1L -> 11.0, 2L -> 20.0))
+    assert(asOf(3L) == Map(1L -> 12.0, 2L -> 20.0))
+    // exactly one current row per key, and it matches the latest as-of
+    val cur = dim.scan().filter(col("is_current"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cur == asOf(3L))
+    assert(dim.scan().count() == 4)
+  }
+
   test("hard negatives: mined pairs always cross labels") {
     val e = graft.Tables(spark, sf01, "embeddings")
       .select("vec_id", "label").collect()
