@@ -220,6 +220,31 @@ object Analytics {
         col("sum_qty"), col("n"))
       .orderBy("rflag", "lstatus")
 
+  /** CUBE with grouping_id: all 4 grouping sets of (returnflag,
+    * linestatus) in one pass — Spark plans a single Expand + aggregate,
+    * not 4 scans */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(d(sum(dec(col("l_quantity"), 12, 2))).as("sum_qty"),
+        count(lit(1)).as("n"), grouping_id().cast(LongType).as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("gid"), col("sum_qty"), col("n"))
+      .orderBy("rflag", "lstatus", "gid")
+
+  /** pivot: event counts and value sums per user-cohort nation, one
+    * column group per event type — Spark's two-phase pivot (distinct
+    * values then pivoting aggregate) */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("cohort", (col("user_id") % 5).cast(LongType))
+      .groupBy(col("cohort"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .orderBy("cohort")
+
   // --- tumbling-window aggregation over events -------------------------------
   def eventsWindow(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
@@ -259,6 +284,8 @@ object Analytics {
     "q_topk_per_group" -> topkPerGroup,
     "q_distinct_agg" -> distinctAgg,
     "q_rollup" -> rollupAgg,
+    "q_cube" -> cubeAgg,
+    "q_pivot" -> pivotAgg,
     "q_events_window" -> eventsWindow,
     "q_sessionize" -> sessionize)
 
@@ -373,6 +400,22 @@ object Analytics {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        | COALESCE(l_linestatus, 'ALL') AS lstatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus, gid""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id % 5 AS cohort,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin,
     "q_events_window" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

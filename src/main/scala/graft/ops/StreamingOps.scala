@@ -281,6 +281,82 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join — the harder semantics: a
+    * click with no purchase inside its 30-minute window must STILL emit
+    * (null-padded), which only happens once the watermark proves no
+    * matching purchase can arrive. State eviction and null-padding ride
+    * the same watermark; sentinels at max+3h push the final watermark past
+    * every click's window end so each unmatched click resolves before
+    * AvailableNow drains. Output counts both outcomes per user, which
+    * pins the padding logic, not just the matches. */
+  def streamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val (tmp, src) = stage(spark, dir)
+    val maxUs = src.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val sentinels = src.select(col("event_type")).distinct()
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", timestamp_micros(lit(maxUs + 10800000000L)))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("value", lit(0.0))
+      .select(src.columns.map(col): _*)
+    src.unionByName(sentinels).write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in")
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+    val name = s"jo_${UUID.randomUUID.toString.replace("-", "")}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).filter(col("c_user") >= 0)
+      .groupBy(col("c_user"))
+      .agg(sum(when(col("p_id").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(col("p_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .select(col("c_user").as("user_id"), col("n_pairs"), col("n_unmatched"))
+      .orderBy("user_id")
+  }
+
+  /** Stream-static enrichment (lookup join): each micro-batch joins the
+    * stream against a graft DIMENSION table — the static side re-resolves
+    * per batch, so a dimension update between batches is picked up without
+    * restarting the query, and the small side broadcasts (no stream-side
+    * shuffle for the join). The everyday "attach user segment to the
+    * clickstream" shape. */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val (tmp, src) = stage(spark, dir)
+    src.write.parquet(s"$tmp/in")
+    val dim = graft.table.GraftTable.create(spark, s"$tmp/dim",
+      "user_id bigint, segment string")
+    dim.append(src.select(col("user_id")).distinct()
+      .withColumn("segment",
+        concat(lit("seg"), pmod(col("user_id"), lit(4L)).cast("string"))))
+    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in")
+    val enriched = stream.join(broadcast(dim.scan()), Seq("user_id"))
+    val name = s"en_${UUID.randomUUID.toString.replace("-", "")}"
+    val q = enriched.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .orderBy("segment", "event_type")
+  }
+
   // --- streaming exactly-once dedup -----------------------------------------
 
   /** At-least-once delivery repaired to exactly-once: a third of the
@@ -313,6 +389,8 @@ object StreamingOps {
   val queries: Map[String, Q] = Map(
     "q_stream_dedup" -> streamDedup,
     "q_stream_join" -> streamJoin,
+    "q_stream_join_outer" -> streamJoinOuter,
+    "q_stream_enrich" -> streamEnrich,
     "q_stream_window" -> streamWindow,
     "q_stream_window_append" -> streamWindowAppend,
     "q_stream_sessions" -> streamSessions,
@@ -332,6 +410,25 @@ object StreamingOps {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    "q_stream_enrich" ->
+      """SELECT 'seg' || CAST(user_id % 4 AS VARCHAR) AS segment, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin,
+    "q_stream_join_outer" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.user_id, p.event_id AS p_id
+        |  FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN p_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pairs,
+        |  CAST(SUM(CASE WHEN p_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_upsert" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
