@@ -19,7 +19,7 @@ object SparkEntry {
       GraftOps.queries ++ V3Ops.queries ++ Multimodal.queries ++
       IncrementalAgg.queries ++ CorpusGraph.queries ++ Clustering.queries ++
       IncrementalDedup.queries ++ Sketches.queries ++ Behavioral.queries ++
-      Scd2.queries ++
+      Scd2.queries ++ DataQuality.queries ++
       StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,6 +31,6 @@ object SparkEntry {
       GraftOps.oracles ++ V3Ops.oracles ++ Multimodal.oracles ++
       IncrementalAgg.oracles ++ CorpusGraph.oracles ++ Clustering.oracles ++
       IncrementalDedup.oracles ++ Sketches.oracles ++ Behavioral.oracles ++
-      Scd2.oracles ++
+      Scd2.oracles ++ DataQuality.oracles ++
       StreamingOps.oracles
 }

@@ -297,6 +297,26 @@ object GraftOps {
       .orderBy("event_type")
   }
 
+  /** dynamic partition overwrite: re-ingest ONE day of events with
+    * corrected values; only that day's partition swaps, every other
+    * partition's files survive untouched (the daily-backfill primitive) */
+  def overwritePartitionsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, scratch(),
+      "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+      partitionBy = Seq("day(ts)"))
+    val ev = Tables(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    t.append(ev)
+    val patch = ev.filter(to_date(col("ts")) === lit("2024-01-15"))
+      .withColumn("value", col("value") * 2.0)
+    t.overwritePartitions(patch)
+    t.scan()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        d(sum(col("value").cast(DecimalType(18, 6)))).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   // --- #17 partition evolution ----------------------------------------------
   def partitionEvolution(spark: SparkSession, dir: String): DataFrame = {
     val t = mkOrders(spark, dir)
@@ -498,6 +518,7 @@ object GraftOps {
     "q_wap" -> wap,
     "q_cdc_changes" -> cdcChanges,
     "q_hidden_partitioning" -> hiddenPartitioning,
+    "q_overwrite_partitions" -> overwritePartitionsQuery,
     "q_partition_evolution" -> partitionEvolution,
     "q_multiarg_bucket" -> multiargBucket,
     "q_stats_pruning" -> statsPruning,
@@ -660,6 +681,12 @@ object GraftOps {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_overwrite_partitions" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-15'
+        |   THEN value * 2.0 ELSE value END AS DECIMAL(18,6))) AS DOUBLE)
+        |   AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_partition_evolution" ->
       """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders WHERE o_custkey < 100

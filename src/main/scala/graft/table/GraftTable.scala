@@ -418,6 +418,37 @@ class GraftTable(val spark: SparkSession, val location: String) {
     commit("overwrite", branch, files, prior, snapId, seq)
   }
 
+  /** Dynamic partition overwrite (Iceberg's replacePartitions): atomically
+    * replace ONLY the partitions the incoming data touches — the idempotent
+    * daily-backfill primitive ("recompute day X and swap it in") that a
+    * full [[overwrite]] over-deletes for. One snapshot: the new files land,
+    * and every prior data file whose partition tuple appears in the new
+    * file set is dropped (with its partition-scoped delete/DV entries —
+    * posdel/dv entries keyed to removed files would be dead weight).
+    * Requires a partitioned table; at scale the commit is manifest-only
+    * work proportional to the touched partitions, never a table rewrite. */
+  def overwritePartitions(df: DataFrame, branch: String = "main"): SnapshotMeta = {
+    val m0 = meta
+    require(m0.spec(m0.currentSpecId).fields.nonEmpty,
+      "overwritePartitions needs a partitioned table; use overwrite()")
+    val (snapId, seq) = nextIds()
+    val files = writeDataFiles(toPhysical(df, m0.currentSchema), snapId, seq,
+      m0.currentSchemaId, m0.currentSpecId)
+    val touched = files.map(_.partition).toSet
+    val priorEntries = meta.head(branch).toSeq
+      .flatMap(s => Meta.readManifest(location, s.manifest))
+    val removedData = priorEntries
+      .filter(e => e.fileType == "data" && touched.contains(e.partition))
+      .map(e => normPath(abs(e.path))).toSet
+    // delete/DV entries that applied only to removed files go with them
+    val removedOverlays = priorEntries
+      .filter(e => e.fileType != "data" &&
+        e.appliesTo.exists(p => removedData.contains(normPath(abs(p)))))
+      .map(e => normPath(abs(e.path))).toSet
+    commit("overwrite", branch, files, removedData ++ removedOverlays,
+      snapId, seq)
+  }
+
   // ==========================================================================
   // Row-level operations
   // ==========================================================================

@@ -378,6 +378,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("overwritePartitions swaps only touched partitions' files") {
+    import graft.table.{GraftTable, Meta}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpo").toString
+    val t = GraftTable.create(spark, s"$tmp/t",
+      "k bigint, day string, v double", partitionBy = Seq("identity(day)"))
+    import spark.implicits._
+    t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "b", 3.0))
+      .toDF("k", "day", "v"))
+    def filesByPart: Map[String, Set[String]] = {
+      val m = t.meta
+      Meta.readManifest(t.location, m.head("main").get.manifest)
+        .filter(_.fileType == "data")
+        .groupBy(_.partition.values.mkString)
+        .view.mapValues(_.map(_.path).toSet).toMap
+    }
+    val before = filesByPart
+    t.overwritePartitions(Seq((20L, "b", 20.0)).toDF("k", "day", "v"))
+    val after = filesByPart
+    assert(after("a") == before("a"), "untouched partition must keep its files")
+    assert(after("b").intersect(before("b")).isEmpty, "touched partition swaps")
+    val rows = t.scan().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "a", 1.0), (20L, "b", 20.0)))
+    // unpartitioned tables must refuse
+    val u = GraftTable.create(spark, s"$tmp/u", "k bigint, v double")
+    intercept[IllegalArgumentException] {
+      u.overwritePartitions(Seq((1L, 1.0)).toDF("k", "v"))
+    }
+  }
+
   test("scd2: as-of reads reconstruct every version; one open row per key") {
     import graft.table.GraftTable
     val tmp = java.nio.file.Files.createTempDirectory("graft-scd2spec")
