@@ -71,7 +71,9 @@ object GraftFunctions {
     ("graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)),
       "graft_cosine(a, b) - cosine similarity of two double arrays"),
     ("graft_bucket", exprs => bucketExpr(exprs.head, exprs.tail),
-      "graft_bucket(n, cols...) - graft partition bucket of the arguments"))
+      "graft_bucket(n, cols...) - graft partition bucket of the arguments"),
+    ("graft_hll_ndv", exprs => HllNdvAgg(exprs.head),
+      "graft_hll_ndv(col) - mergeable HyperLogLog NDV sketch (p=9)"))
 
   /** runtime registration into an existing session's function registry */
   def register(spark: SparkSession): Unit =
@@ -92,7 +94,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_cosine(a, b) - cosine similarity of two double arrays"),
       ("graft_bucket",
         (exprs: Seq[Expression]) => GraftFunctions.bucketExpr(exprs.head, exprs.tail),
-        "graft_bucket(n, cols...) - graft partition bucket of the arguments")
+        "graft_bucket(n, cols...) - graft partition bucket of the arguments"),
+      ("graft_hll_ndv",
+        (exprs: Seq[Expression]) => HllNdvAgg(exprs.head): Expression,
+        "graft_hll_ndv(col) - mergeable HyperLogLog NDV sketch (p=9)")
     ).foreach { case (name, builder, usage) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftFunctions", name, usage),

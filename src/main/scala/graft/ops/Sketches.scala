@@ -93,8 +93,25 @@ object Sketches {
         expr("percentile(cast(n_chars as double), 0.99)").as("p99"))
       .orderBy("lang")
 
+  /** the same sketch as a first-class Catalyst aggregate
+    * (functions/HllAgg.scala): per-group NDV via `graft_hll_ndv` — the
+    * 512-byte register buffer partial-aggregates map-side and merges by
+    * element-wise max, so each group ships one buffer per partition
+    * through the shuffle regardless of row count */
+  def hllGroup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(graft.functions.HllNdvAgg.hllNdv(col("l_orderkey")).as("sk"),
+        countDistinct(col("l_orderkey")).as("ndv_exact"))
+      .select(col("l_returnflag"), col("sk.n_registers").as("n_registers"),
+        col("sk.t").as("t"), col("sk.ndv_est").as("ndv_est"),
+        col("ndv_exact"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_hll_ndv" -> hllNdv,
+    "q_hll_group" -> hllGroup,
     "q_quantiles" -> quantiles)
 
   /** the md5 32-bit fold, as in Sampling's oracle */
@@ -105,6 +122,40 @@ object Sketches {
       |       - 1 AS DOUBLE) * power(16, 8 - i))) AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_hll_group" ->
+      s"""WITH h AS (
+         |  SELECT l_returnflag, $sqlU AS u FROM lineitem
+         |), rr AS (
+         |  SELECT l_returnflag, u // ${1L << WBits} AS idx,
+         |    CASE WHEN u % ${1L << WBits} = 0 THEN ${WBits + 1}
+         |         ELSE ${WBits + 1} - length(bin(u % ${1L << WBits})) END AS rank
+         |  FROM h
+         |), regs AS (
+         |  SELECT l_returnflag, idx, MAX(rank) AS r FROM rr
+         |  GROUP BY l_returnflag, idx
+         |), agg AS (
+         |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_registers,
+         |    CAST(SUM(CAST(1 AS BIGINT) << CAST(${WBits + 1} - r AS BIGINT))
+         |         AS BIGINT) AS t_present
+         |  FROM regs GROUP BY l_returnflag
+         |), sk AS (
+         |  SELECT l_returnflag, n_registers,
+         |    t_present + ($M - n_registers) * ${1L << (WBits + 1)} AS t
+         |  FROM agg
+         |), ex AS (
+         |  SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+         |    AS ndv_exact
+         |  FROM lineitem GROUP BY l_returnflag
+         |)
+         |SELECT sk.l_returnflag, n_registers, t,
+         |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+         |      + CAST(1.079 AS DOUBLE) / CAST($M.0 AS DOUBLE))
+         |    * CAST($M.0 AS DOUBLE) * CAST($M.0 AS DOUBLE)
+         |    * CAST(${1L << (WBits + 1)}.0 AS DOUBLE)
+         |    / CAST(t AS DOUBLE) AS ndv_est,
+         |  ndv_exact
+         |FROM sk JOIN ex USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
     "q_quantiles" ->
       """SELECT lang,
         |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,

@@ -503,6 +503,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("graft_hll_ndv aggregate: SQL-callable, partition-invariant merge") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables(spark, sf01, "lineitem").createOrReplaceTempView("li_hll")
+    val viaSql = spark.sql(
+      "SELECT graft_hll_ndv(l_orderkey) AS sk FROM li_hll").collect().head
+      .getStruct(0)
+    // the merge path must give the identical sketch for any partitioning
+    val skewed = graft.Tables(spark, sf01, "lineitem").repartition(17)
+      .agg(graft.functions.HllNdvAgg.hllNdv(col("l_orderkey")).as("sk"))
+      .collect().head.getStruct(0)
+    assert(viaSql.getLong(1) == skewed.getLong(1), "t must be partition-invariant")
+    assert(viaSql.getDouble(2) == skewed.getDouble(2))
+  }
+
   test("hll ndv: estimate within 15% of exact; register bounds hold") {
     val r = Sketches.hllNdv(spark, sf01).collect().head
     val (nreg, est, exact) = (r.getAs[Long]("n_registers"),
