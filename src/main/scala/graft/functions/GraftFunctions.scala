@@ -73,7 +73,9 @@ object GraftFunctions {
     ("graft_bucket", exprs => bucketExpr(exprs.head, exprs.tail),
       "graft_bucket(n, cols...) - graft partition bucket of the arguments"),
     ("graft_hll_ndv", exprs => HllNdvAgg(exprs.head),
-      "graft_hll_ndv(col) - mergeable HyperLogLog NDV sketch (p=9)"))
+      "graft_hll_ndv(col) - mergeable HyperLogLog NDV sketch (p=9)"),
+    ("graft_cms", exprs => CmsSketchAgg(exprs.head),
+      "graft_cms(col) - mergeable Count-Min frequency sketch (4x1024)"))
 
   /** runtime registration into an existing session's function registry */
   def register(spark: SparkSession): Unit =
@@ -97,7 +99,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bucket(n, cols...) - graft partition bucket of the arguments"),
       ("graft_hll_ndv",
         (exprs: Seq[Expression]) => HllNdvAgg(exprs.head): Expression,
-        "graft_hll_ndv(col) - mergeable HyperLogLog NDV sketch (p=9)")
+        "graft_hll_ndv(col) - mergeable HyperLogLog NDV sketch (p=9)"),
+      ("graft_cms",
+        (exprs: Seq[Expression]) => CmsSketchAgg(exprs.head): Expression,
+        "graft_cms(col) - mergeable Count-Min frequency sketch (4x1024)")
     ).foreach { case (name, builder, usage) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftFunctions", name, usage),

@@ -109,19 +109,78 @@ object Sketches {
       .orderBy("l_returnflag")
   }
 
+  /** Count-Min heavy hitters (functions/CmsAgg.scala): ONE pass builds
+    * the 4×1024 counter grid (map-side partials, element-wise-sum merge
+    * — the shuffle carries one 32 KB grid per partition), then the exact
+    * top-20 hottest users probe it: est = min over hash rows, an upper
+    * bound on the true count. The probe side is the "which keys need
+    * salting" query that feeds SkewJoin; the exact count rides beside
+    * the estimate so the CMS error is visible. */
+  def cmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsSketchAgg.{D, W}
+    val ev = Tables(spark, dir, "events")
+    val sk = ev.agg(graft.functions.CmsSketchAgg.cms(col("user_id")).as("sk"))
+    val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt_exact"))
+      .orderBy(col("cnt_exact").desc, col("user_id")).limit(20)
+    val est = (0 until D).map { d =>
+      element_at(col("sk"),
+        (lit(d * W) + cmsIdx(d, col("user_id")) + lit(1L)).cast("int"))
+    }.reduce(least(_, _))
+    top.crossJoin(broadcast(sk))
+      .select(col("user_id"), col("cnt_exact"), est.as("cnt_est"))
+      .orderBy(col("cnt_exact").desc, col("user_id"))
+  }
+
+  /** probe-side replica of CmsSketchAgg's hash row d: low 10 bits of the
+    * first 32 bits of md5("cms<d>:" || key) */
+  private def cmsIdx(d: Int, k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(s"cms$d:"), k.cast("string")).cast("binary")),
+      1, 8), 16, 10).cast("long")
+      .bitwiseAND(lit((graft.functions.CmsSketchAgg.W - 1).toLong))
+
   val queries: Map[String, Q] = Map(
     "q_hll_ndv" -> hllNdv,
     "q_hll_group" -> hllGroup,
+    "q_cms_topk" -> cmsTopk,
     "q_quantiles" -> quantiles)
 
+  /** the md5 32-bit fold over hex chars — DuckDB's conv()-equivalent */
+  private def sqlFold(arg: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 9),
+       |  i -> CAST(strpos('0123456789abcdef',
+       |         substr(md5($arg), CAST(i AS INT), 1))
+       |       - 1 AS DOUBLE) * power(16, 8 - i))) AS BIGINT)""".stripMargin
+
   /** the md5 32-bit fold, as in Sampling's oracle */
-  private val sqlU =
-    """CAST(list_sum(list_transform(range(1, 9),
-      |  i -> CAST(strpos('0123456789abcdef',
-      |         substr(md5('hll:' || CAST(l_orderkey AS VARCHAR)), CAST(i AS INT), 1))
-      |       - 1 AS DOUBLE) * power(16, 8 - i))) AS BIGINT)""".stripMargin
+  private val sqlU = sqlFold("'hll:' || CAST(l_orderkey AS VARCHAR)")
 
   val oracles: Map[String, String] = Map(
+    "q_cms_topk" ->
+      s"""WITH ds AS (SELECT UNNEST(range(4)) AS d),
+         |hashes AS (
+         |  SELECT ${sqlFold("'cms' || d || ':' || CAST(user_id AS VARCHAR)")}
+         |    % 1024 AS idx, d
+         |  FROM events, ds
+         |),
+         |counters AS (
+         |  SELECT d, idx, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM hashes GROUP BY d, idx
+         |),
+         |top AS (
+         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt_exact
+         |  FROM events GROUP BY user_id
+         |  ORDER BY cnt_exact DESC, user_id LIMIT 20
+         |),
+         |probe AS (
+         |  SELECT t.user_id, t.cnt_exact, ds.d,
+         |    ${sqlFold("'cms' || ds.d || ':' || CAST(t.user_id AS VARCHAR)")}
+         |      % 1024 AS idx
+         |  FROM top t, ds
+         |)
+         |SELECT p.user_id, p.cnt_exact, CAST(MIN(c.c) AS BIGINT) AS cnt_est
+         |FROM probe p JOIN counters c ON c.d = p.d AND c.idx = p.idx
+         |GROUP BY p.user_id, p.cnt_exact
+         |ORDER BY cnt_exact DESC, user_id""".stripMargin,
     "q_hll_group" ->
       s"""WITH h AS (
          |  SELECT l_returnflag, $sqlU AS u FROM lineitem

@@ -517,6 +517,28 @@ class OpsSpec extends SparkSpec {
     assert(viaSql.getDouble(2) == skewed.getDouble(2))
   }
 
+  test("graft_cms aggregate: upper bound, partition-invariant, SQL-callable") {
+    val r = Sketches.cmsTopk(spark, sf01).collect()
+    assert(r.length == 20)
+    // CMS estimates never undercount, and at 150 keys x 1024 buckets the
+    // min over 4 rows should be within a small additive error
+    r.foreach { row =>
+      val (exact, est) = (row.getLong(1), row.getLong(2))
+      assert(est >= exact, s"CMS must upper-bound: $est < $exact")
+      assert(est - exact <= 200, s"CMS error too large: $est vs $exact")
+    }
+    // merge path: identical grid under any partitioning
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables(spark, sf01, "events").createOrReplaceTempView("ev_cms")
+    val viaSql = spark.sql("SELECT graft_cms(user_id) AS sk FROM ev_cms")
+      .collect().head.getSeq[Long](0)
+    val skewed = graft.Tables(spark, sf01, "events").repartition(17)
+      .agg(graft.functions.CmsSketchAgg.cms(col("user_id")).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(viaSql == skewed, "grid must be partition-invariant")
+    assert(viaSql.sum == 4L * graft.Tables(spark, sf01, "events").count())
+  }
+
   test("hll ndv: estimate within 15% of exact; register bounds hold") {
     val r = Sketches.hllNdv(spark, sf01).collect().head
     val (nreg, est, exact) = (r.getAs[Long]("n_registers"),
