@@ -75,7 +75,9 @@ object GraftFunctions {
     ("graft_hll_ndv", exprs => HllNdvAgg(exprs.head),
       "graft_hll_ndv(col) - mergeable HyperLogLog NDV sketch (p=9)"),
     ("graft_cms", exprs => CmsSketchAgg(exprs.head),
-      "graft_cms(col) - mergeable Count-Min frequency sketch (4x1024)"))
+      "graft_cms(col) - mergeable Count-Min frequency sketch (4x1024)"),
+    ("graft_hist_quantile", exprs => HistQuantileAgg.fromExprs(exprs),
+      "graft_hist_quantile(col, lo, hi, bins) - mergeable histogram quantile sketch"))
 
   /** runtime registration into an existing session's function registry */
   def register(spark: SparkSession): Unit =
@@ -102,7 +104,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_hll_ndv(col) - mergeable HyperLogLog NDV sketch (p=9)"),
       ("graft_cms",
         (exprs: Seq[Expression]) => CmsSketchAgg(exprs.head): Expression,
-        "graft_cms(col) - mergeable Count-Min frequency sketch (4x1024)")
+        "graft_cms(col) - mergeable Count-Min frequency sketch (4x1024)"),
+      ("graft_hist_quantile",
+        (exprs: Seq[Expression]) => HistQuantileAgg.fromExprs(exprs),
+        "graft_hist_quantile(col, lo, hi, bins) - mergeable histogram quantile sketch")
     ).foreach { case (name, builder, usage) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftFunctions", name, usage),

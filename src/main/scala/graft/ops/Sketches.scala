@@ -138,10 +138,29 @@ object Sketches {
       1, 8), 16, 10).cast("long")
       .bitwiseAND(lit((graft.functions.CmsSketchAgg.W - 1).toLong))
 
+  /** Histogram-sketch quantiles (functions/HistAgg.scala) — the
+    * mergeable answer to q_quantiles' exact per-group sort: 256 BIGINT
+    * bins, element-wise-sum merge (partition-invariant, unlike t-digest),
+    * ±4-char accuracy by construction. The exact percentiles ride beside
+    * the estimates so the sketch error is visible in the output. */
+  def histQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        graft.functions.HistQuantileAgg
+          .histQuantile(col("n_chars"), 0L, 1024L, 256).as("sk"),
+        expr("percentile(cast(n_chars as double), 0.5)").as("exact_p50"),
+        expr("percentile(cast(n_chars as double), 0.99)").as("exact_p99"))
+      .select(col("lang"), col("sk.n").as("n"), col("sk.p50").as("h50"),
+        col("sk.p90").as("h90"), col("sk.p99").as("h99"),
+        col("exact_p50"), col("exact_p99"))
+      .orderBy("lang")
+
   val queries: Map[String, Q] = Map(
     "q_hll_ndv" -> hllNdv,
     "q_hll_group" -> hllGroup,
     "q_cms_topk" -> cmsTopk,
+    "q_hist_quantiles" -> histQuantiles,
     "q_quantiles" -> quantiles)
 
   /** the md5 32-bit fold over hex chars — DuckDB's conv()-equivalent */
@@ -155,6 +174,42 @@ object Sketches {
   private val sqlU = sqlFold("'hll:' || CAST(l_orderkey AS VARCHAR)")
 
   val oracles: Map[String, String] = Map(
+    "q_hist_quantiles" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    CAST(LEAST(GREATEST((n_chars * 256) // 1024, 0), 255) AS BIGINT)
+        |      AS bin
+        |  FROM documents
+        |), counts AS (
+        |  SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM b GROUP BY lang, bin
+        |), cum AS (
+        |  SELECT lang, bin,
+        |    CAST(SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM counts
+        |), pick AS (
+        |  SELECT lang, n,
+        |    MIN(CASE WHEN CAST(cum AS DOUBLE)
+        |          >= CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE) THEN bin END) AS b50,
+        |    MIN(CASE WHEN CAST(cum AS DOUBLE)
+        |          >= CAST(0.9 AS DOUBLE) * CAST(n AS DOUBLE) THEN bin END) AS b90,
+        |    MIN(CASE WHEN CAST(cum AS DOUBLE)
+        |          >= CAST(0.99 AS DOUBLE) * CAST(n AS DOUBLE) THEN bin END) AS b99
+        |  FROM cum GROUP BY lang, n
+        |), ex AS (
+        |  SELECT lang,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS exact_p50,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.99) AS exact_p99
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT p.lang, n,
+        |  CAST(b50 + 1 AS DOUBLE) * (CAST(1024 AS DOUBLE) / CAST(256 AS DOUBLE)) AS h50,
+        |  CAST(b90 + 1 AS DOUBLE) * (CAST(1024 AS DOUBLE) / CAST(256 AS DOUBLE)) AS h90,
+        |  CAST(b99 + 1 AS DOUBLE) * (CAST(1024 AS DOUBLE) / CAST(256 AS DOUBLE)) AS h99,
+        |  exact_p50, exact_p99
+        |FROM pick p JOIN ex USING (lang)
+        |ORDER BY lang""".stripMargin,
     "q_cms_topk" ->
       s"""WITH ds AS (SELECT UNNEST(range(4)) AS d),
          |hashes AS (

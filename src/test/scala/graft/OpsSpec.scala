@@ -539,6 +539,33 @@ class OpsSpec extends SparkSpec {
     assert(viaSql.sum == 4L * graft.Tables(spark, sf01, "events").count())
   }
 
+  test("graft_hist_quantile: within one bin of exact, partition-invariant") {
+    val rows = Sketches.histQuantiles(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // upper-edge estimate of the ceil(p*n)-th value: within ~2 bins of
+      // the R-7 interpolated exact quantile on this data
+      assert(math.abs(r.getDouble(2) - r.getDouble(5)) <= 8.0,
+        s"p50 sketch ${r.getDouble(2)} vs exact ${r.getDouble(5)}")
+      // p99 at ~50 rows/group sits in the sparse tail: the sketch answers
+      // the bin of the ceil(.99n)-th = max value while R-7 interpolates
+      // below it, so the gap is order-statistic spacing, not sketch error
+      assert(r.getDouble(4) >= r.getDouble(6) - 4.0 &&
+        r.getDouble(4) <= r.getDouble(6) + 32.0,
+        s"p99 sketch ${r.getDouble(4)} vs exact ${r.getDouble(6)}")
+    }
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables(spark, sf01, "documents").createOrReplaceTempView("docs_hist")
+    val viaSql = spark.sql(
+      "SELECT graft_hist_quantile(n_chars, 0, 1024, 256) AS sk FROM docs_hist")
+      .collect().head.getStruct(0)
+    val skewed = graft.Tables(spark, sf01, "documents").repartition(17)
+      .agg(graft.functions.HistQuantileAgg
+        .histQuantile(col("n_chars"), 0L, 1024L, 256).as("sk"))
+      .collect().head.getStruct(0)
+    assert(viaSql == skewed, "histogram must be partition-invariant")
+  }
+
   test("hll ndv: estimate within 15% of exact; register bounds hold") {
     val r = Sketches.hllNdv(spark, sf01).collect().head
     val (nreg, est, exact) = (r.getAs[Long]("n_registers"),
