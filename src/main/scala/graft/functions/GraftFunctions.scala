@@ -77,7 +77,9 @@ object GraftFunctions {
     ("graft_cms", exprs => CmsSketchAgg(exprs.head),
       "graft_cms(col) - mergeable Count-Min frequency sketch (4x1024)"),
     ("graft_hist_quantile", exprs => HistQuantileAgg.fromExprs(exprs),
-      "graft_hist_quantile(col, lo, hi, bins) - mergeable histogram quantile sketch"))
+      "graft_hist_quantile(col, lo, hi, bins) - mergeable histogram quantile sketch"),
+    ("graft_minhash", exprs => MinHashSigAgg(exprs.head),
+      "graft_minhash(col) - mergeable K=64 MinHash set signature"))
 
   /** runtime registration into an existing session's function registry */
   def register(spark: SparkSession): Unit =
@@ -107,7 +109,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_cms(col) - mergeable Count-Min frequency sketch (4x1024)"),
       ("graft_hist_quantile",
         (exprs: Seq[Expression]) => HistQuantileAgg.fromExprs(exprs),
-        "graft_hist_quantile(col, lo, hi, bins) - mergeable histogram quantile sketch")
+        "graft_hist_quantile(col, lo, hi, bins) - mergeable histogram quantile sketch"),
+      ("graft_minhash",
+        (exprs: Seq[Expression]) => MinHashSigAgg(exprs.head): Expression,
+        "graft_minhash(col) - mergeable K=64 MinHash set signature")
     ).foreach { case (name, builder, usage) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftFunctions", name, usage),

@@ -156,11 +156,48 @@ object Sketches {
         col("exact_p50"), col("exact_p99"))
       .orderBy("lang")
 
+  /** Group-level set similarity via MinHash signatures
+    * (functions/MinHashAgg.scala): pairwise Jaccard of the order-key
+    * sets behind each return flag, from K=64-long signatures instead of
+    * a key-level join. Signature build is one aggregation (min-merge is
+    * duplicate-insensitive — no pre-distinct shuffle); comparison is
+    * O(groups²·K). The exact Jaccard (distinct + self-join) rides
+    * beside the estimate so the sketch error is visible — at 100 TB
+    * only the signature path survives. */
+  def groupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val sig = li.groupBy(col("l_returnflag"))
+      .agg(graft.functions.MinHashSigAgg.minhash(col("l_orderkey")).as("sig"))
+    val a = sig.select(col("l_returnflag").as("fa"), col("sig").as("siga"))
+    val b = sig.select(col("l_returnflag").as("fb"), col("sig").as("sigb"))
+    val est = a.join(b, col("fa") < col("fb"))
+      .select(col("fa"), col("fb"),
+        (expr("cast(size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v)) as double)")
+          / lit(64).cast("double")).as("est_jaccard"))
+    val d = li.select(col("l_returnflag").as("f"), col("l_orderkey").as("k"))
+      .distinct()
+    val cnt = d.groupBy(col("f")).agg(count(lit(1)).as("n"))
+    val inter = d.as("x")
+      .join(d.as("y"), col("x.k") === col("y.k") && col("x.f") < col("y.f"))
+      .groupBy(col("x.f").as("fa"), col("y.f").as("fb"))
+      .agg(count(lit(1)).as("ni"))
+    val exact = inter
+      .join(cnt.select(col("f").as("fa"), col("n").as("na")), "fa")
+      .join(cnt.select(col("f").as("fb"), col("n").as("nb")), "fb")
+      .select(col("fa"), col("fb"),
+        (col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double")).as("exact_jaccard"))
+    est.join(exact, Seq("fa", "fb"))
+      .select(col("fa"), col("fb"), col("est_jaccard"), col("exact_jaccard"))
+      .orderBy("fa", "fb")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_hll_ndv" -> hllNdv,
     "q_hll_group" -> hllGroup,
     "q_cms_topk" -> cmsTopk,
     "q_hist_quantiles" -> histQuantiles,
+    "q_group_minhash" -> groupMinhash,
     "q_quantiles" -> quantiles)
 
   /** the md5 32-bit fold over hex chars — DuckDB's conv()-equivalent */
@@ -174,6 +211,35 @@ object Sketches {
   private val sqlU = sqlFold("'hll:' || CAST(l_orderkey AS VARCHAR)")
 
   val oracles: Map[String, String] = Map(
+    "q_group_minhash" ->
+      s"""WITH mh AS (
+         |  SELECT l_returnflag AS f,
+         |    ${sqlFold("'mh1:' || CAST(l_orderkey AS VARCHAR)")} AS h1,
+         |    ${sqlFold("'mh2:' || CAST(l_orderkey AS VARCHAR)")} AS h2
+         |  FROM lineitem
+         |), g AS (
+         |  SELECT f, i, CAST(MIN((h1 + i * h2) % 4294967296) AS BIGINT) AS mg
+         |  FROM mh, (SELECT UNNEST(range(64)) AS i) GROUP BY f, i
+         |), m AS (
+         |  SELECT a.f AS fa, b.f AS fb,
+         |    CAST(SUM(CASE WHEN a.mg = b.mg THEN 1 ELSE 0 END) AS BIGINT) AS mm
+         |  FROM g a JOIN g b ON a.i = b.i AND a.f < b.f GROUP BY a.f, b.f
+         |), d AS (
+         |  SELECT DISTINCT l_returnflag AS f, l_orderkey AS k FROM lineitem
+         |), cnt AS (
+         |  SELECT f, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY f
+         |), inter AS (
+         |  SELECT x.f AS fa, y.f AS fb, CAST(COUNT(*) AS BIGINT) AS ni
+         |  FROM d x JOIN d y ON x.k = y.k AND x.f < y.f GROUP BY x.f, y.f
+         |)
+         |SELECT m.fa, m.fb,
+         |  CAST(mm AS DOUBLE) / CAST(64 AS DOUBLE) AS est_jaccard,
+         |  CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) AS exact_jaccard
+         |FROM m
+         |JOIN inter ON m.fa = inter.fa AND m.fb = inter.fb
+         |JOIN cnt ca ON ca.f = m.fa
+         |JOIN cnt cb ON cb.f = m.fb
+         |ORDER BY m.fa, m.fb""".stripMargin,
     "q_hist_quantiles" ->
       """WITH b AS (
         |  SELECT lang,

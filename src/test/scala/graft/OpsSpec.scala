@@ -566,6 +566,25 @@ class OpsSpec extends SparkSpec {
     assert(viaSql == skewed, "histogram must be partition-invariant")
   }
 
+  test("graft_minhash: estimate near exact Jaccard, duplicate-insensitive") {
+    val rows = Sketches.groupMinhash(spark, sf01).collect()
+    assert(rows.length == 3) // flag pairs (A,N) (A,R) (N,R)
+    rows.foreach { r =>
+      val (est, exact) = (r.getDouble(2), r.getDouble(3))
+      // K=64 -> std error sqrt(J(1-J)/64) <= 0.0625; allow ~2.5 sigma
+      assert(math.abs(est - exact) <= 0.16,
+        s"${r.getString(0)}/${r.getString(1)}: est $est vs exact $exact")
+    }
+    // min-merge is idempotent: signature over the multiset == over the set
+    val li = graft.Tables(spark, sf01, "lineitem")
+    val full = li.agg(graft.functions.MinHashSigAgg.minhash(col("l_orderkey")).as("s"))
+      .collect().head.getSeq[Long](0)
+    val dedup = li.select(col("l_orderkey")).distinct().repartition(13)
+      .agg(graft.functions.MinHashSigAgg.minhash(col("l_orderkey")).as("s"))
+      .collect().head.getSeq[Long](0)
+    assert(full == dedup, "multiset and set signatures must agree")
+  }
+
   test("hll ndv: estimate within 15% of exact; register bounds hold") {
     val r = Sketches.hllNdv(spark, sf01).collect().head
     val (nreg, est, exact) = (r.getAs[Long]("n_registers"),
