@@ -654,9 +654,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
             case None => lit(null).cast(sparkType(f.dtype)).as(f.name)
           }
         }: _*)
-        if (rows.isEmpty) Nil
-        else writeDataFiles(toPhysical(rows, schema), snapId, seq,
-          meta.currentSchemaId, meta.currentSpecId)
+        // no isEmpty pre-check: that would execute the anti-join twice
+        // (once to count, once to write). Write directly — an empty
+        // result produces no part files — and drop zero-row entries.
+        writeDataFiles(toPhysical(rows, schema), snapId, seq,
+          meta.currentSchemaId, meta.currentSpecId).filter(_.rowCount > 0L)
     }
     commit("overwrite", branch, rewritten ++ inserted, files, snapId, seq)
   }
