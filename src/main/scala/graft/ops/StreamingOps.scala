@@ -85,6 +85,45 @@ object StreamingOps {
       .orderBy("ws", "event_type")
   }
 
+  // --- windowed NDV sketch in a stream --------------------------------------
+  /** Distinct users per hourly window via the mergeable HLL aggregate
+    * (functions/HllAgg.scala) — the streaming face of `graft_hll_ndv`.
+    * Exact streaming COUNT(DISTINCT) would hold every key per open window
+    * in the state store; the sketch holds 512 bytes per window and merges
+    * across micro-batches by register max, so state is O(open windows),
+    * not O(keys). Append mode + the usual max+3h sentinel (its own window
+    * stays open and is never emitted), so the output equals the batch
+    * truth and the DuckDB oracle replays the register algebra per window
+    * bit-exactly. */
+  def streamSketch(spark: SparkSession, dir: String): DataFrame = {
+    val (tmp, src) = stage(spark, dir)
+    val maxUs = src.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val sentinel = src.limit(1)
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", timestamp_micros(lit(maxUs + 10800000000L)))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("value", lit(0.0))
+      .select(src.columns.map(col): _*)
+    src.unionByName(sentinel).write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in")
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.HllNdvAgg.hllNdv(col("user_id")).as("sk"))
+    val name = s"sk_${UUID.randomUUID.toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("window.start").as("ws"), col("n"),
+        col("sk.n_registers").as("n_registers"), col("sk.t").as("t"),
+        col("sk.ndv_est").as("ndv_est"))
+      .orderBy("ws")
+  }
+
   // --- stateful sessionization via flatMapGroupsWithState -------------------
   case class SEv(user_id: Long, ts_us: Long, event_id: Long)
   case class SOpen(start: Long, last: Long, n: Long, closed: Long)
@@ -393,6 +432,7 @@ object StreamingOps {
     "q_stream_enrich" -> streamEnrich,
     "q_stream_window" -> streamWindow,
     "q_stream_window_append" -> streamWindowAppend,
+    "q_stream_sketch" -> streamSketch,
     "q_stream_sessions" -> streamSessions,
     "q_stream_ingest" -> streamIngest,
     "q_stream_upsert" -> streamUpsert,
@@ -453,6 +493,36 @@ object StreamingOps {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_sketch" ->
+      s"""WITH h AS (
+         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+         |    ${Sketches.sqlFold("'hll:' || CAST(user_id AS VARCHAR)")} AS u
+         |  FROM events
+         |), rr AS (
+         |  SELECT ws, u // 8388608 AS idx,
+         |    CASE WHEN u % 8388608 = 0 THEN 24
+         |         ELSE 24 - length(bin(u % 8388608)) END AS rank
+         |  FROM h
+         |), regs AS (
+         |  SELECT ws, idx, MAX(rank) AS r FROM rr GROUP BY ws, idx
+         |), agg AS (
+         |  SELECT ws, CAST(COUNT(*) AS BIGINT) AS n_registers,
+         |    CAST(SUM(CAST(1 AS BIGINT) << CAST(24 - r AS BIGINT)) AS BIGINT)
+         |      AS t_present
+         |  FROM regs GROUP BY ws
+         |), sk AS (
+         |  SELECT ws, n_registers,
+         |    t_present + (512 - n_registers) * 16777216 AS t
+         |  FROM agg
+         |), cnt AS (
+         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+         |    COUNT(*) AS n
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT sk.ws, n, n_registers, t,
+         |  ${Sketches.sqlHllEst} AS ndv_est
+         |FROM sk JOIN cnt USING (ws)
+         |ORDER BY ws""".stripMargin,
     "q_stream_window_append" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

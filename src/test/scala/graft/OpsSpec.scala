@@ -585,6 +585,23 @@ class OpsSpec extends SparkSpec {
     assert(full == dedup, "multiset and set signatures must agree")
   }
 
+  test("q_stream_sketch: streaming windowed NDV matches batch truth") {
+    val out = StreamingOps.streamSketch(spark, sf01)
+    val got = out.collect()
+    assert(got.nonEmpty)
+    // batch truth: exact distinct users per hourly window
+    val exact = graft.Tables(spark, sf01, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("ws"))
+      .agg(countDistinct(col("user_id")).as("ndv"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(got.length == exact.size, "every real window must emit exactly once")
+    got.foreach { r =>
+      val (ws, est, ex) = (r.getTimestamp(0), r.getDouble(4), exact(r.getTimestamp(0)))
+      // p=9 HLL: 4.6% baseline error; small windows stay well within 25%
+      assert(math.abs(est - ex) / ex <= 0.25, s"$ws: est $est vs exact $ex")
+    }
+  }
+
   test("hll ndv: estimate within 15% of exact; register bounds hold") {
     val r = Sketches.hllNdv(spark, sf01).collect().head
     val (nreg, est, exact) = (r.getAs[Long]("n_registers"),

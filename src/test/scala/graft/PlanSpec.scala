@@ -82,6 +82,22 @@ class PlanSpec extends SparkSpec {
       s"co-located bucket join must have ZERO shuffles:\n$plan")
   }
 
+  test("sketch aggregates run as ObjectHashAggregate with map-side partials") {
+    // the TypedImperativeAggregate buffer must partial-aggregate before
+    // the exchange: two ObjectHashAggregate nodes (partial + final)
+    // around exactly one hash exchange, so the shuffle moves one
+    // fixed-size buffer per partition per group — the mergeable-sketch
+    // contract the 100 TB design depends on
+    val li = Tables(spark, sf, "lineitem")
+    val plan = planString(li.groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+      .agg(graft.functions.HllNdvAgg.hllNdv(
+        org.apache.spark.sql.functions.col("l_orderkey")).as("sk")))
+    val oha = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(oha >= 2, s"expected partial+final ObjectHashAggregate, got $oha:\n$plan")
+    assert(countShuffles(plan) == 1,
+      s"sketch groupBy must shuffle exactly once:\n$plan")
+  }
+
   test("sessionize: both window passes share one exchange") {
     val plan = planString(Analytics.sessionize(spark, sf))
     // one partition-by-user exchange (+ the final orderBy range exchange)
