@@ -79,7 +79,9 @@ object GraftFunctions {
     ("graft_hist_quantile", exprs => HistQuantileAgg.fromExprs(exprs),
       "graft_hist_quantile(col, lo, hi, bins) - mergeable histogram quantile sketch"),
     ("graft_minhash", exprs => MinHashSigAgg(exprs.head),
-      "graft_minhash(col) - mergeable K=64 MinHash set signature"))
+      "graft_minhash(col) - mergeable K=64 MinHash set signature"),
+    ("graft_kmv", exprs => KmvSketchAgg(exprs.head),
+      "graft_kmv(col) - mergeable K=256 KMV/theta distinct sketch (set algebra)"))
 
   /** runtime registration into an existing session's function registry */
   def register(spark: SparkSession): Unit =
@@ -112,7 +114,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_hist_quantile(col, lo, hi, bins) - mergeable histogram quantile sketch"),
       ("graft_minhash",
         (exprs: Seq[Expression]) => MinHashSigAgg(exprs.head): Expression,
-        "graft_minhash(col) - mergeable K=64 MinHash set signature")
+        "graft_minhash(col) - mergeable K=64 MinHash set signature"),
+      ("graft_kmv",
+        (exprs: Seq[Expression]) => KmvSketchAgg(exprs.head): Expression,
+        "graft_kmv(col) - mergeable K=256 KMV/theta distinct sketch (set algebra)")
     ).foreach { case (name, builder, usage) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftFunctions", name, usage),

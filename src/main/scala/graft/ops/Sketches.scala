@@ -201,12 +201,64 @@ object Sketches {
       .orderBy("fa", "fb")
   }
 
+  /** KMV/theta set-algebra sketch (functions/KmvAgg.scala) — the sketch
+    * family Iceberg's Puffin stats carry: per event type, the 256
+    * smallest distinct hashes of the user set, then pairwise UNION and
+    * INTERSECTION cardinality estimates from the 2 KB sketches alone.
+    * At 100 TB the sketch build is one capped-buffer aggregation (the
+    * shuffle carries ≤ K longs per group per partition) and the algebra
+    * is O(groups²·K) on the driver-sized result; exact answers ride
+    * beside the estimates so the error is visible. Estimators are exact
+    * integer counts with one final double division — bit-identical in
+    * DuckDB. */
+  def thetaSets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvSketchAgg.{K, SPACE}
+    val ev = Tables(spark, dir, "events")
+    val sig = ev.groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketchAgg.kmv(col("user_id")).as("sig"))
+    val a = sig.select(col("event_type").as("ta"), col("sig").as("siga"))
+    val b = sig.select(col("event_type").as("tb"), col("sig").as("sigb"))
+    val algebra = a.join(b, col("ta") < col("tb"))
+      .withColumn("theta_a", when(size(col("siga")) < K, lit(1L << 32))
+        .otherwise(element_at(col("siga"), K)))
+      .withColumn("theta_b", when(size(col("sigb")) < K, lit(1L << 32))
+        .otherwise(element_at(col("sigb"), K)))
+      .withColumn("theta", least(col("theta_a"), col("theta_b")))
+      .withColumn("merged", array_sort(array_distinct(concat(col("siga"), col("sigb")))))
+      .withColumn("n_inter",
+        expr("size(filter(array_intersect(siga, sigb), x -> x < theta))").cast("long"))
+      .withColumn("est_union",
+        when(size(col("merged")) < K, size(col("merged")).cast("double"))
+          .otherwise(lit((K - 1).toDouble) * lit(SPACE)
+            / element_at(col("merged"), K).cast("double")))
+      .withColumn("est_inter",
+        col("n_inter").cast("double") * lit(SPACE) / col("theta").cast("double"))
+    val d = ev.select(col("event_type").as("t"), col("user_id").as("k")).distinct()
+    val cnt = d.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val xinter = d.as("x")
+      .join(d.as("y"), col("x.k") === col("y.k") && col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("ta"), col("y.t").as("tb"))
+      .agg(count(lit(1)).as("ni"))
+    algebra
+      .join(xinter, Seq("ta", "tb"), "left")
+      .join(cnt.select(col("t").as("ta"), col("n").as("na")), "ta")
+      .join(cnt.select(col("t").as("tb"), col("n").as("nb")), "tb")
+      .select(col("ta"), col("tb"),
+        col("est_union"),
+        (col("na") + col("nb") - coalesce(col("ni"), lit(0L))).cast("long")
+          .as("exact_union"),
+        col("est_inter"),
+        coalesce(col("ni"), lit(0L)).cast("long").as("exact_inter"))
+      .orderBy("ta", "tb")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_hll_ndv" -> hllNdv,
     "q_hll_group" -> hllGroup,
     "q_cms_topk" -> cmsTopk,
     "q_hist_quantiles" -> histQuantiles,
     "q_group_minhash" -> groupMinhash,
+    "q_theta_sets" -> thetaSets,
     "q_quantiles" -> quantiles)
 
   /** the md5 32-bit fold over hex chars — DuckDB's conv()-equivalent */
@@ -238,6 +290,68 @@ object Sketches {
        |  ELSE $sqlHllRaw END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_theta_sets" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type AS t,
+         |    ${sqlFold("'kmv:' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events
+         |), km AS (
+         |  SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+         |  FROM h
+         |), kept AS (
+         |  SELECT t, h, rn FROM km WHERE rn <= 256
+         |), th AS (
+         |  SELECT t,
+         |    CASE WHEN MAX(rn) < 256 THEN 4294967296
+         |         ELSE MAX(CASE WHEN rn = 256 THEN h END) END AS theta
+         |  FROM kept GROUP BY t
+         |), tp AS (
+         |  SELECT a.t AS ta, b.t AS tb,
+         |    LEAST(a.theta, b.theta) AS theta
+         |  FROM th a JOIN th b ON a.t < b.t
+         |), mg AS (
+         |  SELECT DISTINCT ta, tb, h FROM (
+         |    SELECT p.ta, p.tb, k.h FROM tp p JOIN kept k ON k.t = p.ta
+         |    UNION ALL
+         |    SELECT p.ta, p.tb, k.h FROM tp p JOIN kept k ON k.t = p.tb)
+         |), mgr AS (
+         |  SELECT ta, tb, h,
+         |    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+         |  FROM mg
+         |), uni AS (
+         |  SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS nm,
+         |    MAX(CASE WHEN rn = 256 THEN h END) AS kth
+         |  FROM mgr GROUP BY ta, tb
+         |), skinter AS (
+         |  SELECT p.ta, p.tb, CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM tp p
+         |  JOIN kept x ON x.t = p.ta
+         |  JOIN kept y ON y.t = p.tb AND y.h = x.h
+         |  WHERE x.h < p.theta
+         |  GROUP BY p.ta, p.tb
+         |), d AS (
+         |  SELECT DISTINCT event_type AS t, user_id AS k FROM events
+         |), cnt AS (
+         |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY t
+         |), xinter AS (
+         |  SELECT x.t AS ta, y.t AS tb, CAST(COUNT(*) AS BIGINT) AS ni
+         |  FROM d x JOIN d y ON x.k = y.k AND x.t < y.t GROUP BY x.t, y.t
+         |)
+         |SELECT p.ta, p.tb,
+         |  CASE WHEN u.nm < 256 THEN CAST(u.nm AS DOUBLE)
+         |       ELSE CAST(255 AS DOUBLE) * CAST(4294967296 AS DOUBLE)
+         |            / CAST(u.kth AS DOUBLE) END AS est_union,
+         |  CAST(ca.n + cb.n - COALESCE(xi.ni, 0) AS BIGINT) AS exact_union,
+         |  CAST(COALESCE(si.n_inter, 0) AS DOUBLE) * CAST(4294967296 AS DOUBLE)
+         |    / CAST(p.theta AS DOUBLE) AS est_inter,
+         |  CAST(COALESCE(xi.ni, 0) AS BIGINT) AS exact_inter
+         |FROM tp p
+         |JOIN uni u ON u.ta = p.ta AND u.tb = p.tb
+         |LEFT JOIN skinter si ON si.ta = p.ta AND si.tb = p.tb
+         |LEFT JOIN xinter xi ON xi.ta = p.ta AND xi.tb = p.tb
+         |JOIN cnt ca ON ca.t = p.ta
+         |JOIN cnt cb ON cb.t = p.tb
+         |ORDER BY p.ta, p.tb""".stripMargin,
     "q_group_minhash" ->
       s"""WITH mh AS (
          |  SELECT l_returnflag AS f,

@@ -585,6 +585,39 @@ class OpsSpec extends SparkSpec {
     assert(full == dedup, "multiset and set signatures must agree")
   }
 
+  test("graft_kmv: set-algebra estimates near exact, partition-invariant") {
+    val rows = Sketches.thetaSets(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (estU, exU) = (r.getDouble(2), r.getLong(3))
+      val (estI, exI) = (r.getDouble(4), r.getLong(5))
+      // K=256 -> ~6.3% relative error on the union; allow 4 sigma
+      assert(math.abs(estU - exU) <= 0.25 * exU + 1,
+        s"${r.getString(0)}/${r.getString(1)}: union est $estU vs exact $exU")
+      // intersection inherits the union's theta: same relative scale but
+      // against the UNION size, so bound the absolute error by that
+      assert(math.abs(estI - exI) <= 0.25 * exU + 1,
+        s"${r.getString(0)}/${r.getString(1)}: inter est $estI vs exact $exI")
+    }
+    // merge is a bounded set union: identical sketch under any
+    // partitioning AND duplicate-insensitive
+    val ev = graft.Tables(spark, sf01, "events")
+    val full = ev.agg(graft.functions.KmvSketchAgg.kmv(col("user_id")).as("s"))
+      .collect().head.getSeq[Long](0)
+    val dedup = ev.select(col("user_id")).distinct().repartition(13)
+      .agg(graft.functions.KmvSketchAgg.kmv(col("user_id")).as("s"))
+      .collect().head.getSeq[Long](0)
+    assert(full == dedup, "multiset and set sketches must agree")
+    assert(full.length <= graft.functions.KmvSketchAgg.K)
+    assert(full == full.sorted, "sketch must be the ascending bottom-k")
+    // SQL-callable
+    graft.functions.GraftFunctions.register(spark)
+    ev.createOrReplaceTempView("ev_kmv")
+    val viaSql = spark.sql("SELECT graft_kmv(user_id) AS sk FROM ev_kmv")
+      .collect().head.getSeq[Long](0)
+    assert(viaSql == full)
+  }
+
   test("q_stream_sketch: streaming windowed NDV matches batch truth") {
     val out = StreamingOps.streamSketch(spark, sf01)
     val got = out.collect()
