@@ -49,9 +49,52 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
-  val queries: Map[String, Q] = Map("q_gap_fill" -> gapFill)
+  /** Trailing-interval moving aggregate (burst detection): for every
+    * event, the count and exact-decimal sum of the SAME user's events in
+    * the trailing 6 hours — a RANGE frame over event-time seconds, the
+    * window shape ROWS frames can't express when event spacing is
+    * irregular. Readback: each user's peak trailing-window load.
+    *
+    * Scale: one hash exchange on user_id; the range frame is evaluated
+    * with a sliding two-pointer pass over each partition's sort order —
+    * no self-join, no explode, O(n) per user after the sort. At 100 TB
+    * this is the same plan with more partitions; a skewed user salts by
+    * day first (SkewJoin discipline). */
+  def movingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("sec", col("ts").cast("long"))
+    val win = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-21600L, 0L)
+    ev.withColumn("cnt6", count(lit(1)).over(win))
+      .withColumn("sum6", sum(col("value").cast(DecimalType(18, 6))).over(win))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("cnt6")).as("peak_cnt_6h"),
+        max(col("sum6")).cast("double").as("peak_sum_6h"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_gap_fill" -> gapFill,
+    "q_moving_window" -> movingWindow)
 
   val oracles: Map[String, String] = Map(
+    "q_moving_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS sec, value FROM events
+        |), w AS (
+        |  SELECT user_id,
+        |    COUNT(*) OVER win AS cnt6,
+        |    SUM(CAST(value AS DECIMAL(18,6))) OVER win AS sum6
+        |  FROM ev
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY sec
+        |                 RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(cnt6) AS BIGINT) AS peak_cnt_6h,
+        |  CAST(MAX(sum6) AS DOUBLE) AS peak_sum_6h
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_gap_fill" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, ts, value, date_trunc('hour', ts) AS h

@@ -717,6 +717,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("moving window: trailing-6h peak equals brute force") {
+    val out = TimeSeries.movingWindow(spark, sf).collect()
+    val ev = graft.Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts").cast("long").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = ev.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2) }
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val secs = byUser(r.getLong(0))
+      assert(r.getLong(1) == secs.length)
+      val peak = secs.map(s => secs.count(t => t <= s && t >= s - 21600L)).max
+      assert(r.getLong(2) == peak,
+        s"user ${r.getLong(0)}: peak_cnt ${r.getLong(2)} vs brute $peak")
+    }
+  }
+
   test("stream dedup: re-delivered events collapse to exactly-once counts") {
     val out = StreamingOps.streamDedup(spark, sf01)
       .agg(sum("n")).collect()(0).getLong(0)
