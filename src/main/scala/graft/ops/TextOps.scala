@@ -330,7 +330,49 @@ object TextOps {
       .orderBy("doc_id", "rk")
   }
 
+  // --- BM25 ranking ---------------------------------------------------------
+
+  /** BM25 document ranking for a fixed term query (k1=1.2, b=0.75) — the
+    * retrieval scorer on top of the inverted-index family (q_postings):
+    * length-normalized TF saturation × rarity IDF. Corpus stats (N,
+    * total length) are ONE broadcast row; per-term DF is vocabulary-sized
+    * and broadcasts; the only big shuffle is the (doc, term) TF aggregate
+    * over tokens matching the query terms — the token stream is filtered
+    * BEFORE the shuffle, so cost scales with query-term frequency, not
+    * corpus size. Per-term contributions are pivoted to fixed columns and
+    * added left-to-right (no FP-sum order dependence); the final score is
+    * floor-rounded to 1e-6 so ln() ULP skew between libm builds can't
+    * break the oracle. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("hash", "join", "vector")
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val tf = toks.filter(col("w").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+    val idf = log(((col("n_docs") - col("df")).cast("double") + lit(0.5))
+      / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val denom = col("tf").cast("double") + lit(1.2) *
+      (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl").cast("double") / avgdl))
+    val contrib = tf.join(broadcast(dfreq), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("w"),
+        (idf * (col("tf").cast("double") * lit(2.2)) / denom).as("c"))
+    val score = qterms.map(t =>
+      coalesce(max(when(col("w") === t, col("c"))), lit(0.0)))
+      .reduceLeft(_ + _)
+    contrib.groupBy(col("doc_id"))
+      .agg((floor(score * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bm25" -> bm25,
     "q_keyword_terms" -> keywordTerms,
     "q_pii_redact" -> piiRedact,
     "q_text_repetition" -> textRepetition,
@@ -380,6 +422,36 @@ object TextOps {
     s"lpad(CAST(${sqlCountIn(markers)} AS VARCHAR), 10, '0') || '$code'"
 
   val oracles: Map[String, String] = Map(
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.w FROM documents, UNNEST(string_split(text, ' ')) u(w)),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+        |tf AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        |  WHERE w IN ('hash', 'join', 'vector') GROUP BY doc_id, w),
+        |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    ln((CAST(s.n_docs - dfq.df AS DOUBLE) + 0.5)
+        |       / (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0)
+        |    * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |        (CAST(dl.dl AS DOUBLE)
+        |         / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+        |      AS c
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq ON tf.w = dfq.w, stats s),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN w = 'hash' THEN c END), 0.0)
+        |    + COALESCE(MAX(CASE WHEN w = 'join' THEN c END), 0.0)
+        |    + COALESCE(MAX(CASE WHEN w = 'vector' THEN c END), 0.0) AS s0
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT doc_id,
+        |  floor(s0 * 1000000.0 + 0.5) / 1000000.0 AS score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_keyword_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, u.w FROM documents, UNNEST(string_split(text, ' ')) u(w)),

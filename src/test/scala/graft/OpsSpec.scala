@@ -717,6 +717,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25: top-20 descending, scores match a scalar re-computation") {
+    val out = TextOps.bm25(spark, sf).collect()
+    assert(out.length == 20)
+    val scores = out.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy(-_)), "must be score-descending")
+    assert(scores.forall(_ > 0.0))
+    // recompute one doc's score from raw token counts
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n.toDouble
+    val qts = Seq("hash", "join", "vector")
+    val dfm = qts.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val top = out.head
+    val toks = docs.toMap.apply(top.getLong(0))
+    val expected = qts.map { t =>
+      val tf = toks.count(_ == t).toLong
+      if (tf == 0) 0.0
+      else {
+        val idf = math.log(((n - dfm(t)).toDouble + 0.5) / (dfm(t).toDouble + 0.5) + 1.0)
+        idf * (tf.toDouble * 2.2) /
+          (tf.toDouble + 1.2 * (1.0 - 0.75 + 0.75 * (toks.length.toDouble / avgdl)))
+      }
+    }.reduceLeft(_ + _)
+    assert(math.abs(top.getDouble(1) - expected) < 1e-5,
+      s"doc ${top.getLong(0)}: ${top.getDouble(1)} vs recomputed $expected")
+  }
+
   test("moving window: trailing-6h peak equals brute force") {
     val out = TimeSeries.movingWindow(spark, sf).collect()
     val ev = graft.Tables(spark, sf, "events")
