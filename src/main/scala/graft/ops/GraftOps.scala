@@ -494,8 +494,33 @@ object GraftOps {
                |ORDER BY channel, o_orderstatus""".stripMargin)
     }
 
+  /** CREATE TABLE AS SELECT and CREATE OR REPLACE TABLE AS SELECT through
+    * plain `spark.sql` — the table-creation-from-query surface
+    * (reference CI: `tests/iceberg_feature_tests.py` CTAS statements).
+    * The query's analyzed schema becomes the table schema; partitioning
+    * transforms and properties apply as in plain CREATE; data lands as
+    * the first snapshot in one commit. */
+  def sqlCtas(spark: SparkSession, dir: String): DataFrame =
+    withSqlSession(spark) { s2 =>
+      val wh = Files.createTempDirectory("graft-ctaswh").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+      Tables(s2, dir, "orders").createOrReplaceTempView("orders_src")
+      s2.sql("CREATE TABLE graft.db.ctas PARTITIONED BY (bucket(4, o_orderkey)) " +
+        "TBLPROPERTIES ('write.sort'='o_orderkey') AS " +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_src " +
+        "WHERE o_orderkey % 2 = 0")
+      s2.sql("CREATE OR REPLACE TABLE graft.db.ctas AS " +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_src " +
+        "WHERE o_orderkey % 3 = 0")
+      s2.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+               |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+               |FROM graft.db.ctas
+               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }
+
   // --- registry --------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_sql_ctas" -> sqlCtas,
     "q_sql_dml" -> sqlDml,
     "q_sql_merge" -> sqlMerge,
     "q_sql_lifecycle" -> sqlLifecycle,
@@ -530,6 +555,11 @@ object GraftOps {
     "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total"
 
   val oracles: Map[String, String] = Map(
+    "q_sql_ctas" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_sql_lifecycle" ->
       """WITH rows_all AS (
         |  SELECT 'web' AS channel, o_orderstatus, o_totalprice

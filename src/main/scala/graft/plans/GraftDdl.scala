@@ -43,6 +43,35 @@ case class GraftCreateTableCommand(ns: String, tbl: String, ddl: String,
   }
 }
 
+/** `CREATE [OR REPLACE] TABLE graft.ns.t [PARTITIONED BY (transforms)]
+  * [TBLPROPERTIES (...)] AS <query>` — the schema comes from the analyzed
+  * query, the data lands as the table's first snapshot. The query plan is
+  * stored UNRESOLVED and analyzed at run time (same contract as INSERT
+  * ... SELECT), so it can read temp views, parquet paths, or other graft
+  * tables. REPLACE here is drop-and-recreate (fresh table identity);
+  * Iceberg proper retains snapshot lineage across REPLACE — callers who
+  * need history-preserving replacement use INSERT OVERWRITE, which
+  * commits a new snapshot on the existing table. */
+case class GraftCtasCommand(ns: String, tbl: String,
+    query: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    partitionBy: Seq[String], props: Map[String, String],
+    ifNotExists: Boolean, replace: Boolean, orCreate: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftDdl.catalog(spark)
+    val df = org.apache.spark.sql.graft.Bridge.ofRows(spark, query)
+    if (cat.tableExists(ns, tbl)) {
+      if (replace) cat.dropTable(ns, tbl)
+      else if (ifNotExists) return Nil
+      else throw new IllegalStateException(s"table graft.$ns.$tbl already exists")
+    } else if (replace && !orCreate) throw new IllegalStateException(
+      s"no such table graft.$ns.$tbl (use CREATE OR REPLACE TABLE)")
+    cat.createTable(ns, tbl, df.schema.toDDL, partitionBy, props)
+      .append(df)
+    Nil
+  }
+}
+
 case class GraftDropTableCommand(ns: String, tbl: String, ifExists: Boolean)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {

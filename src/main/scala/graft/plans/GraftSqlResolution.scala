@@ -251,6 +251,23 @@ class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         StructField(c.name, c.dataType, c.nullable))).toDDL
       GraftCreateTableCommand(ns, tbl, ddl, partitioning.map(transformStr),
         spec.properties, ifNotExists)
+    case org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect(
+        UnresolvedIdentifier(parts, _), partitioning, query,
+        spec: UnresolvedTableSpec, _, ifNotExists, _)
+        if graftParts(parts).isDefined =>
+      val (ns, tbl) = graftParts(parts).get
+      spec.provider.filterNot(_.equalsIgnoreCase("graft")).foreach(p =>
+        throw new UnsupportedOperationException(
+          s"graft CTAS: USING $p conflicts with the graft.* identifier"))
+      GraftCtasCommand(ns, tbl, query, partitioning.map(transformStr),
+        spec.properties, ifNotExists, replace = false, orCreate = false)
+    case org.apache.spark.sql.catalyst.plans.logical.ReplaceTableAsSelect(
+        UnresolvedIdentifier(parts, _), partitioning, query,
+        spec: UnresolvedTableSpec, _, orCreate, _)
+        if graftParts(parts).isDefined =>
+      val (ns, tbl) = graftParts(parts).get
+      GraftCtasCommand(ns, tbl, query, partitioning.map(transformStr),
+        spec.properties, ifNotExists = false, replace = true, orCreate = orCreate)
     case DropTable(UnresolvedIdentifier(parts, _), ifExists, _)
         if graftParts(parts).isDefined =>
       val (ns, tbl) = graftParts(parts).get

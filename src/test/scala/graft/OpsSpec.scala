@@ -769,6 +769,43 @@ class OpsSpec extends SparkSpec {
     assert(out == distinct, s"deduped stream must equal $distinct distinct events, got $out")
   }
 
+  test("SQL CTAS: schema from query, guards, OR REPLACE swaps") {
+    import org.apache.spark.sql.SparkSession
+    val wh = java.nio.file.Files.createTempDirectory("graft-ctaswh2").toString
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    try {
+      s2.conf.set("spark.graft.warehouse", wh)
+      s2.range(10).selectExpr("id", "id * 2 AS v").createOrReplaceTempView("src10")
+      s2.sql("CREATE TABLE graft.db.c PARTITIONED BY (bucket(2, id)) AS " +
+        "SELECT * FROM src10 WHERE id < 5")
+      val cat = new graft.table.GraftCatalog(s2, wh)
+      assert(cat.tableExists("db", "c"))
+      assert(cat.loadTable("db", "c").meta.spec(0).fields.head.transform == "bucket")
+      assert(s2.sql("SELECT * FROM graft.db.c").count() == 5)
+      // plain CTAS into an existing table must fail; IF NOT EXISTS is a no-op
+      intercept[IllegalStateException] {
+        s2.sql("CREATE TABLE graft.db.c AS SELECT * FROM src10")
+      }
+      s2.sql("CREATE TABLE IF NOT EXISTS graft.db.c AS SELECT * FROM src10")
+      assert(s2.sql("SELECT * FROM graft.db.c").count() == 5)
+      // REPLACE of a missing table fails; OR REPLACE creates-or-swaps
+      intercept[IllegalStateException] {
+        s2.sql("REPLACE TABLE graft.db.missing AS SELECT * FROM src10")
+      }
+      s2.sql("CREATE OR REPLACE TABLE graft.db.c AS SELECT id FROM src10")
+      val got = s2.sql("SELECT * FROM graft.db.c")
+      assert(got.count() == 10 && got.columns.toSeq == Seq("id"))
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark); SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("SQL DDL + procedures: full lifecycle through spark.sql") {
     import org.apache.spark.sql.SparkSession
     val wh = java.nio.file.Files.createTempDirectory("graft-ddlwh").toString
