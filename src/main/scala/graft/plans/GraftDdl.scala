@@ -294,11 +294,15 @@ case class GraftCallCommand(proc: String, args: Seq[(Option[String], String)])
       case "analyze_table" =>
         val ndv = t.analyze()
         ndv.toSeq.sortBy(_._1).map { case (c, n) => Row(s"$c ndv=$n") }
+      case "rewrite_manifests" =>
+        val s = t.rewriteManifests()
+        GraftDdl.info(s"rewrote manifests into ${s.manifests.size} segment(s) " +
+          s"at snapshot ${s.snapshotId}")
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure: $other (known: rewrite_data_files, " +
           "rewrite_small_files, expire_snapshots, rollback_to_snapshot, " +
           "remove_orphan_files, fast_forward, create_branch, create_tag, " +
-          "analyze_table)")
+          "analyze_table, rewrite_manifests)")
     }
   }
 }

@@ -120,7 +120,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       filter: Option[String],
       withLineage: Boolean, withPos: Boolean, fileSubset: Option[Set[String]]): DataFrame = {
     val presented = m.schema(presentedId)
-    val all = Meta.readManifest(location, snap.manifest)
+    val all = Meta.readEntries(location, snap)
     val preds = filter.map(Pruning.extract(_, spark)).getOrElse(Nil)
     var dataFiles = all.filter(_.fileType == "data")
       .filter(f => Pruning.fileMatches(f, m, preds))
@@ -329,7 +329,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * at publication instead of overwriting the other writer's state. */
   private def commit(op: String, branch: String, added: Seq[FileMeta],
       removedPaths: Set[String], snapId0: Long, seq0: Long,
-      rebaseable: Boolean = false): SnapshotMeta = {
+      rebaseable: Boolean = false,
+      coalesceSegments: Boolean = false): SnapshotMeta = {
     val (fresh, vBase) = pinned()
     var snapId = snapId0
     var seq = seq0
@@ -349,10 +350,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
         // delete nothing — the deleted rows would resurface.
         if (added.exists(_.fileType != "data")) {
           val baseData = meta.head(branch).toSeq
-            .flatMap(p => Meta.readManifest(location, p.manifest))
+            .flatMap(p => Meta.readEntries(location, p))
             .filter(_.fileType == "data").map(_.path).toSet
           val freshData = fresh.head(branch).toSeq
-            .flatMap(p => Meta.readManifest(location, p.manifest))
+            .flatMap(p => Meta.readEntries(location, p))
             .filter(_.fileType == "data").map(_.path).toSet
           val missing = baseData -- freshData
           if (missing.nonEmpty)
@@ -367,21 +368,38 @@ class GraftTable(val spark: SparkSession, val location: String) {
         fresh
       }
     val parent = m.head(branch)
-    val parentEntries = parent.map(p => Meta.readManifest(location, p.manifest)).getOrElse(Nil)
     var rid = m.lastRowId
     val withRid = entries.map { e =>
       if (e.fileType == "data" && e.firstRowId < 0) {
         val out = e.copy(firstRowId = rid); rid += e.rowCount; out
       } else e
     }
-    val live = parentEntries.filterNot(e => removedPaths(normPath(abs(e.path)))) ++ withRid
-    // manifest names carry a uuid: two racing committers can compute the
-    // same snapshot id, and the loser of the version-file race must not
-    // have clobbered the winner's manifest in the meantime
-    val manifest = Meta.writeManifest(location,
-      s"$snapId-${UUID.randomUUID.toString.take(8)}", live)
+    // Segmented manifests: carry the parent's untouched segments BY
+    // REFERENCE, rewrite only segments that lost an entry, and put the
+    // added files in one fresh segment — commit metadata writes are
+    // O(change), not O(table). Segment names carry a uuid: two racing
+    // committers can compute the same snapshot id, and the loser of the
+    // version-file race must not have clobbered the winner's segments.
+    val isRemoved = (e: FileMeta) => removedPaths(normPath(abs(e.path)))
+    val parentSegs = parent.map(_.manifests).getOrElse(Nil)
+      .map(seg => seg -> Meta.readManifest(location, seg))
+    val uuid = UUID.randomUUID.toString.take(8)
+    val (dirty, clean) = parentSegs.partition(_._2.exists(isRemoved))
+    val survivors = dirty.flatMap(_._2).filterNot(isRemoved)
+    var segs = clean.map(_._1)
+    if (survivors.nonEmpty)
+      segs = segs :+ Meta.writeManifest(location, s"$snapId-r-$uuid", survivors)
+    if (withRid.nonEmpty)
+      segs = segs :+ Meta.writeManifest(location, s"$snapId-a-$uuid", withRid)
+    // bound the per-read segment fan-in: past 64 segments, coalesce into
+    // one partition-clustered segment (amortized O(table/64) per commit)
+    if (coalesceSegments || segs.size > 64) {
+      val all = clean.flatMap(_._2) ++ survivors ++ withRid
+      segs = List(Meta.writeManifest(location, s"$snapId-c-$uuid",
+        clusterEntries(all)))
+    }
     val snap = SnapshotMeta(snapId, parent.map(_.snapshotId), seq,
-      System.currentTimeMillis(), op, m.currentSchemaId, manifest)
+      System.currentTimeMillis(), op, m.currentSchemaId, segs.toList)
     val next = m.copy(
       lastSnapshotId = snapId, lastSequenceNumber = seq, lastRowId = rid,
       snapshots = m.snapshots :+ snap,
@@ -413,7 +431,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val files = writeDataFiles(toPhysical(df, meta.currentSchema), snapId, seq,
       meta.currentSchemaId, meta.currentSpecId)
     val prior = meta.head(branch).toSeq
-      .flatMap(s => Meta.readManifest(location, s.manifest))
+      .flatMap(s => Meta.readEntries(location, s))
       .map(e => normPath(abs(e.path))).toSet
     commit("overwrite", branch, files, prior, snapId, seq)
   }
@@ -436,7 +454,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       m0.currentSchemaId, m0.currentSpecId)
     val touched = files.map(_.partition).toSet
     val priorEntries = meta.head(branch).toSeq
-      .flatMap(s => Meta.readManifest(location, s.manifest))
+      .flatMap(s => Meta.readEntries(location, s))
     val removedData = priorEntries
       .filter(e => e.fileType == "data" && touched.contains(e.partition))
       .map(e => normPath(abs(e.path))).toSet
@@ -492,7 +510,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         val m = meta
         val snapOpt = m.head(branch)
         val existing = snapOpt.toSeq
-          .flatMap(s => Meta.readManifest(location, s.manifest))
+          .flatMap(s => Meta.readEntries(location, s))
           .filter(_.fileType == "dv")
         import spark.implicits._
         // bitmap per target file from the NEW hit positions only — one
@@ -791,7 +809,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       s.sequenceNumber > from.sequenceNumber &&
         s.sequenceNumber <= toSnap.sequenceNumber)
     if (windowOps.forall(_.operation == "append")) {
-      val entries = Meta.readManifest(location, toSnap.manifest)
+      val entries = Meta.readEntries(location, toSnap)
       val newFiles = entries
         .filter(e => e.fileType == "data" && e.sequenceNumber > from.sequenceNumber)
         .map(e => normPath(abs(e.path))).toSet
@@ -837,7 +855,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val (snapId, seq) = nextIds()
     val m = meta
     val snap = m.head(branch).getOrElse(return commit("replace", branch, Nil, Set.empty, snapId, seq))
-    val entries = Meta.readManifest(location, snap.manifest)
+    val entries = Meta.readEntries(location, snap)
     val totalBytes = entries.filter(_.fileType == "data").map(_.sizeBytes).sum
     val n = math.max(1, (totalBytes / (targetMB.toLong << 20)).toInt)
     val all = scan(withLineage = true, ref = Some(branch))
@@ -860,7 +878,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = meta
     val snap = m.head(branch).getOrElse(
       return commit("replace", branch, Nil, Set.empty, snapId, seq))
-    val entries = Meta.readManifest(location, snap.manifest)
+    val entries = Meta.readEntries(location, snap)
     val small = entries.filter(e =>
       e.fileType == "data" && e.sizeBytes < smallerThanBytes)
     if (small.size < 2)
@@ -874,6 +892,25 @@ class GraftTable(val spark: SparkSession, val location: String) {
     commit("replace", branch, out, paths, snapId, seq)
   }
 
+  /** deterministic manifest clustering: data entries sorted by partition
+    * spec + partition values, so a coalesced segment groups files of the
+    * same partition together — pruning reads become sequential runs */
+  private def clusterEntries(es: Seq[FileMeta]): Seq[FileMeta] =
+    es.sortBy(e => (e.fileType, e.specId,
+      e.partition.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/"),
+      e.path))
+
+  /** Iceberg `rewrite_manifests` analog: coalesce the head snapshot's
+    * manifest segments into ONE partition-clustered segment in a
+    * METADATA-ONLY commit (no data file moves). Steady-state commits keep
+    * metadata O(change) by carrying parent segments forward; after many
+    * small commits this rewrite restores single-read pruning. */
+  def rewriteManifests(branch: String = "main"): SnapshotMeta = {
+    val (snapId, seq) = nextIds()
+    commit("rewrite-manifests", branch, Nil, Set.empty, snapId, seq,
+      coalesceSegments = true)
+  }
+
   /** expire snapshots older than `olderThanMs` that no ref points to;
     * physically deletes orphaned manifests/data/delete files.
     * Returns (#snapshots expired, #files deleted). */
@@ -883,9 +920,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val (keep, drop) = m.snapshots.partition(s =>
       refHeads(s.snapshotId) || s.timestampMs >= olderThanMs)
     if (drop.isEmpty) return (0, 0)
-    val keptFiles = keep.flatMap(s => Meta.readManifest(location, s.manifest))
+    val keptFiles = keep.flatMap(s => Meta.readEntries(location, s))
       .map(e => normPath(abs(e.path))).toSet
-    val dropped = drop.flatMap(s => Meta.readManifest(location, s.manifest))
+    val dropped = drop.flatMap(s => Meta.readEntries(location, s))
       .map(e => normPath(abs(e.path))).toSet
     val orphans = dropped -- keptFiles
     // publish the trimmed metadata FIRST: if a concurrent commit wins the
@@ -901,7 +938,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
           .iterator().asScala.foreach(Files.deleteIfExists(_))
       else Files.deleteIfExists(path)
     }
-    drop.foreach(s => Files.deleteIfExists(Paths.get(location, s.manifest)))
+    // segments are SHARED across snapshots (commits carry parent segments
+    // by reference): only delete those no surviving snapshot points at
+    val keptSegs = keep.flatMap(_.manifests).toSet
+    drop.flatMap(_.manifests).distinct.filterNot(keptSegs).foreach(seg =>
+      Files.deleteIfExists(Paths.get(location, seg)))
     (drop.size, orphans.size)
   }
 
@@ -950,7 +991,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def removeOrphanFiles(olderThanMs: Long): Int = {
     val m = Meta.readJson(location)
     val referenced = m.snapshots
-      .flatMap(s => Meta.readManifest(location, s.manifest))
+      .flatMap(s => Meta.readEntries(location, s))
       .map(e => normPath(abs(e.path))).toSet
     var removed = 0
     Seq("data", "deletes").foreach { r =>
@@ -1005,7 +1046,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val end = toSnapshotId.map(m.snapshot)
       .orElse(m.head("main"))
       .getOrElse(throw new IllegalStateException("empty table"))
-    val entries = Meta.readManifest(location, end.manifest)
+    val entries = Meta.readEntries(location, end)
     val newFiles = entries.filter(e => e.fileType == "data" && e.sequenceNumber > fromSeq)
       .map(e => normPath(abs(e.path))).toSet
     if (newFiles.isEmpty) emptyDf(m.schema(end.schemaId), lineage = false, pos = false)
@@ -1060,7 +1101,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val m = Meta.readJson(location)
     kind match {
       case "files" =>
-        m.head(ref).map(s => Meta.readManifest(location, s.manifest)).getOrElse(Nil)
+        m.head(ref).map(s => Meta.readEntries(location, s)).getOrElse(Nil)
           .map(e => (e.path, e.fileType, e.specId, e.schemaId, e.rowCount,
             e.sizeBytes, e.sequenceNumber, e.firstRowId, e.partition))
           .toDF("path", "file_type", "spec_id", "schema_id", "row_count",
@@ -1068,9 +1109,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
       case "snapshots" =>
         m.snapshots
           .map(s => (s.snapshotId, s.parentId, s.sequenceNumber,
-            new java.sql.Timestamp(s.timestampMs), s.operation, s.schemaId, s.manifest))
+            new java.sql.Timestamp(s.timestampMs), s.operation, s.schemaId,
+            s.manifests.mkString(",")))
           .toDF("snapshot_id", "parent_id", "sequence_number", "committed_at",
-            "operation", "schema_id", "manifest")
+            "operation", "schema_id", "manifests")
       case "refs" =>
         m.refs.toSeq.sortBy(_._1)
           .map { case (n, r) => (n, r.snapshotId, if (r.isBranch) "BRANCH" else "TAG") }
@@ -1078,7 +1120,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       case "partitions" =>
         // per-partition rollup from manifest entries — answers "how is my
         // data distributed" without reading a single data file
-        m.head(ref).map(s => Meta.readManifest(location, s.manifest)).getOrElse(Nil)
+        m.head(ref).map(s => Meta.readEntries(location, s)).getOrElse(Nil)
           .filter(_.fileType == "data")
           .groupBy(_.partition).toSeq
           .map { case (p, fs) =>
@@ -1105,7 +1147,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
   /** live files of the current (or ref'd) snapshot — for specs/inspection */
   def liveFiles(ref: String = "main"): Seq[FileMeta] = {
     val m = Meta.readJson(location)
-    m.head(ref).map(s => Meta.readManifest(location, s.manifest)).getOrElse(Nil)
+    m.head(ref).map(s => Meta.readEntries(location, s)).getOrElse(Nil)
   }
 
   /** driver-side pruned data-file list for a filter — for specs/inspection */
@@ -1152,7 +1194,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     m.head("main") match {
       case None => emptyDf(m.currentSchema, lineage = false, pos = false)
       case Some(s) =>
-        val keep = Meta.readManifest(location, s.manifest)
+        val keep = Meta.readEntries(location, s)
           .filter(_.fileType == "data")
           .filter(f => Pruning.fileMatches(f, m, preds))
           .map(f => normPath(abs(f.path))).toSet

@@ -77,7 +77,12 @@ final case class SnapshotMeta(
     timestampMs: Long,
     operation: String, // append|delete|overwrite|replace
     schemaId: Int,
-    manifest: String) // relative path of the manifest jsonl
+    // manifest SEGMENTS (relative jsonl paths), in order. A commit carries
+    // its parent's untouched segments by reference and writes only the
+    // delta — O(change) metadata per commit, not O(table) — the same
+    // shape as Iceberg's manifest list. Segments shared across snapshots
+    // are cleaned only when no surviving snapshot references them.
+    manifests: List[String])
 
 final case class RefMeta(snapshotId: Long, isBranch: Boolean)
 
@@ -182,4 +187,8 @@ object Meta {
     if (s.isEmpty) Nil
     else s.split('\n').toSeq.filter(_.nonEmpty).map(Serialization.read[FileMeta](_))
   }
+
+  /** all live file entries at a snapshot, across its manifest segments */
+  def readEntries(location: String, snap: SnapshotMeta): Seq[FileMeta] =
+    snap.manifests.flatMap(readManifest(location, _))
 }

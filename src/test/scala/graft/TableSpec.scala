@@ -44,6 +44,34 @@ class TableSpec extends SparkSpec {
     assert(got.sameElements(Array(1L, 2L)))
   }
 
+  test("segmented manifests: commits carry parent segments, rewrite coalesces") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    val seg1 = t.meta.head("main").get.manifests
+    assert(seg1.size == 1)
+    t.append(seedDf(Seq((7L, 40L, "O", 700.0))))
+    t.append(seedDf(Seq((8L, 40L, "F", 800.0))))
+    val seg3 = t.meta.head("main").get.manifests
+    // O(change) metadata: each append adds ONE segment and carries the
+    // parent's segments by reference (same paths, not rewritten)
+    assert(seg3.size == 3 && seg3.startsWith(seg1))
+    // a delete rewrites only the segment(s) containing removed entries
+    t.delete("o_orderkey = 7", WriteMode.CopyOnWrite)
+    val segDel = t.meta.head("main").get.manifests
+    assert(segDel.contains(seg1.head), "untouched segment must carry forward")
+    assert(!segDel.contains(seg3(1)), "dirty segment must be replaced")
+    val before = t.scan().collect().map(_.toSeq).toSet
+    // metadata-only coalesce: one clustered segment, identical data
+    val s = t.rewriteManifests()
+    assert(s.operation == "rewrite-manifests")
+    assert(t.meta.head("main").get.manifests.size == 1)
+    assert(t.scan().collect().map(_.toSeq).toSet == before)
+    // expire keeps shared segments alive while any survivor references them
+    val (dropped, _) = t.expireSnapshots(System.currentTimeMillis() + 1)
+    assert(dropped > 0)
+    assert(t.scan().collect().map(_.toSeq).toSet == before)
+  }
+
   test("time travel by snapshot id and timestamp") {
     val t = mkOrders(tmp())
     val s1 = t.append(seedDf(seed.take(3)))
