@@ -371,7 +371,51 @@ object TextOps {
       .limit(20)
   }
 
+  // --- LM quality scoring ---------------------------------------------------
+
+  /** Bigram language-model quality scoring (the CCNet/Wikipedia-LM
+    * filtering shape): train add-one-smoothed bigram MLE counts on the
+    * corpus, score every document by mean log-probability, surface the 20
+    * most "surprising" (lowest avg log-prob = noisiest) documents.
+    *
+    * Scale shape: the bigram stream is generated IN PLACE from each doc's
+    * token array (transform over sequence — no join, no second shuffle);
+    * model tables c2/c1 are vocabulary-sized and BROADCAST back onto the
+    * stream (vocab² for a corpus is bounded; a giant vocab would flip
+    * these to shuffle joins, same plan otherwise). Each ln(p) is rounded
+    * to a scaled BIGINT before summing, so the per-doc reduction is exact
+    * integer math — partition-order-independent AND immune to libm ULP
+    * skew between Spark and DuckDB. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val big = docs.select(col("doc_id"),
+      explode(expr("transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val p = (col("c2") + lit(1L)).cast("double") / (col("c1") + col("v")).cast("double")
+    val lps = floor(log(p) * lit(100000000.0) + lit(0.5)).cast("long")
+    big.join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), lps.as("lps"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lps")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s").cast("double") / lit(100000000.0)
+          / col("n_bigrams").cast("double")).as("avg_lp"))
+      .orderBy(col("avg_lp").asc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_lm_score" -> lmScore,
     "q_bm25" -> bm25,
     "q_keyword_terms" -> keywordTerms,
     "q_pii_redact" -> piiRedact,
@@ -422,6 +466,29 @@ object TextOps {
     s"lpad(CAST(${sqlCountIn(markers)} AS VARCHAR), 10, '0') || '$code'"
 
   val oracles: Map[String, String] = Map(
+    "q_lm_score" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |big AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM docs, UNNEST(range(1, len(toks))) u(i)),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        |       FROM big GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+        |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+        |      FROM (SELECT unnest(toks) AS w FROM docs)),
+        |lp AS (
+        |  SELECT b.doc_id,
+        |    CAST(floor(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))
+        |      * 100000000.0 + 0.5) AS BIGINT) AS lps
+        |  FROM big b
+        |  JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |  JOIN c1 ON b.w1 = c1.w1, v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(lps) AS DOUBLE) / 100000000.0 / CAST(COUNT(*) AS DOUBLE)
+        |    AS avg_lp
+        |FROM lp GROUP BY doc_id ORDER BY avg_lp ASC, doc_id LIMIT 20""".stripMargin,
     "q_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, u.w FROM documents, UNNEST(string_split(text, ' ')) u(w)),

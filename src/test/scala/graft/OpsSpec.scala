@@ -388,7 +388,7 @@ class OpsSpec extends SparkSpec {
       .toDF("k", "day", "v"))
     def filesByPart: Map[String, Set[String]] = {
       val m = t.meta
-      Meta.readManifest(t.location, m.head("main").get.manifest)
+      Meta.readEntries(t.location, m.head("main").get)
         .filter(_.fileType == "data")
         .groupBy(_.partition.values.mkString)
         .view.mapValues(_.map(_.path).toSet).toMap
@@ -746,6 +746,31 @@ class OpsSpec extends SparkSpec {
       s"doc ${top.getLong(0)}: ${top.getDouble(1)} vs recomputed $expected")
   }
 
+  test("lm score: ascending bottom-k, matches scalar recompute") {
+    val out = TextOps.lmScore(spark, sf).collect()
+    assert(out.length == 20)
+    val scores = out.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sorted), "must be ascending (worst first)")
+    // recompute the worst doc's score from raw tokens
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).filter(_._2.length >= 2)
+    val bigrams = docs.flatMap(d => d._2.sliding(2).map(p => (p(0), p(1))))
+    val c2 = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = bigrams.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val v = docs.flatMap(_._2).distinct.length.toLong
+    val top = out.head
+    val toks = docs.toMap.apply(top.getLong(0))
+    val lps = toks.sliding(2).map { p =>
+      val pr = (c2((p(0), p(1))) + 1L).toDouble / (c1(p(0)) + v).toDouble
+      math.floor(math.log(pr) * 1e8 + 0.5).toLong
+    }.toSeq
+    assert(top.getLong(1) == lps.length)
+    val expected = lps.sum.toDouble / 1e8 / lps.length.toDouble
+    assert(math.abs(top.getDouble(2) - expected) < 1e-9,
+      s"doc ${top.getLong(0)}: ${top.getDouble(2)} vs $expected")
+  }
+
   test("moving window: trailing-6h peak equals brute force") {
     val out = TimeSeries.movingWindow(spark, sf).collect()
     val ev = graft.Tables(spark, sf, "events")
@@ -857,6 +882,9 @@ class OpsSpec extends SparkSpec {
       s2.sql(s"CALL graft.system.rollback_to_snapshot('db.t', $headBefore)")
       assert(s2.sql("SELECT count(*) FROM graft.db.t").head().getLong(0) == 3)
       s2.sql("CALL graft.system.rewrite_data_files(table => 'db.t')")
+      val rm = s2.sql("CALL graft.system.rewrite_manifests('db.t')")
+        .head().getString(0)
+      assert(rm.contains("1 segment"), rm)
       val expired = s2.sql("CALL graft.system.expire_snapshots('db.t')")
         .head().getString(0)
       assert(expired.startsWith("expired"), expired)
