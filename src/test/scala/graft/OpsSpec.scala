@@ -746,6 +746,20 @@ class OpsSpec extends SparkSpec {
       s"doc ${top.getLong(0)}: ${top.getDouble(1)} vs recomputed $expected")
   }
 
+  test("bloom semi join: identical to plain semi join, guard prunes pre-shuffle") {
+    val li = graft.Tables(spark, sf, "lineitem")
+    val supp = graft.Tables(spark, sf, "supplier").filter(col("s_nationkey") === 3)
+    val got = BloomJoin.bloomSemiJoin(li, supp, "l_suppkey", "s_suppkey")
+      .select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val plain = li.join(supp, li("l_suppkey") === supp("s_suppkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == plain, "bloom guard must not change the semi-join result")
+    assert(plain.nonEmpty && plain.size < li.count(),
+      "the guard scenario must actually be selective")
+  }
+
   test("lm score: ascending bottom-k, matches scalar recompute") {
     val out = TextOps.lmScore(spark, sf).collect()
     assert(out.length == 20)
