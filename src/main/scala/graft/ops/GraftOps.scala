@@ -518,8 +518,25 @@ object GraftOps {
                |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }
 
+  /** add_files migration: register the EXISTING supplier parquet into a
+    * graft table without rewriting a byte (name-mapped, read in place),
+    * then run row-level ops on top — a MoR delete masks imported rows,
+    * proving imported files are first-class citizens of the format. */
+  def addFilesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir, "supplier")
+    val t = GraftTable.create(spark, scratch(), src.schema.toDDL)
+    t.addFiles(s"$dir/supplier.parquet")
+    t.delete("s_suppkey % 10 = 0", WriteMode.MergeOnRead)
+    t.scan()
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("s_acctbal"))).cast("double").as("sum_bal"))
+      .orderBy("s_nationkey")
+  }
+
   // --- registry --------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_add_files" -> addFilesQuery,
     "q_sql_ctas" -> sqlCtas,
     "q_sql_dml" -> sqlDml,
     "q_sql_merge" -> sqlMerge,
@@ -555,6 +572,11 @@ object GraftOps {
     "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total"
 
   val oracles: Map[String, String] = Map(
+    "q_add_files" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier WHERE NOT (s_suppkey % 10 = 0)
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_sql_ctas" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total

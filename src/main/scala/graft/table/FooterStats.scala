@@ -41,12 +41,16 @@ object FooterStats {
   }
 
   def collect(dirAbs: String, location: String, schema: SchemaMeta,
-      spec: PartSpecMeta, specId: Int, schemaId: Int, seq: Long): Seq[FileMeta] = {
+      spec: PartSpecMeta, specId: Int, schemaId: Int, seq: Long,
+      nameMapped: Boolean = false): Seq[FileMeta] = {
     val root = Paths.get(dirAbs)
-    if (!Files.isDirectory(root)) return Nil
-    val files = Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .toSeq.sortBy(_.toString)
+    val files =
+      if (Files.isRegularFile(root) && root.toString.endsWith(".parquet"))
+        Seq(root) // add_files can register a single parquet file
+      else if (!Files.isDirectory(root)) return Nil
+      else Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .toSeq.sortBy(_.toString)
     val locNorm = Paths.get(location).toAbsolutePath.toString
     // footer reads are independent metadata IO — a large commit (1000s of
     // files) reads them concurrently instead of serially on one thread
@@ -56,13 +60,13 @@ object FooterStats {
       val futures = files.map { p =>
         pool.submit(new java.util.concurrent.Callable[FileMeta] {
           override def call(): FileMeta = {
-            val (rows, stats) = readFooter(p, schema)
+            val (rows, stats) = readFooter(p, schema, nameMapped)
             FileMeta(
               path = p.toAbsolutePath.toString.stripPrefix(locNorm + "/"),
               fileType = "data", specId = specId, schemaId = schemaId,
               partition = partitionValues(root, p, spec),
               rowCount = rows, sizeBytes = Files.size(p), sequenceNumber = seq,
-              stats = stats)
+              stats = stats, nameMapped = nameMapped)
           }
         })
       }
@@ -93,7 +97,8 @@ object FooterStats {
     sb.toString
   }
 
-  private def readFooter(p: Path, schema: SchemaMeta): (Long, Map[String, ColStats]) = {
+  private def readFooter(p: Path, schema: SchemaMeta,
+      nameMapped: Boolean = false): (Long, Map[String, ColStats]) = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), hconf))
     try {
@@ -129,7 +134,8 @@ object FooterStats {
         }
       }
       val stats = schema.fields.flatMap { f =>
-        acc.get(s"f${f.id}").map { case (mn, mx, nulls, ok) =>
+        // name-mapped (imported) files carry LOGICAL column names
+        acc.get(if (nameMapped) f.name else s"f${f.id}").map { case (mn, mx, nulls, ok) =>
           def enc(v: Option[Comparable[Any]]): Option[String] =
             if (!ok) None else v.map(_.toString).filter(_.length <= 120)
           f.id.toString -> ColStats(enc(mn), enc(mx), nulls)

@@ -62,7 +62,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     StructType.fromDDL(s"x $ddl").head.dataType
   private def normPath(s: String): String = s.replaceFirst("^file:/+", "/")
   private def normCol(c: Column): Column = regexp_replace(c, "^file:/+", "/")
-  private def abs(rel: String): String = s"$location/$rel"
+  private def abs(rel: String): String =
+    if (rel.startsWith("/")) rel else s"$location/$rel"
 
   // ==========================================================================
   // Scan
@@ -139,11 +140,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // pushdown scan with no metadata-column or join overhead
     val needPos = withPos || needFileMeta || posDel.nonEmpty || dvs.nonEmpty
 
-    // per-schema file groups: read with that schema's physical layout, align
-    val groups = dataFiles.groupBy(_.schemaId).toSeq.map { case (sid, files) =>
+    // per-schema file groups: read with that schema's physical layout, align.
+    // name-mapped (imported) files form their own group per schema and are
+    // read by LOGICAL column name — Iceberg's name-mapping analog
+    val groups = dataFiles.groupBy(f => (f.schemaId, f.nameMapped)).toSeq
+      .map { case ((sid, mapped), files) =>
       val gs = m.schema(sid)
+      val pname = (f: FieldMeta) => if (mapped) f.name else phys(f)
       val physSchema = StructType(
-        gs.fields.map(f => StructField(phys(f), sparkType(f.dtype))) ++
+        gs.fields.map(f => StructField(pname(f), sparkType(f.dtype))) ++
           Seq(StructField("_row_id", LongType), StructField("_last_seq", LongType)))
       var df = spark.read.schema(physSchema).parquet(files.map(f => abs(f.path)): _*)
       if (needPos) df = df
@@ -151,7 +156,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         .withColumn("_gp", col("_metadata.row_index"))
       val aligned = presented.fields.map { pf =>
         gs.byId(pf.id) match {
-          case Some(gf) => col(phys(gf)).cast(sparkType(pf.dtype)).as(pf.name)
+          case Some(gf) => col(pname(gf)).cast(sparkType(pf.dtype)).as(pf.name)
           case None => pf.initialDefault match {
             case Some(d) => expr(d).cast(sparkType(pf.dtype)).as(pf.name)
             case None => lit(null).cast(sparkType(pf.dtype)).as(pf.name)
@@ -419,6 +424,38 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val files = writeDataFiles(toPhysical(df, meta.currentSchema), snapId, seq,
       meta.currentSchemaId, meta.currentSpecId)
     commit("append", branch, files, Set.empty, snapId, seq, rebaseable = true)
+  }
+
+  /** Iceberg `add_files` / migrate analog: REGISTER existing parquet
+    * files (a file or a directory tree) into the table WITHOUT rewriting
+    * a byte — the lakehouse migration primitive. Entries are stamped
+    * name-mapped: their columns keep logical names and are read in place
+    * (absolute paths), stats come from their footers on the driver, and
+    * every subsequent operation (filters, row-level deletes, compaction)
+    * treats them like native files — a CoW rewrite or compaction
+    * naturally materializes them into the table's physical layout.
+    *
+    * Requires: every current-schema column present in the imported files
+    * under its logical name (missing columns would silently null-fill),
+    * and an unpartitioned target (imported trees carry no graft
+    * partition dirs, so partition pruning would have nothing to prune
+    * on — matching Iceberg's requirement that add_files partitioning
+    * agree with the table's). */
+  def addFiles(sourceAbs: String, branch: String = "main"): SnapshotMeta = {
+    val m = meta
+    if (m.currentSpec.fields.nonEmpty) throw new UnsupportedOperationException(
+      "add_files: target table must be unpartitioned (imported files carry " +
+        "no graft partition directories)")
+    val have = spark.read.parquet(sourceAbs).schema.fieldNames.toSet
+    val missing = m.currentSchema.fields.map(_.name).filterNot(have)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"add_files: imported files lack table column(s): ${missing.mkString(", ")}")
+    val (snapId, seq) = nextIds()
+    val entries = FooterStats.collect(sourceAbs, location, m.currentSchema,
+      m.currentSpec, m.currentSpecId, m.currentSchemaId, seq, nameMapped = true)
+    if (entries.isEmpty) throw new IllegalArgumentException(
+      s"add_files: no parquet files under $sourceAbs")
+    commit("add-files", branch, entries, Set.empty, snapId, seq, rebaseable = true)
   }
 
   /** INSERT OVERWRITE: atomically replace the branch's visible contents —

@@ -68,7 +68,11 @@ final case class FileMeta(
     stats: Map[String, ColStats],
     eqFieldIds: List[Int] = Nil,
     appliesTo: Option[String] = None,
-    firstRowId: Long = -1L)
+    firstRowId: Long = -1L,
+    // true for files REGISTERED in place by add_files (Iceberg migrate
+    // analog): columns carry LOGICAL names (name mapping), path may be
+    // absolute (outside the table tree)
+    nameMapped: Boolean = false)
 
 final case class SnapshotMeta(
     snapshotId: Long,

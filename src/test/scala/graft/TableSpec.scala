@@ -72,6 +72,34 @@ class TableSpec extends SparkSpec {
     assert(t.scan().collect().map(_.toSeq).toSet == before)
   }
 
+  test("add_files registers parquet in place; row-level ops still work") {
+    // an EXTERNAL parquet dir, logical column names, never rewritten
+    val ext = tmp() + "-ext"
+    seedDf(seed).write.parquet(ext)
+    val t = mkOrders(tmp())
+    t.addFiles(ext)
+    assert(t.scan().collect().map(_.getLong(0)).sorted.sameElements(1L to 6L))
+    val entry = Meta.readEntries(t.location, t.meta.head("main").get)
+      .filter(_.fileType == "data")
+    assert(entry.forall(_.nameMapped), "imported entries must be name-mapped")
+    assert(entry.forall(_.path.startsWith("/")), "registered in place (absolute)")
+    assert(entry.exists(_.stats.nonEmpty), "footer stats collected by logical name")
+    // filters + min/max pruning work over imported stats
+    assert(t.scan(filter = Some("o_orderkey = 3")).count() == 1)
+    // native appends coexist with imported files (two read groups)
+    t.append(seedDf(Seq((7L, 40L, "O", 700.0))))
+    assert(t.scan().count() == 7)
+    // CoW delete materializes affected imported files into graft layout
+    t.delete("o_orderkey = 2", WriteMode.CopyOnWrite)
+    assert(t.scan().collect().map(_.getLong(0)).sorted.sameElements(
+      Seq(1L, 3L, 4L, 5L, 6L, 7L)))
+    // guards: partitioned target and missing columns are rejected
+    val tp = mkOrders(tmp(), partitionBy = Seq("identity(o_status)"))
+    intercept[UnsupportedOperationException] { tp.addFiles(ext) }
+    val t2 = GraftTable.create(spark, tmp(), "o_orderkey bigint, nope string")
+    intercept[IllegalArgumentException] { t2.addFiles(ext) }
+  }
+
   test("time travel by snapshot id and timestamp") {
     val t = mkOrders(tmp())
     val s1 = t.append(seedDf(seed.take(3)))
