@@ -14,7 +14,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ AnalyticsDeep.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
-      SkewJoin.queries ++ BucketJoin.queries ++ BloomJoin.queries ++ TimeSeries.queries ++
+      SkewJoin.queries ++ BucketJoin.queries ++ BloomJoin.queries ++ SpatialJoin.queries ++ TimeSeries.queries ++
       TextOps.queries ++ Sampling.queries ++ Dedup.queries ++ Similarity.queries ++
       GraftOps.queries ++ V3Ops.queries ++ Multimodal.queries ++
       IncrementalAgg.queries ++ CorpusGraph.queries ++ Clustering.queries ++
@@ -26,7 +26,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ AnalyticsDeep.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
-      SkewJoin.oracles ++ BucketJoin.oracles ++ BloomJoin.oracles ++ TimeSeries.oracles ++
+      SkewJoin.oracles ++ BucketJoin.oracles ++ BloomJoin.oracles ++ SpatialJoin.oracles ++ TimeSeries.oracles ++
       TextOps.oracles ++ Sampling.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       GraftOps.oracles ++ V3Ops.oracles ++ Multimodal.oracles ++
       IncrementalAgg.oracles ++ CorpusGraph.oracles ++ Clustering.oracles ++

@@ -746,6 +746,23 @@ class OpsSpec extends SparkSpec {
       s"doc ${top.getLong(0)}: ${top.getDouble(1)} vs recomputed $expected")
   }
 
+  test("spatial join: grid-bucketed pairs equal the brute-force pairs") {
+    val got = SpatialJoin.spatialJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pts = graft.Tables(spark, sf, "orders")
+      .selectExpr("o_orderkey AS id", "o_orderkey % 360 - 180 AS x",
+        "o_custkey % 180 - 90 AS y")
+      .filter("x BETWEEN -60 AND 60 AND y BETWEEN -45 AND 45")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= 4
+    } yield (a._1, b._1, d2)).toSet
+    assert(brute.nonEmpty, "test scenario must produce pairs")
+    assert(got == brute, s"grid join ${got.size} pairs vs brute ${brute.size}")
+  }
+
   test("bloom semi join: identical to plain semi join, guard prunes pre-shuffle") {
     val li = graft.Tables(spark, sf, "lineitem")
     val supp = graft.Tables(spark, sf, "supplier").filter(col("s_nationkey") === 3)
