@@ -358,7 +358,49 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Exact embedding covariance matrix (upper triangle) — the whitening /
+    * drift-monitoring statistic over the corpus's embedding distribution:
+    * cov(i,j) = E[x_i x_j] − E[x_i]E[x_j]. One posexplode scatters each
+    * vector to (dim, value) rows, a vec-local self-join forms the D²/2
+    * products IN the same task (join key = vec_id, co-partitioned), and
+    * ONE groupBy(i,j) with map-side DECIMAL partials reduces to D²/2
+    * result cells — the shuffle carries per-partition partial sums, never
+    * row data. Products are cast to DECIMAL before summing so the
+    * reduction is exact and partition-order-free; the final covariance is
+    * a fixed-order double expression over those exact sums. */
+  def embedCov(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        col("x").cast("double").as("x"))
+    val n = Tables(spark, dir, "embeddings").agg(count(lit(1)).as("n"))
+    // values and products are rounded to scaled BIGINTs BEFORE summing —
+    // the reduction is exact integer math (order-free), and the final
+    // double expression sees identical inputs in both engines (a big
+    // DECIMAL→DOUBLE cast is 1-ULP engine-dependent; int64→double is
+    // correctly rounded everywhere)
+    val sums = dims.groupBy(col("i"))
+      .agg(sum(floor(col("x") * lit(1e12) + lit(0.5)).cast("long")).as("sx"))
+    val prods = dims.as("a")
+      .join(dims.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(floor(col("a.x") * col("b.x") * lit(1e12) + lit(0.5))
+        .cast("long")).as("sxy"))
+    val nD = col("n").cast("double")
+    prods
+      .join(sums.select(col("i"), col("sx").as("sxi")), "i")
+      .join(sums.select(col("i").as("j"), col("sx").as("sxj")), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        (col("sxy").cast("double") / lit(1e12) / nD
+          - (col("sxi").cast("double") / lit(1e12) / nD)
+            * (col("sxj").cast("double") / lit(1e12) / nD)).as("cov"))
+      .orderBy("i", "j")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_cov" -> embedCov,
     "q_dedup_embedding" -> dedupEmbedding,
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLsh,
@@ -483,6 +525,32 @@ object Similarity {
        |)""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    "q_embed_cov" ->
+      """WITH dims AS (
+        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(range(1, 65)) u(i)
+        |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+        |sums AS (
+        |  SELECT i, CAST(SUM(CAST(floor(x * 1000000000000.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sx
+        |  FROM dims GROUP BY i
+        |), prods AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(SUM(CAST(floor(a.x * b.x * 1000000000000.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sxy
+        |  FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY a.i, b.i
+        |)
+        |SELECT p.i, p.j,
+        |  CAST(sxy AS DOUBLE) / 1000000000000.0 / CAST(n.n AS DOUBLE)
+        |  - (CAST(sa.sx AS DOUBLE) / 1000000000000.0 / CAST(n.n AS DOUBLE))
+        |    * (CAST(sb.sx AS DOUBLE) / 1000000000000.0 / CAST(n.n AS DOUBLE))
+        |    AS cov
+        |FROM prods p
+        |JOIN sums sa ON sa.i = p.i
+        |JOIN sums sb ON sb.i = p.j, n
+        |ORDER BY p.i, p.j""".stripMargin,
     "q_hard_negatives" ->
       s"""WITH e AS (
          |  SELECT vec_id, label,

@@ -746,6 +746,27 @@ class OpsSpec extends SparkSpec {
       s"doc ${top.getLong(0)}: ${top.getDouble(1)} vs recomputed $expected")
   }
 
+  test("embed covariance: diagonal nonnegative, entries match scalar recompute") {
+    val out = Similarity.embedCov(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 64 * 65 / 2, "full upper triangle")
+    (0L until 64L).foreach(i => assert(out((i, i)) >= 0.0, s"var($i) < 0"))
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length.toDouble
+    def cov(i: Int, j: Int): Double = {
+      val sxy = vecs.map(v => math.floor(v(i) * v(j) * 1e12 + 0.5).toLong).sum
+      val sxi = vecs.map(v => math.floor(v(i) * 1e12 + 0.5).toLong).sum
+      val sxj = vecs.map(v => math.floor(v(j) * 1e12 + 0.5).toLong).sum
+      sxy.toDouble / 1e12 / n - (sxi.toDouble / 1e12 / n) * (sxj.toDouble / 1e12 / n)
+    }
+    Seq((0, 0), (0, 1), (3, 17)).foreach { case (i, j) =>
+      assert(math.abs(out((i.toLong, j.toLong)) - cov(i, j)) < 1e-12,
+        s"cov($i,$j): ${out((i.toLong, j.toLong))} vs ${cov(i, j)}")
+    }
+  }
+
   test("spatial join: grid-bucketed pairs equal the brute-force pairs") {
     val got = SpatialJoin.spatialJoin(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
