@@ -186,6 +186,48 @@ object StreamingOps {
       .orderBy("user_id", "session_id")
   }
 
+  // --- native session_window sessionization ---------------------------------
+  /** Spark's BUILT-IN `session_window` aggregation — the declarative
+    * (codegen'd merging-session state store) counterpart to the custom
+    * flatMapGroupsWithState path (q_stream_sessions): state is one
+    * merging window per open session, append mode emits each session
+    * exactly once when the watermark passes its end, sentinels at
+    * max+3h close every real session. Session windows are HALF-OPEN
+    * [start, last+gap): an event exactly at last+gap starts a new
+    * session — the oracle encodes `diff >= gap` accordingly. */
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val (tmp, src) = stage(spark, dir)
+    val maxUs = src.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val real = src.select(col("user_id"), col("ts"), col("event_id"))
+    val sentinels = real.select("user_id").distinct()
+      .withColumn("ts", timestamp_micros(lit(maxUs + 10800000000L)))
+      .withColumn("event_id", lit(-1L))
+      .select("user_id", "ts", "event_id")
+    real.unionByName(sentinels).coalesce(1).write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(real.schema).parquet(s"$tmp/in")
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"))
+    val name = s"sw_${UUID.randomUUID.toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val byStart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("session_start_us"))
+    spark.table(name)
+      .select(col("user_id"), col("n_events"),
+        col("session_start_us"), col("session_end_us"))
+      .withColumn("session_id", row_number().over(byStart).cast("long"))
+      .select("user_id", "session_id", "n_events",
+        "session_start_us", "session_end_us")
+      .orderBy("user_id", "session_id")
+  }
+
   // --- streaming MERGE upsert into the graft table ---------------------------
   /** CDC-style streaming apply: every micro-batch MERGEs into the table
     * (matched keys update, new keys insert), one atomic snapshot commit
@@ -434,6 +476,7 @@ object StreamingOps {
     "q_stream_window_append" -> streamWindowAppend,
     "q_stream_sketch" -> streamSketch,
     "q_stream_sessions" -> streamSessions,
+    "q_stream_session_window" -> streamSessionWindow,
     "q_stream_ingest" -> streamIngest,
     "q_stream_upsert" -> streamUpsert,
     "q_stream_tail" -> streamTail)
@@ -527,6 +570,22 @@ object StreamingOps {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_session_window" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM m
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | MIN(epoch_us(ts)) AS session_start_us, MAX(epoch_us(ts)) AS session_end_us
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "q_stream_sessions" ->
       """WITH m AS (
         |  SELECT user_id, event_id, ts,

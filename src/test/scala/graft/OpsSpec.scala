@@ -746,6 +746,13 @@ class OpsSpec extends SparkSpec {
       s"doc ${top.getLong(0)}: ${top.getDouble(1)} vs recomputed $expected")
   }
 
+  test("native session_window equals the flatMapGroupsWithState sessions") {
+    val a = StreamingOps.streamSessionWindow(spark, sf).collect().map(_.toSeq).toSet
+    val b = StreamingOps.streamSessions(spark, sf).collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b,
+      s"native ${a.size} sessions vs custom ${b.size}")
+  }
+
   test("embed covariance: diagonal nonnegative, entries match scalar recompute") {
     val out = Similarity.embedCov(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
