@@ -18,7 +18,7 @@ object SparkEntry {
       TextOps.queries ++ Sampling.queries ++ Dedup.queries ++ Similarity.queries ++
       GraftOps.queries ++ V3Ops.queries ++ Multimodal.queries ++
       IncrementalAgg.queries ++ CorpusGraph.queries ++ Clustering.queries ++
-      IncrementalDedup.queries ++ Sketches.queries ++ Behavioral.queries ++
+      IncrementalDedup.queries ++ GraphRank.queries ++ Sketches.queries ++ Behavioral.queries ++
       Scd2.queries ++ DataQuality.queries ++
       StreamingOps.queries
 
@@ -30,7 +30,7 @@ object SparkEntry {
       TextOps.oracles ++ Sampling.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       GraftOps.oracles ++ V3Ops.oracles ++ Multimodal.oracles ++
       IncrementalAgg.oracles ++ CorpusGraph.oracles ++ Clustering.oracles ++
-      IncrementalDedup.oracles ++ Sketches.oracles ++ Behavioral.oracles ++
+      IncrementalDedup.oracles ++ GraphRank.oracles ++ Sketches.oracles ++ Behavioral.oracles ++
       Scd2.oracles ++ DataQuality.oracles ++
       StreamingOps.oracles
 }

@@ -746,6 +746,36 @@ class OpsSpec extends SparkSpec {
       s"doc ${top.getLong(0)}: ${top.getDouble(1)} vs recomputed $expected")
   }
 
+  test("pagerank: matches a scalar recompute of the integer iteration") {
+    val out = GraphRank.pagerank(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.nonEmpty)
+    assert(out.map(_._2).sameElements(out.map(_._2).sortBy(-_)))
+    // scalar recompute from the raw edge set
+    val edges = graft.Tables(spark, sf, "lineitem")
+      .join(graft.Tables(spark, sf, "orders"), expr("l_orderkey = o_orderkey"))
+      .join(graft.Tables(spark, sf, "customer"), expr("o_custkey = c_custkey"))
+      .join(graft.Tables(spark, sf, "supplier"), expr("l_suppkey = s_suppkey"))
+      .join(graft.Tables(spark, sf, "nation").select(col("n_nationkey").as("cnk"),
+        col("n_name").as("src")), expr("c_nationkey = cnk"))
+      .join(graft.Tables(spark, sf, "nation").select(col("n_nationkey").as("snk"),
+        col("n_name").as("dst")), expr("s_nationkey = snk"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tw = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+    val ns = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var r = ns.map(_ -> 1000000L).toMap
+    (1 to GraphRank.Iters).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => ((r(e._1) * 85L) / 100L) * e._3 / tw(e._1)).sum
+      }
+      r = ns.map(nm => nm -> (150000L + in.getOrElse(nm, 0L))).toMap
+    }
+    out.foreach { case (nm, got) =>
+      assert(got == r(nm), s"$nm: $got vs scalar ${r(nm)}")
+    }
+  }
+
   test("native session_window equals the flatMapGroupsWithState sessions") {
     val a = StreamingOps.streamSessionWindow(spark, sf).collect().map(_.toSeq).toSet
     val b = StreamingOps.streamSessions(spark, sf).collect().map(_.toSeq).toSet
