@@ -53,10 +53,9 @@ object Scd2 {
     dim.overwrite(untouched.unionByName(closed).unionByName(opened))
   }
 
-  /** driver query: seed the customer dimension at v1, apply two change
-    * batches (v2: +100 for key%10=0; v3: +200 for key%20=0), then emit
-    * per-version history stats — pinned to the expected SCD2 state */
-  def scd2Query(spark: SparkSession, dir: String): DataFrame = {
+  /** seed the customer dimension at v1 and apply the two standard change
+    * batches (v2: +100 for key%10=0; v3: +400 for key%20=0) */
+  private def buildDim(spark: SparkSession, dir: String): GraftTable = {
     val tmp = Files.createTempDirectory("graft-scd2")
     val c = Tables(spark, dir, "customer")
     val dim = GraftTable.create(spark, tmp.resolve("dim").toString,
@@ -74,6 +73,13 @@ object Scd2 {
       c.filter(col("c_custkey") % 20 === 0)
         .select(col("c_custkey"), (col("c_acctbal") + 400.0).as("c_acctbal")),
       "c_custkey", "c_acctbal", version = 3L)
+    dim
+  }
+
+  /** driver query: per-version history stats — pinned to the expected
+    * SCD2 state after the two change batches */
+  def scd2Query(spark: SparkSession, dir: String): DataFrame = {
+    val dim = buildDim(spark, dir)
     dim.scan()
       .groupBy(col("valid_from"), col("is_current"))
       .agg(count(lit(1)).as("n_rows"),
@@ -84,12 +90,49 @@ object Scd2 {
       .orderBy("valid_from", "is_current")
   }
 
-  val queries: Map[String, Q] = Map("q_scd2" -> scd2Query)
+  /** Point-in-time (PIT) join — the feature-store correctness join: each
+    * fact joins the dimension VERSION that was valid at the fact's own
+    * as-of point (`valid_from <= v < valid_to`), never today's value
+    * (no feature leakage). Plan shape: an EQUI hash join on the key with
+    * the interval predicate evaluated post-match — versions per key are
+    * few (history depth), so the range residual filters a handful of
+    * rows per fact; at 100 TB this is one key shuffle, exactly the
+    * update-path join, with as-of salting available for hot keys. */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = buildDim(spark, dir).scan()
+    val facts = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        (lit(1L) + col("o_orderkey") % 3).as("ver"))
+    facts.join(dim,
+        facts("o_custkey") === dim("c_custkey")
+          && facts("ver") >= dim("valid_from") && facts("ver") < dim("valid_to"))
+      .groupBy(col("ver"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_bal"))
+      .orderBy("ver", "c_mktsegment")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_scd2" -> scd2Query,
+    "q_pit_join" -> pitJoin)
 
   /** the oracle reconstructs the expected history rows directly: v1 rows
     * (closed at 2 for key%10=0, else open), v2 rows (closed at 3 for
     * key%20=0, else open), v3 rows (open) */
   val oracles: Map[String, String] = Map(
+    "q_pit_join" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_custkey, 1 + o_orderkey % 3 AS ver FROM orders),
+        |j AS (
+        |  SELECT f.ver, c.c_mktsegment,
+        |    CASE WHEN c.c_custkey % 20 = 0 AND f.ver >= 3 THEN c.c_acctbal + 400.0
+        |         WHEN c.c_custkey % 10 = 0 AND f.ver >= 2 THEN c.c_acctbal + 100.0
+        |         ELSE c.c_acctbal END AS bal
+        |  FROM f JOIN customer c ON f.o_custkey = c.c_custkey)
+        |SELECT ver, c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM j GROUP BY ver, c_mktsegment ORDER BY ver, c_mktsegment""".stripMargin,
     "q_scd2" ->
       s"""WITH hist AS (
          |  SELECT c_custkey, c_acctbal, 1 AS valid_from,
