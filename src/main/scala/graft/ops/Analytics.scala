@@ -252,6 +252,20 @@ object Analytics {
       .agg(count(lit(1)).as("n"), d(sum(dec(col("value"), 18, 6))).as("sum_value"))
       .orderBy("day", "event_type")
 
+  // --- sliding (hopping) window aggregation ----------------------------------
+  /** 1-hour windows hopping every 15 minutes: each event contributes to 4
+    * overlapping windows — Spark's `window(ts, len, slide)` expands the
+    * assignment INSIDE the scan task (a generator, no join), then one
+    * partial-agg shuffle on (window, type). The oracle replays the
+    * expansion with a 15-min time bucket × range(0,4). */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), d(sum(dec(col("value"), 18, 6))).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy("ws", "event_type")
+
   // --- sessionization: gaps-and-islands, 30-minute inactivity gap -----------
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -287,6 +301,7 @@ object Analytics {
     "q_cube" -> cubeAgg,
     "q_pivot" -> pivotAgg,
     "q_events_window" -> eventsWindow,
+    "q_sliding_window" -> slidingWindow,
     "q_sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
@@ -416,6 +431,15 @@ object Analytics {
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "q_sliding_window" ->
+      """WITH e AS (
+        |  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+        |           AS ws,
+        |         event_type, value
+        |  FROM events, UNNEST(range(0, 4)) u(k))
+        |SELECT CAST(ws AS TIMESTAMP) AS ws, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_events_window" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
