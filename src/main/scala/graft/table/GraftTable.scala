@@ -1165,6 +1165,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
               fs.size.toLong, fs.map(_.rowCount).sum, fs.map(_.sizeBytes).sum)
           }.sortBy(_._1)
           .toDF("partition", "file_count", "row_count", "size_bytes")
+      case "manifests" =>
+        // per-segment rollup of the head snapshot: how commit deltas have
+        // accumulated, and whether a rewrite_manifests is due
+        m.head(ref).map(_.manifests).getOrElse(Nil)
+          .map { seg =>
+            val es = Meta.readManifest(location, seg)
+            (seg, es.size.toLong,
+              es.count(_.fileType == "data").toLong,
+              es.filter(_.fileType == "data").map(_.rowCount).sum)
+          }
+          .toDF("segment", "entry_count", "data_file_count", "row_count")
       case "history" =>
         // ref lineage: every snapshot with whether main's current state
         // descends from it (Iceberg's history table shape)

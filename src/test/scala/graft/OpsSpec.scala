@@ -1120,6 +1120,10 @@ class OpsSpec extends SparkSpec {
       assert(nFiles == t.liveFiles().count(_.fileType == "data").toLong)
       assert(s2.sql("SELECT * FROM graft.db1.`kv$snapshots`").count() == 2) // append + delete
       assert(t.metaTable("refs").collect().map(_.getString(0)).contains("main"))
+      // $manifests: append segment carried + one delete-file segment
+      val segs = s2.sql("SELECT * FROM graft.db1.`kv$manifests`").collect()
+      assert(segs.length == 2, s"expected 2 segments, got ${segs.length}")
+      assert(segs.map(_.getLong(1)).sum == t.liveFiles().size.toLong)
       // SQL time travel: snapshot 1 predates the MoR delete
       assert(s2.sql("SELECT * FROM graft.db1.kv VERSION AS OF 1").count() == 3)
       assert(s2.sql("SELECT * FROM graft.db1.kv").count() == 2)
