@@ -40,6 +40,42 @@ class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     u.multipartIdentifier.length == 3 &&
       u.multipartIdentifier.head.equalsIgnoreCase("graft")
 
+  /** every aggregate expression is a plain `count(*)` / `count(1)` */
+  private def countStarOnly(
+      aggs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    def isCountStar(e: Expression): Boolean = e match {
+      case f: UnresolvedFunction =>
+        f.nameParts.map(_.toLowerCase) == Seq("count") && !f.isDistinct &&
+          f.filter.isEmpty && (f.arguments match {
+            case Seq(Literal(1, _)) => true
+            case Seq(_: UnresolvedStar) => true
+            case _ => false
+          })
+      case _ => false
+    }
+    aggs.nonEmpty && aggs.forall {
+      case UnresolvedAlias(f, _) => isCountStar(f)
+      case Alias(f, _) => isCountStar(f)
+      case _ => false
+    }
+  }
+
+  /** manifest row count for a plain `graft.ns.tbl` head read — None when
+    * the table has a meta/ref suffix, doesn't exist, or has live delete
+    * files (the scan path must answer then) */
+  private def metadataCount(u: UnresolvedRelation): Option[Long] = {
+    val Seq(_, ns, ident) = u.multipartIdentifier
+    if (ident.contains('$') || ident.contains('@')) return None
+    val wh = spark.conf.getOption("spark.graft.warehouse").getOrElse(return None)
+    val cat = new GraftCatalog(spark, wh)
+    if (!cat.tableExists(ns, ident)) return None
+    val entries = cat.loadTable(ns, ident).liveFiles()
+    if (entries.exists(_.fileType != "data")) None
+    else Some(entries.map(_.rowCount).sum)
+  }
+
   /** resolve `graft.ns.tbl[$meta][@branch]` to the graft scan plan.
     * `cond` is the unresolved WHERE tree when one sits directly above the
     * relation; `snapshotId`/`asOfMs` carry SQL time travel
@@ -372,6 +408,26 @@ class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     case m: MergeIntoTable if dmlTarget(m.targetTable).isDefined =>
       val (ns, tbl, branch, alias) = dmlTarget(m.targetTable).get
       mergeCommand(m, ns, tbl, branch, alias)
+    // metadata-only COUNT(*): when the aggregate is exactly count(*) over
+    // a bare graft relation and NO delete files are live, the manifests
+    // already hold the answer — substitute a Range(0, count) leaf so the
+    // count resolves without touching a data file (Iceberg's metadata
+    // count optimization). Any other aggregate/grouping, a ref/meta
+    // suffix, or live deletes leave the plan untouched.
+    // at this (pre-resolution) stage `SELECT count(*) FROM t` is still a
+    // Project — GlobalAggregates turns it into an Aggregate later
+    case p @ org.apache.spark.sql.catalyst.plans.logical.Project(projList, child)
+        if countStarOnly(projList) =>
+      (child match {
+        case u: UnresolvedRelation if isGraft(u) => Some(u)
+        case SubqueryAlias(_, u: UnresolvedRelation) if isGraft(u) => Some(u)
+        case _ => None
+      }).flatMap(metadataCount) match {
+        case Some(cnt) =>
+          p.copy(child = org.apache.spark.sql.catalyst.plans.logical
+            .Range(0, cnt, 1, Some(1)))
+        case None => p
+      }
     case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, version) if isGraft(u) =>
       timeTravel(u, ts, version).getOrElse(tt)
     case f @ Filter(cond, u: UnresolvedRelation) if isGraft(u) =>

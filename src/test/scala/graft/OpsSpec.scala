@@ -1124,6 +1124,20 @@ class OpsSpec extends SparkSpec {
       val segs = s2.sql("SELECT * FROM graft.db1.`kv$manifests`").collect()
       assert(segs.length == 2, s"expected 2 segments, got ${segs.length}")
       assert(segs.map(_.getLong(1)).sum == t.liveFiles().size.toLong)
+      // metadata-only COUNT(*): with live delete files the scan answers...
+      val slow = s2.sql("SELECT count(*) FROM graft.db1.kv")
+      assert(slow.head().getLong(0) == 2)
+      assert(slow.queryExecution.executedPlan.toString.contains("Scan parquet"),
+        "delete files live: count must run through the scan")
+      // ...after compaction (deletes applied), the manifests answer alone
+      t.compact()
+      val fast = s2.sql("SELECT count(*) AS n FROM graft.db1.kv")
+      assert(fast.head().getLong(0) == 2)
+      val plan = fast.queryExecution.executedPlan.toString
+      assert(!plan.contains("Scan parquet") && plan.contains("Range"),
+        s"metadata count must not scan data files:\n$plan")
+      // count(col) / grouped counts are untouched by the rewrite
+      assert(s2.sql("SELECT count(v) FROM graft.db1.kv").head().getLong(0) == 2)
       // SQL time travel: snapshot 1 predates the MoR delete
       assert(s2.sql("SELECT * FROM graft.db1.kv VERSION AS OF 1").count() == 3)
       assert(s2.sql("SELECT * FROM graft.db1.kv").count() == 2)
