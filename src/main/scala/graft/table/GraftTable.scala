@@ -403,8 +403,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
       segs = List(Meta.writeManifest(location, s"$snapId-c-$uuid",
         clusterEntries(all)))
     }
+    val removedEntries = dirty.flatMap(_._2).filter(isRemoved)
+    val summary = Map(
+      "added-data-files" -> withRid.count(_.fileType == "data").toString,
+      "added-delete-files" -> withRid.count(_.fileType != "data").toString,
+      "added-records" -> withRid.filter(_.fileType == "data")
+        .map(_.rowCount).sum.toString,
+      "removed-files" -> removedEntries.size.toString,
+      "removed-records" -> removedEntries.filter(_.fileType == "data")
+        .map(_.rowCount).sum.toString)
     val snap = SnapshotMeta(snapId, parent.map(_.snapshotId), seq,
-      System.currentTimeMillis(), op, m.currentSchemaId, segs.toList)
+      System.currentTimeMillis(), op, m.currentSchemaId, segs.toList, summary)
     val next = m.copy(
       lastSnapshotId = snapId, lastSequenceNumber = seq, lastRowId = rid,
       snapshots = m.snapshots :+ snap,
@@ -1147,9 +1156,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
         m.snapshots
           .map(s => (s.snapshotId, s.parentId, s.sequenceNumber,
             new java.sql.Timestamp(s.timestampMs), s.operation, s.schemaId,
-            s.manifests.mkString(",")))
+            s.manifests.mkString(","),
+            s.summary.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")))
           .toDF("snapshot_id", "parent_id", "sequence_number", "committed_at",
-            "operation", "schema_id", "manifests")
+            "operation", "schema_id", "manifests", "summary")
       case "refs" =>
         m.refs.toSeq.sortBy(_._1)
           .map { case (n, r) => (n, r.snapshotId, if (r.isBranch) "BRANCH" else "TAG") }

@@ -86,7 +86,11 @@ final case class SnapshotMeta(
     // delta — O(change) metadata per commit, not O(table) — the same
     // shape as Iceberg's manifest list. Segments shared across snapshots
     // are cleaned only when no surviving snapshot references them.
-    manifests: List[String])
+    manifests: List[String],
+    // Iceberg snapshot-summary analog: what THIS commit changed
+    // (added/removed file and record counts) — O(1) observability per
+    // commit without diffing manifests
+    summary: Map[String, String] = Map.empty)
 
 final case class RefMeta(snapshotId: Long, isBranch: Boolean)
 

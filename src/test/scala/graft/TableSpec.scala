@@ -72,6 +72,19 @@ class TableSpec extends SparkSpec {
     assert(t.scan().collect().map(_.toSeq).toSet == before)
   }
 
+  test("snapshot summaries record what each commit changed") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    val s1 = t.meta.head("main").get.summary
+    assert(s1("added-records") == "6" && s1("removed-files") == "0")
+    t.delete("o_orderkey <= 2", WriteMode.CopyOnWrite)
+    val s2 = t.meta.head("main").get.summary
+    assert(s2("removed-files").toInt >= 1, s2.toString)
+    // CoW rewrite: net record change across the commit is the 2 deletions
+    assert(s2("removed-records").toInt - s2("added-records").toInt == 2, s2.toString)
+    assert(t.metaTable("snapshots").columns.contains("summary"))
+  }
+
   test("add_files registers parquet in place; row-level ops still work") {
     // an EXTERNAL parquet dir, logical column names, never rewritten
     val ext = tmp() + "-ext"
