@@ -414,7 +414,36 @@ object TextOps {
       .limit(20)
   }
 
+  // --- subword vocabulary induction -----------------------------------------
+
+  /** Subword vocabulary candidates (the counting core of WordPiece/BPE
+    * tokenizer training): every contiguous substring of length 2–6 of
+    * every surface form, scored by total corpus occurrences. The heavy
+    * trick: the corpus first collapses to the DISTINCT word bag with
+    * counts (one shuffle over words — Zipf makes this tiny relative to
+    * the token stream), then the substring explosion (≤ 5·len per word)
+    * runs over the word BAG, not the corpus. Top-50 candidates emitted
+    * with their document-form coverage. */
+  def vocabCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val bag = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val subs = bag.select(col("w"), col("n"),
+      explode(expr(
+        """flatten(transform(sequence(1, length(w)), i ->
+          |  filter(transform(sequence(2, 6),
+          |    l -> CASE WHEN i + l - 1 <= length(w)
+          |              THEN substring(w, i, l) END),
+          |    x -> x IS NOT NULL)))""".stripMargin)).as("sub"))
+    subs.groupBy(col("sub"))
+      .agg(sum(col("n")).as("freq"),
+        countDistinct(col("w")).as("n_forms"))
+      .orderBy(col("freq").desc, col("sub"))
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_vocab_candidates" -> vocabCandidates,
     "q_lm_score" -> lmScore,
     "q_bm25" -> bm25,
     "q_keyword_terms" -> keywordTerms,
@@ -466,6 +495,21 @@ object TextOps {
     s"lpad(CAST(${sqlCountIn(markers)} AS VARCHAR), 10, '0') || '$code'"
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_candidates" ->
+      """WITH bag AS (
+        |  SELECT u.w, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents, UNNEST(string_split(text, ' ')) u(w)
+        |  GROUP BY u.w),
+        |subs AS (
+        |  SELECT w, n, substr(w, CAST(i AS INT), CAST(l AS INT)) AS sub
+        |  FROM bag,
+        |       UNNEST(range(1, len(w) + 1)) u(i),
+        |       UNNEST(range(2, 7)) v(l)
+        |  WHERE i + l - 1 <= len(w))
+        |SELECT sub, CAST(SUM(n) AS BIGINT) AS freq,
+        |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_forms
+        |FROM subs GROUP BY sub
+        |ORDER BY freq DESC, sub LIMIT 50""".stripMargin,
     "q_lm_score" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
