@@ -75,11 +75,77 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Trailing-window z-score anomaly detection: each event scored against
+    * the SAME user's trailing-6h mean/stddev — the streaming-monitoring
+    * primitive (spike detection), as one RANGE-frame window pass.
+    *
+    * Determinism: value and value² round to scaled BIGINTs before the
+    * frame sums (exact integer reductions); mean/var/z are then a fixed
+    * sequence of IEEE double ops — and unlike ln(), sqrt IS correctly
+    * rounded by IEEE-754, so the z-scores match DuckDB bit-for-bit with
+    * no tolerance tricks. Plan: one hash exchange on user_id, sliding
+    * two-pointer frame evaluation, top-k at the end. */
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("vs", floor(col("value") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("vs2", floor(col("value") * col("value") * lit(1e6) + lit(0.5))
+        .cast("long"))
+    val win = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-21600L, 0L)
+    val cnt = count(lit(1)).over(win)
+    val s1 = sum(col("vs")).over(win)
+    val s2 = sum(col("vs2")).over(win)
+    val withSums = ev
+      .withColumn("n6", cnt)
+      .withColumn("s1", s1)
+      .withColumn("s2", s2)
+      .withColumn("mean", col("s1").cast("double") / lit(1e6) / col("n6").cast("double"))
+      .withColumn("msq", col("s2").cast("double") / lit(1e6) / col("n6").cast("double"))
+      .withColumn("variance", greatest(col("msq") - col("mean") * col("mean"), lit(0.0)))
+      .withColumn("std", sqrt(col("variance")))
+      .filter(col("n6") >= 10 && col("std") > 0.0)
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+    withSums
+      .select(col("event_id"), col("user_id"), col("n6"), col("z"))
+      .orderBy(col("z").desc, col("event_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_gap_fill" -> gapFill,
-    "q_moving_window" -> movingWindow)
+    "q_moving_window" -> movingWindow,
+    "q_anomaly" -> anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec, value,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vs,
+        |    CAST(floor(value * value * 1000000.0 + 0.5) AS BIGINT) AS vs2
+        |  FROM events
+        |), w AS (
+        |  SELECT event_id, user_id, value,
+        |    COUNT(*) OVER win AS n6,
+        |    CAST(SUM(vs) OVER win AS BIGINT) AS s1,
+        |    CAST(SUM(vs2) OVER win AS BIGINT) AS s2
+        |  FROM ev
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY sec
+        |                 RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)
+        |), sc AS (
+        |  SELECT event_id, user_id, n6, value,
+        |    CAST(s1 AS DOUBLE) / 1000000.0 / CAST(n6 AS DOUBLE) AS mean,
+        |    CAST(s2 AS DOUBLE) / 1000000.0 / CAST(n6 AS DOUBLE) AS msq
+        |  FROM w
+        |), z AS (
+        |  SELECT event_id, user_id, CAST(n6 AS BIGINT) AS n6,
+        |    (value - mean) / sqrt(GREATEST(msq - mean * mean, 0.0)) AS z
+        |  FROM sc
+        |  WHERE n6 >= 10 AND GREATEST(msq - mean * mean, 0.0) > 0.0
+        |)
+        |SELECT event_id, user_id, n6, z
+        |FROM z ORDER BY z DESC, event_id LIMIT 20""".stripMargin,
     "q_moving_window" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) // 1000000 AS sec, value FROM events
