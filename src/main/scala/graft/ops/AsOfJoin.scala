@@ -38,6 +38,43 @@ object AsOfJoin {
       .select(col("_row.*"), col("_asof").as(valueName))
   }
 
+  /** Nearest-event join: each left row pairs with the temporally CLOSEST
+    * right row of the same key in EITHER direction (alignment tasks —
+    * sensor fusion, caption↔frame matching — where backward-only as-of
+    * biases late). Composition: the backward as-of (last right value at
+    * or before t) plus its mirror (first right value at or after t, the
+    * same window pass over reversed time), then pick the nearer side,
+    * ties to the earlier (backward) match. Cost = exactly two as-of
+    * passes: two sorts over one exchange per pass, no join blowup. */
+  def nearest(left: DataFrame, leftKey: Column, leftTime: Column,
+      right: DataFrame, rightKey: Column, rightTime: Column): DataFrame = {
+    val l = left.select(leftKey.as("_k"), leftTime.as("_t"), lit(1).as("_side"),
+      struct(left.columns.map(col): _*).as("_row"),
+      lit(null).cast("long").as("_rt"))
+    val r = right.select(rightKey.as("_k"), rightTime.as("_t"), lit(0).as("_side"),
+      lit(null).cast(l.schema("_row").dataType).as("_row"),
+      unix_micros(rightTime.cast("timestamp")).as("_rt"))
+    val back = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // desc traversal must see right rows (side 0) BEFORE a left row at the
+    // SAME timestamp, so the at-or-after match is inclusive like ASOF <=
+    val fwd = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").desc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_before", last(col("_rt"), ignoreNulls = true).over(back))
+      .withColumn("_after", last(col("_rt"), ignoreNulls = true).over(fwd))
+      .filter(col("_side") === 1)
+      .withColumn("_ts", unix_micros(col("_t").cast("timestamp")))
+      .withColumn("_nearest",
+        when(col("_before").isNull, col("_after"))
+          .when(col("_after").isNull, col("_before"))
+          .when(col("_ts") - col("_before") <= col("_after") - col("_ts"),
+            col("_before"))
+          .otherwise(col("_after")))
+      .select(col("_row.*"), col("_nearest"))
+  }
+
   /** Skew-resistant as-of: the same semantics with the single-key
     * bottleneck removed. A pathological key (one user with 10^9 events)
     * breaks the plain composition because one window partition must hold
@@ -102,10 +139,38 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** queries-entry shape: nearest order (either direction) per event. */
+  def eventsNearestOrders(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events").select("event_id", "user_id", "ts")
+    val orders = Tables(spark, dir, "orders")
+    nearest(events, col("user_id"), col("ts"),
+      orders, col("o_custkey"), col("o_orderdate"))
+      .select(col("event_id"), col("user_id"), col("_nearest").as("nearest_us"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_asof_join" -> eventsAsOfOrders)
+    Map("q_asof_join" -> eventsAsOfOrders,
+      "q_nearest_join" -> eventsNearestOrders)
 
   val oracles: Map[String, String] = Map(
+    "q_nearest_join" ->
+      """WITH b AS (
+        |  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |         epoch_us(o.o_orderdate) AS before_us
+        |  FROM events e ASOF LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |), f AS (
+        |  SELECT e.event_id, epoch_us(o.o_orderdate) AS after_us
+        |  FROM events e ASOF LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+        |)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN before_us IS NULL THEN after_us
+        |       WHEN after_us IS NULL THEN before_us
+        |       WHEN ts_us - before_us <= after_us - ts_us THEN before_us
+        |       ELSE after_us END AS nearest_us
+        |FROM b JOIN f USING (event_id) ORDER BY b.event_id""".stripMargin,
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
         |FROM events e ASOF LEFT JOIN orders o
