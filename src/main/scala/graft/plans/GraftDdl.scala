@@ -298,6 +298,9 @@ case class GraftCallCommand(proc: String, args: Seq[(Option[String], String)])
         val s = t.rewriteManifests()
         GraftDdl.info(s"rewrote manifests into ${s.manifests.size} segment(s) " +
           s"at snapshot ${s.snapshotId}")
+      case "rewrite_position_deletes" =>
+        val s = t.rewriteDeleteFiles()
+        GraftDdl.info(s"rewrote position deletes at snapshot ${s.snapshotId}")
       case "add_files" =>
         val s = t.addFiles(required(1, "source"))
         GraftDdl.info(s"registered files from ${required(1, "source")} " +
@@ -306,7 +309,8 @@ case class GraftCallCommand(proc: String, args: Seq[(Option[String], String)])
         s"unknown graft procedure: $other (known: rewrite_data_files, " +
           "rewrite_small_files, expire_snapshots, rollback_to_snapshot, " +
           "remove_orphan_files, fast_forward, create_branch, create_tag, " +
-          "analyze_table, rewrite_manifests, add_files)")
+          "analyze_table, rewrite_manifests, rewrite_position_deletes, " +
+          "add_files)")
     }
   }
 }

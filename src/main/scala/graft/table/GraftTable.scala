@@ -938,6 +938,43 @@ class GraftTable(val spark: SparkSession, val location: String) {
     commit("replace", branch, out, paths, snapId, seq)
   }
 
+  /** Iceberg `rewrite_position_delete_files` analog: merge accumulated
+    * position-delete files into ONE deduplicated file, dropping
+    * tombstones whose target data file no longer exists (rewritten or
+    * compacted away) — MoR read cost is an anti-join against EVERY live
+    * delete file, so steady-state MoR tables need this like data files
+    * need compaction. Equality deletes are NOT merged: their semantics
+    * depend on each file's sequence number. */
+  def rewriteDeleteFiles(branch: String = "main"): SnapshotMeta = {
+    import spark.implicits._
+    val (snapId, seq) = nextIds()
+    val m = meta
+    val snap = m.head(branch).getOrElse(
+      return commit("rewrite-deletes", branch, Nil, Set.empty, snapId, seq))
+    val entries = Meta.readEntries(location, snap)
+    val pds = entries.filter(_.fileType == "posdel")
+    if (pds.size < 2)
+      return commit("rewrite-deletes", branch, Nil, Set.empty, snapId, seq)
+    val liveData = entries.filter(_.fileType == "data")
+      .map(e => normPath(abs(e.path)))
+    val liveDf = liveData.toDF("live_path")
+    val merged = pds.map(f => spark.read.parquet(abs(f.path))
+        .select(col("file_path"), col("pos")))
+      .reduce(_ unionByName _)
+      .distinct()
+      .join(broadcast(liveDf),
+        normCol(col("file_path")) === col("live_path"), "left_semi")
+    val rel = s"deletes/pd$snapId-${UUID.randomUUID.toString.take(8)}"
+    merged.write.parquet(abs(rel))
+    val n = FooterStats.rowCount(abs(rel))
+    val removed = pds.map(e => normPath(abs(e.path))).toSet
+    val added =
+      if (n == 0) Nil
+      else Seq(FileMeta(rel, "posdel", m.currentSpecId, m.currentSchemaId,
+        Map.empty, n, 0L, seq, Map.empty))
+    commit("rewrite-deletes", branch, added, removed, snapId, seq)
+  }
+
   /** deterministic manifest clustering: data entries sorted by partition
     * spec + partition values, so a coalesced segment groups files of the
     * same partition together — pruning reads become sequential runs */

@@ -72,6 +72,31 @@ class TableSpec extends SparkSpec {
     assert(t.scan().collect().map(_.toSeq).toSet == before)
   }
 
+  test("rewrite_position_deletes merges tombstones, drops dead ones") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    t.delete("o_orderkey = 1", WriteMode.MergeOnRead)
+    t.delete("o_orderkey = 3", WriteMode.MergeOnRead)
+    t.delete("o_orderkey = 3", WriteMode.MergeOnRead) // duplicate tombstone
+    def pds = Meta.readEntries(t.location, t.meta.head("main").get)
+      .filter(_.fileType == "posdel")
+    assert(pds.size == 3)
+    val before = t.scan().collect().map(_.getLong(0)).sorted
+    t.rewriteDeleteFiles()
+    assert(pds.size == 1, s"expected 1 merged delete file, got ${pds.size}")
+    assert(pds.head.rowCount == 2, "duplicate tombstones must dedupe")
+    assert(t.scan().collect().map(_.getLong(0)).sorted.sameElements(before))
+    // compaction applies deletes and rewrites data; stale tombstones die
+    t.delete("o_orderkey = 5", WriteMode.MergeOnRead)
+    t.compact()
+    t.delete("o_orderkey = 2", WriteMode.MergeOnRead)
+    t.delete("o_orderkey = 4", WriteMode.MergeOnRead)
+    t.rewriteDeleteFiles()
+    assert(pds.size == 1 && pds.head.rowCount == 2,
+      "only tombstones for LIVE files survive the rewrite")
+    assert(t.scan().collect().map(_.getLong(0)).sorted.sameElements(Seq(6L)))
+  }
+
   test("snapshot summaries record what each commit changed") {
     val t = mkOrders(tmp())
     t.append(seedDf(seed))
