@@ -79,7 +79,16 @@ case class GraftInsertCommand(ns: String, tbl: String, query: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftDml.load(spark, ns, tbl)
     val aligned = GraftDml.align(t, Bridge.ofRows(spark, query), userCols, byName)
-    if (overwrite) t.overwrite(aligned, branch) else t.append(aligned, branch)
+    // Spark's own INSERT OVERWRITE switch: in dynamic mode only the
+    // partitions present in the incoming data are replaced (the
+    // idempotent-backfill semantics); static mode replaces the table
+    val dynamic = spark.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode")
+      .exists(_.equalsIgnoreCase("dynamic"))
+    if (overwrite && dynamic && t.meta.currentSpec.fields.nonEmpty)
+      t.overwritePartitions(aligned, branch)
+    else if (overwrite) t.overwrite(aligned, branch)
+    else t.append(aligned, branch)
     Nil
   }
 }

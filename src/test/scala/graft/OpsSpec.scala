@@ -883,6 +883,37 @@ class OpsSpec extends SparkSpec {
     assert(out == distinct, s"deduped stream must equal $distinct distinct events, got $out")
   }
 
+  test("SQL INSERT OVERWRITE honors dynamic partitionOverwriteMode") {
+    import org.apache.spark.sql.SparkSession
+    val wh = java.nio.file.Files.createTempDirectory("graft-dynwh").toString
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    try {
+      s2.conf.set("spark.graft.warehouse", wh)
+      s2.sql("CREATE TABLE graft.db.p (k BIGINT, day STRING, v BIGINT) " +
+        "PARTITIONED BY (identity(day))")
+      s2.sql("INSERT INTO graft.db.p VALUES (1, 'a', 10), (2, 'b', 20), (3, 'b', 30)")
+      // dynamic: only partition 'b' (present in the data) is replaced
+      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      s2.sql("INSERT OVERWRITE graft.db.p VALUES (9, 'b', 90)")
+      val dyn = s2.sql("SELECT k FROM graft.db.p ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(dyn == Seq(1L, 9L), s"dynamic overwrite kept wrong rows: $dyn")
+      // static (default): the whole visible table is replaced
+      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      s2.sql("INSERT OVERWRITE graft.db.p VALUES (7, 'c', 70)")
+      val st = s2.sql("SELECT k FROM graft.db.p").collect().map(_.getLong(0)).toSeq
+      assert(st == Seq(7L), s"static overwrite must replace all: $st")
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark); SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("SQL CTAS: schema from query, guards, OR REPLACE swaps") {
     import org.apache.spark.sql.SparkSession
     val wh = java.nio.file.Files.createTempDirectory("graft-ctaswh2").toString
