@@ -746,6 +746,13 @@ class OpsSpec extends SparkSpec {
       s"doc ${top.getLong(0)}: ${top.getDouble(1)} vs recomputed $expected")
   }
 
+  test("every registered query has an oracle and vice versa") {
+    val qs = graft.SparkEntry.queries.keySet
+    val os = graft.SparkEntry.oracleSql.keySet
+    assert(qs == os,
+      s"missing oracles: ${(qs -- os).toSeq.sorted}; orphaned oracles: ${(os -- qs).toSeq.sorted}")
+  }
+
   test("pagerank: matches a scalar recompute of the integer iteration") {
     val out = GraphRank.pagerank(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1))
