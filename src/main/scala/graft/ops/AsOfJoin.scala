@@ -149,8 +149,23 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** the same as-of through the NATIVE custom operator
+    * (plans/AsOfJoinNative.scala): logical node + strategy + two-pointer
+    * merge exec, instead of the union+window composition */
+  def eventsAsOfOrdersNative(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events").select("event_id", "user_id", "ts")
+    val orders = Tables(spark, dir, "orders")
+    graft.plans.AsOfJoinNative.asOf(
+      events, col("user_id"), unix_micros(col("ts")),
+      orders, col("o_custkey"), unix_micros(col("o_orderdate").cast("timestamp")),
+      col("o_orderdate"), "last_order_date")
+      .select("event_id", "user_id", "last_order_date")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_asof_join" -> eventsAsOfOrders,
+      "q_asof_native" -> eventsAsOfOrdersNative,
       "q_nearest_join" -> eventsNearestOrders)
 
   val oracles: Map[String, String] = Map(
@@ -172,6 +187,11 @@ object AsOfJoin {
         |       ELSE after_us END AS nearest_us
         |FROM b JOIN f USING (event_id) ORDER BY b.event_id""".stripMargin,
     "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q_asof_native" ->
       """SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
         |FROM events e ASOF LEFT JOIN orders o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate

@@ -746,6 +746,18 @@ class OpsSpec extends SparkSpec {
       s"doc ${top.getLong(0)}: ${top.getDouble(1)} vs recomputed $expected")
   }
 
+  test("native as-of exec equals the window composition, plans as AsOfJoinExec") {
+    val native = AsOfJoin.eventsAsOfOrdersNative(spark, sf)
+    val composed = AsOfJoin.eventsAsOfOrders(spark, sf)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin "), s"custom exec must plan:\n$plan")
+    assert(!plan.contains("Window"), "the native path must not fall back to a window")
+    val a = native.collect().map(_.toSeq)
+    val b = composed.collect().map(_.toSeq)
+    assert(a.length == b.length && a.indices.forall(i => a(i) == b(i)),
+      "native exec must be row-identical to the composed as-of")
+  }
+
   test("every registered query has an oracle and vice versa") {
     val qs = graft.SparkEntry.queries.keySet
     val os = graft.SparkEntry.oracleSql.keySet
