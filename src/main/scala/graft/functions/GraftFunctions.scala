@@ -124,6 +124,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // hint-resolution batch runs BEFORE relation resolution, so the graft
     // substitution wins the race against the built-in resolver (which
     // would otherwise reject `graft` as a multi-part namespace)
