@@ -266,6 +266,51 @@ object Analytics {
         col("sum_value"))
       .orderBy("ws", "event_type")
 
+  // --- interval-overlap concurrency ------------------------------------------
+  /** Peak concurrency: each event is "active" for 5 minutes; the classic
+    * +1/−1 sweep turns interval overlap into ONE ordered running sum per
+    * group — no interval self-join. Ties (an end meeting a start at the
+    * same instant) order ends first, so back-to-back intervals don't
+    * count as overlapping. One exchange on event_type. */
+  def concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("s"))
+    val deltas = ev.select(col("event_type"), col("s").as("t"), lit(1L).as("d"))
+      .unionByName(ev.select(col("event_type"),
+        (col("s") + lit(300000000L)).as("t"), lit(-1L).as("d")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("load", sum(col("d")).over(w))
+      .groupBy(col("event_type"))
+      .agg(max(col("load")).as("peak_concurrency"), count(lit(1)).as("n_deltas"))
+      .orderBy("event_type")
+  }
+
+  // --- pareto frontier (skyline) ---------------------------------------------
+  /** Skyline query: orders not dominated on (newer date, higher total).
+    * Distributed shape: dominance only depends on the MAX total per
+    * date, so phase 1 is a distributed per-date max (one partial-agg
+    * shuffle over |dates| keys), phase 2 a running strictly-newer max
+    * over the date maxima (a |dates|-row window — driver-scale by
+    * construction), phase 3 a broadcast join back onto the full table.
+    * No global sort of the data, no pairwise dominance join. Equal
+    * totals on the same date both survive (neither dominates). */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("d_us"),
+        dec(col("o_totalprice"), 12, 2).as("total"))
+    val dmax = o.groupBy(col("d_us")).agg(max(col("total")).as("dmax"))
+    val newer = Window.orderBy(col("d_us").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val frontier = dmax.withColumn("best_newer", max(col("dmax")).over(newer))
+    o.join(broadcast(frontier), "d_us")
+      .filter(col("total") === col("dmax") &&
+        (col("best_newer").isNull || col("total") > col("best_newer")))
+      .select(col("o_orderkey"), col("d_us"), d(col("total")).as("total"))
+      .orderBy(col("d_us").desc, col("o_orderkey"))
+  }
+
   // --- sessionization: gaps-and-islands, 30-minute inactivity gap -----------
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -302,6 +347,8 @@ object Analytics {
     "q_pivot" -> pivotAgg,
     "q_events_window" -> eventsWindow,
     "q_sliding_window" -> slidingWindow,
+    "q_concurrency" -> concurrency,
+    "q_skyline" -> skyline,
     "q_sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
@@ -431,6 +478,38 @@ object Analytics {
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "q_concurrency" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS s FROM events),
+        |deltas AS (
+        |  SELECT event_type, s AS t, CAST(1 AS BIGINT) AS d FROM ev
+        |  UNION ALL
+        |  SELECT event_type, s + 300000000, CAST(-1 AS BIGINT) FROM ev),
+        |lo AS (
+        |  SELECT event_type,
+        |    CAST(SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS load
+        |  FROM deltas)
+        |SELECT event_type, CAST(MAX(load) AS BIGINT) AS peak_concurrency,
+        |  COUNT(*) AS n_deltas
+        |FROM lo GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_skyline" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS d_us,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS total
+        |  FROM orders),
+        |dm AS (SELECT d_us, MAX(total) AS dmax FROM o GROUP BY d_us),
+        |bn AS (
+        |  SELECT d_us, dmax,
+        |    MAX(dmax) OVER (ORDER BY d_us DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_newer
+        |  FROM dm)
+        |SELECT o.o_orderkey, o.d_us, CAST(o.total AS DOUBLE) AS total
+        |FROM o JOIN bn USING (d_us)
+        |WHERE o.total = bn.dmax
+        |  AND (best_newer IS NULL OR o.total > best_newer)
+        |ORDER BY d_us DESC, o_orderkey""".stripMargin,
     "q_sliding_window" ->
       """WITH e AS (
         |  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
