@@ -228,6 +228,41 @@ object StreamingOps {
       .orderBy("user_id", "session_id")
   }
 
+  // --- end-to-end pipeline: graft table as BOTH source and sink --------------
+  /** The full streaming loop through the format: table A's commits tail
+    * out as an append stream (`GraftTable.readStream`), a windowed
+    * aggregation runs over the stream, and every micro-batch publishes
+    * the refreshed aggregate into table B as ONE atomic overwrite
+    * commit (the streaming-materialized-view pattern; the incremental
+    * variant is q_stream_incr_agg). maxFilesPerTrigger forces several
+    * micro-batches, so B's snapshot history records each refresh and the
+    * final state must equal the batch truth regardless of how the stream
+    * was chopped. */
+  def streamPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-pipe").toString
+    val src = Tables(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val a = graft.table.GraftTable.create(spark, s"$tmp/a",
+      "event_id bigint, ts timestamp, user_id bigint, event_type string, value double")
+    a.append(src.filter(col("event_id") % 2 === 0))
+    a.append(src.filter(col("event_id") % 2 =!= 0))
+    val b = graft.table.GraftTable.create(spark, s"$tmp/b",
+      "ws timestamp, event_type string, n bigint, sum_value double")
+    val agg = a.readStream(maxFilesPerTrigger = Some(3))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .foreachBatch((batch: DataFrame, _: Long) => { b.overwrite(batch); () })
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    b.scan().orderBy("ws", "event_type")
+  }
+
   // --- streaming MERGE upsert into the graft table ---------------------------
   /** CDC-style streaming apply: every micro-batch MERGEs into the table
     * (matched keys update, new keys insert), one atomic snapshot commit
@@ -477,6 +512,7 @@ object StreamingOps {
     "q_stream_sketch" -> streamSketch,
     "q_stream_sessions" -> streamSessions,
     "q_stream_session_window" -> streamSessionWindow,
+    "q_stream_pipeline" -> streamPipeline,
     "q_stream_ingest" -> streamIngest,
     "q_stream_upsert" -> streamUpsert,
     "q_stream_tail" -> streamTail)
@@ -569,6 +605,11 @@ object StreamingOps {
     "q_stream_window_append" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_pipeline" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stream_session_window" ->
       """WITH m AS (

@@ -1050,16 +1050,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
     *    references them — run [[removeOrphanFiles]] before starting a
     *    tail, and prefer the manifest-driven [[scanIncremental]] when
     *    exact snapshot semantics matter. */
-  def readStream(): DataFrame = {
+  def readStream(maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val m = Meta.readJson(location)
     val schema = m.currentSchema
     Files.createDirectories(Paths.get(location, "data"))
     val physSchema = StructType(
       schema.fields.map(f => StructField(phys(f), sparkType(f.dtype))))
-    spark.readStream
+    val reader = spark.readStream
       .schema(physSchema)
       .option("recursiveFileLookup", "true")
-      .parquet(s"$location/data")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(s"$location/data")
       .select(schema.fields.map(f =>
         col(phys(f)).cast(sparkType(f.dtype)).as(f.name)): _*)
   }
