@@ -47,6 +47,34 @@ object V3Ops {
       .orderBy("event_id")
   }
 
+  // --- variant depth: nested objects + arrays --------------------------------
+  /** Nested/array variant processing: per-user documents are BUILT as
+    * JSON (counts + the 3 earliest events as an object array), stored as
+    * a variant column in the table, and read back through array-index
+    * paths (`$.events[2].event_id`) — the semi-structured round trip
+    * including out-of-bounds → NULL. The event array is deterministic:
+    * sort_array over (ts, event_id)-keyed structs, then slice. The
+    * oracle computes the semantic answer relationally — the variant
+    * encode/decode is exactly what's under test. */
+  def variantNested(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val packed = ev.select(col("user_id"),
+        struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        slice(sort_array(collect_list(col("e"))), 1, 3).as("events"))
+    val t = GraftTable.create(spark, scratch(), "user_id bigint, doc variant")
+    t.append(packed.select(col("user_id"),
+      parse_json(to_json(struct(col("n"), col("events")))).as("doc")))
+    t.scan()
+      .select(col("user_id"),
+        variant_get(col("doc"), "$.n", "bigint").as("n_events"),
+        variant_get(col("doc"), "$.events[0].event_type", "string").as("first_type"),
+        variant_get(col("doc"), "$.events[2].event_id", "bigint").as("third_id"))
+      .orderBy("user_id")
+  }
+
   // --- #25 geometry: point(x,y) as WKB binary + bbox predicate --------------
   /** WKB little-endian 2D point codec (21 bytes: order, type=1, x, y) */
   val wkbPoint = udf((x: Double, y: Double) => {
@@ -120,12 +148,23 @@ object V3Ops {
 
   val queries: Map[String, Q] = Map(
     "q_variant" -> variant,
+    "q_variant_nested" -> variantNested,
     "q_variant_shredded" -> variantShredded,
     "q_geo_bbox" -> geoBbox,
     "q_nano_ts" -> nanoTs,
     "q_lineage" -> lineage)
 
   val oracles: Map[String, String] = Map(
+    "q_variant_nested" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+        |  MAX(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+        |  MAX(CASE WHEN rn = 3 THEN event_id END) AS third_id
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_variant" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
