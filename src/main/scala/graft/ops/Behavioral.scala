@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -56,11 +58,107 @@ object Behavioral {
       .orderBy("cohort_wk", "offset")
   }
 
+  /** Two-proportion z-test (the A/B-test read-out): users split into two
+    * deterministic variants by key hash parity; conversion = did the user
+    * ever purchase. All inputs are exact integer counts; the z statistic
+    * is a fixed IEEE sequence over them (sqrt is correctly rounded), so
+    * the oracle matches bit-for-bit. One aggregation over users. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    // conversion = above-median purchase count: p stays strictly inside
+    // (0, 1) at every scale, so the pooled variance never degenerates
+    val counts = ev.select(col("user_id")).distinct()
+      .join(ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("np")),
+        Seq("user_id"), "left")
+      .withColumn("np", coalesce(col("np"), lit(0L)))
+    val med = counts.agg(expr("percentile(cast(np as double), 0.5)").as("med"))
+    val users = counts.crossJoin(broadcast(med))
+      .withColumn("conv",
+        when(col("np").cast("double") > col("med"), 1L).otherwise(0L))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    val agg = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+    val a = agg.filter(col("variant") === 0)
+      .select(col("n").as("n1"), col("k").as("k1"))
+    val b = agg.filter(col("variant") === 1)
+      .select(col("n").as("n2"), col("k").as("k2"))
+    val p1 = col("k1").cast("double") / col("n1").cast("double")
+    val p2 = col("k2").cast("double") / col("n2").cast("double")
+    val p = (col("k1") + col("k2")).cast("double") / (col("n1") + col("n2")).cast("double")
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double")))
+    a.crossJoin(b).select(col("n1"), col("k1"), col("n2"), col("k2"),
+      ((p1 - p2) / se).as("z"))
+  }
+
+  /** RFM segmentation: per-user recency / frequency / monetary quartiles
+    * (ntile over a unique (metric, user) order so ties are
+    * deterministic), rolled up to segment counts — the classic
+    * behavioral-marketing partitioning as two shuffles (user agg +
+    * quartile windows sharing one ordering each). */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val users = ev.groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(col("value").cast(DecimalType(18, 6))).as("mon"))
+    val r = ntile(4).over(Window.orderBy(col("last_us").desc, col("user_id")))
+    val f = ntile(4).over(Window.orderBy(col("freq").desc, col("user_id")))
+    val m = ntile(4).over(Window.orderBy(col("mon").desc, col("user_id")))
+    users
+      .withColumn("r_q", r.cast("long"))
+      .withColumn("f_q", f.cast("long"))
+      .withColumn("m_q", m.cast("long"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ab_test" -> abTest,
+    "q_rfm" -> rfm,
     "q_funnel" -> funnel,
     "q_cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "q_ab_test" ->
+      """WITH base AS (SELECT DISTINCT user_id FROM events),
+        |pc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS np FROM events
+        |       WHERE event_type = 'purchase' GROUP BY user_id),
+        |c AS (SELECT b.user_id, COALESCE(np, 0) AS np
+        |      FROM base b LEFT JOIN pc USING (user_id)),
+        |md AS (SELECT quantile_cont(CAST(np AS DOUBLE), 0.5) AS med FROM c),
+        |u AS (
+        |  SELECT user_id,
+        |    CASE WHEN CAST(np AS DOUBLE) > med THEN 1 ELSE 0 END AS conv,
+        |    user_id % 2 AS variant
+        |  FROM c, md),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1, CAST(SUM(conv) AS BIGINT) AS k1
+        |      FROM u WHERE variant = 0),
+        |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2, CAST(SUM(conv) AS BIGINT) AS k2
+        |      FROM u WHERE variant = 1)
+        |SELECT n1, k1, n2, k2,
+        |  (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |   - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |  / sqrt(CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+        |      * (1.0 - CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |      * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z
+        |FROM a, b""".stripMargin,
+    "q_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+        |    CAST(COUNT(*) AS BIGINT) AS freq,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS mon
+        |  FROM events GROUP BY user_id),
+        |q AS (
+        |  SELECT user_id,
+        |    CAST(ntile(4) OVER (ORDER BY last_us DESC, user_id) AS BIGINT) AS r_q,
+        |    CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f_q,
+        |    CAST(ntile(4) OVER (ORDER BY mon DESC, user_id) AS BIGINT) AS m_q
+        |  FROM u)
+        |SELECT r_q, f_q, m_q, COUNT(*) AS n_users
+        |FROM q GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q""".stripMargin,
     "q_funnel" ->
       """WITH t1 AS (
         |  SELECT user_id, MIN(ts) AS t1 FROM events
