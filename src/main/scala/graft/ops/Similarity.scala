@@ -358,6 +358,38 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Contrastive-training triplet mining: for each anchor, the hardest
+    * POSITIVE (most-similar same-label neighbor — easy positives teach
+    * nothing) and the hardest NEGATIVE (most-similar other-label vector —
+    * the boundary case). One scored pass over anchor×corpus, then two
+    * windows over the SAME partitioning pick both sides; margin = the
+    * positive/negative cosine gap the loss would push on. Anchors
+    * broadcast; at 100 TB the LSH candidate join replaces the linear
+    * scan exactly as in annLsh. */
+  def triplets(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), vdouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("v").as("av"))
+    val scored = broadcast(q).join(e, col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("a_label"), col("vec_id").as("c_id"),
+        col("label").as("c_label"),
+        graft.functions.GraftFunctions.cosine(col("av"), col("v")).as("cos"))
+    val wPos = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val pos = scored.filter(col("c_label") === col("a_label"))
+      .withColumn("rk", row_number().over(wPos)).filter(col("rk") === 1)
+      .select(col("a_id"), col("c_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = scored.filter(col("c_label") =!= col("a_label"))
+      .withColumn("rk", row_number().over(wPos)).filter(col("rk") === 1)
+      .select(col("a_id"), col("c_id").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, "a_id")
+      .select(col("a_id"), col("pos_id"), col("neg_id"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+      .orderBy("a_id")
+  }
+
   /** Exact embedding covariance matrix (upper triangle) — the whitening /
     * drift-monitoring statistic over the corpus's embedding distribution:
     * cov(i,j) = E[x_i x_j] − E[x_i]E[x_j]. One posexplode scatters each
@@ -401,6 +433,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "q_embed_cov" -> embedCov,
+    "q_triplets" -> triplets,
     "q_dedup_embedding" -> dedupEmbedding,
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLsh,
@@ -551,6 +584,29 @@ object Similarity {
         |JOIN sums sa ON sa.i = p.i
         |JOIN sums sb ON sb.i = p.j, n
         |ORDER BY p.i, p.j""".stripMargin,
+    "q_triplets" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT a.vec_id AS a_id, a.label AS a_label, b.vec_id AS c_id,
+         |    b.label AS c_label, ${sqlCos("a.v", "b.v")} AS cos
+         |  FROM e a JOIN e b ON a.vec_id < 20 AND b.vec_id <> a.vec_id
+         |), pos AS (
+         |  SELECT a_id, c_id AS pos_id, cos AS pos_cos FROM (
+         |    SELECT a_id, c_id, cos,
+         |      ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, c_id) AS rk
+         |    FROM scored WHERE c_label = a_label) WHERE rk = 1
+         |), neg AS (
+         |  SELECT a_id, c_id AS neg_id, cos AS neg_cos FROM (
+         |    SELECT a_id, c_id, cos,
+         |      ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, c_id) AS rk
+         |    FROM scored WHERE c_label <> a_label) WHERE rk = 1
+         |)
+         |SELECT pos.a_id, pos_id, neg_id, pos_cos - neg_cos AS margin
+         |FROM pos JOIN neg ON pos.a_id = neg.a_id
+         |ORDER BY pos.a_id""".stripMargin,
     "q_hard_negatives" ->
       s"""WITH e AS (
          |  SELECT vec_id, label,
