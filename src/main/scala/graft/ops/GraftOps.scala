@@ -534,8 +534,35 @@ object GraftOps {
       .orderBy("s_nationkey")
   }
 
+  /** Time-travel DIFF through plain SQL set operations: `VERSION AS OF 2
+    * EXCEPT VERSION AS OF 1` — the audit query "what did commit 2 add"
+    * expressed with nothing but the SQL surface (two pinned snapshot
+    * reads + a distributed anti-join EXCEPT); the lineage-based
+    * changes() API is the general CDC path, this is the ad-hoc one. */
+  def sqlTimeDiff(spark: SparkSession, dir: String): DataFrame =
+    withSqlSession(spark) { s2 =>
+      val wh = Files.createTempDirectory("graft-tdwh").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+      Tables(s2, dir, "orders").createOrReplaceTempView("orders_src")
+      s2.sql("CREATE TABLE graft.db.td AS " +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_src " +
+        "WHERE o_orderkey % 3 = 0")
+      s2.sql("INSERT INTO graft.db.td " +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_src " +
+        "WHERE o_orderkey % 3 = 1")
+      s2.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+               |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+               |FROM (
+               |  SELECT * FROM graft.db.td VERSION AS OF 2
+               |  EXCEPT
+               |  SELECT * FROM graft.db.td VERSION AS OF 1
+               |)
+               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }
+
   // --- registry --------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_sql_timediff" -> sqlTimeDiff,
     "q_add_files" -> addFilesQuery,
     "q_sql_ctas" -> sqlCtas,
     "q_sql_dml" -> sqlDml,
@@ -572,6 +599,11 @@ object GraftOps {
     "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total"
 
   val oracles: Map[String, String] = Map(
+    "q_sql_timediff" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_add_files" ->
       """SELECT s_nationkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
