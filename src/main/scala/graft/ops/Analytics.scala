@@ -311,6 +311,68 @@ object Analytics {
       .orderBy(col("d_us").desc, col("o_orderkey"))
   }
 
+  // --- exact Pearson correlation ---------------------------------------------
+  /** Pearson r between quantity and price over lineitem — the
+    * scaled-BIGINT discipline end to end: x, y, x², y², xy all round to
+    * scaled integers BEFORE one partial-agg pass (5 exact sums, one
+    * shuffle of one row per partition), then r is a fixed IEEE sequence
+    * (sqrt correctly rounded) — bit-exact vs DuckDB. */
+  def correlation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_quantity").cast("double").as("x"),
+        col("l_extendedprice").cast("double").as("y"))
+    def si(c: Column, scale: Double): Column =
+      floor(c * lit(scale) + lit(0.5)).cast("long")
+    val agg = li.agg(
+      count(lit(1)).as("n"),
+      sum(si(col("x"), 100.0)).as("sx"),
+      sum(si(col("y"), 100.0)).as("sy"),
+      sum(si(col("x") * col("x"), 100.0)).as("sxx"),
+      sum(si(col("y") * col("y"), 100.0)).as("syy"),
+      sum(si(col("x") * col("y"), 100.0)).as("sxy"))
+    val nD = col("n").cast("double")
+    def dd(c: Column): Column = c.cast("double") / lit(100.0)
+    val cov = dd(col("sxy")) / nD - (dd(col("sx")) / nD) * (dd(col("sy")) / nD)
+    val vx = dd(col("sxx")) / nD - (dd(col("sx")) / nD) * (dd(col("sx")) / nD)
+    val vy = dd(col("syy")) / nD - (dd(col("sy")) / nD) * (dd(col("sy")) / nD)
+    agg.select(col("n"), (cov / (sqrt(vx) * sqrt(vy))).as("pearson_r"))
+  }
+
+  // --- one-pass data profile --------------------------------------------------
+  /** Table profiling (the "describe my data" pass every pipeline starts
+    * with): per-column null count, distinct count, min/max — for R
+    * columns in ONE conditional-aggregation scan (no per-column rescans),
+    * exploded to a row per column. */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_ndv"),
+        min(col(c).cast("string")).as(s"${c}_min"),
+        max(col(c).cast("string")).as(s"${c}_max"))
+    }
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map(c => struct(lit(c).as("col_name"),
+      col(s"${c}_nulls").as("n_nulls"), col(s"${c}_ndv").as("ndv"),
+      col(s"${c}_min").as("min_str"), col(s"${c}_max").as("max_str")))
+    one.select(explode(array(perCol: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_nulls"), col("p.ndv"),
+        col("p.min_str"), col("p.max_str"))
+      .orderBy("col_name")
+  }
+
+  // --- seasonality matrix -----------------------------------------------------
+  /** hour-of-day × day-of-week activity profile over events — the load
+    * shape dashboards draw; one partial-agg shuffle over 168 cells */
+  def seasonality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"),
+        d(sum(dec(col("value"), 18, 6))).as("sum_value"))
+      .orderBy("dow", "hod")
+
   // --- sessionization: gaps-and-islands, 30-minute inactivity gap -----------
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -348,6 +410,9 @@ object Analytics {
     "q_events_window" -> eventsWindow,
     "q_sliding_window" -> slidingWindow,
     "q_concurrency" -> concurrency,
+    "q_correlation" -> correlation,
+    "q_profile" -> profile,
+    "q_seasonality" -> seasonality,
     "q_skyline" -> skyline,
     "q_sessionize" -> sessionize)
 
@@ -478,6 +543,61 @@ object Analytics {
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "q_correlation" ->
+      """WITH li AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(floor(x * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(floor(y * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(floor(x * x * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxx,
+        |    CAST(SUM(CAST(floor(y * y * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS syy,
+        |    CAST(SUM(CAST(floor(x * y * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxy
+        |  FROM li)
+        |SELECT n,
+        |  (CAST(sxy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
+        |   - (CAST(sx AS DOUBLE) / 100.0 / CAST(n AS DOUBLE))
+        |     * (CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)))
+        |  / (sqrt(CAST(sxx AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
+        |       - (CAST(sx AS DOUBLE) / 100.0 / CAST(n AS DOUBLE))
+        |         * (CAST(sx AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)))
+        |     * sqrt(CAST(syy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
+        |       - (CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE))
+        |         * (CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE))))
+        |  AS pearson_r
+        |FROM a""".stripMargin,
+    "q_profile" ->
+      """WITH t AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS k_ndv,
+        |    MIN(CAST(o_orderkey AS VARCHAR)) AS k_min,
+        |    MAX(CAST(o_orderkey AS VARCHAR)) AS k_max,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nulls,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS c_ndv,
+        |    MIN(CAST(o_custkey AS VARCHAR)) AS c_min,
+        |    MAX(CAST(o_custkey AS VARCHAR)) AS c_max,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS s_ndv,
+        |    MIN(o_orderstatus) AS s_min, MAX(o_orderstatus) AS s_max,
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS p_ndv,
+        |    MIN(o_orderpriority) AS p_min, MAX(o_orderpriority) AS p_max
+        |  FROM orders),
+        |s AS (
+        |  SELECT 'o_orderkey' AS col_name, k_nulls AS n_nulls, k_ndv AS ndv,
+        |         k_min AS min_str, k_max AS max_str FROM t
+        |  UNION ALL SELECT 'o_custkey', c_nulls, c_ndv, c_min, c_max FROM t
+        |  UNION ALL SELECT 'o_orderstatus', s_nulls, s_ndv, s_min, s_max FROM t
+        |  UNION ALL SELECT 'o_orderpriority', p_nulls, p_ndv, p_min, p_max FROM t)
+        |SELECT * FROM s ORDER BY col_name""".stripMargin,
+    "q_seasonality" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |  CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_concurrency" ->
       """WITH ev AS (
         |  SELECT event_type, epoch_us(ts) AS s FROM events),
