@@ -560,8 +560,47 @@ object GraftOps {
                |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }
 
+  /** CDC replication: a replica table is maintained purely from the
+    * source's `changes()` stream — inserts append, updates MERGE,
+    * deletes anti-join — and must converge to the source's exact state.
+    * This is the cross-system replication pattern (warm standby, region
+    * mirror): the replica's refresh cost is the CHANGE window, never the
+    * table. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val src = mkOrders(spark, dir)
+    val s1 = src.append(o.filter(col("o_orderkey") % 2 === 0))
+    // replica syncs to snapshot 1
+    val rep = mkOrders(spark, dir)
+    rep.append(src.scan(snapshotId = Some(s1.snapshotId)))
+    // source moves on: insert + update + delete
+    src.append(o.filter(col("o_orderkey") % 2 === 1))
+    src.update("o_orderkey % 7 = 0", Map("o_totalprice" -> "o_totalprice + 5.0"),
+      WriteMode.MergeOnRead)
+    src.delete("o_orderkey % 10 = 0", WriteMode.MergeOnRead)
+    // apply the change window to the replica
+    val ch = src.changes(s1.snapshotId)
+    val inserts = ch.filter(col("_change_type") === "insert")
+      .drop("_change_type", "_row_id", "_last_updated_sequence_number")
+    rep.append(inserts)
+    val updates = ch.filter(col("_change_type") === "update_after")
+      .drop("_change_type", "_row_id", "_last_updated_sequence_number")
+    rep.merge(updates, on = "t.o_orderkey = s.o_orderkey",
+      matchedSet = Map("o_totalprice" -> "s.o_totalprice"))
+    val deletes = ch.filter(col("_change_type") === "delete")
+      .select(col("o_orderkey"))
+    rep.deleteByKeys(deletes)
+    // the replica must equal the source — emit its aggregate state
+    rep.scan()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"),
+        d(sum(dec(col("o_totalprice")))).as("sum_total"))
+      .orderBy("o_orderstatus")
+  }
+
   // --- registry --------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_cdc_apply" -> cdcApply,
     "q_sql_timediff" -> sqlTimeDiff,
     "q_add_files" -> addFilesQuery,
     "q_sql_ctas" -> sqlCtas,
@@ -599,6 +638,16 @@ object GraftOps {
     "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total"
 
   val oracles: Map[String, String] = Map(
+    "q_cdc_apply" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 5.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE NOT (o_orderkey % 10 = 0))
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM f GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_sql_timediff" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
