@@ -70,6 +70,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Classifier evaluation: confusion matrix of the langid heuristic
+    * against the labeled `lang` column — the eval loop every pipeline
+    * classifier needs (precision per class falls straight out of the
+    * matrix). One scoring pass + one 25-cell aggregation. */
+  def langidEval(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Seq(
+      "de" -> Seq("der", "die", "und", "nicht"),
+      "en" -> Seq("the", "a", "and", "is"),
+      "es" -> Seq("el", "los", "y", "que"),
+      "fr" -> Seq("le", "la", "et", "les"),
+      "zh" -> Seq("的", "是"))
+    val tagged = markers.map { case (code, ws) =>
+      concat(lpad(countIn(col("text"), ws).cast("string"), 10, "0"), lit(code))
+    }
+    Tables(spark, dir, "documents")
+      .select(col("lang"), substring(greatest(tagged: _*), 11, 2).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
   // --- character-distribution quality signals -------------------------------
   /** Gini impurity of the character distribution (1 - Σ p²) plus digit /
     * uppercase ratios — the repetitiveness/formatting signals a corpus
@@ -452,6 +473,7 @@ object TextOps {
     "q_token_count" -> tokenCount,
     "q_text_quality" -> quality,
     "q_text_langid" -> langid,
+    "q_langid_eval" -> langidEval,
     "q_text_charstats" -> charStats,
     "q_fingerprint" -> fingerprint,
     "q_fingerprint_winnow" -> fingerprintWinnow,
@@ -658,6 +680,17 @@ object TextOps {
          |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
          |  FROM documents) t
          |ORDER BY doc_id""".stripMargin,
+    "q_langid_eval" ->
+      s"""WITH p AS (
+         |  SELECT lang, substr(greatest(
+         |    ${sqlLangTag("de", Seq("der", "die", "und", "nicht"))},
+         |    ${sqlLangTag("en", Seq("the", "a", "and", "is"))},
+         |    ${sqlLangTag("es", Seq("el", "los", "y", "que"))},
+         |    ${sqlLangTag("fr", Seq("le", "la", "et", "les"))},
+         |    ${sqlLangTag("zh", Seq("的", "是"))}), 11, 2) AS pred_lang
+         |  FROM documents)
+         |SELECT lang, pred_lang, COUNT(*) AS n
+         |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
     "q_text_langid" ->
       s"""SELECT doc_id, substr(greatest(
          | ${sqlLangTag("de", Seq("der", "die", "und", "nicht"))},
