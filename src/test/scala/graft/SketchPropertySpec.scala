@@ -76,4 +76,44 @@ class SketchPropertySpec extends AnyFunSuite {
       agg.deserialize(agg.serialize(b)) == b
     })
   }
+
+  private def minhashOf(values: Seq[Long]): Seq[Long] = {
+    val agg = graft.functions.MinHashSigAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.LongType, nullable = false))
+    val buf = agg.createAggregationBuffer()
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    values.foreach { v => row.update(0, v); agg.update(buf, row) }
+    buf.toSeq
+  }
+
+  test("minhash: merge of partition signatures equals whole-input signature") {
+    val agg = graft.functions.MinHashSigAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L))
+    check(Prop.forAll(genVals, genVals) { (xs, ys) =>
+      val merged = agg.merge(
+        minhashOf(xs).toArray, minhashOf(ys).toArray).toSeq
+      merged == minhashOf(xs ++ ys) &&
+        minhashOf(xs ++ xs) == minhashOf(xs) // duplicate-insensitive
+    })
+  }
+
+  test("cms: merge is element-wise sum; total mass = input size * depth") {
+    val agg = graft.functions.CmsSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L))
+    def cmsOf(values: Seq[Long]): Array[Long] = {
+      val a = graft.functions.CmsSketchAgg(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, org.apache.spark.sql.types.LongType, nullable = false))
+      val buf = a.createAggregationBuffer()
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      values.foreach { v => row.update(0, v); a.update(buf, row) }
+      buf
+    }
+    check(Prop.forAll(genVals, genVals) { (xs, ys) =>
+      val merged = agg.merge(cmsOf(xs), cmsOf(ys)).toSeq
+      merged == cmsOf(xs ++ ys).toSeq &&
+        merged.sum == (xs.length + ys.length).toLong * graft.functions.CmsSketchAgg.D
+    })
+  }
 }
