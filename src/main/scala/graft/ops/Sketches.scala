@@ -252,7 +252,28 @@ object Sketches {
       .orderBy("ta", "tb")
   }
 
+  /** Robust spread statistics: per-language median and MAD (median
+    * absolute deviation) of document length — the outlier-resistant
+    * companion to the z-score family (a single corrupt gigabyte document
+    * moves a mean/stddev, not a median/MAD). Two exact percentile
+    * passes: medians per group, broadcast back, then the deviation
+    * percentile — R-7 interpolation matches DuckDB's quantile_cont
+    * bit-for-bit (proven by q_quantiles). */
+  def robustStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("lang"), col("n_chars").cast("double").as("x"))
+    val med = docs.groupBy(col("lang"))
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    docs.join(broadcast(med), "lang")
+      .withColumn("adev", abs(col("x") - col("med")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("median"),
+        expr("percentile(adev, 0.5)").as("mad"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_robust_stats" -> robustStats,
     "q_hll_ndv" -> hllNdv,
     "q_hll_group" -> hllGroup,
     "q_cms_topk" -> cmsTopk,
@@ -290,6 +311,15 @@ object Sketches {
        |  ELSE $sqlHllRaw END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_robust_stats" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS x FROM documents),
+        |m AS (
+        |  SELECT lang, quantile_cont(x, 0.5) AS med FROM d GROUP BY lang)
+        |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n, MAX(med) AS median,
+        |  quantile_cont(abs(x - med), 0.5) AS mad
+        |FROM d JOIN m ON d.lang = m.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q_theta_sets" ->
       s"""WITH h AS (
          |  SELECT DISTINCT event_type AS t,
