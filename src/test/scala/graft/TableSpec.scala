@@ -97,6 +97,33 @@ class TableSpec extends SparkSpec {
     assert(t.scan().collect().map(_.getLong(0)).sorted.sameElements(Seq(6L)))
   }
 
+  test("snapshot isolation: a scan handle pins its snapshot across commits") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    val pinned = t.scan() // resolves the file list at construction
+    // a CoW delete rewrites files and publishes a new snapshot...
+    t.delete("o_orderkey <= 3", WriteMode.CopyOnWrite)
+    assert(t.scan().count() == 3, "new reads see the delete")
+    // ...but the already-constructed handle still reads ITS files (old
+    // files stay on storage until snapshot expiry removes them)
+    assert(pinned.count() == 6, "pinned handle must keep its snapshot")
+    assert(pinned.collect().map(_.getLong(0)).sorted.sameElements(1L to 6L))
+  }
+
+  test("query determinism: tricky operators return identical results on re-run") {
+    def fingerprint(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "minhash" -> graft.ops.Dedup.queries("q_dedup_minhash"),
+      "train_shuffle" -> graft.ops.Sampling.queries("q_train_shuffle"),
+      "kmeans" -> graft.ops.Clustering.queries("q_cluster_kmeans"))
+      .foreach { case (name, fn) =>
+        val a = fingerprint(fn(spark, sf))
+        val b = fingerprint(fn(spark, sf))
+        assert(a == b, s"$name must be run-to-run deterministic")
+      }
+  }
+
   test("snapshot summaries record what each commit changed") {
     val t = mkOrders(tmp())
     t.append(seedDf(seed))
