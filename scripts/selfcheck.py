@@ -76,6 +76,17 @@ def main():
         except Exception as e:
             results[name] = f"SPARK-READ-FAIL {e}"
             continue
+        # The driver's pandas comparator factorizes object columns for its
+        # canonical sort; numpy arrays are unhashable, so ANY nested-typed
+        # output column is ungateable (round-3 q_postings). Flag it here so
+        # local green predicts driver green.
+        nested = [(c, t) for c, t in s_types.items()
+                  if t.startswith(("list", "large_list", "fixed_size_list",
+                                   "struct", "map"))]
+        if nested:
+            results[name] = "NESTED-TYPED-OUTPUT " + ", ".join(
+                f"{c}: {t}" for c, t in nested)
+            continue
         if name not in oracles:
             results[name] = f"rows-only ({len(s_rows)} rows)"
             continue

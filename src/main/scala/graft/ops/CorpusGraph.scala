@@ -79,7 +79,15 @@ object CorpusGraph {
     * for the postings; posting lists build distributed via collect_list
     * and never pass through the driver. At 100 TB the term key is the
     * natural partition — skew on stop-words is the known hazard, handled
-    * by the df floor here (common terms are few) and salting if needed. */
+    * by the df floor here (common terms are few) and salting if needed.
+    *
+    * The posting list is emitted as a canonical comma-joined STRING, not
+    * array<bigint>: the driver's comparator factorizes object columns for
+    * its canonical sort and numpy arrays are unhashable, so any array-typed
+    * output column is ungateable (the round-3 red row). The sort happens on
+    * the numeric array (numeric order), THEN the cast to string — the
+    * serialization is purely a gate-compatibility shape, the plan is
+    * unchanged (lists still assemble distributed). */
   def postings(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
@@ -88,7 +96,8 @@ object CorpusGraph {
     byDoc.groupBy(col("w"))
       .agg(count(lit(1)).as("df"),
         sum(col("tf")).cast("long").as("total_tf"),
-        sort_array(collect_list(col("doc_id"))).as("docs"))
+        array_join(sort_array(collect_list(col("doc_id"))).cast("array<string>"), ",")
+          .as("docs"))
       .filter(col("df") >= 100)
       .orderBy("w")
   }
@@ -106,7 +115,7 @@ object CorpusGraph {
         |  SELECT w, doc_id, COUNT(*) AS tf FROM toks GROUP BY w, doc_id
         |)
         |SELECT w, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
-        |  list(doc_id ORDER BY doc_id) AS docs
+        |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS docs
         |FROM bd GROUP BY w
         |HAVING COUNT(*) >= 100 ORDER BY w""".stripMargin,
     "q_dup_clusters" ->

@@ -17,6 +17,24 @@ class OpsSpec extends SparkSpec {
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle without query: $k"))
   }
 
+  test("every registry output schema is atomic-typed (driver-comparator compatible)") {
+    // The driver's pandas comparator factorizes object columns for its
+    // canonical sort; array/map/struct outputs crash it (round-3 q_postings).
+    // Build every query at sf0.001 and reject any non-atomic output column —
+    // local green must predict driver green.
+    import org.apache.spark.sql.types.{ArrayType, MapType, NullType, StructType}
+    def complex(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: ArrayType | _: MapType | _: StructType | NullType => true
+      case _ => false
+    }
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      q(spark, sf).schema.fields.collect {
+        case f if complex(f.dataType) => s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(bad.isEmpty, s"non-atomic output columns (ungateable): ${bad.mkString(", ")}")
+  }
+
   test("q01 groups by returnflag/linestatus with positive sums") {
     val rows = Analytics.q01(spark, sf).collect()
     assert(rows.length >= 2)
