@@ -140,7 +140,22 @@ object AsOfJoinNative {
   }
 
   /** DataFrame-facing API: left columns + `valueName` = as-of value of
-    * `rightValue`. Keys and times must evaluate to BIGINT (cast first). */
+    * `rightValue`. Keys and times must be BIGINT-comparable: bigint and
+    * timestamp pass through (Long-backed internally), narrower integrals
+    * are cast up; anything else is an ANALYSIS-time error here rather than
+    * a ClassCastException deep inside the exec's two-pointer merge. */
+  private def asLong(e: Expression, what: String): Expression = {
+    import org.apache.spark.sql.types._
+    e.dataType match {
+      case LongType | TimestampType | TimestampNTZType => e
+      case ByteType | ShortType | IntegerType =>
+        org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
+      case t => throw new IllegalArgumentException(
+        s"asOf: $what is ${t.simpleString} ($e); keys/times must be " +
+          "bigint/int/timestamp — cast explicitly first")
+    }
+  }
+
   def asOf(left: DataFrame, leftKey: Column, leftTime: Column,
       right: DataFrame, rightKey: Column, rightTime: Column,
       rightValue: Column, valueName: String): DataFrame = {
@@ -155,8 +170,10 @@ object AsOfJoinNative {
         case e => e
       }
     Bridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
-      res(lPlan, leftKey), res(lPlan, leftTime),
-      res(rPlan, rightKey), res(rPlan, rightTime),
+      asLong(res(lPlan, leftKey), "left key"),
+      asLong(res(lPlan, leftTime), "left time"),
+      asLong(res(rPlan, rightKey), "right key"),
+      asLong(res(rPlan, rightTime), "right time"),
       res(rPlan, rightValue),
       AttributeReference(valueName,
         res(rPlan, rightValue).dataType, nullable = true)()))

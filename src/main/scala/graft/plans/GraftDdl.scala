@@ -51,7 +51,15 @@ case class GraftCreateTableCommand(ns: String, tbl: String, ddl: String,
   * tables. REPLACE here is drop-and-recreate (fresh table identity);
   * Iceberg proper retains snapshot lineage across REPLACE — callers who
   * need history-preserving replacement use INSERT OVERWRITE, which
-  * commits a new snapshot on the existing table. */
+  * commits a new snapshot on the existing table.
+  *
+  * Failure atomicity: the query is fully materialized into a hidden
+  * staging table FIRST, so a failing query, bad input path, or mid-query
+  * crash leaves the previous table untouched (Iceberg's RTAS contract).
+  * The old table disappears only inside the final drop+rename swap —
+  * metadata-only work; a filesystem catalog cannot shrink that window to
+  * a true single pointer CAS, which is the one thing a service catalog
+  * would add here. */
 case class GraftCtasCommand(ns: String, tbl: String,
     query: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
     partitionBy: Seq[String], props: Map[String, String],
@@ -61,13 +69,18 @@ case class GraftCtasCommand(ns: String, tbl: String,
     val cat = GraftDdl.catalog(spark)
     val df = org.apache.spark.sql.graft.Bridge.ofRows(spark, query)
     if (cat.tableExists(ns, tbl)) {
-      if (replace) cat.dropTable(ns, tbl)
-      else if (ifNotExists) return Nil
-      else throw new IllegalStateException(s"table graft.$ns.$tbl already exists")
+      if (!replace) {
+        if (ifNotExists) return Nil
+        throw new IllegalStateException(s"table graft.$ns.$tbl already exists")
+      }
     } else if (replace && !orCreate) throw new IllegalStateException(
       s"no such table graft.$ns.$tbl (use CREATE OR REPLACE TABLE)")
-    cat.createTable(ns, tbl, df.schema.toDDL, partitionBy, props)
-      .append(df)
+    val staging = s".rtas_${tbl}_${java.util.UUID.randomUUID.toString.take(8)}"
+    val st = cat.createTable(ns, staging, df.schema.toDDL, partitionBy, props)
+    try st.append(df)
+    catch { case e: Throwable => cat.dropTable(ns, staging); throw e }
+    if (cat.tableExists(ns, tbl)) cat.dropTable(ns, tbl)
+    cat.renameTable(ns, staging, tbl)
     Nil
   }
 }

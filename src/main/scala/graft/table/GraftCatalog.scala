@@ -47,7 +47,10 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     if (!Files.isDirectory(p)) return Nil
     Files.list(p).iterator().asScala
       .filter(d => Meta.currentVersion(d.toString).isDefined)
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString)
+      // dot-prefixed dirs are in-flight staging tables (CTAS REPLACE swap)
+      .filterNot(_.startsWith("."))
+      .toSeq.sorted
   }
 
   def renameTable(ns: String, from: String, to: String): Unit = {

@@ -445,25 +445,49 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * naturally materializes them into the table's physical layout.
     *
     * Requires: every current-schema column present in the imported files
-    * under its logical name (missing columns would silently null-fill),
-    * and an unpartitioned target (imported trees carry no graft
-    * partition dirs, so partition pruning would have nothing to prune
-    * on — matching Iceberg's requirement that add_files partitioning
-    * agree with the table's). */
+    * under its logical name (missing columns would silently null-fill)
+    * WITH a matching Spark type (a physical-type mismatch would otherwise
+    * surface later as an opaque scan-time conversion error), not already
+    * registered in the branch (double registration would silently
+    * double-count rows — Iceberg's check_duplicate_files analog), and an
+    * unpartitioned target (imported trees carry no graft partition dirs,
+    * so partition pruning would have nothing to prune on — matching
+    * Iceberg's requirement that add_files partitioning agree with the
+    * table's).
+    *
+    * GC safety: registered files live OUTSIDE the table location and are
+    * never physically deleted — [[expireSnapshots]] only drops them from
+    * metadata (same hazard note as Iceberg's add_files docs). */
   def addFiles(sourceAbs: String, branch: String = "main"): SnapshotMeta = {
     val m = meta
     if (m.currentSpec.fields.nonEmpty) throw new UnsupportedOperationException(
       "add_files: target table must be unpartitioned (imported files carry " +
         "no graft partition directories)")
-    val have = spark.read.parquet(sourceAbs).schema.fieldNames.toSet
+    val src = spark.read.parquet(sourceAbs).schema
+    val have = src.fieldNames.toSet
     val missing = m.currentSchema.fields.map(_.name).filterNot(have)
     if (missing.nonEmpty) throw new IllegalArgumentException(
       s"add_files: imported files lack table column(s): ${missing.mkString(", ")}")
+    val typeBad = m.currentSchema.fields.flatMap { f =>
+      val declared = org.apache.spark.sql.types.DataType.fromDDL(f.dtype)
+      src.fields.find(_.name == f.name).collect {
+        case s if s.dataType != declared =>
+          s"${f.name} (file ${s.dataType.simpleString}, table ${declared.simpleString})"
+      }
+    }
+    if (typeBad.nonEmpty) throw new IllegalArgumentException(
+      s"add_files: imported file type mismatch: ${typeBad.mkString(", ")}")
     val (snapId, seq) = nextIds()
     val entries = FooterStats.collect(sourceAbs, location, m.currentSchema,
       m.currentSpec, m.currentSpecId, m.currentSchemaId, seq, nameMapped = true)
     if (entries.isEmpty) throw new IllegalArgumentException(
       s"add_files: no parquet files under $sourceAbs")
+    val live = m.head(branch).toSeq.flatMap(s => Meta.readEntries(location, s))
+      .map(e => normPath(abs(e.path))).toSet
+    val dups = entries.map(e => normPath(abs(e.path))).filter(live)
+    if (dups.nonEmpty) throw new IllegalArgumentException(
+      s"add_files: already registered in '$branch': ${dups.take(3).mkString(", ")}" +
+        (if (dups.size > 3) s" (+${dups.size - 3} more)" else ""))
     commit("add-files", branch, entries, Set.empty, snapId, seq, rebaseable = true)
   }
 
@@ -1007,7 +1031,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .map(e => normPath(abs(e.path))).toSet
     val dropped = drop.flatMap(s => Meta.readEntries(location, s))
       .map(e => normPath(abs(e.path))).toSet
-    val orphans = dropped -- keptFiles
+    // Never physically delete files OUTSIDE the table location: add_files
+    // registers the user's external parquet in place (absolute paths), and
+    // expiring the import snapshot after a compaction/overwrite must not
+    // destroy source data the table never wrote (Iceberg's add_files carries
+    // the same gc caveat). Such entries are merely dropped from metadata.
+    val root = normPath(location).stripSuffix("/") + "/"
+    val orphans = (dropped -- keptFiles).filter(_.startsWith(root))
     // publish the trimmed metadata FIRST: if a concurrent commit wins the
     // version race we must not have deleted files its state still references
     val next = m.copy(snapshots = keep)

@@ -13,15 +13,23 @@ import org.json4s.jackson.Serialization
   *
   * Layout under a table location:
   * {{{
-  *   metadata/v00001.json     TableMeta (whole table state, atomic rename)
-  *   manifests/<snap>.jsonl   one FileMeta per line: ALL live files at snap
+  *   metadata/v00001.json     TableMeta (whole table state, atomic create-new)
+  *   manifests/<name>.jsonl   one manifest SEGMENT: one FileMeta per line.
+  *                            A snapshot lists its segments in order
+  *                            (SnapshotMeta.manifests); commits reference
+  *                            the parent's untouched segments and write
+  *                            only the delta — O(change) metadata/commit.
   *   data/s<snap>/...         data parquet (physical cols named f<fieldId>)
   *   deletes/...              position/equality/deletion-vector parquet
   * }}}
   *
   * Driver-scale note: a manifest line is ~300 bytes, so 100k files at
-  * 100 TB is ~30 MB of JSONL — driver-safe; the single-file manifest can
-  * be sharded per partition range without changing readers.
+  * 100 TB is ~30 MB of JSONL — driver-safe; segments shard the listing so
+  * a commit never rewrites it whole (rewriteManifests coalesces).
+  *
+  * Compat: tables written before segmented manifests carried a single
+  * `manifest` string per snapshot; the reader maps it to a one-segment
+  * list (see [[Meta.readJsonVersion]]).
   */
 final case class FieldMeta(
     id: Int,
@@ -177,7 +185,16 @@ object Meta {
     * instead of a lost update */
   def readJsonVersion(location: String, v: Int): TableMeta = {
     val p = Paths.get(location, "metadata", f"v$v%05d.json")
-    Serialization.read[TableMeta](Files.readString(p))
+    import org.json4s.{JArray, JString}
+    // legacy-format shim: pre-segmented-manifest snapshots carried a single
+    // `manifest` string — map it to a one-segment `manifests` list so tables
+    // written by older builds stay readable (no formatVersion bump needed:
+    // the on-disk segment files themselves are unchanged)
+    val ast = org.json4s.jackson.JsonMethods.parse(Files.readString(p))
+      .transformField {
+        case ("manifest", JString(m)) => ("manifests", JArray(List(JString(m))))
+      }
+    ast.extract[TableMeta]
   }
 
   def writeManifest(location: String, name: String, entries: Seq[FileMeta]): String = {

@@ -192,6 +192,26 @@ class OpsSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("native asof: int keys are cast up, non-castable keys fail analysis") {
+    import spark.implicits._
+    val l = Seq((1, 10L), (2, 25L)).toDF("k", "t")   // INT key
+    val r = Seq((1, 5L, "a"), (1, 20L, "b")).toDF("k", "t", "v")
+    // int-typed key/long time works: cast inserted at build time, no
+    // ClassCastException inside the exec
+    val got = graft.plans.AsOfJoinNative.asOf(
+        l, col("k"), col("t"), r, col("k"), col("t"), col("v"), "v")
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(2)))
+    assert(got.toSeq == Seq((1, "a"), (2, null)))
+    // a string key is an analysis-time error naming the column, not a
+    // runtime crash deep in the two-pointer merge
+    val ls = Seq(("x", 10L)).toDF("k", "t")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinNative.asOf(
+        ls, col("k"), col("t"), r, col("k"), col("t"), col("v"), "v")
+    }
+    assert(e.getMessage.contains("left key"), e.getMessage)
+  }
+
   test("asof join: every matched order date <= event ts") {
     val df = AsOfJoin.eventsAsOfOrders(spark, sf)
     val bad = df.join(Tables(spark, sf, "events").select("event_id", "ts"), "event_id")
@@ -982,6 +1002,17 @@ class OpsSpec extends SparkSpec {
       s2.sql("CREATE OR REPLACE TABLE graft.db.c AS SELECT id FROM src10")
       val got = s2.sql("SELECT * FROM graft.db.c")
       assert(got.count() == 10 && got.columns.toSeq == Seq("id"))
+      // failure atomicity: a REPLACE whose query fails mid-run must leave
+      // the previous table fully intact (materialize-then-swap, not
+      // drop-then-write)
+      intercept[Exception] {
+        s2.sql("CREATE OR REPLACE TABLE graft.db.c AS " +
+          "SELECT * FROM parquet.`/nonexistent/rtas-input`")
+      }
+      assert(cat.tableExists("db", "c"), "previous table lost by failed RTAS")
+      assert(s2.sql("SELECT * FROM graft.db.c").count() == 10)
+      // and no staging leftovers are listed
+      assert(cat.listTables("db").forall(!_.startsWith(".")))
     } finally {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       SparkSession.setDefaultSession(spark); SparkSession.setActiveSession(spark)

@@ -165,6 +165,66 @@ class TableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t2.addFiles(ext) }
   }
 
+  test("add_files rejects type mismatches and duplicate registration") {
+    import spark.implicits._
+    // type guard: INT file column vs declared BIGINT would otherwise fail
+    // opaquely at scan time
+    val extInt = tmp() + "-int"
+    Seq((1, 10L, "O", 1.0)).toDF("o_orderkey", "o_custkey", "o_status", "o_total")
+      .write.parquet(extInt)
+    val t = mkOrders(tmp())
+    val e = intercept[IllegalArgumentException] { t.addFiles(extInt) }
+    assert(e.getMessage.contains("o_orderkey"), e.getMessage)
+    // duplicate guard: registering the same source twice would double-count
+    val ext = tmp() + "-ok"
+    seedDf(seed).write.parquet(ext)
+    t.addFiles(ext)
+    assert(t.scan().count() == 6)
+    val d = intercept[IllegalArgumentException] { t.addFiles(ext) }
+    assert(d.getMessage.contains("already registered"), d.getMessage)
+  }
+
+  test("expire never deletes externally registered files (add_files gc safety)") {
+    val ext = tmp() + "-ext"
+    seedDf(seed).write.parquet(ext)
+    val extFiles = Files.list(java.nio.file.Paths.get(ext)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(extFiles.nonEmpty)
+    val t = mkOrders(tmp())
+    t.addFiles(ext)
+    // overwrite drops the imported entries from the live view; expiring the
+    // import snapshot must NOT physically delete the user's source parquet
+    t.overwrite(seedDf(Seq((9L, 90L, "O", 900.0))))
+    val (nSnap, _) = t.expireSnapshots(System.currentTimeMillis() + 1000)
+    assert(nSnap >= 1)
+    extFiles.foreach(f => assert(Files.exists(java.nio.file.Paths.get(f)),
+      s"external source file deleted by expire: $f"))
+    assert(t.scan().count() == 1)
+  }
+
+  test("legacy single-manifest metadata reads back (segmented-manifest shim)") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    // rewrite the current metadata json into the pre-segmentation shape:
+    // snapshots carried `manifest: String` instead of `manifests: [..]`
+    val v = Meta.currentVersion(t.location).get
+    val p = java.nio.file.Paths.get(t.location, "metadata", f"v$v%05d.json")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val legacy = JsonMethods.parse(Files.readString(p)).transformField {
+      case ("manifests", JArray(List(one))) => ("manifest", one)
+    }
+    Files.writeString(p, JsonMethods.pretty(JsonMethods.render(legacy)))
+    // the FIELD is now the legacy singular form (values still contain the
+    // "manifests/" path prefix — that's the directory, not the field)
+    assert(!Files.readString(p).contains("\"manifests\""))
+    assert(Files.readString(p).contains("\"manifest\""))
+    val re = GraftTable.load(spark, t.location)
+    assert(re.meta.head("main").get.manifests.size == 1)
+    assert(re.scan().count() == 6)
+  }
+
   test("time travel by snapshot id and timestamp") {
     val t = mkOrders(tmp())
     val s1 = t.append(seedDf(seed.take(3)))
