@@ -1,9 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query MEDIAN seconds over
+  * `SPARK_GRAFT_RUNS` runs (default 3) plus a machine-readable vs-floor
+  * verdict against BASELINE.md. Medians exist because the VM shows ±40%
+  * run-to-run CPU-steal noise — a single sample cannot adjudicate a
+  * regression; the committed protocol is "judge per-query shape against
+  * the floor", and this emits that comparison instead of leaving it to
+  * the reader. */
 object Bench {
+  /** per-query floor = best historical column in BASELINE.md's table
+    * (the repo's committed comparison protocol). Tolerant parse: rows
+    * look like `| q_name | 1.06 | — | 0.59 | 0.42 |`. */
+  def floors(path: String = "BASELINE.md"): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isReadable(p)) return Map.empty
+    scala.jdk.CollectionConverters.IteratorHasAsScala(
+      java.nio.file.Files.lines(p).iterator()).asScala
+      .flatMap { line =>
+        val cells = line.split("\\|").map(_.trim)
+        if (cells.length >= 3 && cells(1).startsWith("q")) {
+          val ts = cells.drop(2).flatMap(_.toDoubleOption).filter(_ > 0)
+          if (ts.nonEmpty) Some(cells(1) -> ts.min) else None
+        } else None
+      }.toMap
+  }
+
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,19 +60,40 @@ object Bench {
       .map(sel => SparkEntry.queries.filter { case (k, _) => sel(k) })
       .getOrElse(SparkEntry.queries)
     val results = picked.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query must be visible in the output: negative duration
-      val ok = try { fn(spark, sfDir).count(); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val samples = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        // a failed query must be visible in the output: negative duration
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (ok) secs else -secs
       }
-      val secs = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) secs else -secs)
+      // any failed run poisons the query: report the (negative) median of
+      // magnitudes so the failure is visible regardless of sample order
+      val med = if (samples.forall(_ > 0)) median(samples)
+      else -median(samples.map(math.abs))
+      name -> med
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // vs-floor verdict: per-query median / best committed BASELINE.md
+    // column; flagged = ratio > 2 (the documented noise tolerance)
+    val fl = floors()
+    val ratios = results.toSeq.flatMap { case (k, v) =>
+      fl.get(k).filter(_ => v > 0).map(f => k -> v / f)
+    }
+    val flagged = ratios.filter(_._2 > 2.0).sortBy(-_._2)
+    val vsFloor = if (ratios.isEmpty) "null" else {
+      val medR = median(ratios.map(_._2))
+      val fj = flagged.map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }
+        .mkString("{", ",", "}")
+      s"""{"median_ratio":${f"$medR%.3f"},"n_compared":${ratios.size},"flagged":$fj}"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","runs":$runs,"stat":"median","vs_floor":$vsFloor}""")
     spark.stop()
   }
 }

@@ -17,7 +17,7 @@ object SparkEntry {
       SkewJoin.queries ++ BucketJoin.queries ++ BloomJoin.queries ++ SpatialJoin.queries ++ TimeSeries.queries ++
       TextOps.queries ++ Sampling.queries ++ Dedup.queries ++ Similarity.queries ++
       GraftOps.queries ++ V3Ops.queries ++ Multimodal.queries ++
-      IncrementalAgg.queries ++ CorpusGraph.queries ++ Clustering.queries ++
+      IncrementalAgg.queries ++ CorpusGraph.queries ++ Clustering.queries ++ Interop.queries ++
       IncrementalDedup.queries ++ GraphRank.queries ++ Sketches.queries ++ Behavioral.queries ++
       Scd2.queries ++ DataQuality.queries ++
       StreamingOps.queries
@@ -29,7 +29,7 @@ object SparkEntry {
       SkewJoin.oracles ++ BucketJoin.oracles ++ BloomJoin.oracles ++ SpatialJoin.oracles ++ TimeSeries.oracles ++
       TextOps.oracles ++ Sampling.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       GraftOps.oracles ++ V3Ops.oracles ++ Multimodal.oracles ++
-      IncrementalAgg.oracles ++ CorpusGraph.oracles ++ Clustering.oracles ++
+      IncrementalAgg.oracles ++ CorpusGraph.oracles ++ Clustering.oracles ++ Interop.oracles ++
       IncrementalDedup.oracles ++ GraphRank.oracles ++ Sketches.oracles ++ Behavioral.oracles ++
       Scd2.oracles ++ DataQuality.oracles ++
       StreamingOps.oracles

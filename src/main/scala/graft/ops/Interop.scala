@@ -1,0 +1,133 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.table.{GraftTable, WriteMode}
+
+/** Cross-engine interop proof — the reference's whole reason to exist is
+  * "can engine X read this table?" (its sibling suites drive DuckDB,
+  * ClickHouse, Flink, ... against Iceberg tables written by Spark:
+  * /root/reference/tests/duckdb_feature_tests.py). Graft is a private
+  * format, so the equivalent proof is a SECOND, independent reader
+  * implementation: the DuckDB oracle below resolves the CURRENT snapshot
+  * from `metadata/v*.json`, walks its manifest segments, reads the live
+  * data parquet, and applies all three delete shapes — position deletes,
+  * deletion vectors (dense java.util.BitSet image, decoded bit-by-bit in
+  * SQL), and sequence-gated equality deletes — entirely inside DuckDB.
+  * Unlike every other oracle in the registry, it never touches the source
+  * parquet views: the TABLE is the input on both sides, so a hash match
+  * certifies the on-disk format is readable from the metadata alone by an
+  * implementation that shares no code with the Spark writer.
+  *
+  * The table exercises: two appends (before/after the deletes, so the
+  * equality delete's sequence gate is observable), a merge-on-read
+  * position delete, TWO deletion-vector deletes (the second supersedes —
+  * latest-sequence DV wins and must carry the OR of both bitmaps), and an
+  * equality delete keyed on a string column.
+  */
+object Interop {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** fixed location so the static oracle SQL can find the table */
+  val Loc = "/tmp/graft_interop"
+
+  def buildAndScan(spark: SparkSession, dir: String): DataFrame = {
+    val root = Paths.get(Loc)
+    if (Files.exists(root))
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().forEachRemaining(p => Files.deleteIfExists(p))
+    val t = GraftTable.create(spark, Loc,
+      "id bigint, status string, total double")
+    val o = Tables(spark, dir, "orders").select(
+      col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("total"))
+    t.append(o.filter(col("id") % 4 < 2))                 // seq 1
+    t.delete("id % 13 = 3", WriteMode.MergeOnRead)        // seq 2: posdel
+    t.delete("id % 13 = 7", WriteMode.DeletionVector)     // seq 3: DV
+    t.deleteByKeys(o.sparkSession.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](org.apache.spark.sql.Row("F")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("status",
+          org.apache.spark.sql.types.StringType)))))      // seq 4: eqdel
+    t.append(o.filter(col("id") % 4 === lit(2)))          // seq 5: post-eqdel rows survive
+    t.delete("id % 13 = 11", WriteMode.DeletionVector)    // seq 6: DV #2 supersedes #1
+    t.scan().orderBy("id")
+  }
+
+  val queries: Map[String, Q] = Map("q_interop_duckdb" -> buildAndScan)
+
+  /** The independent DuckDB reader. Format facts it encodes (all from
+    * graft.table.{Meta, GraftTable, Dv} scaladoc):
+    *  - current state = max metadata/vNNNNN.json; head snapshot = refs.main
+    *  - a snapshot lists manifest SEGMENTS (relative jsonl paths); one
+    *    FileMeta per line; data entries are per part-file with relative
+    *    paths, delete entries point at parquet DIRECTORIES
+    *  - data parquet columns are physical field ids: f1=id f2=status f3=total
+    *  - posdel parquet: (file_path, pos) — absolute normalized target path
+    *  - dv parquet: (file_path, dv BLOB) — dense BitSet image: position p
+    *    lives in byte p/8 at LSB-first bit p%8; DuckDB's BLOB→BIT cast is
+    *    MSB-first, hence pos = (i//8)*8 + (7 - i%8); only the
+    *    LATEST-sequence vector per target file applies
+    *  - eqdel parquet: key columns under physical names (f2 here); a row is
+    *    deleted iff its file's sequenceNumber < the delete's */
+  val oracles: Map[String, String] = Map(
+    "q_interop_duckdb" ->
+      s"""WITH meta AS (
+         |  SELECT refs.main.snapshotId AS head_id, snapshots
+         |  FROM read_json_auto('$Loc/metadata/v*.json', filename=true)
+         |  ORDER BY filename DESC LIMIT 1
+         |), head AS (
+         |  SELECT s FROM meta, UNNEST(meta.snapshots) t(s)
+         |  WHERE s.snapshotId = meta.head_id
+         |), segs AS (
+         |  SELECT UNNEST(s.manifests) AS rel FROM head
+         |), entries AS (
+         |  SELECT e.path, e.fileType, e.sequenceNumber
+         |  FROM read_json('$Loc/manifests/*.jsonl', format='newline_delimited',
+         |    filename=true, columns={path:'VARCHAR', fileType:'VARCHAR',
+         |    sequenceNumber:'BIGINT'}) e
+         |  JOIN segs ON 'manifests/' || regexp_extract(e.filename, '[^/]+$$') = segs.rel
+         |), rows0 AS (
+         |  SELECT r.f1 AS id, r.f2 AS status, r.f3 AS total,
+         |    r.filename AS fp, r.file_row_number AS pos, d.sequenceNumber AS fseq
+         |  FROM read_parquet('$Loc/data/*/*.parquet', filename=true,
+         |    file_row_number=true) r
+         |  JOIN (SELECT * FROM entries WHERE fileType = 'data') d
+         |    ON r.filename = '$Loc/' || d.path
+         |), posdel AS (
+         |  SELECT p.file_path, p.pos
+         |  FROM read_parquet('$Loc/deletes/pd*/*.parquet', filename=true) p
+         |  JOIN (SELECT * FROM entries WHERE fileType = 'posdel') e
+         |    ON p.filename LIKE '$Loc/' || e.path || '/%'
+         |), dvlatest AS (
+         |  SELECT v.file_path, v.dv
+         |  FROM read_parquet('$Loc/deletes/dv*/*.parquet', filename=true) v
+         |  JOIN (SELECT * FROM entries WHERE fileType = 'dv') e
+         |    ON v.filename LIKE '$Loc/' || e.path || '/%'
+         |  QUALIFY row_number() OVER (PARTITION BY v.file_path
+         |    ORDER BY e.sequenceNumber DESC) = 1
+         |), dvpos AS (
+         |  SELECT file_path, (i//8)*8 + (7 - i%8) AS pos
+         |  FROM dvlatest, UNNEST(range(0, octet_length(dv)*8)) t(i)
+         |  WHERE get_bit(dv::BIT, i::INTEGER) = 1
+         |), deleted AS (
+         |  SELECT file_path, pos FROM posdel
+         |  UNION SELECT file_path, pos FROM dvpos
+         |), eqdel AS (
+         |  SELECT q.f2 AS key_status, e.sequenceNumber AS dseq
+         |  FROM read_parquet('$Loc/deletes/eq*/*.parquet', filename=true) q
+         |  JOIN (SELECT * FROM entries WHERE fileType = 'eqdel') e
+         |    ON q.filename LIKE '$Loc/' || e.path || '/%'
+         |)
+         |SELECT id, status, total FROM rows0 r
+         |WHERE NOT EXISTS (SELECT 1 FROM deleted d
+         |    WHERE d.file_path = r.fp AND d.pos = r.pos)
+         |  AND NOT EXISTS (SELECT 1 FROM eqdel e
+         |    WHERE e.key_status = r.status AND r.fseq < e.dseq)
+         |ORDER BY id""".stripMargin)
+}

@@ -212,6 +212,29 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("left key"), e.getMessage)
   }
 
+  test("interop table carries all three delete shapes; scan applies them") {
+    // value parity with the INDEPENDENT DuckDB reader (which resolves
+    // metadata/manifests/deletes itself) is the driver gate + selfcheck;
+    // this spec pins the table shape that makes that proof meaningful
+    val scanned = Interop.buildAndScan(spark, sf)
+    val t = graft.table.GraftTable.load(spark, Interop.Loc)
+    val live = t.liveFiles()
+    assert(live.exists(_.fileType == "posdel"), "position delete live")
+    assert(live.count(_.fileType == "dv") == 1,
+      "exactly one live DV entry (the second delete supersedes the first)")
+    assert(live.exists(_.fileType == "eqdel"), "equality delete live")
+    val rows = scanned.collect().map(r => (r.getLong(0), r.getString(1)))
+    // batch A (id%4<2) lost id%13 in {3,7,11} and all 'F' rows; batch B
+    // (id%4=2, appended after the eqdel) keeps both
+    assert(rows.forall { case (id, st) =>
+      id % 4 == 2 || (id % 13 != 3 && id % 13 != 7 && id % 13 != 11 && st != "F")
+    })
+    assert(rows.exists { case (id, _) => id % 4 == 2 && id % 13 == 3 },
+      "post-delete append unaffected by earlier position delete")
+    assert(rows.exists { case (id, st) => id % 4 == 2 && st == "F" },
+      "post-eqdel append unaffected by the sequence-gated equality delete")
+  }
+
   test("asof join: every matched order date <= event ts") {
     val df = AsOfJoin.eventsAsOfOrders(spark, sf)
     val bad = df.join(Tables(spark, sf, "events").select("event_id", "ts"), "event_id")
