@@ -225,6 +225,81 @@ class TableSpec extends SparkSpec {
     assert(re.scan().count() == 6)
   }
 
+  test("metadata path at 10k files: prune is fast, commits are O(change), coalesce bounds fan-in") {
+    // The 100x scale claim made falsifiable on the METADATA plane: data
+    // files are synthetic manifest entries (pruning and commits never open
+    // them), so this exercises exactly what a 1000-executor driver does —
+    // read segments, prune on stats, write the commit delta.
+    import java.nio.file.Paths
+    def mkMeta(loc: String, segments: Int, perSeg: Int): Unit = {
+      val fields = List(FieldMeta(1, "k", "bigint"), FieldMeta(2, "v", "bigint"))
+      val segs = (0 until segments).map { s =>
+        val entries = (0 until perSeg).map { i =>
+          val n = s * perSeg + i
+          // disjoint [n*100, n*100+99] key ranges -> a point query matches 1 file
+          FileMeta(s"data/s1/fake-$n.parquet", "data", 0, 0, Map.empty,
+            100L, 1000L, 1L,
+            Map("1" -> ColStats(Some((n * 100L).toString),
+              Some((n * 100L + 99L).toString), 0L)),
+            firstRowId = n * 100L)
+        }
+        Meta.writeManifest(loc, s"1-seg$s", entries)
+      }.toList
+      val snap = SnapshotMeta(1L, None, 1L, System.currentTimeMillis(),
+        "append", 0, segs)
+      Meta.writeJson(TableMeta(3, java.util.UUID.randomUUID.toString, 2, 0, 0,
+        1L, 1L, segments.toLong * perSeg * 100, 0, 0,
+        List(SchemaMeta(0, fields)), List(PartSpecMeta(0, Nil)),
+        List(snap), Map("main" -> RefMeta(1L, isBranch = true)), Map.empty), loc)
+    }
+    // (a) 10k files in 50 segments (under the 64 coalesce bound)
+    val loc = tmp()
+    java.nio.file.Files.createDirectories(Paths.get(loc))
+    mkMeta(loc, segments = 50, perSeg = 200)
+    val t = GraftTable.load(spark, loc)
+    val t0 = System.nanoTime()
+    val entries = t.liveFiles()
+    val preds = Pruning.extract("k = 543210", spark)
+    val hit = entries.filter(f => f.fileType == "data" &&
+      Pruning.fileMatches(f, t.meta, preds))
+    val pruneMs = (System.nanoTime() - t0) / 1e6
+    assert(entries.size == 10000)
+    assert(hit.size == 1 && hit.head.path.endsWith("fake-5432.parquet"))
+    // generous bound for a noisy VM; typically ~10x faster
+    assert(pruneMs < 2000, s"driver prune of 10k entries took $pruneMs ms")
+    // steady-state (classes loaded, SQL parser warm): the per-scan driver
+    // cost a long-lived cluster actually pays
+    val t1 = System.nanoTime()
+    val entries2 = t.liveFiles()
+    val preds2 = Pruning.extract("k = 99", spark)
+    val hit2 = entries2.filter(f => Pruning.fileMatches(f, t.meta, preds2))
+    val warmMs = (System.nanoTime() - t1) / 1e6
+    assert(hit2.size == 1)
+    assert(warmMs < 800, s"warm driver prune of 10k entries took $warmMs ms")
+    // (b) a small append writes O(change) manifest bytes and carries the
+    // parent's 50 segments by reference
+    import spark.implicits._
+    val manifestBytes = () => java.nio.file.Files.list(Paths.get(loc, "manifests"))
+      .iterator().asScala.map(java.nio.file.Files.size(_)).sum
+    val before = manifestBytes()
+    val snap2 = t.append(Seq((1L, 1L)).toDF("k", "v").coalesce(1))
+    val delta = manifestBytes() - before
+    assert(snap2.manifests.size == 51, "parent segments carried by reference")
+    assert(snap2.manifests.count(_.contains("seg")) == 50)
+    assert(delta < before / 100,
+      s"commit metadata delta $delta B vs table $before B — not O(change)")
+    info(f"10k-file table: cold prune $pruneMs%.1f ms, warm $warmMs%.1f ms, " +
+      s"manifests ${before / 1024} KiB, commit delta $delta B")
+    // (c) past 64 segments the commit auto-coalesces to one
+    val loc2 = tmp()
+    java.nio.file.Files.createDirectories(Paths.get(loc2))
+    mkMeta(loc2, segments = 65, perSeg = 10)
+    val t2 = GraftTable.load(spark, loc2)
+    val snap3 = t2.append(Seq((1L, 1L)).toDF("k", "v").coalesce(1))
+    assert(snap3.manifests.size == 1, s"expected coalesce, got ${snap3.manifests.size}")
+    assert(Meta.readEntries(loc2, snap3).size == 651)
+  }
+
   test("time travel by snapshot id and timestamp") {
     val t = mkOrders(tmp())
     val s1 = t.append(seedDf(seed.take(3)))
