@@ -341,7 +341,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
     var seq = seq0
     var entries = added
     val m =
-      if (fresh.lastSnapshotId == meta.lastSnapshotId) meta
+      // Same head snapshot: base the commit on the PINNED state, not the
+      // handle's cached meta — metadata-only commits (partition-spec or
+      // schema evolution, refs, properties) bump the version WITHOUT
+      // adding a snapshot, and publishing from the cached meta would
+      // silently roll them back. The entries keep their own
+      // schemaId/specId (spec-per-file), so files written under the older
+      // layout stay correct.
+      if (fresh.lastSnapshotId == meta.lastSnapshotId) { meta = fresh; fresh }
       else {
         if (!rebaseable || removedPaths.nonEmpty)
           throw new CommitConflictException(

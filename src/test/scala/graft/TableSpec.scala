@@ -777,6 +777,78 @@ class TableSpec extends SparkSpec {
       "rejected delete must leave the compacted table intact")
   }
 
+  test("mixed-writer interleavings: MoR deletes, compaction, partition evolution") {
+    // The rebase-validation matrix beyond same-op races: every pair below
+    // is an interleaving Iceberg documents as either safely-additive or a
+    // required conflict. Writers are independent handles on one location,
+    // interleaved deterministically (the publish protocol is the same one
+    // the threaded 4-appender spec exercises).
+    // -- (1) two MoR deletes on different keys: both additive, both apply
+    val locA = tmp()
+    mkOrders(locA).append(seedDf(seed))
+    val a1 = GraftTable.load(spark, locA)
+    val a2 = GraftTable.load(spark, locA)
+    a1.delete("o_orderkey = 1", WriteMode.MergeOnRead)
+    a2.delete("o_orderkey = 2", WriteMode.MergeOnRead) // stale base -> rebases
+    assert(GraftTable.load(spark, locA).scan().collect()
+      .map(_.getLong(0)).sorted.sameElements(Seq(3L, 4L, 5L, 6L)),
+      "both racing MoR deletes must land (no lost delete)")
+    // -- (2) compaction from a stale base (a MoR delete landed meanwhile):
+    // the rewrite must refuse, and the delete must survive
+    val locB = tmp()
+    mkOrders(locB).append(seedDf(seed))
+    val b1 = GraftTable.load(spark, locB)
+    val b2 = GraftTable.load(spark, locB)
+    b1.delete("o_orderkey = 3", WriteMode.MergeOnRead)
+    intercept[CommitConflictException] { b2.compact() }
+    assert(GraftTable.load(spark, locB).scan().count() == 5,
+      "refused compaction must leave the MoR delete applied")
+    // retry from fresh state succeeds and folds the delete in
+    GraftTable.load(spark, locB).compact()
+    val bLive = GraftTable.load(spark, locB).liveFiles()
+    assert(bLive.forall(_.fileType == "data"), "compaction folded the posdel")
+    assert(GraftTable.load(spark, locB).scan().count() == 5)
+    // -- (3) partition evolution racing appends: updateSpec re-pins before
+    // its CAS (a stale HANDLE is fine; only an interleaved publish between
+    // pin and write conflicts — that race is the "concurrent metadata
+    // publish" spec). What matters here: appends from a writer still
+    // holding the OLD spec land with their own specId (spec-per-file),
+    // nothing is lost, and both file generations stay scannable
+    val locC = tmp()
+    val c0 = mkOrders(locC)
+    c0.append(seedDf(seed.take(2)))
+    val c1 = GraftTable.load(spark, locC)
+    val c2 = GraftTable.load(spark, locC)
+    c1.append(seedDf(Seq((7L, 40L, "O", 700.0))))
+    c2.updateSpec(Seq(GraftTable.parseSpecField("identity(o_status)",
+      c2.meta.currentSchema))) // re-pins: sees c1's append, applies cleanly
+    c1.append(seedDf(Seq((8L, 50L, "F", 800.0)))) // stale handle: old spec
+    val cT = GraftTable.load(spark, locC)
+    assert(cT.scan().count() == 4, "nothing lost across evolution race")
+    val specIds = cT.liveFiles().filter(_.fileType == "data").map(_.specId).toSet
+    assert(specIds == Set(0), "stale-handle files carry their writer's spec")
+    cT.append(seedDf(Seq((9L, 60L, "O", 900.0))))
+    val postEvo = cT.liveFiles().filter(_.fileType == "data").map(_.specId).toSet
+    assert(postEvo == Set(0, 1), "new-spec files coexist with old-spec files")
+    assert(cT.scan(filter = Some("o_orderkey = 9")).count() == 1)
+    // -- (4) append racing a MoR delete: delete computed pre-append rebases
+    // and must not touch the interleaved append's rows
+    val locD = tmp()
+    mkOrders(locD).append(seedDf(seed))
+    val d1 = GraftTable.load(spark, locD)
+    val d2 = GraftTable.load(spark, locD)
+    // d2 stages its delete scan against the pre-append state by computing
+    // hits now (the delete call re-scans, so interleave the append first)
+    d1.append(seedDf(Seq((1L, 99L, "X", 1.0)))) // duplicate key 1, new file
+    d2.delete("o_custkey = 10", WriteMode.MergeOnRead) // rebases onto append
+    val dRows = GraftTable.load(spark, locD).scan().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!dRows.contains((1L, 10L)) && !dRows.contains((2L, 10L)),
+      "rebased delete applies to its target rows")
+    assert(dRows.contains((1L, 99L)),
+      "rebased delete must not swallow the interleaved append's rows")
+  }
+
   test("concurrent metadata publish: loser gets a conflict, not a lost commit") {
     val loc = tmp()
     val t1 = mkOrders(loc)
