@@ -118,14 +118,19 @@ object AnalyticsDeep {
     * total: the average is scale-invariant (a fixed fraction of total
     * selects nothing once the part count grows 10x) */
   def q11(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the per-part aggregate feeds BOTH the threshold
+    // scalar and the output — without it the full lineitem scan + shuffle
+    // runs twice. The threshold is a broadcast single-row join rather than
+    // a driver collect: one plan, no extra job, and the shape that scales
+    // (the scalar never passes through the driver)
     val pv = Tables(spark, dir, "lineitem")
       .groupBy(col("l_partkey"))
       .agg(sum(discPrice).as("v"))
-    val totRow = pv.agg(d(sum(col("v"))), count(lit(1))).collect()(0)
-    val thr = if (totRow.isNullAt(0)) lit(null)
-      else lit(totRow.getDouble(0) * 1.2 / totRow.getLong(1))
-    pv.select(col("l_partkey"), d(col("v")).as("value"))
-      .filter(col("value") > thr)
+      .localCheckpoint()
+    val thr = pv.agg((d(sum(col("v"))) * 1.2 / count(lit(1))).as("thr"))
+    pv.crossJoin(broadcast(thr))
+      .select(col("l_partkey"), d(col("v")).as("value"))
+      .filter(d(col("v")) > col("thr"))
       .orderBy(col("value").desc, col("l_partkey"))
   }
 
@@ -239,9 +244,14 @@ object AnalyticsDeep {
   }
 
   // --- q21: suppliers who alone held up multi-supplier orders -------------
-  /** EXISTS(other supplier) + NOT EXISTS(other LATE supplier): the late
-    * set is computed once and reused for both the semi and the anti join —
-    * all three joins hash on orderkey */
+  /** EXISTS(other supplier) + NOT EXISTS(other LATE supplier), recast as
+    * per-order supplier COUNTS: "exists another supplier" ⟺ the order has
+    * ≥2 distinct suppliers; "no other late supplier" ⟺ the order has
+    * exactly 1 late supplier (the candidate itself, by construction).
+    * That replaces the two inequality joins (which Catalyst could not
+    * reuse an exchange across — the late subtree ran twice) with two
+    * small keyed aggregates, both semi-joined back on orderkey; `late`
+    * is checkpointed so its lineitem⋈orders pass runs once. */
   def q21(spark: SparkSession, dir: String): DataFrame = {
     val oF = Tables(spark, dir, "orders").filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderdate"))
@@ -249,13 +259,23 @@ object AnalyticsDeep {
       .join(oF, col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls")).distinct()
-    val pairs = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val late2 = late.select(col("lo").as("lo2"), col("ls").as("ls2"))
+      .localCheckpoint()
+    // only LATE orders can qualify, so the ≥2-supplier count runs over the
+    // semi-joined slice, not all of lineitem — the big shuffle shrinks to
+    // the candidate orders (late-order set is broadcastable: it is bounded
+    // by the F-status late orders, a small fraction of lineitem)
+    val lateOrders = late.select(col("lo")).distinct()
+    val multi = Tables(spark, dir, "lineitem")
+      .join(broadcast(lateOrders), col("l_orderkey") === col("lo"), "left_semi")
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("ns"))
+      .filter(col("ns") >= 2)
+    val sole = late.groupBy(col("lo")).agg(count(lit(1)).as("nl"))
+      .filter(col("nl") === 1)
+      .withColumnRenamed("lo", "lo1")
     late
-      .join(pairs, col("lo") === col("l_orderkey") && col("ls") =!= col("l_suppkey"),
-        "left_semi")
-      .join(late2, col("lo") === col("lo2") && col("ls") =!= col("ls2"), "left_anti")
+      .join(multi, col("lo") === col("l_orderkey"), "left_semi")
+      .join(sole, col("lo") === col("lo1"), "left_semi")
       .join(broadcast(Tables(spark, dir, "supplier")), col("ls") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))

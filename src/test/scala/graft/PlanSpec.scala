@@ -105,6 +105,24 @@ class PlanSpec extends SparkSpec {
       s"sessionize must reuse one user_id exchange across windows, got ${countShuffles(plan)}")
   }
 
+  test("q11/q21: the expensive subtree runs once (checkpoint reuse, no rescan)") {
+    // q11: the per-part aggregate feeds threshold AND output via one
+    // localCheckpoint — the returned plan must not rescan lineitem
+    val p11 = planString(AnalyticsDeep.q11(spark, sf))
+    assert(!p11.contains("lineitem.parquet"),
+      "q11 output plan must read the checkpointed aggregate, not lineitem")
+    assert(p11.contains("BroadcastNestedLoopJoin") || p11.contains("BroadcastHashJoin"),
+      "q11 threshold must join as a broadcast single-row scalar")
+    // q21: `late` is checkpointed (computed once for candidates + the
+    // sole-late-supplier count); only the ≥2-supplier count may rescan
+    // lineitem, and it does so under a broadcast semi join on late orders
+    val p21 = planString(AnalyticsDeep.q21(spark, sf))
+    val liScans = "lineitem\\.parquet".r.findAllIn(p21).size
+    assert(liScans == 1, s"q21 must scan lineitem exactly once, saw $liScans")
+    assert(p21.contains("LeftSemi, BuildRight"),
+      "q21 supplier-count input must be pruned by a broadcast semi join")
+  }
+
   test("q18: HAVING subquery executes as one aggregation + semi join") {
     val plan = planString(Analytics.q18(spark, sf01))
     assert("LeftSemi".r.findAllIn(plan).nonEmpty, "expected a left-semi join")
