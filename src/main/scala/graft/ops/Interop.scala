@@ -59,7 +59,43 @@ object Interop {
     t.scan().orderBy("id")
   }
 
-  val queries: Map[String, Q] = Map("q_interop_duckdb" -> buildAndScan)
+  /** fixed location for the evolved-table variant */
+  val Loc2 = "/tmp/graft_interop_evolved"
+
+  /** Second interop table: the format features that make an independent
+    * reader HARD — hidden partitioning (partition dirs the reader must
+    * glob through but not misread), schema evolution by field id (a rename
+    * is invisible in the files; the reader must map f<id> → current name),
+    * int→bigint type promotion across file generations, and a v3
+    * initial-default (old-schema files must present the default, new files
+    * their real values — the reader needs each file's schemaId from the
+    * manifest to tell the difference). A MoR delete lands across BOTH
+    * schema generations. */
+  def buildEvolvedAndScan(spark: SparkSession, dir: String): DataFrame = {
+    val root = Paths.get(Loc2)
+    if (Files.exists(root))
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().forEachRemaining(p => Files.deleteIfExists(p))
+    val t = GraftTable.create(spark, Loc2,
+      "id bigint, cat string, qty int", Seq("identity(cat)"))
+    val c = Tables(spark, dir, "customer").select(
+      col("c_custkey").as("ck"),
+      col("c_mktsegment").as("cat"),
+      (col("c_custkey") % 100).cast("int").as("qty"))
+    t.append(c.select((col("ck") * 2).as("id"), col("cat"), col("qty")))
+    t.promoteType("qty", "bigint")    // schema 1: old files cast at read
+    t.renameColumn("cat", "segment")  // schema 2: same field id, new name
+    t.addColumn("score", "double", Some("1.5")) // schema 3: v3 default
+    t.append(c.select((col("ck") * 2 + 1).as("id"),
+      col("cat").as("segment"), col("qty").cast("bigint").as("qty"),
+      (col("ck") % 7).cast("double").as("score")))
+    t.delete("id % 11 = 5", WriteMode.MergeOnRead)
+    t.scan().orderBy("id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_interop_duckdb" -> buildAndScan,
+    "q_interop_evolved" -> buildEvolvedAndScan)
 
   /** The independent DuckDB reader. Format facts it encodes (all from
     * graft.table.{Meta, GraftTable, Dv} scaladoc):
@@ -129,5 +165,46 @@ object Interop {
          |    WHERE d.file_path = r.fp AND d.pos = r.pos)
          |  AND NOT EXISTS (SELECT 1 FROM eqdel e
          |    WHERE e.key_status = r.status AND r.fseq < e.dseq)
+         |ORDER BY id""".stripMargin,
+    // The evolved-table reader adds: ** globs through hidden-partition
+    // dirs (hive_partitioning off — partition values are redundant with
+    // the stored column), union_by_name across schema generations (f4
+    // absent in old files; f3 promoted int32→int64 by the union), field-id
+    // → current-name mapping (rename is metadata-only), and the v3
+    // initial-default 1.5 applied ONLY to files whose manifest schemaId
+    // predates the column (a new-file NULL would stay NULL).
+    "q_interop_evolved" ->
+      s"""WITH meta AS (
+         |  SELECT refs.main.snapshotId AS head_id, snapshots
+         |  FROM read_json_auto('$Loc2/metadata/v*.json', filename=true)
+         |  ORDER BY filename DESC LIMIT 1
+         |), head AS (
+         |  SELECT s FROM meta, UNNEST(meta.snapshots) t(s)
+         |  WHERE s.snapshotId = meta.head_id
+         |), segs AS (
+         |  SELECT UNNEST(s.manifests) AS rel FROM head
+         |), entries AS (
+         |  SELECT e.path, e.fileType, e.sequenceNumber, e.schemaId
+         |  FROM read_json('$Loc2/manifests/*.jsonl', format='newline_delimited',
+         |    filename=true, columns={path:'VARCHAR', fileType:'VARCHAR',
+         |    sequenceNumber:'BIGINT', schemaId:'BIGINT'}) e
+         |  JOIN segs ON 'manifests/' || regexp_extract(e.filename, '[^/]+$$') = segs.rel
+         |), rows0 AS (
+         |  SELECT r.f1 AS id, r.f2 AS segment, CAST(r.f3 AS BIGINT) AS qty,
+         |    CASE WHEN d.schemaId < 3 THEN 1.5 ELSE r.f4 END AS score,
+         |    r.filename AS fp, r.file_row_number AS pos
+         |  FROM read_parquet('$Loc2/data/**/*.parquet', filename=true,
+         |    file_row_number=true, union_by_name=true, hive_partitioning=false) r
+         |  JOIN (SELECT * FROM entries WHERE fileType = 'data') d
+         |    ON r.filename = '$Loc2/' || d.path
+         |), posdel AS (
+         |  SELECT p.file_path, p.pos
+         |  FROM read_parquet('$Loc2/deletes/pd*/*.parquet', filename=true) p
+         |  JOIN (SELECT * FROM entries WHERE fileType = 'posdel') e
+         |    ON p.filename LIKE '$Loc2/' || e.path || '/%'
+         |)
+         |SELECT id, segment, qty, score FROM rows0 r
+         |WHERE NOT EXISTS (SELECT 1 FROM posdel d
+         |    WHERE d.file_path = r.fp AND d.pos = r.pos)
          |ORDER BY id""".stripMargin)
 }

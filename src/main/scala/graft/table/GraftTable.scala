@@ -762,8 +762,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
   // Schema / spec evolution (metadata-only commits)
   // ==========================================================================
 
-  private def newSchema(fields: List[FieldMeta], lastFieldId: Int): Unit = {
+  /** Schema evolution commit: `evolve` is applied to the PINNED state (not
+    * a cached or pre-read one) so two racing column changes compose instead
+    * of the second silently dropping the first's edit — the loser of the
+    * version CAS conflicts and can retry on fresh state. */
+  private def newSchema(evolve: TableMeta => (List[FieldMeta], Int)): Unit = {
     val (m, v) = pinned()
+    val (fields, lastFieldId) = evolve(m)
     val sid = m.lastSchemaId + 1
     val next = m.copy(lastSchemaId = sid, currentSchemaId = sid,
       lastFieldId = math.max(m.lastFieldId, lastFieldId),
@@ -772,29 +777,28 @@ class GraftTable(val spark: SparkSession, val location: String) {
     meta = next
   }
 
-  def addColumn(name: String, dtype: String, initialDefault: Option[String] = None): Unit = {
-    val m = refresh(); val s = m.currentSchema
-    require(!s.fields.exists(_.name == name), s"column $name exists")
-    val id = m.lastFieldId + 1
-    newSchema(s.fields :+ FieldMeta(id, name, dtype, nullable = true, initialDefault), id)
-  }
+  def addColumn(name: String, dtype: String, initialDefault: Option[String] = None): Unit =
+    newSchema { m =>
+      val s = m.currentSchema
+      require(!s.fields.exists(_.name == name), s"column $name exists")
+      val id = m.lastFieldId + 1
+      (s.fields :+ FieldMeta(id, name, dtype, nullable = true, initialDefault), id)
+    }
 
-  def renameColumn(from: String, to: String): Unit = {
-    val s = refresh().currentSchema
-    newSchema(s.fields.map(f => if (f.name == from) f.copy(name = to) else f), 0)
-  }
+  def renameColumn(from: String, to: String): Unit =
+    newSchema { m =>
+      (m.currentSchema.fields.map(f => if (f.name == from) f.copy(name = to) else f), 0)
+    }
 
-  def dropColumn(name: String): Unit = {
-    val s = refresh().currentSchema
-    newSchema(s.fields.filterNot(_.name == name), 0)
-  }
+  def dropColumn(name: String): Unit =
+    newSchema(m => (m.currentSchema.fields.filterNot(_.name == name), 0))
 
   /** type promotion (int→bigint, float→double, decimal widening):
     * metadata-only; old files cast at read */
-  def promoteType(name: String, dtype: String): Unit = {
-    val s = refresh().currentSchema
-    newSchema(s.fields.map(f => if (f.name == name) f.copy(dtype = dtype) else f), 0)
-  }
+  def promoteType(name: String, dtype: String): Unit =
+    newSchema { m =>
+      (m.currentSchema.fields.map(f => if (f.name == name) f.copy(dtype = dtype) else f), 0)
+    }
 
   def updateSpec(fields: Seq[PartFieldMeta]): Unit = {
     val (m, v) = pinned()

@@ -233,6 +233,18 @@ class OpsSpec extends SparkSpec {
       "post-delete append unaffected by earlier position delete")
     assert(rows.exists { case (id, st) => id % 4 == 2 && st == "F" },
       "post-eqdel append unaffected by the sequence-gated equality delete")
+    // evolved variant: two schema generations + hidden partitioning live
+    // in one table, defaults fill only the old generation
+    val ev = Interop.buildEvolvedAndScan(spark, sf)
+    val t2 = graft.table.GraftTable.load(spark, Interop.Loc2)
+    val gens = t2.liveFiles().filter(_.fileType == "data").map(_.schemaId).toSet
+    assert(gens == Set(0, 3), s"expected file generations {0,3}, got $gens")
+    assert(t2.liveFiles().exists(_.partition.nonEmpty), "hidden partition tuples")
+    val evRows = ev.collect()
+    assert(evRows.forall(r => r.getLong(0) % 11 != 5), "MoR delete applied")
+    // old generation (even ids) presents the v3 default; new has real scores
+    assert(evRows.filter(_.getLong(0) % 2 == 0).forall(_.getDouble(3) == 1.5))
+    assert(evRows.exists(r => r.getLong(0) % 2 == 1 && r.getDouble(3) != 1.5))
   }
 
   test("asof join: every matched order date <= event ts") {
