@@ -286,7 +286,8 @@ case class GraftCallCommand(proc: String, args: Seq[(Option[String], String)])
       case "expire_snapshots" =>
         val olderThan = arg(1, "older_than_ms").map(_.toLong)
           .getOrElse(System.currentTimeMillis())
-        val (snaps, files) = t.expireSnapshots(olderThan)
+        val retainLast = arg(2, "retain_last").map(_.toInt).getOrElse(1)
+        val (snaps, files) = t.expireSnapshots(olderThan, retainLast)
         GraftDdl.info(s"expired $snaps snapshots, removed $files files")
       case "rollback_to_snapshot" =>
         t.rollbackTo(required(1, "snapshot_id").toLong)

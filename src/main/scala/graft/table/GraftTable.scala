@@ -1031,12 +1031,18 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   /** expire snapshots older than `olderThanMs` that no ref points to;
     * physically deletes orphaned manifests/data/delete files.
+    * `retainLast` (Iceberg's retain_last analog) always keeps at least
+    * the N most recent snapshots regardless of age — the guard that
+    * stops an aggressive age policy from erasing all rollback history.
     * Returns (#snapshots expired, #files deleted). */
-  def expireSnapshots(olderThanMs: Long): (Int, Int) = {
+  def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): (Int, Int) = {
     val (m, v) = pinned()
     val refHeads = m.refs.values.map(_.snapshotId).toSet
+    val recent = m.snapshots.sortBy(-_.timestampMs)
+      .take(math.max(retainLast, 1)).map(_.snapshotId).toSet
     val (keep, drop) = m.snapshots.partition(s =>
-      refHeads(s.snapshotId) || s.timestampMs >= olderThanMs)
+      refHeads(s.snapshotId) || recent(s.snapshotId) ||
+        s.timestampMs >= olderThanMs)
     if (drop.isEmpty) return (0, 0)
     val keptFiles = keep.flatMap(s => Meta.readEntries(location, s))
       .map(e => normPath(abs(e.path))).toSet

@@ -28,9 +28,15 @@ class OpsSpec extends SparkSpec {
       case _ => false
     }
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
-      q(spark, sf).schema.fields.collect {
+      val fields = q(spark, sf).schema.fields
+      val complexCols = fields.collect {
         case f if complex(f.dataType) => s"$name.${f.name}: ${f.dataType.simpleString}"
       }
+      // duplicate names break the comparator's sort-columns-by-name canon
+      val dups = fields.groupBy(_.name).collect {
+        case (n, fs) if fs.length > 1 => s"$name.$n (x${fs.length})"
+      }
+      complexCols ++ dups
     }
     assert(bad.isEmpty, s"non-atomic output columns (ungateable): ${bad.mkString(", ")}")
   }

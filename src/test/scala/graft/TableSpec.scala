@@ -472,6 +472,17 @@ class TableSpec extends SparkSpec {
     val (nSnap, nFiles) = t.expireSnapshots(System.currentTimeMillis() + 1000)
     assert(nSnap == 2 && nFiles > 0)
     assert(t.scan().count() == 6, "current snapshot unaffected")
+    // retain_last keeps the N newest regardless of age (Iceberg analog):
+    // an aggressive age policy cannot erase all rollback history
+    val t2 = mkOrders(tmp())
+    t2.append(seedDf(seed.take(2)))
+    t2.append(seedDf(seed.slice(2, 4)))
+    t2.append(seedDf(seed.drop(4)))
+    val (n2, _) = t2.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 3)
+    assert(n2 == 0 && t2.meta.snapshots.size == 3, "retainLast=3 keeps all")
+    val (n3, _) = t2.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 2)
+    assert(n3 == 1 && t2.meta.snapshots.size == 2, "retainLast=2 drops the oldest")
+    assert(t2.scan().count() == 6)
   }
 
   test("branches and tags: independent write lineages") {
