@@ -407,7 +407,11 @@ object TextOps {
     * to a scaled BIGINT before summing, so the per-doc reduction is exact
     * integer math — partition-order-independent AND immune to libm ULP
     * skew between Spark and DuckDB. */
-  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+  /** per-doc EXACT bigram-LM totals (doc_id, n_bigrams, s) with s the
+    * scaled-integer sum of add-one-smoothed log-probs — shared by
+    * q_lm_score and q_ccnet_buckets so both stay bit-identical to the
+    * oracle (floats appear only at the final division) */
+  private def bigramTotals(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -428,11 +432,37 @@ object TextOps {
       .select(col("doc_id"), lps.as("lps"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lps")).as("s"))
+  }
+
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    bigramTotals(spark, dir)
       .select(col("doc_id"), col("n_bigrams"),
         (col("s").cast("double") / lit(100000000.0)
           / col("n_bigrams").cast("double")).as("avg_lp"))
       .orderBy(col("avg_lp").asc, col("doc_id"))
       .limit(20)
+
+  /** CCNet's corpus-curation split: per LANGUAGE, rank documents by LM
+    * score and cut into head/middle/tail thirds — the canonical
+    * quality-stratification step before mixing (head oversampled, tail
+    * dropped or down-weighted). ntile over a per-language window: one
+    * shuffle keyed by lang over DOC-grain rows (never tokens), so the
+    * window input is |docs|, tiny next to the bigram pass that feeds it.
+    * Ordering ties are doc_id-broken, so the cut is deterministic and
+    * engine-independent (both sides divide the same exact integers). */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy((col("s").cast("double") / col("n_bigrams").cast("double")).asc,
+        col("doc_id").asc)
+    val lang = Tables(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    bigramTotals(spark, dir)
+      .join(lang, "doc_id")
+      .withColumn("t", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"),
+        when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy("doc_id")
   }
 
   // --- subword vocabulary induction -----------------------------------------
@@ -466,6 +496,7 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "q_vocab_candidates" -> vocabCandidates,
     "q_lm_score" -> lmScore,
+    "q_ccnet_buckets" -> ccnetBuckets,
     "q_bm25" -> bm25,
     "q_keyword_terms" -> keywordTerms,
     "q_pii_redact" -> piiRedact,
@@ -555,6 +586,39 @@ object TextOps {
         |  CAST(SUM(lps) AS DOUBLE) / 100000000.0 / CAST(COUNT(*) AS DOUBLE)
         |    AS avg_lp
         |FROM lp GROUP BY doc_id ORDER BY avg_lp ASC, doc_id LIMIT 20""".stripMargin,
+    "q_ccnet_buckets" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |big AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM docs, UNNEST(range(1, len(toks))) u(i)),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        |       FROM big GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+        |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+        |      FROM (SELECT unnest(toks) AS w FROM docs)),
+        |lp AS (
+        |  SELECT b.doc_id,
+        |    CAST(floor(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))
+        |      * 100000000.0 + 0.5) AS BIGINT) AS lps
+        |  FROM big b
+        |  JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |  JOIN c1 ON b.w1 = c1.w1, v),
+        |tot AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(lps) AS BIGINT) AS s
+        |  FROM lp GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT t.doc_id, d.lang,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY CAST(t.s AS DOUBLE) / CAST(t.n_bigrams AS DOUBLE) ASC,
+        |        t.doc_id ASC) AS t3
+        |  FROM tot t JOIN documents d ON t.doc_id = d.doc_id)
+        |SELECT doc_id, lang,
+        |  CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS ppl_bucket
+        |FROM ranked ORDER BY doc_id""".stripMargin,
     "q_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, u.w FROM documents, UNNEST(string_split(text, ' ')) u(w)),

@@ -260,6 +260,23 @@ class OpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("ccnet buckets: per-language thirds, head scores no worse than tail") {
+    val rows = TextOps.ccnetBuckets(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val perLang = rows.groupBy(_._2)
+    perLang.foreach { case (lang, docs) =>
+      val byB = docs.groupBy(_._3).view.mapValues(_.length).toMap
+      // ntile thirds differ by at most 1 doc
+      assert(byB.values.max - byB.values.min <= 1, s"$lang skewed: $byB")
+    }
+    val all = rows.map(_._1).toSet
+    assert(all.size == rows.length, "one bucket per doc")
+    // deterministic across re-runs (float only in the tie-broken ORDER BY)
+    val again = TextOps.ccnetBuckets(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.sameElements(again))
+  }
+
   test("minhash candidates contain all true jaccard>=0.9 pairs (planted dups)") {
     val docs = Tables(spark, sf01, "documents")
     val truth = Dedup.jaccardPairs(docs, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
