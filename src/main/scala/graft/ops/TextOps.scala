@@ -442,6 +442,55 @@ object TextOps {
       .orderBy(col("avg_lp").asc, col("doc_id"))
       .limit(20)
 
+  /** DSIR (Data Selection via Importance Resampling, Xie et al. 2023):
+    * score every document by how much its hashed-unigram distribution
+    * looks like a TARGET domain vs the RAW corpus — the principled
+    * "select pretraining data that matches the domain you care about"
+    * method. Features are hashed n-gram buckets (here unigrams → 1024
+    * buckets via a small-modulus polynomial hash: every intermediate
+    * stays < 2^40, so Spark longs and DuckDB BIGINTs agree without
+    * overflow games); per-bucket add-one-smoothed log-ratios are
+    * scaled-integer (floats only inside ln, rounded once), and a doc's
+    * weight is the SUM of its tokens' bucket ratios.
+    *
+    * Scale shape: token-grain rows take two BROADCAST joins (the bucket
+    * table is 1024 rows) and one doc-keyed partial-agg shuffle — no
+    * token-keyed shuffle at all; the target/raw bucket histograms are
+    * two map-side aggregations. At 100 TB the histograms are still 1024
+    * rows each. */
+  val DsirBuckets = 1024
+
+  private def bucketCol(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    expr(s"aggregate(transform(split(${w.toString}, ''), ch -> ascii(ch)), " +
+      s"0L, (h, c) -> (h * 31 + c) % 1048576) % $DsirBuckets")
+
+  def dsir(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("b", bucketCol(col("w")))
+    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = toks.agg(count(lit(1)).as("nr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"), floor(
+        (log((col("ct") + lit(1L)).cast("double") /
+             (col("nt") + lit(DsirBuckets.toLong)).cast("double")) -
+         log((col("cr") + lit(1L)).cast("double") /
+             (col("nr") + lit(DsirBuckets.toLong)).cast("double")))
+          * lit(100000000.0) + lit(0.5)).cast("long").as("lr"))
+    toks.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("lr")).as("dsir_scaled"))
+      .orderBy(col("dsir_scaled").desc, col("doc_id"))
+      .limit(50)
+  }
+
   /** CCNet's corpus-curation split: per LANGUAGE, rank documents by LM
     * score and cut into head/middle/tail thirds — the canonical
     * quality-stratification step before mixing (head oversampled, tail
@@ -497,6 +546,7 @@ object TextOps {
     "q_vocab_candidates" -> vocabCandidates,
     "q_lm_score" -> lmScore,
     "q_ccnet_buckets" -> ccnetBuckets,
+    "q_dsir" -> dsir,
     "q_bm25" -> bm25,
     "q_keyword_terms" -> keywordTerms,
     "q_pii_redact" -> piiRedact,
@@ -619,6 +669,37 @@ object TextOps {
         |  CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
         |    AS ppl_bucket
         |FROM ranked ORDER BY doc_id""".stripMargin,
+    "q_dsir" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, u.w
+         |  FROM documents, UNNEST(string_split(lower(text), ' ')) u(w)
+         |  WHERE u.w <> ''
+         |), bt AS (
+         |  SELECT doc_id, lang,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(string_split(w, ''),
+         |          ch -> CAST(unicode(ch) AS BIGINT))),
+         |      (h, c) -> (h * 31 + c) % 1048576) % $DsirBuckets AS b
+         |  FROM toks
+         |), raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bt GROUP BY b),
+         |tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bt
+         |        WHERE lang = 'en' GROUP BY b),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+         |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt
+         |  FROM bt),
+         |lr AS (
+         |  SELECT raw.b,
+         |    CAST(floor((ln(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+         |          / CAST(tot.nt + $DsirBuckets AS DOUBLE))
+         |        - ln(CAST(raw.cr + 1 AS DOUBLE)
+         |          / CAST(tot.nr + $DsirBuckets AS DOUBLE)))
+         |      * 100000000.0 + 0.5) AS BIGINT) AS lr
+         |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot)
+         |SELECT bt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         |  CAST(SUM(lr.lr) AS BIGINT) AS dsir_scaled
+         |FROM bt JOIN lr ON bt.b = lr.b
+         |GROUP BY bt.doc_id
+         |ORDER BY dsir_scaled DESC, doc_id LIMIT 50""".stripMargin,
     "q_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, u.w FROM documents, UNNEST(string_split(text, ' ')) u(w)),

@@ -277,6 +277,20 @@ class OpsSpec extends SparkSpec {
     assert(rows.sameElements(again))
   }
 
+  test("dsir: importance weights concentrate the target language at the top") {
+    val docs = Tables(spark, sf01, "documents")
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baseEn = langOf.values.count(_ == "en").toDouble / langOf.size
+    val top = TextOps.dsir(spark, sf01).collect().map(_.getLong(0))
+    val topEn = top.count(id => langOf(id) == "en").toDouble / top.length
+    // the synthetic corpus shares ONE vocabulary across languages (they
+    // differ only in word-frequency mix), so unigram importance weights
+    // can only modestly enrich — assert direction, not magnitude
+    assert(topEn > baseEn + 0.02,
+      f"top-50 en fraction $topEn%.2f vs corpus $baseEn%.2f — no enrichment")
+  }
+
   test("minhash candidates contain all true jaccard>=0.9 pairs (planted dups)") {
     val docs = Tables(spark, sf01, "documents")
     val truth = Dedup.jaccardPairs(docs, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
