@@ -69,4 +69,23 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   /** drop an EMPTY namespace (callers enforce emptiness for DDL) */
   def dropNamespace(ns: String): Unit =
     Files.deleteIfExists(nsPath(ns))
+
+  /** Remove in-flight staging tables (dot-prefixed dirs from CTAS REPLACE
+    * swaps) whose last metadata write is older than `olderThanMs` — the
+    * cleanup for a writer that crashed between materialize and swap. Age
+    * guard for the same reason removeOrphanFiles has one: a LIVE RTAS may
+    * still be materializing into a young staging dir. */
+  def cleanStaging(ns: String, olderThanMs: Long): Int = {
+    val p = nsPath(ns)
+    if (!Files.isDirectory(p)) return 0
+    val stale = Files.list(p).iterator().asScala
+      .filter(d => d.getFileName.toString.startsWith(".") && Files.isDirectory(d))
+      .filter(d => Files.getLastModifiedTime(d).toMillis < olderThanMs)
+      .toSeq
+    stale.foreach { d =>
+      Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+    }
+    stale.size
+  }
 }

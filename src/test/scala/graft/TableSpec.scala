@@ -531,6 +531,23 @@ class TableSpec extends SparkSpec {
     assert(cat.listNamespaces() == Seq("db1"))
   }
 
+  test("cleanStaging removes stale crashed-RTAS dirs, keeps young ones") {
+    val wh = Files.createTempDirectory("graft-stg").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createNamespace("db")
+    // a "crashed" staging table (dot-prefixed) and a live table
+    cat.createTable("db", ".rtas_t_dead", "k bigint")
+    val live = cat.createTable("db", "t", "k bigint")
+    import spark.implicits._
+    live.append(Seq(1L).toDF("k"))
+    assert(cat.listTables("db") == Seq("t"), "staging hidden from listings")
+    // young staging survives the age guard; stale is removed
+    assert(cat.cleanStaging("db", System.currentTimeMillis() - 60000) == 0)
+    assert(cat.cleanStaging("db", System.currentTimeMillis() + 1000) == 1)
+    assert(cat.listTables("db") == Seq("t"))
+    assert(cat.loadTable("db", "t").scan().count() == 1)
+  }
+
   test("optimistic concurrency: stale-base appends rebase, rewrites conflict") {
     val loc = tmp()
     mkOrders(loc).append(seedDf(seed.take(2)))
