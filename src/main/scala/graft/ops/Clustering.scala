@@ -107,9 +107,45 @@ object Clustering {
       .orderBy("cluster", "rk")
   }
 
+  /** Cluster labeling: the per-cluster top TF-IDF terms — "what is each
+    * semantic cluster about", the step that turns anonymous kmeans ids
+    * into an inspectable domain map before mixture decisions. TF is the
+    * term count inside the cluster; IDF uses CLUSTERS as the document
+    * unit (ln(K/df) with df = #clusters containing the term), so a word
+    * every cluster shares scores 0 and cluster-specific vocabulary
+    * rises. Exact arithmetic: idf is scaled-integer (one rounding
+    * point), the score is tf x idf_scaled in bigints; ties break on the
+    * term string. Plan: token-grain rows join the broadcast doc→cluster
+    * map, one (k, w)-keyed partial-agg shuffle, then a K-partition
+    * window — the heavy cardinality (tokens) never shuffles twice. */
+  val TopTerms = 3
+
+  def clusterTopics(spark: SparkSession, dir: String): DataFrame = {
+    val asg = assignments(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("k"))
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = toks.join(broadcast(asg), "doc_id")
+      .groupBy(col("k"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
+    val idf = floor(log(lit(K.toDouble) / col("dfc").cast("double"))
+      * lit(100000000.0) + lit(0.5)).cast("long")
+    tf.join(broadcast(dfc), "w")
+      .select(col("k").as("cluster"), col("w").as("term"),
+        (col("tf") * idf).as("score_scaled"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("score_scaled").desc, col("term"))).cast("bigint"))
+      .filter(col("rk") <= TopTerms)
+      .select(col("cluster"), col("rk"), col("term"), col("score_scaled"))
+      .orderBy("cluster", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_cluster_kmeans" -> kmeansQuery,
-    "q_cluster_sample" -> clusterSample)
+    "q_cluster_sample" -> clusterSample,
+    "q_cluster_topics" -> clusterTopics)
 
   private val sqlMicro =
     s"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) " +
@@ -165,5 +201,28 @@ object Clustering {
          |  FROM a2 JOIN documents d ON d.doc_id = a2.vec_id
          |)
          |SELECT cluster, rk, doc_id, n_chars FROM ranked
-         |WHERE rk <= $TopPerCluster ORDER BY cluster, rk""".stripMargin)
+         |WHERE rk <= $TopPerCluster ORDER BY cluster, rk""".stripMargin,
+    "q_cluster_topics" ->
+      s"""WITH $sqlA2, toks AS (
+         |  SELECT d.doc_id, u.w
+         |  FROM documents d, UNNEST(string_split(lower(d.text), ' ')) u(w)
+         |  WHERE u.w <> ''
+         |), tf AS (
+         |  SELECT a2.k, t.w, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM toks t JOIN a2 ON t.doc_id = a2.vec_id
+         |  GROUP BY a2.k, t.w
+         |), dfc AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS dfc FROM tf GROUP BY w
+         |), scored AS (
+         |  SELECT tf.k AS cluster, tf.w AS term,
+         |    tf.tf * CAST(floor(ln($K.0 / CAST(dfc.dfc AS DOUBLE))
+         |      * 100000000.0 + 0.5) AS BIGINT) AS score_scaled
+         |  FROM tf JOIN dfc ON tf.w = dfc.w
+         |), ranked AS (
+         |  SELECT cluster, term, score_scaled,
+         |    CAST(row_number() OVER (PARTITION BY cluster
+         |      ORDER BY score_scaled DESC, term) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT cluster, rk, term, score_scaled FROM ranked
+         |WHERE rk <= $TopTerms ORDER BY cluster, rk""".stripMargin)
 }

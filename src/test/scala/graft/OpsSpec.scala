@@ -277,6 +277,21 @@ class OpsSpec extends SparkSpec {
     assert(rows.sameElements(again))
   }
 
+  test("cluster topics: K clusters x top-3 terms, corpus-wide words score zero") {
+    val rows = Clustering.clusterTopics(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.length == Clustering.K * Clustering.TopTerms)
+    rows.groupBy(_._1).foreach { case (_, ts) =>
+      assert(ts.map(_._2).sorted.sameElements(1L to Clustering.TopTerms),
+        "contiguous ranks per cluster")
+      // ranked by score: rk order is non-increasing in score
+      val byRk = ts.sortBy(_._2).map(_._4)
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b })
+    }
+    // idf(ln K/K)=0: a term in every cluster cannot outrank specific vocab
+    assert(rows.forall(_._4 >= 0), "scores are non-negative by construction")
+  }
+
   test("dsir: importance weights concentrate the target language at the top") {
     val docs = Tables(spark, sf01, "documents")
     val langOf = docs.select("doc_id", "lang").collect()
