@@ -35,29 +35,50 @@ object Interop {
   /** fixed location so the static oracle SQL can find the table */
   val Loc = "/tmp/graft_interop"
 
-  def buildAndScan(spark: SparkSession, dir: String): DataFrame = {
-    val root = Paths.get(Loc)
+  /** fixed location for the time-travel variant (own table: registry
+    * queries must not depend on each other's execution order) */
+  val Loc3 = "/tmp/graft_interop_history"
+
+  private def wipe(loc: String): Unit = {
+    val root = Paths.get(loc)
     if (Files.exists(root))
       Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .iterator().forEachRemaining(p => Files.deleteIfExists(p))
-    val t = GraftTable.create(spark, Loc,
+  }
+
+  /** base table: 2 appends around 4 delete commits of all three shapes */
+  private def buildBase(spark: SparkSession, dir: String, loc: String): GraftTable = {
+    wipe(loc)
+    val t = GraftTable.create(spark, loc,
       "id bigint, status string, total double")
     val o = Tables(spark, dir, "orders").select(
       col("o_orderkey").as("id"),
       col("o_orderstatus").as("status"),
       col("o_totalprice").as("total"))
-    t.append(o.filter(col("id") % 4 < 2))                 // seq 1
-    t.delete("id % 13 = 3", WriteMode.MergeOnRead)        // seq 2: posdel
-    t.delete("id % 13 = 7", WriteMode.DeletionVector)     // seq 3: DV
+    t.append(o.filter(col("id") % 4 < 2))                 // snap 1
+    t.delete("id % 13 = 3", WriteMode.MergeOnRead)        // snap 2: posdel
+    t.delete("id % 13 = 7", WriteMode.DeletionVector)     // snap 3: DV
     t.deleteByKeys(o.sparkSession.createDataFrame(
       java.util.List.of[org.apache.spark.sql.Row](org.apache.spark.sql.Row("F")),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("status",
-          org.apache.spark.sql.types.StringType)))))      // seq 4: eqdel
-    t.append(o.filter(col("id") % 4 === lit(2)))          // seq 5: post-eqdel rows survive
-    t.delete("id % 13 = 11", WriteMode.DeletionVector)    // seq 6: DV #2 supersedes #1
-    t.scan().orderBy("id")
+          org.apache.spark.sql.types.StringType)))))      // snap 4: eqdel
+    t.append(o.filter(col("id") % 4 === lit(2)))          // snap 5: post-eqdel rows survive
+    t.delete("id % 13 = 11", WriteMode.DeletionVector)    // snap 6: DV #2 supersedes #1
+    t
   }
+
+  def buildAndScan(spark: SparkSession, dir: String): DataFrame =
+    buildBase(spark, dir, Loc).scan().orderBy("id")
+
+  /** Time travel through the INDEPENDENT reader: the Spark side reads
+    * snapshot 4 (after all three delete shapes, before the second append
+    * and the superseding DV), and the DuckDB oracle resolves that same
+    * historical snapshot from the metadata log — proving history reads
+    * need nothing beyond the snapshot list (old segments stay addressable
+    * until expiry, exactly the contract FORMAT.md states). */
+  def buildAndScanHistory(spark: SparkSession, dir: String): DataFrame =
+    buildBase(spark, dir, Loc3).scan(snapshotId = Some(4L)).orderBy("id")
 
   /** fixed location for the evolved-table variant */
   val Loc2 = "/tmp/graft_interop_evolved"
@@ -95,6 +116,7 @@ object Interop {
 
   val queries: Map[String, Q] = Map(
     "q_interop_duckdb" -> buildAndScan,
+    "q_interop_timetravel" -> buildAndScanHistory,
     "q_interop_evolved" -> buildEvolvedAndScan)
 
   /** The independent DuckDB reader. Format facts it encodes (all from
@@ -111,40 +133,42 @@ object Interop {
     *    LATEST-sequence vector per target file applies
     *  - eqdel parquet: key columns under physical names (f2 here); a row is
     *    deleted iff its file's sequenceNumber < the delete's */
-  val oracles: Map[String, String] = Map(
-    "q_interop_duckdb" ->
+  /** the generic base-table resolver, parameterized by table location and
+    * snapshot selector ("meta.head_id" for the current state, a literal id
+    * for time travel) — the SAME SQL reads any point in history */
+  private def baseResolver(loc: String, snapSel: String): String =
       s"""WITH meta AS (
          |  SELECT refs.main.snapshotId AS head_id, snapshots
-         |  FROM read_json_auto('$Loc/metadata/v*.json', filename=true)
+         |  FROM read_json_auto('$loc/metadata/v*.json', filename=true)
          |  ORDER BY filename DESC LIMIT 1
          |), head AS (
          |  SELECT s FROM meta, UNNEST(meta.snapshots) t(s)
-         |  WHERE s.snapshotId = meta.head_id
+         |  WHERE s.snapshotId = $snapSel
          |), segs AS (
          |  SELECT UNNEST(s.manifests) AS rel FROM head
          |), entries AS (
          |  SELECT e.path, e.fileType, e.sequenceNumber
-         |  FROM read_json('$Loc/manifests/*.jsonl', format='newline_delimited',
+         |  FROM read_json('$loc/manifests/*.jsonl', format='newline_delimited',
          |    filename=true, columns={path:'VARCHAR', fileType:'VARCHAR',
          |    sequenceNumber:'BIGINT'}) e
          |  JOIN segs ON 'manifests/' || regexp_extract(e.filename, '[^/]+$$') = segs.rel
          |), rows0 AS (
          |  SELECT r.f1 AS id, r.f2 AS status, r.f3 AS total,
          |    r.filename AS fp, r.file_row_number AS pos, d.sequenceNumber AS fseq
-         |  FROM read_parquet('$Loc/data/*/*.parquet', filename=true,
+         |  FROM read_parquet('$loc/data/*/*.parquet', filename=true,
          |    file_row_number=true) r
          |  JOIN (SELECT * FROM entries WHERE fileType = 'data') d
-         |    ON r.filename = '$Loc/' || d.path
+         |    ON r.filename = '$loc/' || d.path
          |), posdel AS (
          |  SELECT p.file_path, p.pos
-         |  FROM read_parquet('$Loc/deletes/pd*/*.parquet', filename=true) p
+         |  FROM read_parquet('$loc/deletes/pd*/*.parquet', filename=true) p
          |  JOIN (SELECT * FROM entries WHERE fileType = 'posdel') e
-         |    ON p.filename LIKE '$Loc/' || e.path || '/%'
+         |    ON p.filename LIKE '$loc/' || e.path || '/%'
          |), dvlatest AS (
          |  SELECT v.file_path, v.dv
-         |  FROM read_parquet('$Loc/deletes/dv*/*.parquet', filename=true) v
+         |  FROM read_parquet('$loc/deletes/dv*/*.parquet', filename=true) v
          |  JOIN (SELECT * FROM entries WHERE fileType = 'dv') e
-         |    ON v.filename LIKE '$Loc/' || e.path || '/%'
+         |    ON v.filename LIKE '$loc/' || e.path || '/%'
          |  QUALIFY row_number() OVER (PARTITION BY v.file_path
          |    ORDER BY e.sequenceNumber DESC) = 1
          |), dvpos AS (
@@ -156,16 +180,23 @@ object Interop {
          |  UNION SELECT file_path, pos FROM dvpos
          |), eqdel AS (
          |  SELECT q.f2 AS key_status, e.sequenceNumber AS dseq
-         |  FROM read_parquet('$Loc/deletes/eq*/*.parquet', filename=true) q
+         |  FROM read_parquet('$loc/deletes/eq*/*.parquet', filename=true) q
          |  JOIN (SELECT * FROM entries WHERE fileType = 'eqdel') e
-         |    ON q.filename LIKE '$Loc/' || e.path || '/%'
+         |    ON q.filename LIKE '$loc/' || e.path || '/%'
          |)
          |SELECT id, status, total FROM rows0 r
          |WHERE NOT EXISTS (SELECT 1 FROM deleted d
          |    WHERE d.file_path = r.fp AND d.pos = r.pos)
          |  AND NOT EXISTS (SELECT 1 FROM eqdel e
          |    WHERE e.key_status = r.status AND r.fseq < e.dseq)
-         |ORDER BY id""".stripMargin,
+         |ORDER BY id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_interop_duckdb" -> baseResolver(Loc, "meta.head_id"),
+    // time travel: the SAME resolver pinned to historical snapshot 4 —
+    // after all three delete shapes, before the second append and the
+    // superseding DV commit
+    "q_interop_timetravel" -> baseResolver(Loc3, "4"),
     // The evolved-table reader adds: ** globs through hidden-partition
     // dirs (hive_partitioning off — partition values are redundant with
     // the stored column), union_by_name across schema generations (f4
