@@ -877,6 +877,21 @@ class TableSpec extends SparkSpec {
       "rebased delete must not swallow the interleaved append's rows")
   }
 
+  test("stray tmp files from crashed committers never confuse readers") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    // a committer that died between tmp-write and link leaves these behind
+    Files.writeString(java.nio.file.Paths.get(t.location,
+      "metadata", ".v00099-deadbeef.json.tmp"), "{\"garbage\": true}")
+    Files.writeString(java.nio.file.Paths.get(t.location,
+      "manifests", ".99-a-dead.jsonl.tmp"), "not json")
+    val re = GraftTable.load(spark, t.location)
+    assert(re.scan().count() == 6, "stray tmp files must be invisible")
+    assert(Meta.currentVersion(t.location).contains(2))
+    re.append(seedDf(Seq((7L, 40L, "O", 700.0))))
+    assert(re.scan().count() == 7, "commits proceed past stray tmp files")
+  }
+
   test("concurrent metadata publish: loser gets a conflict, not a lost commit") {
     val loc = tmp()
     val t1 = mkOrders(loc)
