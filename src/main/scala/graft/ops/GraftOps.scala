@@ -578,8 +578,11 @@ object GraftOps {
     src.update("o_orderkey % 7 = 0", Map("o_totalprice" -> "o_totalprice + 5.0"),
       WriteMode.MergeOnRead)
     src.delete("o_orderkey % 10 = 0", WriteMode.MergeOnRead)
-    // apply the change window to the replica
-    val ch = src.changes(s1.snapshotId)
+    // apply the change window to the replica. localCheckpoint: the window
+    // feeds THREE consumers (insert append, update merge, delete keys) —
+    // without it the lineage classification join re-runs per consumer.
+    // The window is O(changes) rows, the thing CDC bounds by design.
+    val ch = src.changes(s1.snapshotId).localCheckpoint()
     val inserts = ch.filter(col("_change_type") === "insert")
       .drop("_change_type", "_row_id", "_last_updated_sequence_number")
     rep.append(inserts)
