@@ -220,6 +220,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // --- cross-source priority dedup ------------------------------------------
+
+  /** Source-priority canonicalization: docs whose bag of words is identical
+    * (same DISTINCT token set — the cheap family key that catches reshuffled
+    * near-copies exact hashing misses) collapse to ONE representative, chosen
+    * by source priority (src0 beats src1 beats ...), then lowest doc_id. The
+    * production use is "prefer the curated mirror over the crawl copy" when
+    * the same page arrives from several feeds.
+    *
+    * Scale shape: the shuffle key is a 32-hex md5 of the sorted token set —
+    * never the full text — so the groupBy moves (key, doc_id, source, prio)
+    * only; one partial-agg shuffle total. min_by over a (prio, doc_id)
+    * struct picks the winner in the same pass that sizes the family. */
+  def priority(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("fam",
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+      .withColumn("prio", substring(col("source"), 4, 10).cast(LongType))
+      .groupBy(col("fam"))
+      .agg(
+        min_by(struct(col("doc_id"), col("source")),
+          struct(col("prio"), col("doc_id"))).as("w"),
+        count(lit(1)).as("fam_size"))
+      .select(col("w.doc_id").as("doc_id"), col("w.source").as("source"),
+        col("fam_size"))
+      .orderBy("doc_id")
+
   // --- span-level exact dedup (boilerplate stripping) -----------------------
 
   /** Fixed-width span dedup: texts chop into 20-word chunks; the first
@@ -250,6 +277,7 @@ object Dedup {
     "q_dedup_minhash" -> minhash,
     "q_dedup_simhash" -> simhash,
     "q_decontaminate" -> decontaminate,
+    "q_dedup_priority" -> priority,
     "q_dedup_span" -> dedupSpan)
 
   private val jaccardOracle =
@@ -363,6 +391,21 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+    "q_dedup_priority" ->
+      """WITH fam AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(
+        |      list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fam,
+        |    CAST(substr(source, 4) AS BIGINT) AS prio
+        |  FROM documents),
+        |sized AS (SELECT fam, COUNT(*) AS fam_size FROM fam GROUP BY fam),
+        |pick AS (
+        |  SELECT doc_id, source, fam,
+        |    row_number() OVER (PARTITION BY fam ORDER BY prio, doc_id) AS rn
+        |  FROM fam)
+        |SELECT p.doc_id, p.source, s.fam_size
+        |FROM pick p JOIN sized s USING (fam)
+        |WHERE rn = 1 ORDER BY p.doc_id""".stripMargin,
     "q_dedup_jaccard" -> jaccardOracle.replace("%TAU%", "0.6"),
     "q_dedup_minhash" -> jaccardOracle.replace("%TAU%", "0.5"),
     "q_dedup_simhash" -> simhashOracle)

@@ -542,7 +542,65 @@ object TextOps {
       .limit(50)
   }
 
+  /** Per-document unigram Shannon entropy (nats) — the standard "is this
+    * text natural or degenerate" quality signal: near-zero for pathological
+    * repetition, ln(n) for all-distinct tokens. H = ln(n) - (Σ c·ln c)/n
+    * over per-doc token counts c, computed on the exact-integer path:
+    * each ln is rounded once to 1e-8 (JVM vs libm differ by 1 ULP), the
+    * per-term sum is BIGINT, and the only floating ops on the output are
+    * two correctly-rounded divisions — bit-identical across engines.
+    *
+    * Scale shape: one (doc_id, token)-keyed partial-agg shuffle, then a
+    * doc-keyed agg — the same two-stage histogram shape as token counting;
+    * no token-global state at all, so it scales linearly. */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+          * lit(1e8) + lit(0.5)).cast(LongType)).as("t"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((floor(log(col("n_tokens").cast("double")) * lit(1e8) + lit(0.5))
+            .cast(LongType) * col("n_tokens") - col("t")).cast("double")
+          / col("n_tokens").cast("double") / lit(1e8)).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram novelty: the fraction of a document's DISTINCT bigrams that
+    * occur in no other document — a data-mixing signal (high novelty =
+    * unique content worth upweighting; low = templated/boilerplate). The
+    * complement of decontamination: instead of matching against a held-out
+    * set, every doc is scored against the rest of the corpus.
+    *
+    * Scale shape: the global doc-frequency table is one bigram-keyed
+    * partial-agg shuffle (distinct grams per doc computed in-expression,
+    * no pre-explosion dedup pass), then a bigram-keyed join back and a
+    * doc-keyed agg. Same two-shuffle shape as the postings builder —
+    * linear in corpus size, no all-pairs step. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))")).as("g"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(dfreq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_bigrams").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_entropy" -> textEntropy,
+    "q_ngram_novelty" -> ngramNovelty,
     "q_vocab_candidates" -> vocabCandidates,
     "q_lm_score" -> lmScore,
     "q_ccnet_buckets" -> ccnetBuckets,
@@ -598,6 +656,38 @@ object TextOps {
     s"lpad(CAST(${sqlCountIn(markers)} AS VARCHAR), 10, '0') || '$code'"
 
   val oracles: Map[String, String] = Map(
+    "q_text_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.w
+        |  FROM documents, UNNEST(string_split(text, ' ')) u(w)
+        |  WHERE u.w <> ''),
+        |cnt AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY doc_id, w),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |      * 100000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS t
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  CAST(CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 100000000.0 + 0.5)
+        |      AS BIGINT) * n_tokens - t AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE) / 100000000.0 AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_ngram_novelty" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+        |  FROM docs, UNNEST(range(1, len(ws))) u(i)),
+        |dfreq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY g)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+        |FROM grams JOIN dfreq USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_vocab_candidates" ->
       """WITH bag AS (
         |  SELECT u.w, CAST(COUNT(*) AS BIGINT) AS n

@@ -1,0 +1,168 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.table._
+
+/** Model-based fuzzing of the table format: a seeded random sequence of
+  * commits (appends, all three delete shapes, MoR/CoW updates, equality
+  * deletes, compaction, one mid-sequence schema evolution) is applied in
+  * lockstep to a GraftTable and to an in-memory row model; after EVERY
+  * commit the scan must equal the model, and at the end a sample of
+  * historical snapshots must equal the model state recorded at commit
+  * time (time travel presents the snapshot's own schema — the recorded
+  * model width differs across the evolution boundary, which is exactly
+  * what the check pins).
+  *
+  * The deterministic specs in TableSpec each pin one path; this spec
+  * exists for the interleavings nobody writes by hand (DV after eqdel
+  * after MoR update, compaction between tombstone generations, ...).
+  * Mirrors the role of randomized stress tests in the reference's CI
+  * (/root/reference/tests/iceberg_feature_tests.py drives fixed
+  * scenarios; the format-level state space needs randomized coverage).
+  */
+class TableFuzzSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-fuzz").resolve("t").toString
+
+  /** one model row; `cols` tracks the live schema width */
+  private type MRow = mutable.LinkedHashMap[String, Any]
+
+  private def canon(rows: Seq[Seq[Any]]): Vector[String] =
+    rows.map(_.map(String.valueOf).mkString("|")).sorted.toVector
+
+  private def scanRows(t: GraftTable, cols: Seq[String],
+      snapshotId: Option[Long] = None): Vector[String] = {
+    val df = t.scan(snapshotId = snapshotId)
+    assert(df.columns.toSeq == cols,
+      s"schema mismatch at snap=$snapshotId: ${df.columns.toSeq} vs $cols")
+    canon(df.collect().toIndexedSeq.map(r => cols.map(c => r.getAs[Any](c))))
+  }
+
+  private def modelRows(model: Seq[MRow], cols: Seq[String]): Vector[String] =
+    canon(model.map(r => cols.map(r(_))))
+
+  private def runSeed(seedVal: Long): Unit = {
+    val rnd = new Random(seedVal)
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, "id bigint, k bigint, s string")
+
+    var cols = Vector("id", "k", "s")
+    val model = mutable.ArrayBuffer.empty[MRow]
+    var nextId = 0L
+    // (snapshotId, schema cols at commit, canonical model state)
+    val history = mutable.ArrayBuffer.empty[(Long, Vector[String], Vector[String])]
+    var evolved = false
+
+    def freshRows(n: Int): Seq[MRow] = (0 until n).map { _ =>
+      val r = mutable.LinkedHashMap[String, Any](
+        "id" -> { nextId += 1; nextId },
+        "k" -> rnd.nextInt(7).toLong,
+        "s" -> ("s" + rnd.nextInt(4)))
+      if (evolved) r += ("v" -> rnd.nextInt(9).toLong)
+      r
+    }
+
+    def toDf(rows: Seq[MRow]) = {
+      import spark.implicits._
+      if (evolved)
+        rows.map(r => (r("id").asInstanceOf[Long], r("k").asInstanceOf[Long],
+          r("s").asInstanceOf[String], r("v").asInstanceOf[Long]))
+          .toDF("id", "k", "s", "v")
+      else
+        rows.map(r => (r("id").asInstanceOf[Long], r("k").asInstanceOf[Long],
+          r("s").asInstanceOf[String])).toDF("id", "k", "s")
+    }
+
+    def matches(m: Long, rem: Long)(r: MRow): Boolean =
+      r("k").asInstanceOf[Long] % m == rem
+
+    val nOps = 16
+    for (step <- 0 until nOps) {
+      // mid-sequence schema evolution: metadata-only version bump; the
+      // default must materialize on every pre-existing row
+      if (step == nOps / 2 && !evolved) {
+        t.addColumn("v", "bigint", initialDefault = Some("5"))
+        evolved = true
+        cols = cols :+ "v"
+        model.foreach(_ += ("v" -> 5L))
+        assert(scanRows(t, cols) == modelRows(model.toSeq, cols),
+          s"seed=$seedVal step=$step op=addColumn")
+      }
+
+      val m = 3 + rnd.nextInt(3)
+      val rem = rnd.nextInt(m)
+      val cond = s"k % $m = $rem"
+      // step 0 is always an append — every other op no-ops on an empty
+      // table, and an all-no-op prefix would make the run vacuous
+      val op = if (step == 0) 0 else rnd.nextInt(8)
+      val snap: Option[Long] = op match {
+        case 0 | 1 =>
+          val rows = freshRows(5 + rnd.nextInt(20))
+          model ++= rows
+          Some(t.append(toDf(rows)).snapshotId)
+        case 2 | 3 | 4 if model.exists(matches(m, rem)) =>
+          val mode = op match {
+            case 2 => WriteMode.CopyOnWrite
+            case 3 => WriteMode.MergeOnRead
+            case _ => WriteMode.DeletionVector
+          }
+          val keep = model.filterNot(matches(m, rem))
+          model.clear(); model ++= keep
+          Some(t.delete(cond, mode).snapshotId)
+        case 5 | 6 if model.exists(matches(m, rem)) =>
+          val mode = if (op == 5) WriteMode.CopyOnWrite else WriteMode.MergeOnRead
+          model.foreach { r =>
+            if (matches(m, rem)(r)) {
+              r += ("k" -> (r("k").asInstanceOf[Long] + 7L))
+              r += ("s" -> (r("s").asInstanceOf[String] + "u"))
+            }
+          }
+          Some(t.update(cond, Map("k" -> "k + 7", "s" -> "concat(s, 'u')"), mode).snapshotId)
+        case 7 if model.nonEmpty =>
+          // equality delete: sequence-gated on rows below the new commit,
+          // i.e. every currently-live row with a matching id
+          val ids = rnd.shuffle(model.map(_("id").asInstanceOf[Long]))
+            .take(1 + rnd.nextInt(5)).toSet
+          val keep = model.filterNot(r => ids.contains(r("id").asInstanceOf[Long]))
+          model.clear(); model ++= keep
+          import spark.implicits._
+          Some(t.deleteByKeys(ids.toSeq.toDF("id")).snapshotId)
+        case _ if rnd.nextBoolean() && model.nonEmpty =>
+          // compaction folds tombstones into data files; contents unchanged
+          Some(t.compact(targetMB = 1).snapshotId)
+        case _ => None // predicate matched nothing — empty-match paths are
+                       // pinned deterministically in TableSpec
+      }
+      snap.foreach { s =>
+        val st = modelRows(model.toSeq, cols)
+        assert(scanRows(t, cols) == st, s"seed=$seedVal step=$step op=$op cond=$cond")
+        history += ((s, cols, st))
+      }
+    }
+
+    // time travel must reproduce the recorded state AND the recorded
+    // schema width (snapshots before the evolution present 3 columns)
+    assert(history.nonEmpty, s"seed=$seedVal produced no commits")
+    val picks = Seq(0, history.size / 2, history.size - 1).distinct
+    for (i <- picks) {
+      val (sid, hcols, hstate) = history(i)
+      assert(scanRows(t, hcols, snapshotId = Some(sid)) == hstate,
+        s"seed=$seedVal time-travel to snapshot $sid (commit #$i)")
+    }
+  }
+
+  test("random op sequences match the in-memory model at every commit (seed 42)") {
+    runSeed(42L)
+  }
+
+  test("random op sequences match the in-memory model at every commit (seed 1337)") {
+    runSeed(1337L)
+  }
+}
