@@ -80,6 +80,44 @@ object Interop {
   def buildAndScanHistory(spark: SparkSession, dir: String): DataFrame =
     buildBase(spark, dir, Loc3).scan(snapshotId = Some(4L)).orderBy("id")
 
+  /** fixed location for the branch-read variant */
+  val Loc4 = "/tmp/graft_interop_branch"
+
+  /** Branch read through the INDEPENDENT reader: an `audit` branch forks
+    * from snapshot 1 and accumulates its own commits (posdel, DV, eqdel,
+    * append) while MAIN diverges — including a copy-on-write delete that
+    * rewrites data files the branch still references. The DuckDB oracle
+    * resolves `refs.audit` instead of `refs.main` and must (a) follow the
+    * branch's manifest lineage, ignoring every main-side file on disk,
+    * and (b) still read the pre-rewrite files main no longer lists —
+    * the on-disk retention contract that makes branches readable until
+    * snapshot expiry, proven from outside the writer. */
+  def buildBranchAndScan(spark: SparkSession, dir: String): DataFrame = {
+    wipe(Loc4)
+    val t = GraftTable.create(spark, Loc4,
+      "id bigint, status string, total double")
+    val o = Tables(spark, dir, "orders").select(
+      col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("total"))
+    t.append(o.filter(col("id") % 4 < 2))                 // snap 1
+    t.createBranch("audit", at = Some(1L))
+    t.delete("id % 13 = 3", WriteMode.MergeOnRead, branch = "audit")    // snap 2
+    t.delete("id % 13 = 7", WriteMode.DeletionVector, branch = "audit") // snap 3
+    t.deleteByKeys(spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](org.apache.spark.sql.Row("F")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("status",
+          org.apache.spark.sql.types.StringType)))),
+      branch = "audit")                                   // snap 4: eqdel
+    t.append(o.filter(col("id") % 4 === lit(2)), branch = "audit") // snap 5
+    // main diverges: a new append and a CoW delete that REWRITES files
+    // snapshot 1 contributed — audit must keep reading the originals
+    t.append(o.filter(col("id") % 4 === lit(3)))          // snap 6 (main)
+    t.delete("id % 2 = 0", WriteMode.CopyOnWrite)         // snap 7 (main)
+    t.scan(ref = Some("audit")).orderBy("id")
+  }
+
   /** fixed location for the evolved-table variant */
   val Loc2 = "/tmp/graft_interop_evolved"
 
@@ -117,6 +155,7 @@ object Interop {
   val queries: Map[String, Q] = Map(
     "q_interop_duckdb" -> buildAndScan,
     "q_interop_timetravel" -> buildAndScanHistory,
+    "q_interop_branch" -> buildBranchAndScan,
     "q_interop_evolved" -> buildEvolvedAndScan)
 
   /** The independent DuckDB reader. Format facts it encodes (all from
@@ -136,9 +175,10 @@ object Interop {
   /** the generic base-table resolver, parameterized by table location and
     * snapshot selector ("meta.head_id" for the current state, a literal id
     * for time travel) — the SAME SQL reads any point in history */
-  private def baseResolver(loc: String, snapSel: String): String =
+  private def baseResolver(loc: String, snapSel: String,
+      ref: String = "main"): String =
       s"""WITH meta AS (
-         |  SELECT refs.main.snapshotId AS head_id, snapshots
+         |  SELECT refs.$ref.snapshotId AS head_id, snapshots
          |  FROM read_json_auto('$loc/metadata/v*.json', filename=true)
          |  ORDER BY filename DESC LIMIT 1
          |), head AS (
@@ -197,6 +237,9 @@ object Interop {
     // after all three delete shapes, before the second append and the
     // superseding DV commit
     "q_interop_timetravel" -> baseResolver(Loc3, "4"),
+    // branch read: the SAME resolver, resolving refs.audit — the branch's
+    // manifest lineage excludes every main-side commit after the fork
+    "q_interop_branch" -> baseResolver(Loc4, "meta.head_id", "audit"),
     // The evolved-table reader adds: ** globs through hidden-partition
     // dirs (hive_partitioning off — partition values are redundant with
     // the stored column), union_by_name across schema generations (f4
