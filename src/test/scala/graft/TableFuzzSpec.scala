@@ -48,10 +48,11 @@ class TableFuzzSpec extends SparkSpec {
   private def modelRows(model: Seq[MRow], cols: Seq[String]): Vector[String] =
     canon(model.map(r => cols.map(r(_))))
 
-  private def runSeed(seedVal: Long): Unit = {
+  private def runSeed(seedVal: Long, partitionBy: Seq[String] = Nil): Unit = {
     val rnd = new Random(seedVal)
     val loc = tmp()
-    val t = GraftTable.create(spark, loc, "id bigint, k bigint, s string")
+    val t = GraftTable.create(spark, loc, "id bigint, k bigint, s string",
+      partitionBy)
 
     var cols = Vector("id", "k", "s")
     val model = mutable.ArrayBuffer.empty[MRow]
@@ -164,5 +165,13 @@ class TableFuzzSpec extends SparkSpec {
 
   test("random op sequences match the in-memory model at every commit (seed 1337)") {
     runSeed(1337L)
+  }
+
+  test("random op sequences on a PARTITIONED table match the model (seed 99)") {
+    // same state machine, but every write now routes through hidden
+    // partition dirs and per-file partition tuples: deletes/updates must
+    // rewrite only matching files per partition, compaction bins within
+    // partitions, and the mid-sequence addColumn crosses spec'd files
+    runSeed(99L, partitionBy = Seq("identity(s)", "bucket(4, id)"))
   }
 }
