@@ -598,7 +598,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF cosine near-duplicate pairs — the lexical-vector sibling of
+    * the embedding/minhash dedup family: candidate pairs come from the
+    * inverted index restricted to RARE terms (df·5 ≤ N — common words
+    * generate quadratic candidate blowup and carry no discriminative
+    * weight), then the FULL-vocabulary cosine is computed for candidates
+    * only. That candidate/verify split is what survives 100 TB: the pair
+    * space is bounded by rare-term co-occurrence, never all-pairs, and
+    * the verify join fans out only candidate × per-doc-vocab rows.
+    *
+    * Exactness: idf rounds once to 1e-4 (ln is the only engine-variant
+    * op); weights, norms and dots are then pure BIGINT (max |term| ~2e13,
+    * sums < 2^52 — exact in the final doubles); the output cosine is
+    * sqrt/mul/div on exact inputs, all correctly rounded IEEE ops. */
+  def tfidfPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val totals = docs.agg(count(lit(1)).as("n"))
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val wts = tf.join(dfreq, Seq("w")).crossJoin(broadcast(totals))
+      .withColumn("we", col("tf") *
+        floor(log(col("n").cast("double") / col("df").cast("double"))
+          * lit(1e4) + lit(0.5)).cast(LongType))
+      .select("doc_id", "w", "we")
+    val rareToks = tf.join(
+      dfreq.crossJoin(broadcast(totals)).filter(col("df") * 5 <= col("n"))
+        .select("w"), Seq("w"))
+      .select("doc_id", "w")
+    val cand = rareToks.as("a").join(rareToks.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val norm = wts.groupBy("doc_id").agg(sum(col("we") * col("we")).as("n2"))
+    val dot = cand
+      .join(wts.as("wa"), col("wa.doc_id") === col("a_id"))
+      .join(wts.as("wb"),
+        col("wb.doc_id") === col("b_id") && col("wb.w") === col("wa.w"))
+      .groupBy("a_id", "b_id").agg(sum(col("wa.we") * col("wb.we")).as("d"))
+    dot
+      .join(norm.select(col("doc_id").as("a_id"), col("n2").as("na")), Seq("a_id"))
+      .join(norm.select(col("doc_id").as("b_id"), col("n2").as("nb")), Seq("b_id"))
+      .withColumn("cosine", col("d").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= 0.8)
+      .select("a_id", "b_id", "cosine")
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_tfidf_pairs" -> tfidfPairs,
     "q_text_entropy" -> textEntropy,
     "q_ngram_novelty" -> ngramNovelty,
     "q_vocab_candidates" -> vocabCandidates,
@@ -656,6 +706,39 @@ object TextOps {
     s"lpad(CAST(${sqlCountIn(markers)} AS VARCHAR), 10, '0') || '$code'"
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf_pairs" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |tf AS (
+        |  SELECT doc_id, u.w, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM documents, UNNEST(string_split(text, ' ')) u(w)
+        |  WHERE u.w <> '' GROUP BY doc_id, u.w),
+        |dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        |wts AS (
+        |  SELECT t.doc_id, t.w,
+        |    t.tf * CAST(floor(ln(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE))
+        |      * 10000.0 + 0.5) AS BIGINT) AS we
+        |  FROM tf t JOIN dfreq d USING (w), n),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM tf a JOIN tf b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  JOIN dfreq d ON d.w = a.w, n
+        |  WHERE d.df * 5 <= n.n),
+        |norm AS (SELECT doc_id, CAST(SUM(we * we) AS BIGINT) AS n2
+        |         FROM wts GROUP BY doc_id),
+        |dot AS (
+        |  SELECT c.a_id, c.b_id, CAST(SUM(a.we * b.we) AS BIGINT) AS d
+        |  FROM cand c
+        |  JOIN wts a ON a.doc_id = c.a_id
+        |  JOIN wts b ON b.doc_id = c.b_id AND b.w = a.w
+        |  GROUP BY c.a_id, c.b_id)
+        |SELECT a_id, b_id, cos AS cosine FROM (
+        |  SELECT dot.a_id, dot.b_id,
+        |    CAST(dot.d AS DOUBLE)
+        |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+        |  FROM dot
+        |  JOIN norm na ON dot.a_id = na.doc_id
+        |  JOIN norm nb ON dot.b_id = nb.doc_id)
+        |WHERE cos >= 0.8 ORDER BY a_id, b_id""".stripMargin,
     "q_text_entropy" ->
       """WITH toks AS (
         |  SELECT doc_id, u.w
