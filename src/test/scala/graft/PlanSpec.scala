@@ -127,4 +127,24 @@ class PlanSpec extends SparkSpec {
     val plan = planString(Analytics.q18(spark, sf01))
     assert("LeftSemi".r.findAllIn(plan).nonEmpty, "expected a left-semi join")
   }
+
+  test("tfidf pairs: no cartesian product; scalar totals broadcast and reused") {
+    val plan = planString(TextOps.tfidfPairs(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "candidate generation must stay an equi-join on the rare-term key")
+    // the single-row corpus count joins as a broadcast, never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), "totals must broadcast")
+    assert(plan.contains("ReusedExchange"),
+      "the tf/df subtrees must reuse exchanges, not recompute")
+  }
+
+  test("ngram novelty: distinct grams in-expression — no pre-join dedup shuffle") {
+    val plan = planString(TextOps.ngramNovelty(spark, sf))
+    // shape: gram df agg + join-back agg + doc agg + output sort; an
+    // extra exchange would mean array_distinct regressed to a
+    // dropDuplicates shuffle on exploded rows
+    assert(countShuffles(plan) <= 4,
+      s"expected <=4 shuffles, got ${countShuffles(plan)}:\n$plan")
+  }
 }
