@@ -402,6 +402,44 @@ object GraftOps {
     rows.withColumn("rows_in_t1", lit(n1)).orderBy("ns", "tbl")
   }
 
+  /** Metadata-table inspection through the gate — the Iceberg
+    * `tbl$snapshots` / `$refs` / `$partitions` / `$history` surface
+    * (reference: inspection is how its UI answers "what state is this
+    * table in" without scanning data). A fixed literal build (so the
+    * answer is SF-independent, like q_catalog) makes four inspection
+    * reads and flattens them to (kind, k, v) STRING rows: snapshot
+    * operations + schema, ref heads, per-partition row counts (from
+    * manifests only — no data file is opened), and main-ancestry flags.
+    * Timestamps and file counts are deliberately excluded: they depend
+    * on wall clock / write parallelism, and the gate needs exact rows. */
+  def metaTablesQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("graft-meta").resolve("t").toString
+    val t = GraftTable.create(spark, loc,
+      "id bigint, status string, total double", Seq("identity(status)"))
+    val rows = (1L to 30L).map(i => (i, if (i % 3 == 0) "A" else "B", i * 1.5))
+    t.append(rows.toDF("id", "status", "total"))                    // snap 1
+    t.createTag("v1", at = Some(1L))
+    t.delete("id % 5 = 0", WriteMode.CopyOnWrite)                   // snap 2
+    t.createBranch("audit", at = Some(1L))
+    t.append(Seq((100L, "A", 9.0)).toDF("id", "status", "total"),
+      branch = "audit")                                             // snap 3
+    val snaps = t.metaTable("snapshots").select(
+      lit("snapshot").as("kind"), col("snapshot_id").cast("string").as("k"),
+      concat_ws(":", col("operation"), col("schema_id")).as("v"))
+    val refs = t.metaTable("refs").select(
+      lit("ref").as("kind"), col("name").as("k"),
+      concat_ws(":", col("type"), col("snapshot_id")).as("v"))
+    val parts = t.metaTable("partitions").select(
+      lit("partition").as("kind"), col("partition").as("k"),
+      col("row_count").cast("string").as("v"))
+    val hist = t.metaTable("history").select(
+      lit("history").as("kind"), col("snapshot_id").cast("string").as("k"),
+      col("is_current_ancestor").cast("string").as("v"))
+    snaps.unionByName(refs).unionByName(parts).unionByName(hist)
+      .orderBy("kind", "k")
+  }
+
   // --- SQL DML: the reference's native surface (MERGE/UPDATE/DELETE/INSERT
   // as Spark SQL statements — tests/iceberg_feature_tests.py:520-780) ---------
 
@@ -635,7 +673,8 @@ object GraftOps {
     "q_stats_pruning" -> statsPruning,
     "q_bloom_filter" -> bloomFilter,
     "q_zorder" -> zorderCluster,
-    "q_catalog" -> catalogOps)
+    "q_catalog" -> catalogOps,
+    "q_meta_tables" -> metaTablesQ)
 
   private val sumTotal =
     "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total"
@@ -845,5 +884,19 @@ object GraftOps {
     "q_catalog" ->
       """SELECT ns, tbl, CAST(rows_in_t1 AS BIGINT) AS rows_in_t1
         |FROM (VALUES ('db1', 't1', 2), ('db2', 't2b', 2))
-        | AS t(ns, tbl, rows_in_t1) ORDER BY ns, tbl""".stripMargin)
+        | AS t(ns, tbl, rows_in_t1) ORDER BY ns, tbl""".stripMargin,
+    // the literal build is SF-independent, so the expected inspection
+    // rows are closed-form: 30 rows (10 A / 20 B), CoW delete of the 6
+    // id%5=0 rows (2 A / 4 B), a tag at snap 1, a branch forked at 1
+    // with one append — partition counts 8/16, main ancestry {1,2}
+    "q_meta_tables" ->
+      """SELECT kind, k, v FROM (VALUES
+        |  ('history', '1', 'true'), ('history', '2', 'true'),
+        |  ('history', '3', 'false'),
+        |  ('partition', 'status=A', '8'), ('partition', 'status=B', '16'),
+        |  ('ref', 'audit', 'BRANCH:3'), ('ref', 'main', 'BRANCH:2'),
+        |  ('ref', 'v1', 'TAG:1'),
+        |  ('snapshot', '1', 'append:0'), ('snapshot', '2', 'delete:0'),
+        |  ('snapshot', '3', 'append:0')) AS t(kind, k, v)
+        |ORDER BY kind, k""".stripMargin)
 }
