@@ -16,7 +16,7 @@ object SparkEntry {
     Analytics.queries ++ AnalyticsDeep.queries ++ AsOfJoin.queries ++ RangeJoin.queries ++
       SkewJoin.queries ++ BucketJoin.queries ++ BloomJoin.queries ++ SpatialJoin.queries ++ TimeSeries.queries ++
       TextOps.queries ++ Sampling.queries ++ Dedup.queries ++ Similarity.queries ++
-      GraftOps.queries ++ V3Ops.queries ++ Multimodal.queries ++
+      GraftOps.queries ++ V3Ops.queries ++ Multimodal.queries ++ Pipeline.queries ++
       IncrementalAgg.queries ++ CorpusGraph.queries ++ Clustering.queries ++ Interop.queries ++
       IncrementalDedup.queries ++ GraphRank.queries ++ Sketches.queries ++ Behavioral.queries ++
       Scd2.queries ++ DataQuality.queries ++
@@ -28,7 +28,7 @@ object SparkEntry {
     Analytics.oracles ++ AnalyticsDeep.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
       SkewJoin.oracles ++ BucketJoin.oracles ++ BloomJoin.oracles ++ SpatialJoin.oracles ++ TimeSeries.oracles ++
       TextOps.oracles ++ Sampling.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      GraftOps.oracles ++ V3Ops.oracles ++ Multimodal.oracles ++
+      GraftOps.oracles ++ V3Ops.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
       IncrementalAgg.oracles ++ CorpusGraph.oracles ++ Clustering.oracles ++ Interop.oracles ++
       IncrementalDedup.oracles ++ GraphRank.oracles ++ Sketches.oracles ++ Behavioral.oracles ++
       Scd2.oracles ++ DataQuality.oracles ++

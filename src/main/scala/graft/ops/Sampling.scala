@@ -159,7 +159,7 @@ object Sampling {
 
   /** DuckDB lacks a hex-to-int cast, so the oracle folds the 8 hex digits
     * positionally; every term is an exact small-integer double. */
-  private def sqlFold(prefix: String): String =
+  private[ops] def sqlFold(prefix: String): String =
     s"""list_sum(list_transform(range(1, 9),
        |  i -> CAST(strpos('0123456789abcdef',
        |         substr(md5('$prefix:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1))

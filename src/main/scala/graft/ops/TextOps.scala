@@ -228,7 +228,10 @@ object TextOps {
     * production corpus build chains them: the dedup is a semi-join against
     * canonical ids (hash groupBy), scoring is one codegen'd pass, and the
     * whole thing is a single shuffle + broadcast-ish semi join. */
-  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+  /** shared lang-ID + quality scoring frame (doc_id, source, n_words,
+    * swr, pred_lang) — one codegen'd pass over documents; used by
+    * corpusFilter and the e2e pipeline composition ([[Pipeline]]) */
+  private[ops] def langQualityScored(docs: DataFrame): DataFrame = {
     val stop = Seq("the", "a", "and", "of", "to", "in", "is")
     val markers = Seq(
       "de" -> Seq("der", "die", "und", "nicht"),
@@ -239,13 +242,17 @@ object TextOps {
     val tagged = markers.map { case (code, ws) =>
       concat(lpad(countIn(col("text"), ws).cast("string"), 10, "0"), lit(code))
     }
-    val docs = Tables(spark, dir, "documents")
-    val scored = docs.select(
-      col("doc_id"),
+    docs.select(
+      col("doc_id"), col("source"),
       size(words(col("text"))).cast(LongType).as("n_words"),
       (countIn(col("text"), stop).cast("double") /
         size(words(col("text")))).as("swr"),
       substring(greatest(tagged: _*), 11, 2).as("pred_lang"))
+  }
+
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val scored = langQualityScored(docs)
     val canonical = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
     scored.join(canonical.select("doc_id"), Seq("doc_id"), "left_semi")
       .filter(col("pred_lang") === "en" && col("n_words") >= 15 && col("swr") >= 0.03)
@@ -697,12 +704,12 @@ object TextOps {
        |  SELECT DISTINCT doc_id, wm FROM wmin WHERE i <= n - ${WinnowW - 1}
        |)""".stripMargin
 
-  private def sqlCountIn(markers: Seq[String]): String = {
+  private[ops] def sqlCountIn(markers: Seq[String]): String = {
     val pred = markers.map(m => s"w = '$m'").mkString(" OR ")
     s"len(list_filter(string_split(text, ' '), w -> $pred))"
   }
 
-  private def sqlLangTag(code: String, markers: Seq[String]): String =
+  private[ops] def sqlLangTag(code: String, markers: Seq[String]): String =
     s"lpad(CAST(${sqlCountIn(markers)} AS VARCHAR), 10, '0') || '$code'"
 
   val oracles: Map[String, String] = Map(
