@@ -548,16 +548,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
   // Row-level operations
   // ==========================================================================
 
-  private def affectedFiles(cond: String): Set[String] =
-    scan(filter = Some(cond), withPos = true)
+  /** Row-level ops must resolve their row/file sets against the ref they
+    * COMMIT to — resolving against main while committing to a branch
+    * silently operates on the wrong table state (found by TableFuzzSpec's
+    * branch-routed op sequences). Every caller threads its branch here. */
+  private def affectedFiles(cond: String, branch: String): Set[String] =
+    scan(filter = Some(cond), withPos = true, ref = Some(branch))
       .select("_gf").distinct().collect().map(_.getString(0)).toSet
 
   private def lineageNames: Seq[String] = Seq("_row_id", "_last_updated_sequence_number")
 
-  /** read only `files`, deletes applied, lineage materialized — the input
-    * to any copy-on-write rewrite */
-  private def readForRewrite(files: Set[String]): DataFrame =
-    scan(withLineage = true, fileSubset = Some(files))
+  /** read only `files` OF THE GIVEN BRANCH, that branch's deletes applied,
+    * lineage materialized — the input to any copy-on-write rewrite */
+  private def readForRewrite(files: Set[String], branch: String): DataFrame =
+    scan(withLineage = true, fileSubset = Some(files), ref = Some(branch))
       .withColumnRenamed("_last_updated_sequence_number", "_last_seq")
 
   def delete(cond: String, mode: WriteMode.Value = WriteMode.CopyOnWrite,
@@ -565,15 +569,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val (snapId, seq) = nextIds()
     mode match {
       case WriteMode.CopyOnWrite =>
-        val files = affectedFiles(cond)
+        val files = affectedFiles(cond, branch)
         if (files.isEmpty) return commit("delete", branch, Nil, Set.empty, snapId, seq)
-        val keep = readForRewrite(files)
+        val keep = readForRewrite(files, branch)
           .filter(!coalesce(expr(cond), lit(false)))
         val out = writeDataFiles(toPhysical(keep, meta.currentSchema), snapId, seq,
           meta.currentSchemaId, meta.currentSpecId)
         commit("delete", branch, out, files, snapId, seq)
       case WriteMode.MergeOnRead =>
-        val hits = scan(filter = Some(cond), withPos = true)
+        val hits = scan(filter = Some(cond), withPos = true, ref = Some(branch))
           .select(col("_gf").as("file_path"), col("_gp").as("pos"))
         val rel = s"deletes/pd$snapId-${UUID.randomUUID.toString.take(8)}"
         hits.write.parquet(abs(rel))
@@ -582,7 +586,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
           Map.empty, n, 0L, seq, Map.empty)
         commit("delete", branch, Seq(entry), Set.empty, snapId, seq, rebaseable = true)
       case WriteMode.DeletionVector =>
-        val hits = scan(filter = Some(cond), withPos = true)
+        val hits = scan(filter = Some(cond), withPos = true, ref = Some(branch))
           .select(col("_gf").as("file_path"), col("_gp").as("pos"))
         val m = meta
         val snapOpt = m.head(branch)
@@ -659,9 +663,9 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val hit = coalesce(expr(cond), lit(false))
     mode match {
       case WriteMode.CopyOnWrite =>
-        val files = affectedFiles(cond)
+        val files = affectedFiles(cond, branch)
         if (files.isEmpty) return commit("overwrite", branch, Nil, Set.empty, snapId, seq)
-        val src = readForRewrite(files)
+        val src = readForRewrite(files, branch)
         val updated = src.select(schema.fields.map { f =>
           set.get(f.name) match {
             case Some(e) => when(hit, expr(e).cast(sparkType(f.dtype)))
@@ -676,7 +680,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       case _ =>
         // MoR update = position-delete the old rows + append the new versions
         // (row ids preserved — v3 lineage survives the rewrite)
-        val rows = scan(filter = Some(cond), withLineage = true, withPos = true)
+        val rows = scan(filter = Some(cond), withLineage = true, withPos = true,
+          ref = Some(branch))
         val rows2 = rows.withColumnRenamed("_last_updated_sequence_number", "_last_seq")
         val dels = rows2.select(col("_gf").as("file_path"), col("_gp").as("pos"))
         val relD = s"deletes/pd$snapId-${UUID.randomUUID.toString.take(8)}"
@@ -708,7 +713,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       branch: String = "main"): SnapshotMeta = {
     val (snapId, seq) = nextIds()
     val schema = meta.currentSchema
-    val tgt = scan(withLineage = true, withPos = true)
+    val tgt = scan(withLineage = true, withPos = true, ref = Some(branch))
       .withColumnRenamed("_last_updated_sequence_number", "_last_seq")
     // one job finds the affected files AND validates merge cardinality:
     // SQL/Iceberg MERGE must error when a target row matches more than one
@@ -723,7 +728,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val files = matchStats.map(_.getString(0)).toSet
 
     val rewritten: Seq[FileMeta] = if (files.isEmpty) Nil else {
-      val part = readForRewrite(files)
+      val part = readForRewrite(files, branch)
       val joined = part.alias("t").join(source.alias("s"), expr(on), "left_outer")
       val matched = source.columns.map(c => col(s"s.$c").isNotNull).reduce(_ || _)
       val base = if (matchedDelete) joined.filter(!matched) else joined
@@ -967,7 +972,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val paths = small.map(e => normPath(abs(e.path))).toSet
     val totalBytes = small.map(_.sizeBytes).sum
     val n = math.max(1, (totalBytes / (targetMB.toLong << 20)).toInt)
-    val rows = readForRewrite(paths)
+    val rows = readForRewrite(paths, branch)
     val out = writeDataFiles(toPhysical(rows, m.currentSchema), snapId, seq,
       m.currentSchemaId, m.currentSpecId, repartitionTo = Some(n))
     commit("replace", branch, out, paths, snapId, seq)

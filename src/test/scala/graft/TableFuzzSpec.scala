@@ -11,18 +11,21 @@ import graft.table._
 
 /** Model-based fuzzing of the table format: a seeded random sequence of
   * commits (appends, all three delete shapes, MoR/CoW updates, equality
-  * deletes, compaction, one mid-sequence schema evolution) is applied in
-  * lockstep to a GraftTable and to an in-memory row model; after EVERY
-  * commit the scan must equal the model, and at the end a sample of
-  * historical snapshots must equal the model state recorded at commit
-  * time (time travel presents the snapshot's own schema — the recorded
-  * model width differs across the evolution boundary, which is exactly
-  * what the check pins).
+  * deletes, compaction, one mid-sequence schema evolution, and — after a
+  * mid-sequence fork — writes routed randomly to MAIN or a BRANCH) is
+  * applied in lockstep to a GraftTable and to one in-memory row model per
+  * ref; after EVERY commit the scans of BOTH refs must equal their
+  * models (any cross-ref contamination fails immediately), and at the
+  * end a sample of historical snapshots must equal the model state
+  * recorded at commit time (time travel presents the snapshot's own
+  * schema — the recorded model width differs across the evolution
+  * boundary, which is exactly what the check pins).
   *
   * The deterministic specs in TableSpec each pin one path; this spec
   * exists for the interleavings nobody writes by hand (DV after eqdel
-  * after MoR update, compaction between tombstone generations, ...).
-  * Mirrors the role of randomized stress tests in the reference's CI
+  * after MoR update, compaction between tombstone generations, branch
+  * deletes interleaved with main appends, ...). Mirrors the role of
+  * randomized stress tests in the reference's CI
   * (/root/reference/tests/iceberg_feature_tests.py drives fixed
   * scenarios; the format-level state space needs randomized coverage).
   */
@@ -38,10 +41,10 @@ class TableFuzzSpec extends SparkSpec {
     rows.map(_.map(String.valueOf).mkString("|")).sorted.toVector
 
   private def scanRows(t: GraftTable, cols: Seq[String],
-      snapshotId: Option[Long] = None): Vector[String] = {
-    val df = t.scan(snapshotId = snapshotId)
+      snapshotId: Option[Long] = None, ref: Option[String] = None): Vector[String] = {
+    val df = t.scan(snapshotId = snapshotId, ref = ref)
     assert(df.columns.toSeq == cols,
-      s"schema mismatch at snap=$snapshotId: ${df.columns.toSeq} vs $cols")
+      s"schema mismatch at snap=$snapshotId ref=$ref: ${df.columns.toSeq} vs $cols")
     canon(df.collect().toIndexedSeq.map(r => cols.map(c => r.getAs[Any](c))))
   }
 
@@ -55,9 +58,10 @@ class TableFuzzSpec extends SparkSpec {
       partitionBy)
 
     var cols = Vector("id", "k", "s")
-    val model = mutable.ArrayBuffer.empty[MRow]
+    val models = mutable.LinkedHashMap(
+      "main" -> mutable.ArrayBuffer.empty[MRow])
     var nextId = 0L
-    // (snapshotId, schema cols at commit, canonical model state)
+    // (snapshotId, schema cols at commit, canonical state of the ref written)
     val history = mutable.ArrayBuffer.empty[(Long, Vector[String], Vector[String])]
     var evolved = false
 
@@ -84,19 +88,34 @@ class TableFuzzSpec extends SparkSpec {
     def matches(m: Long, rem: Long)(r: MRow): Boolean =
       r("k").asInstanceOf[Long] % m == rem
 
+    def checkAllRefs(tag: String): Unit =
+      models.foreach { case (ref, mo) =>
+        assert(scanRows(t, cols, ref = Some(ref)) == modelRows(mo.toSeq, cols),
+          s"seed=$seedVal $tag ref=$ref")
+      }
+
     val nOps = 16
     for (step <- 0 until nOps) {
+      // mid-sequence fork: later ops land randomly on main OR the branch;
+      // the branch model starts as a deep copy of main's state
+      if (step == nOps / 4 && !models.contains("b")) {
+        t.createBranch("b")
+        models += ("b" -> models("main").map(r =>
+          mutable.LinkedHashMap(r.toSeq: _*)))
+      }
       // mid-sequence schema evolution: metadata-only version bump; the
-      // default must materialize on every pre-existing row
+      // default must materialize on every pre-existing row of EVERY ref
+      // (current-schema reads present the default on old files)
       if (step == nOps / 2 && !evolved) {
         t.addColumn("v", "bigint", initialDefault = Some("5"))
         evolved = true
         cols = cols :+ "v"
-        model.foreach(_ += ("v" -> 5L))
-        assert(scanRows(t, cols) == modelRows(model.toSeq, cols),
-          s"seed=$seedVal step=$step op=addColumn")
+        models.values.foreach(_.foreach(_ += ("v" -> 5L)))
+        checkAllRefs(s"step=$step op=addColumn")
       }
 
+      val br = if (models.contains("b") && rnd.nextBoolean()) "b" else "main"
+      val model = models(br)
       val m = 3 + rnd.nextInt(3)
       val rem = rnd.nextInt(m)
       val cond = s"k % $m = $rem"
@@ -107,7 +126,7 @@ class TableFuzzSpec extends SparkSpec {
         case 0 | 1 =>
           val rows = freshRows(5 + rnd.nextInt(20))
           model ++= rows
-          Some(t.append(toDf(rows)).snapshotId)
+          Some(t.append(toDf(rows), branch = br).snapshotId)
         case 2 | 3 | 4 if model.exists(matches(m, rem)) =>
           val mode = op match {
             case 2 => WriteMode.CopyOnWrite
@@ -116,7 +135,7 @@ class TableFuzzSpec extends SparkSpec {
           }
           val keep = model.filterNot(matches(m, rem))
           model.clear(); model ++= keep
-          Some(t.delete(cond, mode).snapshotId)
+          Some(t.delete(cond, mode, branch = br).snapshotId)
         case 5 | 6 if model.exists(matches(m, rem)) =>
           val mode = if (op == 5) WriteMode.CopyOnWrite else WriteMode.MergeOnRead
           model.foreach { r =>
@@ -125,31 +144,32 @@ class TableFuzzSpec extends SparkSpec {
               r += ("s" -> (r("s").asInstanceOf[String] + "u"))
             }
           }
-          Some(t.update(cond, Map("k" -> "k + 7", "s" -> "concat(s, 'u')"), mode).snapshotId)
+          Some(t.update(cond, Map("k" -> "k + 7", "s" -> "concat(s, 'u')"),
+            mode, branch = br).snapshotId)
         case 7 if model.nonEmpty =>
           // equality delete: sequence-gated on rows below the new commit,
-          // i.e. every currently-live row with a matching id
+          // i.e. every currently-live row of this ref with a matching id
           val ids = rnd.shuffle(model.map(_("id").asInstanceOf[Long]))
             .take(1 + rnd.nextInt(5)).toSet
           val keep = model.filterNot(r => ids.contains(r("id").asInstanceOf[Long]))
           model.clear(); model ++= keep
           import spark.implicits._
-          Some(t.deleteByKeys(ids.toSeq.toDF("id")).snapshotId)
+          Some(t.deleteByKeys(ids.toSeq.toDF("id"), branch = br).snapshotId)
         case _ if rnd.nextBoolean() && model.nonEmpty =>
           // compaction folds tombstones into data files; contents unchanged
-          Some(t.compact(targetMB = 1).snapshotId)
+          Some(t.compact(targetMB = 1, branch = br).snapshotId)
         case _ => None // predicate matched nothing — empty-match paths are
                        // pinned deterministically in TableSpec
       }
       snap.foreach { s =>
-        val st = modelRows(model.toSeq, cols)
-        assert(scanRows(t, cols) == st, s"seed=$seedVal step=$step op=$op cond=$cond")
-        history += ((s, cols, st))
+        checkAllRefs(s"step=$step op=$op cond=$cond wrote=$br")
+        history += ((s, cols, modelRows(model.toSeq, cols)))
       }
     }
 
     // time travel must reproduce the recorded state AND the recorded
-    // schema width (snapshots before the evolution present 3 columns)
+    // schema width (snapshots before the evolution present 3 columns);
+    // snapshot-id reads are ref-agnostic, so branch commits replay too
     assert(history.nonEmpty, s"seed=$seedVal produced no commits")
     val picks = Seq(0, history.size / 2, history.size - 1).distinct
     for (i <- picks) {
@@ -159,15 +179,15 @@ class TableFuzzSpec extends SparkSpec {
     }
   }
 
-  test("random op sequences match the in-memory model at every commit (seed 42)") {
+  test("random op sequences match the per-ref models at every commit (seed 42)") {
     runSeed(42L)
   }
 
-  test("random op sequences match the in-memory model at every commit (seed 1337)") {
+  test("random op sequences match the per-ref models at every commit (seed 1337)") {
     runSeed(1337L)
   }
 
-  test("random op sequences on a PARTITIONED table match the model (seed 99)") {
+  test("random op sequences on a PARTITIONED table match the models (seed 99)") {
     // same state machine, but every write now routes through hidden
     // partition dirs and per-file partition tuples: deletes/updates must
     // rewrite only matching files per partition, compaction bins within
