@@ -19,6 +19,26 @@ import graft.Tables
 object StreamingOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** State-store partition count for the streaming queries. Streaming
+    * state partitioning is a SIZING decision, not a parallelism default:
+    * every micro-batch commits one state delta per partition per stateful
+    * operator, so partition count must track state volume — at the demo
+    * rates (thousands of state rows) 32 partitions is pure per-batch
+    * commit overhead, the same way a production job sets its streaming
+    * stage's spark.sql.shuffle.partitions to match state, not cores.
+    * The operator shapes are unchanged; a 100 TB deployment raises this
+    * with its state size (state is re-partitionable only via a new
+    * checkpoint, so production picks it deliberately up front). */
+  val StatePartitions = 8
+
+  /** run `body` (which starts and drains a streaming query) with shuffle
+    * partitions sized for state; restore the session default after */
+  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def stage(spark: SparkSession, dir: String): (String, DataFrame) = {
     val tmp = Files.createTempDirectory("graft-stream").toString
     val src = Tables(spark, dir, "events")
@@ -502,7 +522,7 @@ object StreamingOps {
       .orderBy("event_type")
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = Map[String, Q](
     "q_stream_dedup" -> streamDedup,
     "q_stream_join" -> streamJoin,
     "q_stream_join_outer" -> streamJoinOuter,
@@ -516,6 +536,10 @@ object StreamingOps {
     "q_stream_ingest" -> streamIngest,
     "q_stream_upsert" -> streamUpsert,
     "q_stream_tail" -> streamTail)
+    // every streaming query runs with state-sized shuffle partitions
+    .map { case (k, f) =>
+      k -> ((s: SparkSession, d: String) => withStatePartitions(s)(f(s, d)))
+    }
 
   val oracles: Map[String, String] = Map(
     "q_stream_dedup" ->
