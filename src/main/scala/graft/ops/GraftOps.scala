@@ -233,6 +233,32 @@ object GraftOps {
       .select("ref", "n", "sum_keys").orderBy("ref")
   }
 
+  /** Row-level ops ON A BRANCH while main diverges — the surface the
+    * round-4 fuzzer caught resolving against the wrong ref (branch
+    * deletes tombstoning main's positions). Now a permanent gate query:
+    * a main CoW delete interleaves with a branch MoR delete and a branch
+    * MoR update; each ref's readback must reflect ONLY its own lineage.
+    * The oracle reconstructs both refs from the source table with the
+    * ops' predicates composed in commit order. */
+  def branchRowOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    val o = orders(spark, dir)
+    t.append(o.filter(col("o_orderkey") % 3 === 0))          // shared base
+    t.createBranch("dev")
+    t.append(o.filter(col("o_orderkey") % 3 === 1), branch = "dev")
+    t.delete("o_orderkey % 2 = 0", WriteMode.CopyOnWrite)    // main only
+    t.delete("o_orderkey % 5 = 1", WriteMode.MergeOnRead, branch = "dev")
+    t.update("o_orderkey % 7 = 3", Map("o_totalprice" -> "o_totalprice + 50"),
+      WriteMode.MergeOnRead, branch = "dev")
+    def one(ref: String) = t.scan(ref = Some(ref))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), d(sum(dec(col("o_totalprice")))).as("sum_total"))
+      .withColumn("ref", lit(ref))
+    one("dev").unionByName(one("main"))
+      .select("ref", "o_orderstatus", "n", "sum_total")
+      .orderBy("ref", "o_orderstatus")
+  }
+
   // --- snapshot rollback: undo a commit, then diverge ------------------------
   /** rollbackTo moves only the main ref; the undone snapshot stays
     * time-travelable and the next append diverges from the restored head */
@@ -663,6 +689,7 @@ object GraftOps {
     "q_time_travel" -> timeTravel,
     "q_compaction" -> compaction,
     "q_branch_tag" -> branchTag,
+    "q_branch_rowops" -> branchRowOps,
     "q_rollback" -> rollback,
     "q_wap" -> wap,
     "q_cdc_changes" -> cdcChanges,
@@ -843,6 +870,24 @@ object GraftOps {
     "q_compaction" ->
       aggByStatusSql.replace("%SRC%",
         "(SELECT * FROM orders WHERE o_orderkey % 10 <> 0)"),
+    "q_branch_rowops" ->
+      """WITH mainref AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0),
+        |dev AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 50
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 1),
+        |u AS (
+        |  SELECT 'dev' AS ref, o_orderstatus, o_totalprice FROM dev
+        |  UNION ALL
+        |  SELECT 'main', o_orderstatus, o_totalprice FROM mainref)
+        |SELECT ref, o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM u GROUP BY ref, o_orderstatus
+        |ORDER BY ref, o_orderstatus""".stripMargin,
     "q_branch_tag" ->
       """SELECT 'dev' AS ref, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys FROM orders
         |UNION ALL

@@ -941,13 +941,18 @@ class TableSpec extends SparkSpec {
           (0 until 3).foreach { j =>
             var done = false
             var tries = 0
-            while (!done && tries < 50) {
+            while (!done && tries < 200) {
               tries += 1
               // fresh handle per attempt: a conflicted handle holds
               // unpublished in-memory state
               val t = GraftTable.load(spark, loc)
               try { t.append(seedDf(Seq((100L * i + j, 1L, "X", 1.0)))); done = true }
-              catch { case _: CommitConflictException => Thread.sleep(5) }
+              catch { case _: CommitConflictException =>
+                // backoff with jitter: fixed short sleeps thundering-herd
+                // under CPU steal (all writers retry in lockstep and the
+                // try budget drains without progress)
+                Thread.sleep(math.min(200, 5L * tries) + scala.util.Random.nextInt(20))
+              }
             }
             if (!done) throw new IllegalStateException(s"writer $i gave up")
           }
@@ -974,11 +979,13 @@ class TableSpec extends SparkSpec {
     def retry(what: String)(op: GraftTable => Unit): Unit = {
       var done = false
       var tries = 0
-      while (!done && tries < 80) {
+      while (!done && tries < 200) {
         tries += 1
         val t = GraftTable.load(spark, loc)
         try { op(t); done = true }
-        catch { case _: CommitConflictException => Thread.sleep(5) }
+        catch { case _: CommitConflictException =>
+          Thread.sleep(math.min(200, 5L * tries) + scala.util.Random.nextInt(20))
+        }
       }
       if (!done) throw new IllegalStateException(s"$what gave up after $tries tries")
     }
