@@ -121,7 +121,7 @@ class TableFuzzSpec extends SparkSpec {
       val cond = s"k % $m = $rem"
       // step 0 is always an append — every other op no-ops on an empty
       // table, and an all-no-op prefix would make the run vacuous
-      val op = if (step == 0) 0 else rnd.nextInt(8)
+      val op = if (step == 0) 0 else rnd.nextInt(9)
       val snap: Option[Long] = op match {
         case 0 | 1 =>
           val rows = freshRows(5 + rnd.nextInt(20))
@@ -155,6 +155,15 @@ class TableFuzzSpec extends SparkSpec {
           model.clear(); model ++= keep
           import spark.implicits._
           Some(t.deleteByKeys(ids.toSeq.toDF("id"), branch = br).snapshotId)
+        case 8 if step > 2 =>
+          // aggressive snapshot expiry racing the content ops: every ref
+          // head is protected, so no CURRENT state may change — but files
+          // only expired snapshots referenced get physically deleted,
+          // which is exactly where an over-eager gc corrupts live refs
+          t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000,
+            retainLast = 2)
+          checkAllRefs(s"step=$step op=expire")
+          None
         case _ if rnd.nextBoolean() && model.nonEmpty =>
           // compaction folds tombstones into data files; contents unchanged
           Some(t.compact(targetMB = 1, branch = br).snapshotId)
@@ -169,11 +178,16 @@ class TableFuzzSpec extends SparkSpec {
 
     // time travel must reproduce the recorded state AND the recorded
     // schema width (snapshots before the evolution present 3 columns);
-    // snapshot-id reads are ref-agnostic, so branch commits replay too
-    assert(history.nonEmpty, s"seed=$seedVal produced no commits")
-    val picks = Seq(0, history.size / 2, history.size - 1).distinct
+    // snapshot-id reads are ref-agnostic, so branch commits replay too.
+    // Expiry ops may have dropped part of the history — only snapshots
+    // still in the metadata log are addressable (and for those, every
+    // file must still exist: expiry must not gc files live history needs)
+    val live = GraftTable.load(spark, loc).meta.snapshots.map(_.snapshotId).toSet
+    val addressable = history.filter(h => live(h._1))
+    assert(addressable.nonEmpty, s"seed=$seedVal produced no live commits")
+    val picks = Seq(0, addressable.size / 2, addressable.size - 1).distinct
     for (i <- picks) {
-      val (sid, hcols, hstate) = history(i)
+      val (sid, hcols, hstate) = addressable(i)
       assert(scanRows(t, hcols, snapshotId = Some(sid)) == hstate,
         s"seed=$seedVal time-travel to snapshot $sid (commit #$i)")
     }
