@@ -218,6 +218,30 @@ object GraftOps {
     aggByStatus(t.scan())
   }
 
+  /** Snapshot expiry with LIVE REFS: after main compacts away the files
+    * the dev branch and v1 tag still list, an aggressive expiry (every
+    * non-head, non-recent snapshot) must leave all three refs readable —
+    * ref heads are gc roots, and files are deleted only when no
+    * surviving snapshot lists them. The readback aggregates every ref
+    * AFTER the expiry, so an over-eager gc fails the gate, not just a
+    * spec. */
+  def expireRefs(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    val o = orders(spark, dir)
+    t.append(o.filter(col("o_orderkey") % 2 === 0))
+    t.createTag("v1")
+    t.createBranch("dev")
+    t.append(o.filter(col("o_orderkey") % 2 === 1), branch = "dev")
+    t.delete("o_orderkey % 6 = 2", WriteMode.MergeOnRead)   // main diverges
+    t.compact()                                             // main rewrites tag/branch files away
+    t.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 1)
+    def one(ref: String) = t.scan(ref = Some(ref))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"))
+      .withColumn("ref", lit(ref))
+    one("dev").unionByName(one("main")).unionByName(one("v1"))
+      .select("ref", "n", "sum_keys").orderBy("ref")
+  }
+
   // --- #15 branching & tagging ----------------------------------------------
   def branchTag(spark: SparkSession, dir: String): DataFrame = {
     val t = mkOrders(spark, dir)
@@ -690,6 +714,7 @@ object GraftOps {
     "q_compaction" -> compaction,
     "q_branch_tag" -> branchTag,
     "q_branch_rowops" -> branchRowOps,
+    "q_expire_refs" -> expireRefs,
     "q_rollback" -> rollback,
     "q_wap" -> wap,
     "q_cdc_changes" -> cdcChanges,
@@ -892,6 +917,14 @@ object GraftOps {
       """SELECT 'dev' AS ref, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys FROM orders
         |UNION ALL
         |SELECT 'main', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'v1', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY ref""".stripMargin,
+    "q_expire_refs" ->
+      """SELECT 'dev' AS ref, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys FROM orders
+        |UNION ALL
+        |SELECT 'main', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+        | WHERE o_orderkey % 2 = 0 AND o_orderkey % 6 <> 2
         |UNION ALL
         |SELECT 'v1', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM orders WHERE o_orderkey % 2 = 0
         |ORDER BY ref""".stripMargin,
