@@ -97,11 +97,17 @@ class TableFuzzSpec extends SparkSpec {
     val nOps = 16
     for (step <- 0 until nOps) {
       // mid-sequence fork: later ops land randomly on main OR the branch;
-      // the branch model starts as a deep copy of main's state
+      // the branch model starts as a deep copy of main's state. A TAG is
+      // pinned at the same point: unlike the branch it must stay frozen —
+      // every later commit, compaction, and expiry leaves it bit-identical
+      // (its model is the deep copy that never mutates; checkAllRefs
+      // re-verifies it after every subsequent commit)
       if (step == nOps / 4 && !models.contains("b")) {
         t.createBranch("b")
-        models += ("b" -> models("main").map(r =>
-          mutable.LinkedHashMap(r.toSeq: _*)))
+        t.createTag("pin")
+        val copy = () => models("main").map(r => mutable.LinkedHashMap(r.toSeq: _*))
+        models += ("b" -> copy())
+        models += ("pin" -> copy())
       }
       // mid-sequence schema evolution: metadata-only version bump; the
       // default must materialize on every pre-existing row of EVERY ref
