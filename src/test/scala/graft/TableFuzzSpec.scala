@@ -58,6 +58,7 @@ class TableFuzzSpec extends SparkSpec {
       partitionBy)
 
     var cols = Vector("id", "k", "s")
+    var sCol = "s" // current logical name of the string column
     val models = mutable.LinkedHashMap(
       "main" -> mutable.ArrayBuffer.empty[MRow])
     var nextId = 0L
@@ -69,7 +70,7 @@ class TableFuzzSpec extends SparkSpec {
       val r = mutable.LinkedHashMap[String, Any](
         "id" -> { nextId += 1; nextId },
         "k" -> rnd.nextInt(7).toLong,
-        "s" -> ("s" + rnd.nextInt(4)))
+        sCol -> ("s" + rnd.nextInt(4)))
       if (evolved) r += ("v" -> rnd.nextInt(9).toLong)
       r
     }
@@ -78,11 +79,11 @@ class TableFuzzSpec extends SparkSpec {
       import spark.implicits._
       if (evolved)
         rows.map(r => (r("id").asInstanceOf[Long], r("k").asInstanceOf[Long],
-          r("s").asInstanceOf[String], r("v").asInstanceOf[Long]))
-          .toDF("id", "k", "s", "v")
+          r(sCol).asInstanceOf[String], r("v").asInstanceOf[Long]))
+          .toDF("id", "k", sCol, "v")
       else
         rows.map(r => (r("id").asInstanceOf[Long], r("k").asInstanceOf[Long],
-          r("s").asInstanceOf[String])).toDF("id", "k", "s")
+          r(sCol).asInstanceOf[String])).toDF("id", "k", sCol)
     }
 
     def matches(m: Long, rem: Long)(r: MRow): Boolean =
@@ -119,6 +120,19 @@ class TableFuzzSpec extends SparkSpec {
         models.values.foreach(_.foreach(_ += ("v" -> 5L)))
         checkAllRefs(s"step=$step op=addColumn")
       }
+      // late rename: metadata-only by field id — files keep physical
+      // names, every ref (incl. the frozen tag) presents the new name,
+      // and later predicates/updates/appends must resolve through it
+      if (step == (3 * nOps) / 4 && sCol == "s") {
+        t.renameColumn("s", "label")
+        sCol = "label"
+        cols = cols.map(c => if (c == "s") "label" else c)
+        models.values.foreach(_.foreach { r =>
+          val sv = r.remove("s").get
+          r += ("label" -> sv)
+        })
+        checkAllRefs(s"step=$step op=rename")
+      }
 
       val br = if (models.contains("b") && rnd.nextBoolean()) "b" else "main"
       val model = models(br)
@@ -147,10 +161,11 @@ class TableFuzzSpec extends SparkSpec {
           model.foreach { r =>
             if (matches(m, rem)(r)) {
               r += ("k" -> (r("k").asInstanceOf[Long] + 7L))
-              r += ("s" -> (r("s").asInstanceOf[String] + "u"))
+              r += (sCol -> (r(sCol).asInstanceOf[String] + "u"))
             }
           }
-          Some(t.update(cond, Map("k" -> "k + 7", "s" -> "concat(s, 'u')"),
+          Some(t.update(cond,
+            Map("k" -> "k + 7", sCol -> s"concat($sCol, 'u')"),
             mode, branch = br).snapshotId)
         case 7 if model.nonEmpty =>
           // equality delete: sequence-gated on rows below the new commit,
