@@ -654,7 +654,30 @@ object TextOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Deterministic linear quality classifier — the fasttext-shaped
+    * "score every document with a trained linear model" stage, with the
+    * trained weights replaced by a fixed pseudo-weight table so the
+    * oracle can replay it: feature = hashed unigram bucket (the DSIR
+    * hash, [[DsirBuckets]] buckets), weight(b) = (b·2654435761) % 2001
+    * − 1000, document logit = Σ weight(bucket(token)). Pure integer
+    * end to end (no ln, no division), so the gate is exact by
+    * construction. The cost shape is the real one: the weight lookup is
+    * an in-expression hash (a broadcast of a real weight table costs the
+    * same plan), followed by one doc-keyed partial-agg shuffle. */
+  def qualityLogit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("b", bucketCol(col("w")))
+      .withColumn("wt", (col("b") * lit(2654435761L)) % lit(2001L) - lit(1000L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("logit"))
+      .withColumn("keep",
+        when(col("logit") > 0L, "keep").otherwise("drop"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q_quality_logit" -> qualityLogit,
     "q_tfidf_pairs" -> tfidfPairs,
     "q_text_entropy" -> textEntropy,
     "q_ngram_novelty" -> ngramNovelty,
@@ -713,6 +736,23 @@ object TextOps {
     s"lpad(CAST(${sqlCountIn(markers)} AS VARCHAR), 10, '0') || '$code'"
 
   val oracles: Map[String, String] = Map(
+    "q_quality_logit" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, u.w
+         |  FROM documents, UNNEST(string_split(lower(text), ' ')) u(w)
+         |  WHERE u.w <> ''),
+         |bt AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(string_split(w, ''),
+         |          ch -> CAST(unicode(ch) AS BIGINT))),
+         |      (h, c) -> (h * 31 + c) % 1048576) % $DsirBuckets AS b
+         |  FROM toks),
+         |sc AS (SELECT doc_id, (b * 2654435761) % 2001 - 1000 AS wt FROM bt)
+         |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(wt) AS BIGINT) AS logit,
+         |  CASE WHEN CAST(SUM(wt) AS BIGINT) > 0 THEN 'keep' ELSE 'drop' END
+         |    AS keep
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_tfidf_pairs" ->
       """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
         |tf AS (
