@@ -51,7 +51,8 @@ class TableFuzzSpec extends SparkSpec {
   private def modelRows(model: Seq[MRow], cols: Seq[String]): Vector[String] =
     canon(model.map(r => cols.map(r(_))))
 
-  private def runSeed(seedVal: Long, partitionBy: Seq[String] = Nil): Unit = {
+  private def runSeed(seedVal: Long, partitionBy: Seq[String] = Nil,
+      evolveSpec: Boolean = false): Unit = {
     val rnd = new Random(seedVal)
     val loc = tmp()
     val t = GraftTable.create(spark, loc, "id bigint, k bigint, s string",
@@ -119,6 +120,14 @@ class TableFuzzSpec extends SparkSpec {
         cols = cols :+ "v"
         models.values.foreach(_.foreach(_ += ("v" -> 5L)))
         checkAllRefs(s"step=$step op=addColumn")
+      }
+      // partition-spec evolution: new files land under the NEW spec while
+      // old files stay under theirs; every later delete/update/compaction
+      // must handle the mixed-spec file population per spec id
+      if (evolveSpec && step == nOps / 3) {
+        t.updateSpec(Seq(
+          GraftTable.parseSpecField("bucket(2, k)", t.meta.currentSchema)))
+        checkAllRefs(s"step=$step op=updateSpec")
       }
       // late rename: metadata-only by field id — files keep physical
       // names, every ref (incl. the frozen tag) presents the new name,
@@ -227,6 +236,7 @@ class TableFuzzSpec extends SparkSpec {
     // partition dirs and per-file partition tuples: deletes/updates must
     // rewrite only matching files per partition, compaction bins within
     // partitions, and the mid-sequence addColumn crosses spec'd files
-    runSeed(99L, partitionBy = Seq("identity(s)", "bucket(4, id)"))
+    runSeed(99L, partitionBy = Seq("identity(s)", "bucket(4, id)"),
+      evolveSpec = true)
   }
 }
