@@ -7,9 +7,12 @@ import graft.ops._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The capstone pipeline composition (exact dedup → lang/quality gates →
+    * family dedup → per-shard packing → split assignment) — the engine's
+    * whole LLM-data surface in one dataflow (354 rows at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q01(spark, "/root/testdata/sf0.001")
+    Pipeline.e2e(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
