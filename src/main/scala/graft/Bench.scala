@@ -79,6 +79,23 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // machine-speed canary: a fixed engine-independent workload (range
+    // sum through whole-stage codegen). Its ratio vs the committed
+    // clean-window floor (BASELINE.md, `canary floor:`) tells the READER
+    // whether this run landed in a CPU-steal window — query ratios from
+    // a run with canary_ratio >> 1 measure the VM, not the engine.
+    val canary = median((1 to runs.max(3)).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    })
+    val canaryFloor = {
+      val p = java.nio.file.Paths.get("BASELINE.md")
+      if (!java.nio.file.Files.isReadable(p)) None
+      else "canary floor: ([0-9.]+) s".r
+        .findFirstMatchIn(java.nio.file.Files.readString(p))
+        .map(_.group(1).toDouble)
+    }
     // vs-floor verdict: per-query median / best committed BASELINE.md
     // column; flagged = ratio > 2 (the documented noise tolerance)
     val fl = floors()
@@ -90,7 +107,9 @@ object Bench {
       val medR = median(ratios.map(_._2))
       val fj = flagged.map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }
         .mkString("{", ",", "}")
-      s"""{"median_ratio":${f"$medR%.3f"},"n_compared":${ratios.size},"flagged":$fj}"""
+      val cr = canaryFloor.map(f => f"${canary / f}%.2f").getOrElse("null")
+      s"""{"median_ratio":${f"$medR%.3f"},"n_compared":${ratios.size},""" +
+        s""""canary_sec":${f"$canary%.3f"},"canary_ratio":$cr,"flagged":$fj}"""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","runs":$runs,"stat":"median","vs_floor":$vsFloor}""")
