@@ -115,13 +115,56 @@ object Behavioral {
       .orderBy("r_q", "f_q", "m_q")
   }
 
+  /** Next-event transition matrix (first-order Markov over the event
+    * stream): for each user's time-ordered events, count (event_type →
+    * next_type) pairs and the per-source transition probability — the
+    * "what do users do after X" staple behind pathing UIs. Ties on ts
+    * break by event_id so both engines order identically.
+    *
+    * Scale shape: ONE user-keyed shuffle for the lead() window (the
+    * unavoidable cost of per-entity ordering), then two tiny aggs over
+    * the (type, next_type) matrix — O(|event vocabulary|²) rows, not
+    * O(events). p = n/total divides two exact BIGINTs: one correctly
+    * rounded IEEE op, engine-identical. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = pairs.groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("event_type")).agg(sum(col("n")).as("total"))
+    counts.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("p"))
+      .orderBy("event_type", "next_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ab_test" -> abTest,
     "q_rfm" -> rfm,
     "q_funnel" -> funnel,
+    "q_event_transitions" -> eventTransitions,
     "q_cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "q_event_transitions" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ordered WHERE next_type IS NOT NULL
+        |  GROUP BY event_type, next_type),
+        |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+        |      FROM c GROUP BY event_type)
+        |SELECT c.event_type, c.next_type, c.n,
+        |  CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS p
+        |FROM c JOIN t USING (event_type)
+        |ORDER BY c.event_type, c.next_type""".stripMargin,
     "q_ab_test" ->
       """WITH base AS (SELECT DISTINCT user_id FROM events),
         |pc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS np FROM events
