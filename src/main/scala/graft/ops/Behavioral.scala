@@ -141,14 +141,74 @@ object Behavioral {
       .orderBy("event_type", "next_type")
   }
 
+  /** Top session paths: sessionize (30-min gaps), take each session's
+    * first 5 events in time order, and rank the resulting `a>b>c` paths
+    * by frequency — the clickstream pathing report. Determinism comes
+    * from assembling the path OUTSIDE collect order: events carry their
+    * in-session row_number, the per-session array sorts by it
+    * (array_sort on structs orders field-by-field), and ties on ts broke
+    * by event_id back in the window — so the string is identical however
+    * partitions interleave.
+    *
+    * Scale shape: the same single user-keyed window shuffle sessionize
+    * pays (lag + cumsum + row_number share one sort), then a
+    * (user, session)-keyed agg whose value is a ≤5-element array, then a
+    * path-keyed count — output is O(distinct paths), input-linear work,
+    * no per-user state beyond the window frame. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lagT = lag(unix_micros(col("ts")), 1).over(w)
+    val sess = Tables(spark, dir, "events")
+      .withColumn("new_s",
+        when(lagT.isNull || unix_micros(col("ts")) - lagT > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    sess.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(collect_list(struct(col("rn"), col("event_type"))).as("evs"))
+      .select(concat_ws(">",
+        expr("transform(array_sort(evs), e -> e.event_type)")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ab_test" -> abTest,
     "q_rfm" -> rfm,
     "q_funnel" -> funnel,
     "q_event_transitions" -> eventTransitions,
+    "q_session_paths" -> sessionPaths,
     "q_cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "q_session_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s),
+        |s3 AS (
+        |  SELECT user_id, session_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM s2),
+        |p AS (
+        |  SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM s3 WHERE rn <= 5 GROUP BY user_id, session_id)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q_event_transitions" ->
       """WITH ordered AS (
         |  SELECT user_id, event_type,
