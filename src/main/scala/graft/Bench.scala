@@ -59,6 +59,19 @@ object Bench {
     val picked = only
       .map(sel => SparkEntry.queries.filter { case (k, _) => sel(k) })
       .getOrElse(SparkEntry.queries)
+    def canarySamples(n: Int): Seq[Double] = (1 to n).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // machine-speed canary: a fixed engine-independent workload (range
+    // sum through whole-stage codegen), sampled BEFORE and AFTER the
+    // query loop so a steal window anywhere in the run moves it. Its
+    // ratio vs the committed clean-window floor (BASELINE.md, `canary
+    // floor:`) tells the READER whether the run measured the VM or the
+    // engine — query ratios from a run with canary_ratio >> 1 should be
+    // discounted.
+    val canaryPre = canarySamples(2)
     val results = picked.map { case (name, fn) =>
       val samples = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -79,16 +92,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // machine-speed canary: a fixed engine-independent workload (range
-    // sum through whole-stage codegen). Its ratio vs the committed
-    // clean-window floor (BASELINE.md, `canary floor:`) tells the READER
-    // whether this run landed in a CPU-steal window — query ratios from
-    // a run with canary_ratio >> 1 measure the VM, not the engine.
-    val canary = median((1 to runs.max(3)).map { _ =>
-      val t0 = System.nanoTime()
-      spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
-      (System.nanoTime() - t0) / 1e9
-    })
+    val canary = median(canaryPre ++ canarySamples(2))
     val canaryFloor = {
       val p = java.nio.file.Paths.get("BASELINE.md")
       if (!java.nio.file.Files.isReadable(p)) None
@@ -107,12 +111,15 @@ object Bench {
       val medR = median(ratios.map(_._2))
       val fj = flagged.map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }
         .mkString("{", ",", "}")
-      val cr = canaryFloor.map(f => f"${canary / f}%.2f").getOrElse("null")
-      s"""{"median_ratio":${f"$medR%.3f"},"n_compared":${ratios.size},""" +
-        s""""canary_sec":${f"$canary%.3f"},"canary_ratio":$cr,"flagged":$fj}"""
+      s"""{"median_ratio":${f"$medR%.3f"},"n_compared":${ratios.size},"flagged":$fj}"""
     }
+    // canary emits top-level: it is meaningful even when no floor rows
+    // matched (fresh checkout, SPARK_GRAFT_ONLY on brand-new queries)
+    val cr = canaryFloor.map(f => f"${canary / f}%.2f").getOrElse("null")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","runs":$runs,"stat":"median","vs_floor":$vsFloor}""")
+      s""""sf":"$sfDir","runs":$runs,"stat":"median",""" +
+      s""""canary_sec":${f"$canary%.3f"},"canary_ratio":$cr,""" +
+      s""""vs_floor":$vsFloor}""")
     spark.stop()
   }
 }

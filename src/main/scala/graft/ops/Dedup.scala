@@ -233,11 +233,23 @@ object Dedup {
     * never the full text — so the groupBy moves (key, doc_id, source, prio)
     * only; one partial-agg shuffle total. min_by over a (prio, doc_id)
     * struct picks the winner in the same pass that sizes the family. */
+  /** bag-of-words family key: md5 of the sorted distinct token set —
+    * shared by [[priority]] and the composed pipeline ([[Pipeline]]) so
+    * the standalone and composed operators can never silently diverge */
+  private[ops] def familyKey: org.apache.spark.sql.Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+
+  /** the DuckDB replica of [[familyKey]] */
+  private[ops] val familySql: String =
+    "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+
   def priority(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .withColumn("fam",
-        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
-      .withColumn("prio", substring(col("source"), 4, 10).cast(LongType))
+      .withColumn("fam", familyKey)
+      // unbounded suffix parse, aligned with the oracle's substr(source, 4);
+      // Spark's cast yields NULL on a non-numeric suffix and TRY_CAST
+      // mirrors that on the DuckDB side
+      .withColumn("prio", expr("CAST(substring(source, 4) AS BIGINT)"))
       .groupBy(col("fam"))
       .agg(
         min_by(struct(col("doc_id"), col("source")),
@@ -392,11 +404,9 @@ object Dedup {
     "q_dedup_exact" ->
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
     "q_dedup_priority" ->
-      """WITH fam AS (
-        |  SELECT doc_id, source,
-        |    md5(array_to_string(
-        |      list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fam,
-        |    CAST(substr(source, 4) AS BIGINT) AS prio
+      s"""WITH fam AS (
+        |  SELECT doc_id, source, $familySql AS fam,
+        |    TRY_CAST(substr(source, 4) AS BIGINT) AS prio
         |  FROM documents),
         |sized AS (SELECT fam, COUNT(*) AS fam_size FROM fam GROUP BY fam),
         |pick AS (

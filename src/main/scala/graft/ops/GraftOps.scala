@@ -464,8 +464,7 @@ object GraftOps {
     * on wall clock / write parallelism, and the gate needs exact rows. */
   def metaTablesQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val loc = Files.createTempDirectory("graft-meta").resolve("t").toString
-    val t = GraftTable.create(spark, loc,
+    val t = GraftTable.create(spark, scratch(),
       "id bigint, status string, total double", Seq("identity(status)"))
     val rows = (1L to 30L).map(i => (i, if (i % 3 == 0) "A" else "B", i * 1.5))
     t.append(rows.toDF("id", "status", "total"))                    // snap 1

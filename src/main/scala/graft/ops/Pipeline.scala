@@ -38,8 +38,7 @@ object Pipeline {
       .select("doc_id", "n_words")
     // 3. near-dup collapse: one representative per bag-of-words family
     val fam = docs.select(col("doc_id"), col("source"),
-        md5(concat_ws(" ",
-          array_sort(array_distinct(split(col("text"), " "))))).as("fam"))
+        Dedup.familyKey.as("fam"))
       .join(gated, Seq("doc_id"))
     val kept = fam
       .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fam"))))
@@ -85,8 +84,7 @@ object Pipeline {
          |  WHERE s.pred_lang = 'en' AND s.n_words >= 15 AND s.swr >= 0.03),
          |fam AS (
          |  SELECT d.doc_id, d.source, g.n_words,
-         |    md5(array_to_string(
-         |      list_sort(list_distinct(string_split(d.text, ' '))), ' ')) AS fam
+         |    ${Dedup.familySql.replace("(text", "(d.text")} AS fam
          |  FROM documents d JOIN gated g ON d.doc_id = g.doc_id),
          |kept AS (
          |  SELECT doc_id, source, n_words FROM (
