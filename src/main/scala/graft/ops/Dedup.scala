@@ -31,20 +31,55 @@ object Dedup {
   private def shingles(docs: DataFrame): DataFrame =
     shingleArr(docs).select(col("doc_id"), explode(col("sh")).as("s"))
 
-  /** n-gram Jaccard pairs ≥ tau: explode shingles → self-equi-join on the
-    * shingle → count-distinct overlap. The join key is the shingle itself, so
-    * only docs sharing content ever meet — no cross join. */
-  def jaccardPairs(docs: DataFrame, tau: Double): DataFrame = {
-    val sh = shingles(docs).cache()
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val inter = sh.as("a").join(sh.as("b"),
+  /** Candidate pairs for exact Jaccard: self-equi-join on the shingle,
+    * restricted to shingles whose document frequency is ≤ maxDf. Without
+    * the cap one hot shingle shared by k docs emits k²/2 candidate rows —
+    * a skew bomb at corpus scale (a boilerplate phrase in a million docs
+    * would emit 5·10¹¹ pairs). With it, any shingle emits at most
+    * maxDf²/2 rows regardless of corpus size, and a pair is still found
+    * as long as it shares ONE sub-cap shingle — near-dup pairs share
+    * many, overwhelmingly including rare ones. The df filter is a plain
+    * equi-join against the aggregated df table (NOT a broadcast of the
+    * hot set: at 10¹² shingle occurrences the >cap set can itself be
+    * billions of keys); after the filter every join key carries ≤ maxDf
+    * rows, so the self-join has no skew left by construction. */
+  private[ops] def candidatesFromShingles(sh: DataFrame, maxDf: Int): DataFrame = {
+    val rare = sh.join(
+      sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("s"),
+      "s")
+    rare.as("a").join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(cnt.withColumnRenamed("doc_id", "a_id").withColumnRenamed("c", "ca"), "a_id")
-      .join(cnt.withColumnRenamed("doc_id", "b_id").withColumnRenamed("c", "cb"), "b_id")
-      .filter(col("inter").cast("double") / (col("ca") + col("cb") - col("inter")) >= tau)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** spec hook: df-capped candidate pairs straight from documents */
+  private[graft] def jaccardCandidates(docs: DataFrame, maxDf: Int): DataFrame =
+    candidatesFromShingles(shingles(docs), maxDf)
+
+  /** default df cap: bounds any shingle's candidate fan-out to ≤ 256²/2
+    * rows at ANY corpus size while excluding nothing in practice — a true
+    * near-dup pair virtually always shares rare shingles too (testdata
+    * max df is 25; a natural-corpus shingle with df > 256 is boilerplate) */
+  val JACCARD_MAX_DF = 256
+
+  /** n-gram Jaccard pairs ≥ tau: df-capped candidate generation (see
+    * [[candidatesFromShingles]]), then EXACT verification — the Jaccard
+    * value is computed from the full uncapped shingle arrays via
+    * array_intersect, so the cap only gates which pairs are examined,
+    * never the similarity arithmetic. Output = pairs with J ≥ tau that
+    * share at least one shingle with df ≤ maxDf; the SQL oracle encodes
+    * the identical rule. */
+  def jaccardPairs(docs: DataFrame, tau: Double, maxDf: Int = JACCARD_MAX_DF): DataFrame = {
+    val arr = shingleArr(docs).cache()
+    candidatesFromShingles(
+        arr.select(col("doc_id"), explode(col("sh")).as("s")), maxDf)
+      .join(arr.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+      .join(arr.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")) >= tau)
       .select("a_id", "b_id")
   }
 
@@ -248,8 +283,13 @@ object Dedup {
       .withColumn("fam", familyKey)
       // unbounded suffix parse, aligned with the oracle's substr(source, 4);
       // Spark's cast yields NULL on a non-numeric suffix and TRY_CAST
-      // mirrors that on the DuckDB side
-      .withColumn("prio", expr("CAST(substring(source, 4) AS BIGINT)"))
+      // mirrors that on the DuckDB side. NULL ordering diverges between
+      // the engines (Spark struct comparison sorts NULL first, DuckDB's
+      // ORDER BY defaults NULLS LAST), so pin the semantics explicitly:
+      // an unparseable source is LOWEST priority (Long.MaxValue sentinel
+      // here, NULLS LAST spelled out in the oracle)
+      .withColumn("prio", coalesce(
+        expr("CAST(substring(source, 4) AS BIGINT)"), lit(Long.MaxValue)))
       .groupBy(col("fam"))
       .agg(
         min_by(struct(col("doc_id"), col("source")),
@@ -304,6 +344,38 @@ object Dedup {
       |), pairs AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT a_id, b_id FROM pairs
+      | JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= %TAU%
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Capped-candidate replica of [[jaccardPairs]]: candidates must share
+    * a shingle with df ≤ %MAXDF%; the Jaccard value itself is computed
+    * over the FULL shingle sets (`pairs` joins `sh`, not `rare`) — the
+    * same generate-capped / verify-exact split as the Spark side. */
+  private val jaccardCappedOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      |), cnt AS (
+      |  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+      |), rare AS (
+      |  SELECT sh.doc_id, sh.s FROM sh
+      |  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= %MAXDF%) r
+      |    ON sh.s = r.s
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+      |), pairs AS (
+      |  SELECT c.a_id, c.b_id, count(*) AS inter
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.a_id
+      |  JOIN sh b ON b.doc_id = c.b_id AND b.s = a.s
       |  GROUP BY 1, 2
       |)
       |SELECT a_id, b_id FROM pairs
@@ -411,12 +483,13 @@ object Dedup {
         |sized AS (SELECT fam, COUNT(*) AS fam_size FROM fam GROUP BY fam),
         |pick AS (
         |  SELECT doc_id, source, fam,
-        |    row_number() OVER (PARTITION BY fam ORDER BY prio, doc_id) AS rn
+        |    row_number() OVER (PARTITION BY fam ORDER BY prio NULLS LAST, doc_id) AS rn
         |  FROM fam)
         |SELECT p.doc_id, p.source, s.fam_size
         |FROM pick p JOIN sized s USING (fam)
         |WHERE rn = 1 ORDER BY p.doc_id""".stripMargin,
-    "q_dedup_jaccard" -> jaccardOracle.replace("%TAU%", "0.6"),
+    "q_dedup_jaccard" -> jaccardCappedOracle.replace("%TAU%", "0.6")
+      .replace("%MAXDF%", JACCARD_MAX_DF.toString),
     "q_dedup_minhash" -> jaccardOracle.replace("%TAU%", "0.5"),
     "q_dedup_simhash" -> simhashOracle)
 }

@@ -314,6 +314,31 @@ class OpsSpec extends SparkSpec {
     assert(truth.subsetOf(cand), s"missing: ${truth.diff(cand)}")
   }
 
+  test("jaccard df cap bounds hot-shingle candidate fan-out") {
+    import spark.implicits._
+    // 40 docs share one boilerplate sentence — its shingles have df=40,
+    // the classic skew bomb (uncapped: 40·39/2 candidate pairs from the
+    // boilerplate alone). One planted near-dup pair shares rare shingles.
+    val docs = ((0L until 40L).map(i =>
+        (i, s"all rights reserved by the site u$i v$i w$i")) ++ Seq(
+        (100L, "quick brown fox jumps over the lazy dog tonight"),
+        (101L, "quick brown fox jumps over the lazy dog today")))
+      .toDF("doc_id", "text")
+    // uncapped baseline (cap ≥ 40 disables the filter): the hot shingles
+    // alone emit all 780 boilerplate pairs
+    assert(Dedup.jaccardCandidates(docs, 40).count() == 781)
+    // capped: boilerplate shingles (df=40 > 5) generate NOTHING; the
+    // planted pair still surfaces via its df=2 shingles
+    val cand = Dedup.jaccardCandidates(docs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand == Set((100L, 101L)), s"capped candidates: $cand")
+    // and verification is still exact over the FULL shingle sets: the
+    // planted pair scores J=6/8=0.75 and survives tau=0.6
+    val pairs = Dedup.jaccardPairs(docs, 0.6, maxDf = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 101L)), s"verified pairs: $pairs")
+  }
+
   test("simhash detects planted near-dup pairs") {
     val docs = Tables(spark, sf01, "documents")
     val truth = Dedup.jaccardPairs(docs, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
