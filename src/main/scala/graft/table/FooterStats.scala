@@ -18,10 +18,34 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   * per-column min/max/nullCount and partition values costs one footer
   * round-trip per file (a few KB each). The stat string encodings match
   * what [[Pruning]] compares against: unix micros for timestamps, epoch
-  * days for dates, plain decimal strings for numerics, raw strings
-  * (<=120 chars) for text. Unknown/unsupported column types simply carry
-  * no stats — pruning treats that as "keep the file". */
+  * days for dates, plain decimal strings for numerics, raw strings for
+  * text (values over 120 chars are TRUNCATED Iceberg-style rather than
+  * dropped: 16-char prefix as the min — a prefix sorts <= the value, so
+  * it is a valid lower bound — and a prefix with its last code unit
+  * incremented as the max, strictly above everything sharing the
+  * prefix; a text-heavy corpus thus keeps pruning on its text column).
+  * Unknown/unsupported column types simply carry no stats — pruning
+  * treats that as "keep the file". */
 object FooterStats {
+
+  /** stat strings longer than this are truncated (was: dropped) */
+  private val MaxStatLen = 120
+  /** truncated-bound prefix width, matching Iceberg's default
+    * write.metadata.metrics truncate(16) */
+  private val TruncLen = 16
+
+  /** valid UPPER bound for all strings starting with the 16-unit prefix:
+    * bump the rightmost incrementable UTF-16 unit and cut there. None if
+    * every unit is already ￿ (no finite bound exists — drop). The
+    * bound lives in String.compareTo (code-unit) order, the same order
+    * [[Pruning.cmp]] uses, so surrogate artifacts cannot unsound it. */
+  private[graft] def truncUpper(s: String): Option[String] = {
+    val p = s.substring(0, TruncLen).toCharArray
+    var i = p.length - 1
+    while (i >= 0 && p(i) == Character.MAX_VALUE) i -= 1
+    if (i < 0) None
+    else Some(new String(p, 0, i) + (p(i) + 1).toChar)
+  }
 
   private val hconf = new Configuration()
 
@@ -136,9 +160,15 @@ object FooterStats {
       val stats = schema.fields.flatMap { f =>
         // name-mapped (imported) files carry LOGICAL column names
         acc.get(if (nameMapped) f.name else s"f${f.id}").map { case (mn, mx, nulls, ok) =>
-          def enc(v: Option[Comparable[Any]]): Option[String] =
-            if (!ok) None else v.map(_.toString).filter(_.length <= 120)
-          f.id.toString -> ColStats(enc(mn), enc(mx), nulls)
+          // only string stats can exceed the cap; numerics/timestamps
+          // render short. Truncated bounds stay VALID (weaker) bounds.
+          def enc(v: Option[Comparable[Any]], isMax: Boolean): Option[String] =
+            if (!ok) None else v.map(_.toString).flatMap { s =>
+              if (s.length <= MaxStatLen) Some(s)
+              else if (isMax) truncUpper(s)
+              else Some(s.substring(0, TruncLen))
+            }
+          f.id.toString -> ColStats(enc(mn, isMax = false), enc(mx, isMax = true), nulls)
         }
       }.toMap
       (rows, stats)

@@ -1050,4 +1050,40 @@ class TableSpec extends SparkSpec {
       }
     } finally spark.conf.set(tzKey, prev)
   }
+
+  test("long string bounds truncate to prunable prefixes instead of dropping") {
+    import spark.implicits._
+    // values over the 120-char stat cap: pre-truncation these carried NO
+    // bounds, so a text-leading filter scanned every file
+    def doc(p: String) = p + ("x" * 150)
+    val t = GraftTable.create(spark, tmp(), "id bigint, txt string")
+    t.append(Seq((1L, doc("aaaa")), (2L, doc("bbbb"))).toDF("id", "txt").coalesce(1))
+    t.append(Seq((3L, doc("mmmm")), (4L, doc("nnnn"))).toDF("id", "txt").coalesce(1))
+    t.append(Seq((5L, doc("yyyy")), (6L, doc("zzzz"))).toDF("id", "txt").coalesce(1))
+    val stats = t.liveFiles().filter(_.fileType == "data").flatMap(_.stats.get("2"))
+    assert(stats.size == 3)
+    // bounds survive truncation: 16-unit prefix min, incremented max
+    assert(stats.forall(s => s.min.nonEmpty && s.max.nonEmpty))
+    assert(stats.forall(s => s.min.get.length == 16 && s.max.get.length == 16))
+    assert(stats.exists(_.min.get.startsWith("aaaa")))
+    assert(stats.exists(_.max.get == "zzzzxxxxxxxxxxxy")) // last unit bumped
+    // the truncated bounds PRUNE: each range predicate keeps one file
+    assert(t.prunedFiles("txt < 'b'").size == 1)
+    assert(t.prunedFiles("txt > 'z'").size == 1)
+    assert(t.prunedFiles("txt >= 'm' and txt < 'o'").size == 1)
+    // and remain CORRECT (weaker-bound, never false-prune) under scan
+    assert(t.scan(filter = Some("txt < 'b'")).count() == 1)
+    assert(t.scan(filter = Some("txt > 'z'")).count() == 1)
+    // prefix-equal probes at the truncation boundary must keep the file
+    assert(t.prunedFiles(s"txt = '${doc("aaaa")}'").size == 1)
+  }
+
+  test("truncUpper bumps the rightmost incrementable UTF-16 unit") {
+    assert(FooterStats.truncUpper("a" * 150).contains("a" * 15 + "b"))
+    // units at MAX_VALUE are skipped right-to-left
+    assert(FooterStats.truncUpper("ab" + ("￿" * 140))
+      .contains("ac"))
+    // no incrementable unit -> no finite bound
+    assert(FooterStats.truncUpper("￿" * 150).isEmpty)
+  }
 }
