@@ -32,7 +32,16 @@ import graft.table.{GraftTable, WriteMode}
 object Interop {
   type Q = (SparkSession, String) => DataFrame
 
-  /** fixed location so the static oracle SQL can find the table */
+  /** Fixed location so the static oracle SQL can find the table.
+    *
+    * SINGLE-RUNNER CONTRACT: the Spark query (re)builds the table at this
+    * path as a side effect and the oracle reads the same path afterwards,
+    * so the pair is only meaningful inside one harness pass — two
+    * concurrent harness runs on a machine would wipe/rebuild each other's
+    * tables mid-read (wipe() deletes the tree). The driver's gate and
+    * `scripts/selfcheck.py` are both single-process, sequential runners,
+    * which is exactly the scope these queries certify; see
+    * FORMAT.md §"interop oracle". */
   val Loc = "/tmp/graft_interop"
 
   /** fixed location for the time-travel variant (own table: registry

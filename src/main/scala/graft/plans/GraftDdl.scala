@@ -75,7 +75,10 @@ case class GraftCtasCommand(ns: String, tbl: String,
       }
     } else if (replace && !orCreate) throw new IllegalStateException(
       s"no such table graft.$ns.$tbl (use CREATE OR REPLACE TABLE)")
-    val staging = s".rtas_${tbl}_${java.util.UUID.randomUUID.toString.take(8)}"
+    // target-encoding name: if this process dies between the drop and the
+    // rename below, cleanStaging can parse the target back out and finish
+    // the swap instead of deleting the only copy of the data
+    val staging = cat.stagingName(tbl)
     val st = cat.createTable(ns, staging, df.schema.toDDL, partitionBy, props)
     try st.append(df)
     catch { case e: Throwable => cat.dropTable(ns, staging); throw e }

@@ -70,22 +70,51 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def dropNamespace(ns: String): Unit =
     Files.deleteIfExists(nsPath(ns))
 
-  /** Remove in-flight staging tables (dot-prefixed dirs from CTAS REPLACE
-    * swaps) whose last metadata write is older than `olderThanMs` — the
-    * cleanup for a writer that crashed between materialize and swap. Age
-    * guard for the same reason removeOrphanFiles has one: a LIVE RTAS may
-    * still be materializing into a young staging dir. */
-  def cleanStaging(ns: String, olderThanMs: Long): Int = {
+  /** staging-dir name for an RTAS swap targeting `tbl` — the fixed-width
+    * uuid makes the TARGET parseable back out of the name, which is what
+    * lets [[cleanStaging]] recover a swap that crashed between drop(old)
+    * and rename(staging, target) */
+  def stagingName(tbl: String): String =
+    s".rtas_${java.util.UUID.randomUUID.toString.take(8)}_$tbl"
+
+  private val StagingRe = "^\\.rtas_[0-9a-f]{8}_(.+)$".r
+
+  /** Reconcile in-flight staging tables (dot-prefixed dirs from CTAS
+    * REPLACE swaps) whose last metadata write is older than `olderThanMs`.
+    * Age guard for the same reason removeOrphanFiles has one: a LIVE RTAS
+    * may still be materializing into a young staging dir.
+    *
+    * RESTORE-FIRST: a swap that crashed between dropTable(old) and
+    * renameTable(staging, target) leaves the fully-materialized staging
+    * dir as the ONLY surviving copy of the table — deleting it would
+    * destroy data. So a stale staging whose parsed target is missing and
+    * whose materialization completed (>= 1 snapshot) is renamed into
+    * place, finishing the interrupted swap; everything else (target
+    * alive, or crashed mid-materialize with zero snapshots) is removed.
+    *
+    * @return (restored, removed) counts */
+  def cleanStaging(ns: String, olderThanMs: Long): (Int, Int) = {
     val p = nsPath(ns)
-    if (!Files.isDirectory(p)) return 0
+    if (!Files.isDirectory(p)) return (0, 0)
     val stale = Files.list(p).iterator().asScala
       .filter(d => d.getFileName.toString.startsWith(".") && Files.isDirectory(d))
       .filter(d => Files.getLastModifiedTime(d).toMillis < olderThanMs)
       .toSeq
+    var restored = 0
     stale.foreach { d =>
-      Files.walk(d).sorted(Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      val target = d.getFileName.toString match {
+        case StagingRe(t) => Some(t)
+        case _ => None
+      }
+      val complete = Meta.currentVersion(d.toString).isDefined &&
+        scala.util.Try(Meta.readJson(d.toString).snapshots.nonEmpty).getOrElse(false)
+      target.filter(t => complete && !tableExists(ns, t)) match {
+        case Some(t) => Files.move(d, tblPath(ns, t)); restored += 1
+        case None =>
+          Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
     }
-    stale.size
+    (restored, stale.size - restored)
   }
 }

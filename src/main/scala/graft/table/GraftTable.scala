@@ -373,6 +373,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
               s"cannot rebase '$op': ${missing.size} data file(s) of its " +
                 "commit base were rewritten or removed concurrently — retry")
         }
+        // add_files validated "not already registered" against its OWN
+        // base; a rebase adopts a head it never validated, so re-check
+        // against the fresh entries — otherwise two writers (or one racing
+        // a concurrent add_files of the same path) double-register a file
+        // and silently double-count its rows, the exact hazard the
+        // pre-commit check exists to prevent.
+        if (op == "add-files") {
+          val freshPaths = fresh.head(branch).toSeq
+            .flatMap(p => Meta.readEntries(location, p))
+            .map(e => normPath(abs(e.path))).toSet
+          val dups = added.map(e => normPath(abs(e.path))).filter(freshPaths)
+          if (dups.nonEmpty) throw new CommitConflictException(
+            s"cannot rebase 'add-files': already registered concurrently: " +
+              dups.take(3).mkString(", ") +
+              (if (dups.size > 3) s" (+${dups.size - 3} more)" else ""))
+        }
         snapId = fresh.lastSnapshotId + 1
         seq = fresh.lastSequenceNumber + 1
         entries = added.map(e => e.copy(sequenceNumber = seq))

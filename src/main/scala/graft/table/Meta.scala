@@ -189,10 +189,18 @@ object Meta {
     // legacy-format shim: pre-segmented-manifest snapshots carried a single
     // `manifest` string — map it to a one-segment `manifests` list so tables
     // written by older builds stay readable (no formatVersion bump needed:
-    // the on-disk segment files themselves are unchanged)
+    // the on-disk segment files themselves are unchanged). Scoped to the
+    // elements of the top-level `snapshots` array: an unscoped recursive
+    // transform would also mangle a table PROPERTY literally keyed
+    // "manifest" (properties are user-controlled strings) into an array
+    // and make the table unreadable.
     val ast = org.json4s.jackson.JsonMethods.parse(Files.readString(p))
       .transformField {
-        case ("manifest", JString(m)) => ("manifests", JArray(List(JString(m))))
+        case ("snapshots", JArray(snaps)) =>
+          ("snapshots", JArray(snaps.map(_.transformField {
+            case ("manifest", JString(m)) =>
+              ("manifests", JArray(List(JString(m))))
+          })))
       }
     ast.extract[TableMeta]
   }

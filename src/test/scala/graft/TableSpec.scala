@@ -184,6 +184,28 @@ class TableSpec extends SparkSpec {
     assert(d.getMessage.contains("already registered"), d.getMessage)
   }
 
+  test("stale-handle add_files re-checks duplicates on rebase") {
+    val ext = tmp() + "-ext"
+    seedDf(seed).write.parquet(ext)
+    val loc = tmp()
+    val t1 = mkOrders(loc)
+    val t2 = GraftTable.load(spark, loc) // pins the empty state NOW
+    t1.addFiles(ext)
+    // t2's pre-commit duplicate check runs against its stale base (which
+    // has no files), so only the rebase-path re-check against the fresh
+    // head can stop the double registration
+    val e = intercept[CommitConflictException] { t2.addFiles(ext) }
+    assert(e.getMessage.contains("registered concurrently"), e.getMessage)
+    assert(t1.scan().count() == 6, "rows double-counted by rebased add_files")
+    // a rebase over an UNRELATED concurrent commit still succeeds
+    val ext2 = tmp() + "-ext2"
+    seedDf(Seq((7L, 40L, "O", 700.0))).write.parquet(ext2)
+    val t3 = GraftTable.load(spark, loc)
+    t1.append(seedDf(Seq((8L, 50L, "F", 800.0))))
+    t3.addFiles(ext2) // stale base, different path: rebases cleanly
+    assert(t1.scan().count() == 8)
+  }
+
   test("expire never deletes externally registered files (add_files gc safety)") {
     val ext = tmp() + "-ext"
     seedDf(seed).write.parquet(ext)
@@ -222,6 +244,19 @@ class TableSpec extends SparkSpec {
     assert(Files.readString(p).contains("\"manifest\""))
     val re = GraftTable.load(spark, t.location)
     assert(re.meta.head("main").get.manifests.size == 1)
+    assert(re.scan().count() == 6)
+  }
+
+  test("legacy shim is scoped to snapshots: a property keyed 'manifest' survives") {
+    // the shim rewrites `manifest` fields into `manifests` arrays; applied
+    // recursively it would also mangle a user property literally keyed
+    // "manifest" (properties are arbitrary strings) and break extraction
+    val t = GraftTable.create(spark, tmp(),
+      "o_orderkey bigint, o_custkey bigint, o_status string, o_total double",
+      Nil, Map("manifest" -> "user-value", "other" -> "x"))
+    t.append(seedDf(seed))
+    val re = GraftTable.load(spark, t.location)
+    assert(re.meta.properties("manifest") == "user-value")
     assert(re.scan().count() == 6)
   }
 
@@ -535,17 +570,39 @@ class TableSpec extends SparkSpec {
     val wh = Files.createTempDirectory("graft-stg").toString
     val cat = new GraftCatalog(spark, wh)
     cat.createNamespace("db")
-    // a "crashed" staging table (dot-prefixed) and a live table
-    cat.createTable("db", ".rtas_t_dead", "k bigint")
+    // a "crashed" staging table whose TARGET IS ALIVE (crash before the
+    // drop: old table intact, staging is discardable) and the live table
+    cat.createTable("db", cat.stagingName("t"), "k bigint")
     val live = cat.createTable("db", "t", "k bigint")
     import spark.implicits._
     live.append(Seq(1L).toDF("k"))
     assert(cat.listTables("db") == Seq("t"), "staging hidden from listings")
     // young staging survives the age guard; stale is removed
-    assert(cat.cleanStaging("db", System.currentTimeMillis() - 60000) == 0)
-    assert(cat.cleanStaging("db", System.currentTimeMillis() + 1000) == 1)
+    assert(cat.cleanStaging("db", System.currentTimeMillis() - 60000) == ((0, 0)))
+    assert(cat.cleanStaging("db", System.currentTimeMillis() + 1000) == ((0, 1)))
     assert(cat.listTables("db") == Seq("t"))
     assert(cat.loadTable("db", "t").scan().count() == 1)
+  }
+
+  test("cleanStaging finishes a swap that crashed between drop and rename") {
+    val wh = Files.createTempDirectory("graft-stg2").toString
+    val cat = new GraftCatalog(spark, wh)
+    import spark.implicits._
+    // simulate the RTAS crash window: the staging table is FULLY
+    // materialized, the old target was already dropped, the rename never
+    // ran — the staging dir is the only copy of the data
+    val stg = cat.stagingName("orders")
+    cat.createTable("db", stg, "k bigint").append(Seq(7L, 8L).toDF("k"))
+    assert(cat.listTables("db").isEmpty, "no visible table in the window")
+    val (restored, removed) = cat.cleanStaging("db", System.currentTimeMillis() + 1000)
+    assert((restored, removed) == ((1, 0)))
+    assert(cat.listTables("db") == Seq("orders"))
+    assert(cat.loadTable("db", "orders").scan().count() == 2)
+    // but a crash mid-materialize (zero snapshots) is NOT restorable even
+    // if its target is missing — it must be removed, never renamed in
+    cat.createTable("db", cat.stagingName("empty"), "k bigint")
+    assert(cat.cleanStaging("db", System.currentTimeMillis() + 1000) == ((0, 1)))
+    assert(cat.listTables("db") == Seq("orders"))
   }
 
   test("optimistic concurrency: stale-base appends rebase, rewrites conflict") {
