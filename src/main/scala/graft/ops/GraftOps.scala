@@ -433,10 +433,24 @@ object GraftOps {
   }
 
   // --- #21 catalog operations ------------------------------------------------
-  def catalogOps(spark: SparkSession, dir: String): DataFrame = {
+  /** filesystem backend (hadoop-catalog analog) */
+  def catalogOps(spark: SparkSession, dir: String): DataFrame =
+    catalogOpsOn(spark, wh => new GraftCatalog(spark, wh))
+
+  /** Derby pointer backend (jdbc-catalog analog) — the SAME lifecycle and
+    * the SAME oracle rows as q_catalog: the backends are interchangeable
+    * behind [[graft.table.Catalog]], which is the pluggability claim this
+    * query certifies. Rename here is a single pointer UPDATE (no data
+    * move), the shape that survives object storage at 100 TB. */
+  def catalogOpsJdbc(spark: SparkSession, dir: String): DataFrame =
+    catalogOpsOn(spark,
+      wh => new JdbcGraftCatalog(spark, JdbcGraftCatalog.defaultUrl(wh), wh))
+
+  private def catalogOpsOn(spark: SparkSession,
+      mk: String => Catalog): DataFrame = {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-wh").toString
-    val cat = new GraftCatalog(spark, wh)
+    val cat = mk(wh)
     cat.createNamespace("db1")
     cat.createNamespace("db2")
     val t1 = cat.createTable("db1", "t1", "k bigint, v string")
@@ -725,6 +739,7 @@ object GraftOps {
     "q_bloom_filter" -> bloomFilter,
     "q_zorder" -> zorderCluster,
     "q_catalog" -> catalogOps,
+    "q_catalog_jdbc" -> catalogOpsJdbc,
     "q_meta_tables" -> metaTablesQ)
 
   private val sumTotal =
@@ -959,6 +974,12 @@ object GraftOps {
         |FROM orders WHERE o_orderkey < 500
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_catalog" ->
+      """SELECT ns, tbl, CAST(rows_in_t1 AS BIGINT) AS rows_in_t1
+        |FROM (VALUES ('db1', 't1', 2), ('db2', 't2b', 2))
+        | AS t(ns, tbl, rows_in_t1) ORDER BY ns, tbl""".stripMargin,
+    // identical rows BY DESIGN: the jdbc pointer backend must be
+    // indistinguishable from the filesystem backend through the Catalog API
+    "q_catalog_jdbc" ->
       """SELECT ns, tbl, CAST(rows_in_t1 AS BIGINT) AS rows_in_t1
         |FROM (VALUES ('db1', 't1', 2), ('db2', 't2b', 2))
         | AS t(ns, tbl, rows_in_t1) ORDER BY ns, tbl""".stripMargin,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{BooleanType, StringType}
 
-import graft.table.GraftCatalog
+import graft.table.Catalog
 
 /** SQL DDL + stored procedures over graft tables — the rest of the SQL
   * lifecycle the reference exercises (`tests/iceberg_feature_tests.py`
@@ -16,12 +16,9 @@ import graft.table.GraftCatalog
   * is one new schema version, no data rewrite.
   */
 private[plans] object GraftDdl {
-  def catalog(spark: SparkSession): GraftCatalog = {
-    val wh = spark.conf.getOption("spark.graft.warehouse").getOrElse(
-      throw new IllegalStateException(
-        "set spark.graft.warehouse to resolve graft.<ns>.<table> relations"))
-    new GraftCatalog(spark, wh)
-  }
+  /** backend chosen by `spark.graft.catalog` (fs default | jdbc) — every
+    * DDL/DML command and the resolution rule go through this one seam */
+  def catalog(spark: SparkSession): Catalog = Catalog(spark)
   def info(s: String): Seq[Row] = Seq(Row(s))
   val infoOutput: Seq[Attribute] = Seq(AttributeReference("info", StringType)())
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graft.Bridge
 
-import graft.table.{GraftCatalog, GraftTable, WriteMode}
+import graft.table.{Catalog, GraftTable, WriteMode}
 
 /** SQL DML over graft tables, the surface the reference drives everything
   * through (`tests/iceberg_feature_tests.py:520-780` issues MERGE/UPDATE/
@@ -23,12 +23,8 @@ import graft.table.{GraftCatalog, GraftTable, WriteMode}
   */
 private[plans] object GraftDml {
 
-  def load(spark: SparkSession, ns: String, tbl: String): GraftTable = {
-    val wh = spark.conf.getOption("spark.graft.warehouse").getOrElse(
-      throw new IllegalStateException(
-        "set spark.graft.warehouse to resolve graft.<ns>.<table> relations"))
-    new GraftCatalog(spark, wh).loadTable(ns, tbl)
-  }
+  def load(spark: SparkSession, ns: String, tbl: String): GraftTable =
+    Catalog(spark).loadTable(ns, tbl)
 
   /** row-level write mode for SQL statements: `spark.graft.write.mode` =
     * copy-on-write (default) | merge-on-read | deletion-vector */

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.command.ShowNamespacesCommand
 import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
 
-import graft.table.{GraftCatalog, GraftTable, Pruning}
+import graft.table.{Catalog, GraftTable, Pruning}
 
 /** SQL-surface resolution for graft tables: an analyzer rule that resolves
   * `graft.<namespace>.<table>` relations into the graft read path, so
@@ -68,8 +68,8 @@ class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   private def metadataCount(u: UnresolvedRelation): Option[Long] = {
     val Seq(_, ns, ident) = u.multipartIdentifier
     if (ident.contains('$') || ident.contains('@')) return None
-    val wh = spark.conf.getOption("spark.graft.warehouse").getOrElse(return None)
-    val cat = new GraftCatalog(spark, wh)
+    if (spark.conf.getOption("spark.graft.warehouse").isEmpty) return None
+    val cat = Catalog(spark)
     if (!cat.tableExists(ns, ident)) return None
     val entries = cat.loadTable(ns, ident).liveFiles()
     if (entries.exists(_.fileType != "data")) None
@@ -84,10 +84,7 @@ class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       snapshotId: Option[Long] = None,
       asOfMs: Option[Long] = None): Option[LogicalPlan] = {
     val Seq(_, ns, ident) = u.multipartIdentifier
-    val wh = spark.conf.getOption("spark.graft.warehouse").getOrElse(
-      throw new IllegalStateException(
-        "set spark.graft.warehouse to resolve graft.<ns>.<table> relations"))
-    val cat = new GraftCatalog(spark, wh)
+    val cat = Catalog(spark)
     // `tbl$files` / `tbl$snapshots` / `tbl$refs` are metadata tables;
     // `tbl@branch` reads a named ref (branch or tag)
     val (ident2, ref) = ident.indexOf('@') match {

@@ -7,11 +7,107 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 
+/** The catalog contract: namespace + table-pointer management over a graft
+  * warehouse. Two backends prove the seam the reference exposes through its
+  * catalog matrix (hadoop/jdbc/rest/...): [[GraftCatalog]] (filesystem — the
+  * hadoop-catalog analog, state IS the directory tree) and
+  * [[JdbcGraftCatalog]] (pointer rows in an embedded Derby database — the
+  * jdbc-catalog analog, state is a table of `(ns, tbl) -> location`
+  * pointers). Everything above this trait (SQL DDL/DML resolution, RTAS
+  * swap + recovery, the q_catalog query family) is backend-agnostic;
+  * [[Catalog.apply]] picks the backend from `spark.graft.catalog`.
+  *
+  * CAS discipline both backends honor: `createTable` fails on an existing
+  * name (never overwrites), `renameTable` fails if the target exists, and
+  * the RTAS staging flow (stagingName → materialize → drop old → rename in)
+  * is recoverable by [[Catalog.cleanStaging]] at every crash point. */
+trait Catalog {
+  def spark: SparkSession
+  def warehouse: String
+
+  def createNamespace(ns: String): Unit
+  def listNamespaces(): Seq[String]
+  /** drop an EMPTY namespace (callers enforce emptiness for DDL) */
+  def dropNamespace(ns: String): Unit
+
+  def createTable(ns: String, name: String, ddl: String,
+      partitionBy: Seq[String] = Nil, properties: Map[String, String] = Map.empty,
+      formatVersion: Int = 3): GraftTable
+  def loadTable(ns: String, name: String): GraftTable
+  def tableExists(ns: String, name: String): Boolean
+  def listTables(ns: String): Seq[String]
+  def renameTable(ns: String, from: String, to: String): Unit
+  def dropTable(ns: String, name: String): Unit
+
+  /** staging-table name for an RTAS swap targeting `tbl` — dot-prefixed
+    * (hidden from listings) with a fixed-width uuid so the TARGET is
+    * parseable back out of the name, which is what lets [[cleanStaging]]
+    * recover a swap that crashed between drop(old) and rename(staging,
+    * target) */
+  final def stagingName(tbl: String): String =
+    s".rtas_${java.util.UUID.randomUUID.toString.take(8)}_$tbl"
+
+  protected final val StagingRe = "^\\.rtas_[0-9a-f]{8}_(.+)$".r
+
+  /** a staging table is restorable only if its materialization completed:
+    * at least one committed snapshot at `location` */
+  protected final def stagingComplete(location: String): Boolean =
+    Meta.currentVersion(location).isDefined &&
+      scala.util.Try(Meta.readJson(location).snapshots.nonEmpty).getOrElse(false)
+
+  /** Reconcile in-flight staging tables (from CTAS REPLACE swaps) whose
+    * last write is older than `olderThanMs`. Age guard for the same reason
+    * removeOrphanFiles has one: a LIVE RTAS may still be materializing into
+    * a young staging table.
+    *
+    * RESTORE-FIRST: a swap that crashed between dropTable(old) and
+    * renameTable(staging, target) leaves the fully-materialized staging
+    * table as the ONLY surviving copy of the data — deleting it would
+    * destroy the table. So a stale staging whose parsed target is missing
+    * and whose materialization completed (>= 1 snapshot) is renamed into
+    * place, finishing the interrupted swap; everything else (target alive,
+    * or crashed mid-materialize with zero snapshots) is removed.
+    *
+    * @return (restored, removed) counts */
+  def cleanStaging(ns: String, olderThanMs: Long): (Int, Int)
+
+  protected final def deleteTree(d: Path): Unit =
+    if (Files.exists(d))
+      Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+}
+
+object Catalog {
+  /** Backend factory for the SQL surface: `spark.graft.catalog` = `fs`
+    * (default — filesystem warehouse) | `jdbc` (Derby pointer store at
+    * `spark.graft.catalog.jdbc.url`, defaulting to an embedded database
+    * inside the warehouse). `spark.graft.warehouse` is required either
+    * way — it is where table data lives; the backends differ only in
+    * where the POINTERS live. */
+  def apply(spark: SparkSession): Catalog = {
+    val wh = spark.conf.getOption("spark.graft.warehouse").getOrElse(
+      throw new IllegalStateException(
+        "set spark.graft.warehouse to resolve graft.<ns>.<table> relations"))
+    spark.conf.getOption("spark.graft.catalog").getOrElse("fs") match {
+      case "fs" => new GraftCatalog(spark, wh)
+      case "jdbc" =>
+        val url = spark.conf.getOption("spark.graft.catalog.jdbc.url")
+          .getOrElse(JdbcGraftCatalog.defaultUrl(wh))
+        new JdbcGraftCatalog(spark, url, wh)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.catalog must be fs|jdbc, got '$other'")
+    }
+  }
+}
+
 /** Filesystem-warehouse catalog (the hadoop-catalog analog): a namespace is
   * a directory, a table is a graft-format directory inside it. All state is
-  * on the filesystem — service catalogs (REST/JDBC/Hive/...) would plug in
-  * behind the same interface by swapping the listing/pointer operations. */
-class GraftCatalog(val spark: SparkSession, val warehouse: String) {
+  * on the filesystem — no service, no pointers; `tableExists` IS "does the
+  * directory hold committed metadata". The trade-off vs the pointer
+  * backends: rename is a filesystem move (O(1) on POSIX, O(data) on object
+  * stores — [[JdbcGraftCatalog]] is the shape for the latter). */
+class GraftCatalog(val spark: SparkSession, val warehouse: String)
+    extends Catalog {
 
   private def nsPath(ns: String): Path = Paths.get(warehouse, ns)
   private def tblPath(ns: String, t: String): Path = nsPath(ns).resolve(t)
@@ -59,40 +155,12 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     Files.move(tblPath(ns, from), tblPath(ns, to))
   }
 
-  def dropTable(ns: String, name: String): Unit = {
-    val p = tblPath(ns, name)
-    if (Files.isDirectory(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-  }
+  def dropTable(ns: String, name: String): Unit =
+    deleteTree(tblPath(ns, name))
 
-  /** drop an EMPTY namespace (callers enforce emptiness for DDL) */
   def dropNamespace(ns: String): Unit =
     Files.deleteIfExists(nsPath(ns))
 
-  /** staging-dir name for an RTAS swap targeting `tbl` — the fixed-width
-    * uuid makes the TARGET parseable back out of the name, which is what
-    * lets [[cleanStaging]] recover a swap that crashed between drop(old)
-    * and rename(staging, target) */
-  def stagingName(tbl: String): String =
-    s".rtas_${java.util.UUID.randomUUID.toString.take(8)}_$tbl"
-
-  private val StagingRe = "^\\.rtas_[0-9a-f]{8}_(.+)$".r
-
-  /** Reconcile in-flight staging tables (dot-prefixed dirs from CTAS
-    * REPLACE swaps) whose last metadata write is older than `olderThanMs`.
-    * Age guard for the same reason removeOrphanFiles has one: a LIVE RTAS
-    * may still be materializing into a young staging dir.
-    *
-    * RESTORE-FIRST: a swap that crashed between dropTable(old) and
-    * renameTable(staging, target) leaves the fully-materialized staging
-    * dir as the ONLY surviving copy of the table — deleting it would
-    * destroy data. So a stale staging whose parsed target is missing and
-    * whose materialization completed (>= 1 snapshot) is renamed into
-    * place, finishing the interrupted swap; everything else (target
-    * alive, or crashed mid-materialize with zero snapshots) is removed.
-    *
-    * @return (restored, removed) counts */
   def cleanStaging(ns: String, olderThanMs: Long): (Int, Int) = {
     val p = nsPath(ns)
     if (!Files.isDirectory(p)) return (0, 0)
@@ -106,13 +174,9 @@ class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         case StagingRe(t) => Some(t)
         case _ => None
       }
-      val complete = Meta.currentVersion(d.toString).isDefined &&
-        scala.util.Try(Meta.readJson(d.toString).snapshots.nonEmpty).getOrElse(false)
-      target.filter(t => complete && !tableExists(ns, t)) match {
+      target.filter(t => stagingComplete(d.toString) && !tableExists(ns, t)) match {
         case Some(t) => Files.move(d, tblPath(ns, t)); restored += 1
-        case None =>
-          Files.walk(d).sorted(Comparator.reverseOrder[Path]())
-            .iterator().asScala.foreach(Files.deleteIfExists(_))
+        case None => deleteTree(d)
       }
     }
     (restored, stale.size - restored)

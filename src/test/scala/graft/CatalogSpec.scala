@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.table.{Catalog, GraftCatalog, JdbcGraftCatalog}
+
+/** The pluggability contract: the filesystem catalog and the Derby pointer
+  * catalog must be indistinguishable through [[graft.table.Catalog]] — same
+  * lifecycle, same listings, same CAS refusals, same staging recovery —
+  * while differing exactly where they should (a jdbc rename never moves
+  * data). */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def backends: Seq[(String, String => Catalog)] = Seq(
+    "fs" -> (wh => new GraftCatalog(spark, wh)),
+    "jdbc" -> (wh => new JdbcGraftCatalog(spark, JdbcGraftCatalog.defaultUrl(wh), wh)))
+
+  test("both backends run the same lifecycle to the same listing") {
+    for ((label, mk) <- backends) {
+      val wh = Files.createTempDirectory(s"graft-cat-$label").toString
+      val cat = mk(wh)
+      cat.createNamespace("db1")
+      cat.createNamespace("db2")
+      val t1 = cat.createTable("db1", "t1", "k bigint, v string")
+      t1.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      cat.createTable("db1", "tmp", "k bigint")
+      cat.createTable("db2", "t2", "k bigint")
+      cat.renameTable("db2", "t2", "t2b")
+      cat.dropTable("db1", "tmp")
+      val listing =
+        for (ns <- cat.listNamespaces(); tb <- cat.listTables(ns)) yield (ns, tb)
+      assert(listing == Seq(("db1", "t1"), ("db2", "t2b")), label)
+      assert(cat.loadTable("db1", "t1").scan().count() == 2, label)
+      // CAS refusals: a name can only be won once
+      intercept[Exception] { cat.createTable("db1", "t1", "k bigint") }
+      cat.createTable("db2", "x", "k bigint")
+      intercept[Exception] { cat.renameTable("db2", "x", "t2b") }
+      // non-empty namespace refuses to drop (jdbc enforces; fs no-ops on
+      // the non-empty dir) — either way db1 survives with its table
+      try cat.dropNamespace("db1") catch { case _: Exception => () }
+      assert(cat.listTables("db1") == Seq("t1"), label)
+    }
+  }
+
+  test("jdbc rename is a pointer update: the data directory never moves") {
+    val wh = Files.createTempDirectory("graft-cat-ptr").toString
+    val cat = new JdbcGraftCatalog(spark, JdbcGraftCatalog.defaultUrl(wh), wh)
+    val t = cat.createTable("db", "a", "k bigint")
+    t.append(Seq(1L, 2L, 3L).toDF("k"))
+    val locBefore = t.location
+    cat.renameTable("db", "a", "b")
+    val re = cat.loadTable("db", "b")
+    // O(1) at any size: on an object store a directory move is a copy of
+    // every object, so this is the rename that survives 100 TB
+    assert(re.location == locBefore, "rename moved data")
+    assert(re.scan().count() == 3)
+    assert(!cat.tableExists("db", "a"))
+  }
+
+  test("jdbc cleanStaging keeps restore-first parity with the fs backend") {
+    val wh = Files.createTempDirectory("graft-cat-stg").toString
+    val cat = new JdbcGraftCatalog(spark, JdbcGraftCatalog.defaultUrl(wh), wh)
+    // crashed swap window: staging fully materialized, target dropped,
+    // rename never ran — restore, don't delete
+    val stg = cat.stagingName("orders")
+    cat.createTable("db", stg, "k bigint").append(Seq(7L, 8L).toDF("k"))
+    assert(cat.listTables("db").isEmpty, "staging hidden from listings")
+    assert(cat.cleanStaging("db", System.currentTimeMillis() + 1000) == ((1, 0)))
+    assert(cat.listTables("db") == Seq("orders"))
+    assert(cat.loadTable("db", "orders").scan().count() == 2)
+    // crash mid-materialize (zero snapshots): not restorable, removed
+    cat.createTable("db", cat.stagingName("empty"), "k bigint")
+    assert(cat.cleanStaging("db", System.currentTimeMillis() + 1000) == ((0, 1)))
+    assert(cat.listTables("db") == Seq("orders"))
+  }
+
+  test("SQL DDL/DML honor the spark.graft.catalog switch mid-session") {
+    val whJ = Files.createTempDirectory("graft-sql-jdbc").toString
+    val whF = Files.createTempDirectory("graft-sql-fs").toString
+    // getOrCreate returns the extension-less shared session unless the
+    // active/default slots are cleared first (same dance as withSqlSession)
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    try {
+      s2.conf.set("spark.graft.catalog", "jdbc")
+      s2.conf.set("spark.graft.warehouse", whJ)
+      s2.sql("CREATE TABLE graft.db.j (k BIGINT, v STRING)")
+      s2.sql("INSERT INTO graft.db.j VALUES (1, 'x'), (2, 'y')")
+      assert(s2.sql("SELECT * FROM graft.db.j").count() == 2)
+      // the table lives behind a uuid pointer, not a name-derived dir
+      assert(!Files.exists(Paths.get(whJ, "db", "j")),
+        "jdbc backend used a name-derived path")
+      // flip to fs mid-suite: separate world, same SQL surface
+      s2.conf.set("spark.graft.catalog", "fs")
+      s2.conf.set("spark.graft.warehouse", whF)
+      s2.sql("CREATE TABLE graft.db.f AS SELECT CAST(1 AS BIGINT) AS k")
+      assert(s2.sql("SELECT * FROM graft.db.f").count() == 1)
+      assert(Files.exists(Paths.get(whF, "db", "f")), "fs backend path")
+      // and the jdbc world is intact when switched back
+      s2.conf.set("spark.graft.catalog", "jdbc")
+      s2.conf.set("spark.graft.warehouse", whJ)
+      assert(s2.sql("SELECT v FROM graft.db.j WHERE k = 2").collect()
+        .map(_.getString(0)).toSeq == Seq("y"))
+      // RTAS rides the same seam: staging + pointer rename, no data move
+      s2.sql("CREATE OR REPLACE TABLE graft.db.j AS " +
+        "SELECT k, upper(v) AS v FROM graft.db.j")
+      assert(s2.sql("SELECT v FROM graft.db.j ORDER BY k").collect()
+        .map(_.getString(0)).toSeq == Seq("X", "Y"))
+    } finally {
+      s2.conf.unset("spark.graft.catalog")
+      s2.conf.unset("spark.graft.warehouse")
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("q_catalog_jdbc returns the oracle rows (driver-gate smoke)") {
+    val rows = graft.ops.GraftOps.catalogOpsJdbc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("db1", "t1", 2L), ("db2", "t2b", 2L)))
+  }
+}
