@@ -69,7 +69,21 @@ def main():
     results = {}
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # Completeness gate: every registry key must have produced an output
+    # dir. Round 5's events breakage shrank the gate silently (179->141,
+    # zero err entries) because a throwing query simply had no directory.
+    reg_path = os.path.join(out_dir, "queries.json")
+    if os.path.exists(reg_path):
+        with open(reg_path) as f:
+            registry = set(json.load(f))
+        for missing in sorted(registry - set(names)):
+            results[missing] = "MISSING-OUTPUT (query produced no dir)"
     for name in names:
+        err_marker = os.path.join(out_dir, name, "_ERROR")
+        if os.path.exists(err_marker):
+            with open(err_marker) as f:
+                results[name] = "QUERY-ERROR " + f.read().strip()[:300]
+            continue
         spark_glob = os.path.join(out_dir, name, "*.parquet")
         try:
             s_cols, s_rows, s_types = fetch(con, f"SELECT * FROM '{spark_glob}'")

@@ -32,6 +32,20 @@ object Bench {
       }.toMap
   }
 
+  /** Canary floor from BASELINE.md. Whitespace-tolerant: round 5's
+    * `"canary floor: N s"` regex silently found nothing because the
+    * phrase was line-wrapped (`canary\nfloor:`) — the headline
+    * normalized verdict never fired and nobody noticed. Tolerate any
+    * whitespace (incl. newlines) between the words and around the
+    * number; BenchParseSpec pins this against the committed file. */
+  def canaryFloor(path: String = "BASELINE.md"): Option[Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isReadable(p)) None
+    else "(?s)canary\\s+floor:\\s*([0-9.]+)\\s*s".r
+      .findFirstMatchIn(java.nio.file.Files.readString(p))
+      .map(_.group(1).toDouble)
+  }
+
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -125,13 +139,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val canary = median(roundCanaries.toSeq)
-    val canaryFloor = {
-      val p = java.nio.file.Paths.get("BASELINE.md")
-      if (!java.nio.file.Files.isReadable(p)) None
-      else "canary floor: ([0-9.]+) s".r
-        .findFirstMatchIn(java.nio.file.Files.readString(p))
-        .map(_.group(1).toDouble)
-    }
+    val canaryFloor = Bench.canaryFloor()
     // vs-floor verdict: per-query median / best committed BASELINE.md
     // column; flagged = ratio > 2 (the documented noise tolerance)
     val ratios = results.toSeq.flatMap { case (k, v) =>

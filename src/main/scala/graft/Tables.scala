@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet test tables (TESTDATA.md). */
 object Tables {
@@ -11,14 +12,28 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is physically TIMESTAMP(NANOS), which Spark's parquet
-      // reader rejects; read it as raw nanos and truncate to micros. The
-      // data DOES carry sub-microsecond components — truncation matches
-      // DuckDB's micro-precision read exactly (V3Ops.nanoTs preserves the
-      // full nanos where the format requires them).
+      // events.ts has shipped in two physical shapes across testdata
+      // generations: TIMESTAMP(NANOS) — which Spark's parquet reader only
+      // accepts via the legacy nanos-as-long conf — and plain
+      // timestamp[us] (no UTC adjustment → reads back as TIMESTAMP_NTZ).
+      // Sniff the loaded schema instead of assuming either shape; every
+      // downstream consumer sees a session-TZ TimestampType `ts` at micro
+      // precision either way. (nanosAsLong only affects NANOS columns, so
+      // setting it is harmless for the micros generation.)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          // nanos generation: truncate to micros (matches DuckDB's
+          // micro-precision read; V3Ops.nanoTs keeps full nanos where the
+          // format requires them)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          // micros generation: same wall-clock instant under the UTC
+          // session TZ the harness pins everywhere
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

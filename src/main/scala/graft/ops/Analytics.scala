@@ -165,23 +165,23 @@ object Analytics {
 
   // --- q22: dormant high-balance customers (scalar subquery + anti join) --
   /** scalar-subquery threshold + NOT EXISTS: the threshold is an exact
-    * decimal-sum mean (order-insensitive, so it replays bit-for-bit); the
-    * NOT EXISTS becomes a left-anti join against RECENT orders ("no order
-    * since 2000" — every synthetic customer has SOME order, so the classic
+    * decimal-sum mean (order-insensitive, so it replays bit-for-bit),
+    * joined back as a broadcast 1-row scalar — same treatment as q11, no
+    * driver-side collect in the plan. SUM over zero rows is NULL and
+    * `bal > NULL` is never true, so an all-nonpositive-balance corpus
+    * yields an empty result with no special-casing. The NOT EXISTS
+    * becomes a left-anti join against RECENT orders ("no order since
+    * 2000" — every synthetic customer has SOME order, so the classic
     * no-orders-at-all predicate would be vacuously empty here) */
   def q22(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
-    val row = c.filter(col("c_acctbal") > 0.0)
-      .agg(sum(dec(col("c_acctbal"), 12, 2)).as("s"), count(lit(1)).as("n"))
-      .collect()(0)
-    // SUM over zero rows is NULL; SQL's `bal > NULL` is never true, so an
-    // all-nonpositive-balance corpus yields an empty result, not an NPE
-    val thrFilter =
-      if (row.isNullAt(0)) lit(false)
-      else col("c_acctbal") > row.getDecimal(0).doubleValue() / row.getLong(1)
+    val thr = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec(col("c_acctbal"), 12, 2)).cast("double") /
+        count(lit(1)).cast("double")).as("thr"))
     val recent = Tables(spark, dir, "orders")
       .filter(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
-    c.filter(thrFilter)
+    c.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("numcust"),

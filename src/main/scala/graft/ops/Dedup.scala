@@ -64,22 +64,77 @@ object Dedup {
     * max df is 25; a natural-corpus shingle with df > 256 is boilerplate) */
   val JACCARD_MAX_DF = 256
 
-  /** n-gram Jaccard pairs ≥ tau: df-capped candidate generation (see
-    * [[candidatesFromShingles]]), then EXACT verification — the Jaccard
-    * value is computed from the full uncapped shingle arrays via
-    * array_intersect, so the cap only gates which pairs are examined,
-    * never the similarity arithmetic. Output = pairs with J ≥ tau that
-    * share at least one shingle with df ≤ maxDf; the SQL oracle encodes
-    * the identical rule. */
-  def jaccardPairs(docs: DataFrame, tau: Double, maxDf: Int = JACCARD_MAX_DF): DataFrame = {
-    val arr = shingleArr(docs).cache()
-    candidatesFromShingles(
-        arr.select(col("doc_id"), explode(col("sh")).as("s")), maxDf)
-      .join(arr.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
-      .join(arr.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+  /** Exact Jaccard verification of a candidate pair set, in the NARROW
+    * shape: intersection sizes come from semi-joining the exploded
+    * (doc_id, shingle) stream to the pairs and counting matches per pair;
+    * the union term joins only the per-doc shingle COUNTS. No row ever
+    * carries a shingle array — round 5's array-carrying verify (join the
+    * full `sh` array twice onto candidates, then array_intersect) pushed
+    * whole arrays through two shuffles and ran ~5× the floor; this form
+    * moves (long, long, string) rows through one aggregation plus two
+    * count joins, and the fan-out is |cand| × shingles-per-doc, bounded
+    * at corpus scale by the df cap upstream. Shingles are distinct per
+    * doc, so count(*) after the s-equality join IS |A ∩ B|. */
+  private[ops] def verifyExactJaccard(cand: DataFrame, sh: DataFrame,
+      tau: Double): DataFrame = {
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("s")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cnt.select(col("doc_id").as("a_id"), col("c").as("ca")), "a_id")
+      .join(cnt.select(col("doc_id").as("b_id"), col("c").as("cb")), "b_id")
       .filter(col("inter").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("inter")) >= tau)
+        (col("ca") + col("cb") - col("inter")) >= tau)
+      .select("a_id", "b_id")
+  }
+
+  /** n-gram Jaccard pairs ≥ tau with df-capped candidates: a pair is
+    * examined iff it shares ≥1 shingle with df ≤ maxDf (skew-safe, see
+    * [[candidatesFromShingles]]), and its Jaccard value is EXACT over
+    * the full uncapped shingle sets. The full intersection splits by
+    * the cap — |A∩B| = shared-rare + shared-hot — so:
+    *
+    *  1. shared-rare falls out of the candidate self-join itself: group
+    *     the rare equi-join by pair and count, instead of distinct-ing
+    *     pairs and re-joining shingle data (round 5 carried full
+    *     shingle ARRAYS through two joins, ~5× floor; the first narrow
+    *     rewrite still fanned every pair back out against the exploded
+    *     stream, ~2.5× floor — this form adds NOTHING to the join that
+    *     candidate generation wasn't already paying for).
+    *  2. shared-hot comes from the same pair-count join restricted to
+    *     HOT occurrences (df > maxDf) — by construction the boilerplate
+    *     minority of the stream (empty on current testdata, a few
+    *     shingles per doc on a natural corpus), restricted to candidate
+    *     pairs before it can fan out, so each side stays linear.
+    *
+    * The union term joins per-doc COUNTS only. Every key in every
+    * shuffle is a pair of longs or a shingle with bounded df — no
+    * arrays, no unbounded key. The SQL oracle encodes the identical
+    * rule. */
+  def jaccardPairs(docs: DataFrame, tau: Double, maxDf: Int = JACCARD_MAX_DF): DataFrame = {
+    val sh = shingles(docs).cache()
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(df.filter(col("df") <= maxDf).select("s"), "s")
+    val hot = sh.join(df.filter(col("df") > maxDf).select("s"), "s")
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val interRare = rare.as("a").join(rare.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("ir"))
+    val interHot = interRare.select("a_id", "b_id")
+      .join(hot.select(col("doc_id").as("a_id"), col("s")), "a_id")
+      .join(hot.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("ih"))
+    interRare
+      .join(interHot, Seq("a_id", "b_id"), "left")
+      .withColumn("inter", col("ir") + coalesce(col("ih"), lit(0L)))
+      .join(cnt.select(col("doc_id").as("a_id"), col("c").as("ca")), "a_id")
+      .join(cnt.select(col("doc_id").as("b_id"), col("c").as("cb")), "b_id")
+      .filter(col("inter").cast("double") /
+        (col("ca") + col("cb") - col("inter")) >= tau)
       .select("a_id", "b_id")
   }
 
@@ -144,11 +199,12 @@ object Dedup {
       .distinct()
   }
 
-  /** LSH candidates verified with exact Jaccard over the shingle arrays —
-    * the output equals the exact Jaccard(tau) pair set up to the banding
-    * miss probability (~4e-8 per pair at the planted-dup similarity). The
-    * LSH filter keeps verification linear in candidates, never the full
-    * self-join. Unordered; shared by [[minhash]] and CorpusGraph. */
+  /** LSH candidates verified with exact Jaccard over the full shingle
+    * sets (narrow form, [[verifyExactJaccard]]) — the output equals the
+    * exact Jaccard(tau) pair set up to the banding miss probability
+    * (~4e-8 per pair at the planted-dup similarity). The LSH filter
+    * keeps verification linear in candidates, never the full self-join.
+    * Unordered; shared by [[minhash]] and CorpusGraph. */
   def minhashVerifiedPairs(docs: DataFrame, tau: Double): DataFrame = {
     val arr = shingleArr(docs).cache()
     val cand = {
@@ -159,13 +215,8 @@ object Dedup {
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
     }
-    cand
-      .join(arr.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
-      .join(arr.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .filter(col("inter").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("inter")) >= tau)
-      .select("a_id", "b_id")
+    verifyExactJaccard(cand,
+      arr.select(col("doc_id"), explode(col("sh")).as("s")), tau)
   }
 
   def minhash(spark: SparkSession, dir: String): DataFrame =

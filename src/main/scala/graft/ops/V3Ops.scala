@@ -101,17 +101,27 @@ object V3Ops {
   }
 
   // --- #26 nanosecond timestamps: BIGINT nanos logical type -----------------
+  /** Nanosecond events with a PLANTED deterministic sub-µs residue
+    * (`event_id % 1000` ns on top of the µs instant). The v3 nanos
+    * feature is a FORMAT capability, not a testdata property — the
+    * current generation ships ts at micro precision, so the residue is
+    * what proves the bigint-nanos column carries information below what
+    * timestamp[us] can hold (earlier testdata carried native sub-µs
+    * components; asserting on those became vacuous after the regen). */
+  private def nanoEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events").select(col("event_id"),
+      (unix_micros(col("ts")) * 1000L + col("event_id") % 1000).as("ts_ns"))
+
   def nanoTs(spark: SparkSession, dir: String): DataFrame = {
-    // events.ts is physically TIMESTAMP(NANOS): read raw nanos, store as
-    // bigint (sub-micro precision preserved end to end)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), col("ts").as("ts_ns"))
     val t = GraftTable.create(spark, scratch(), "event_id bigint, ts_ns bigint")
-    t.append(raw)
-    // full nanosecond precision is stored (spec-checked: sub-micro residue
-    // survives the round-trip); the oracle compares at micro precision
-    // because DuckDB's parquet reader truncates TIMESTAMP(NANOS) to micros
+    t.append(nanoEvents(spark, dir))
+    // full nanosecond precision is stored (spec-checked: the planted
+    // residue survives the round-trip bit-exactly); the oracle compares
+    // at micro precision, so `div 1000` here must drop the residue —
+    // which is exactly the ns→µs truncation semantics under test.
+    // (min/max first pick the winner at ns precision; a non-negative
+    // residue never changes which µs value wins, nor floors across an
+    // hour boundary, so the truncated aggregate replays in µs-land.)
     t.scan()
       .groupBy(expr("ts_ns div 3600000000000").as("hr"))
       .agg(count(lit(1)).as("n"),
@@ -120,14 +130,16 @@ object V3Ops {
       .orderBy("hr")
   }
 
-  /** ns-precision round-trip check used by OpsSpec (not oracle-expressible) */
-  def nanoResidue(spark: SparkSession, dir: String): Long = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), col("ts").as("ts_ns"))
+  /** ns-round-trip check used by OpsSpec (not oracle-expressible):
+    * rows whose stored residue differs from the planted one (must be 0,
+    * proving bit-exact sub-µs storage) and rows with a nonzero residue
+    * (must be >0, proving the check isn't vacuous). */
+  def nanoResidue(spark: SparkSession, dir: String): (Long, Long) = {
     val t = GraftTable.create(spark, scratch(), "event_id bigint, ts_ns bigint")
-    t.append(raw)
-    t.scan().filter(col("ts_ns") % 1000 =!= 0).count()
+    t.append(nanoEvents(spark, dir))
+    val s = t.scan()
+    (s.filter(col("ts_ns") % 1000 =!= col("event_id") % 1000).count(),
+      s.filter(col("ts_ns") % 1000 =!= 0).count())
   }
 
   // --- #27 row lineage: _row_id stable, sequence bumps on update ------------

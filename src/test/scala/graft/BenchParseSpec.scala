@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Pins Bench's BASELINE.md parsing. Round 5's canary-normalized verdict
+  * silently never fired because the `canary floor:` phrase was
+  * line-wrapped in the committed file and the regex wasn't
+  * whitespace-tolerant — this spec makes both the committed-file parse
+  * and the wrap-tolerance named assertions. */
+class BenchParseSpec extends AnyFunSuite {
+
+  test("canary floor parses from the committed BASELINE.md") {
+    val f = Bench.canaryFloor()
+    assert(f.nonEmpty, "BASELINE.md lost its `canary floor: N s` phrase")
+    assert(f.get > 0.0 && f.get < 10.0, s"implausible canary floor: $f")
+  }
+
+  test("canary floor parse tolerates a line-wrapped phrase") {
+    val t = Files.createTempFile("baseline", ".md")
+    Files.writeString(t, "blah codegen; canary\nfloor: 0.055 s, measured")
+    assert(Bench.canaryFloor(t.toString).contains(0.055))
+    Files.delete(t)
+  }
+
+  test("per-query floors parse from the committed BASELINE.md") {
+    val fl = Bench.floors()
+    assert(fl.size > 100, s"floor table shrank: ${fl.size} rows parsed")
+    // best-column semantics: q01 best is its r4_median 0.19
+    assert(fl.get("q01_pricing_summary").contains(0.19))
+    assert(fl.get("q_dedup_jaccard").contains(1.43))
+  }
+}

@@ -1410,8 +1410,11 @@ class OpsSpec extends SparkSpec {
   }
 
   test("nanosecond timestamps survive the graft round-trip below micro precision") {
-    assert(V3Ops.nanoResidue(spark, sf) > 0,
-      "expected sub-microsecond components in events.ts")
+    val (mismatched, nonzero) = V3Ops.nanoResidue(spark, sf)
+    assert(mismatched == 0,
+      s"$mismatched rows lost their planted sub-µs residue in the round-trip")
+    assert(nonzero > 0,
+      "no rows carried a sub-µs residue — the precision check is vacuous")
   }
 
   test("streaming sessionization matches the batch gaps-and-islands result") {
