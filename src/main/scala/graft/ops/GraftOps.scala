@@ -446,6 +446,18 @@ object GraftOps {
     catalogOpsOn(spark,
       wh => new JdbcGraftCatalog(spark, JdbcGraftCatalog.defaultUrl(wh), wh))
 
+  /** HTTP pointer backend (rest-catalog analog) — SAME lifecycle, SAME
+    * oracle rows as q_catalog/q_catalog_jdbc; the pointer service is the
+    * in-process [[graft.table.RestCatalogServer]] (the production shape
+    * points `spark.graft.catalog.rest.url` at a long-lived service,
+    * which is how N drivers share one catalog without a shared
+    * filesystem or embedded database). */
+  def catalogOpsRest(spark: SparkSession, dir: String): DataFrame = {
+    val srv = RestCatalogServer.start()
+    try catalogOpsOn(spark, wh => new RestGraftCatalog(spark, srv.url, wh))
+    finally srv.stop()
+  }
+
   private def catalogOpsOn(spark: SparkSession,
       mk: String => Catalog): DataFrame = {
     import spark.implicits._
@@ -740,6 +752,7 @@ object GraftOps {
     "q_zorder" -> zorderCluster,
     "q_catalog" -> catalogOps,
     "q_catalog_jdbc" -> catalogOpsJdbc,
+    "q_catalog_rest" -> catalogOpsRest,
     "q_meta_tables" -> metaTablesQ)
 
   private val sumTotal =
@@ -980,6 +993,12 @@ object GraftOps {
     // identical rows BY DESIGN: the jdbc pointer backend must be
     // indistinguishable from the filesystem backend through the Catalog API
     "q_catalog_jdbc" ->
+      """SELECT ns, tbl, CAST(rows_in_t1 AS BIGINT) AS rows_in_t1
+        |FROM (VALUES ('db1', 't1', 2), ('db2', 't2b', 2))
+        | AS t(ns, tbl, rows_in_t1) ORDER BY ns, tbl""".stripMargin,
+    // same rows a third time BY DESIGN: the REST pointer backend must be
+    // indistinguishable from fs/jdbc through the Catalog API
+    "q_catalog_rest" ->
       """SELECT ns, tbl, CAST(rows_in_t1 AS BIGINT) AS rows_in_t1
         |FROM (VALUES ('db1', 't1', 2), ('db2', 't2b', 2))
         | AS t(ns, tbl, rows_in_t1) ORDER BY ns, tbl""".stripMargin,

@@ -81,7 +81,9 @@ object Catalog {
   /** Backend factory for the SQL surface: `spark.graft.catalog` = `fs`
     * (default — filesystem warehouse) | `jdbc` (Derby pointer store at
     * `spark.graft.catalog.jdbc.url`, defaulting to an embedded database
-    * inside the warehouse). `spark.graft.warehouse` is required either
+    * inside the warehouse) | `rest` (HTTP pointer service at
+    * `spark.graft.catalog.rest.url` — required, a remote service has no
+    * sensible default). `spark.graft.warehouse` is required either
     * way — it is where table data lives; the backends differ only in
     * where the POINTERS live. */
   def apply(spark: SparkSession): Catalog = {
@@ -94,8 +96,13 @@ object Catalog {
         val url = spark.conf.getOption("spark.graft.catalog.jdbc.url")
           .getOrElse(JdbcGraftCatalog.defaultUrl(wh))
         new JdbcGraftCatalog(spark, url, wh)
+      case "rest" =>
+        val url = spark.conf.getOption("spark.graft.catalog.rest.url")
+          .getOrElse(throw new IllegalStateException(
+            "set spark.graft.catalog.rest.url for the rest catalog backend"))
+        new RestGraftCatalog(spark, url, wh)
       case other => throw new IllegalArgumentException(
-        s"spark.graft.catalog must be fs|jdbc, got '$other'")
+        s"spark.graft.catalog must be fs|jdbc|rest, got '$other'")
     }
   }
 }

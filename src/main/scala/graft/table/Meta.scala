@@ -221,7 +221,7 @@ object Meta {
     * databind with the Scala module is ~10x faster and Spark already ships
     * it. Metadata v*.json stays on json4s (one small document, and its
     * writer controls the shape); manifests are the O(files) plane. */
-  private val mapper = {
+  private[table] val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
     m.configure(com.fasterxml.jackson.databind.DeserializationFeature

@@ -4,19 +4,24 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
-import graft.table.{Catalog, GraftCatalog, JdbcGraftCatalog}
+import graft.table.{Catalog, GraftCatalog, JdbcGraftCatalog, RestCatalogServer, RestGraftCatalog}
 
-/** The pluggability contract: the filesystem catalog and the Derby pointer
-  * catalog must be indistinguishable through [[graft.table.Catalog]] — same
-  * lifecycle, same listings, same CAS refusals, same staging recovery —
-  * while differing exactly where they should (a jdbc rename never moves
-  * data). */
+/** The pluggability contract: the filesystem catalog, the Derby pointer
+  * catalog, and the HTTP pointer catalog must be indistinguishable
+  * through [[graft.table.Catalog]] — same lifecycle, same listings, same
+  * CAS refusals, same staging recovery — while differing exactly where
+  * they should (a pointer rename never moves data). */
 class CatalogSpec extends SparkSpec {
   import spark.implicits._
 
+  // one in-process pointer service for the whole suite (JVM-lifetime;
+  // each backend instance below still gets its own warehouse + namespaces)
+  private lazy val restServer = RestCatalogServer.start()
+
   private def backends: Seq[(String, String => Catalog)] = Seq(
     "fs" -> (wh => new GraftCatalog(spark, wh)),
-    "jdbc" -> (wh => new JdbcGraftCatalog(spark, JdbcGraftCatalog.defaultUrl(wh), wh)))
+    "jdbc" -> (wh => new JdbcGraftCatalog(spark, JdbcGraftCatalog.defaultUrl(wh), wh)),
+    "rest" -> (wh => new RestGraftCatalog(spark, restServer.url, wh)))
 
   test("both backends run the same lifecycle to the same listing") {
     for ((label, mk) <- backends) {
@@ -123,6 +128,44 @@ class CatalogSpec extends SparkSpec {
 
   test("q_catalog_jdbc returns the oracle rows (driver-gate smoke)") {
     val rows = graft.ops.GraftOps.catalogOpsJdbc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("db1", "t1", 2L), ("db2", "t2b", 2L)))
+  }
+
+  test("rest rename is a server-side pointer CAS: data never moves") {
+    val wh = Files.createTempDirectory("graft-cat-rest").toString
+    val cat = new RestGraftCatalog(spark, restServer.url, wh)
+    val t = cat.createTable("rdb", "a", "k bigint")
+    t.append(Seq(1L, 2L, 3L).toDF("k"))
+    val locBefore = t.location
+    cat.renameTable("rdb", "a", "b")
+    val re = cat.loadTable("rdb", "b")
+    assert(re.location == locBefore, "rename moved data")
+    assert(re.scan().count() == 3)
+    assert(!cat.tableExists("rdb", "a"))
+    // CAS through the service, not the client: a second client sharing
+    // the URL sees the same state and loses the same races
+    val cat2 = new RestGraftCatalog(spark, restServer.url, wh)
+    intercept[Exception] { cat2.createTable("rdb", "b", "k bigint") }
+    assert(cat2.loadTable("rdb", "b").scan().count() == 3)
+  }
+
+  test("rest cleanStaging keeps restore-first parity with the peers") {
+    val wh = Files.createTempDirectory("graft-cat-rstg").toString
+    val cat = new RestGraftCatalog(spark, restServer.url, wh)
+    val stg = cat.stagingName("orders")
+    cat.createTable("rstg", stg, "k bigint").append(Seq(7L, 8L).toDF("k"))
+    assert(cat.listTables("rstg").isEmpty, "staging hidden from listings")
+    assert(cat.cleanStaging("rstg", System.currentTimeMillis() + 1000) == ((1, 0)))
+    assert(cat.listTables("rstg") == Seq("orders"))
+    assert(cat.loadTable("rstg", "orders").scan().count() == 2)
+    cat.createTable("rstg", cat.stagingName("empty"), "k bigint")
+    assert(cat.cleanStaging("rstg", System.currentTimeMillis() + 1000) == ((0, 1)))
+    assert(cat.listTables("rstg") == Seq("orders"))
+  }
+
+  test("q_catalog_rest returns the oracle rows (driver-gate smoke)") {
+    val rows = graft.ops.GraftOps.catalogOpsRest(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(rows == Seq(("db1", "t1", 2L), ("db2", "t2b", 2L)))
   }
