@@ -234,6 +234,25 @@ object Analytics {
         col("gid"), col("sum_qty"), col("n"))
       .orderBy("rflag", "lstatus", "gid")
 
+  /** irregular GROUPING SETS — the multi-granularity shapes ROLLUP/CUBE
+    * can't express (here: both 1-D marginals plus the 2-D cells, but NO
+    * grand total). Same single-pass Expand + one aggregate plan as cube:
+    * the input is replicated once per grouping set map-side, never
+    * re-scanned per set. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(d(sum(dec(col("l_quantity"), 12, 2))).as("sum_qty"),
+        count(lit(1)).as("n"), grouping_id().cast(LongType).as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("gid"), col("sum_qty"), col("n"))
+      .orderBy("rflag", "lstatus", "gid")
+
   /** pivot: event counts and value sums per user-cohort nation, one
     * column group per event type — Spark's two-phase pivot (distinct
     * values then pivoting aggregate) */
@@ -406,6 +425,7 @@ object Analytics {
     "q_distinct_agg" -> distinctAgg,
     "q_rollup" -> rollupAgg,
     "q_cube" -> cubeAgg,
+    "q_grouping_sets" -> groupingSetsAgg,
     "q_pivot" -> pivotAgg,
     "q_events_window" -> eventsWindow,
     "q_sliding_window" -> slidingWindow,
@@ -534,6 +554,16 @@ object Analytics {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         | COUNT(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus, gid""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        | COALESCE(l_linestatus, 'ALL') AS lstatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))
         |ORDER BY rflag, lstatus, gid""".stripMargin,
     "q_pivot" ->
       """SELECT user_id % 5 AS cohort,

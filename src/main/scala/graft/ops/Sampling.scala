@@ -150,11 +150,65 @@ object Sampling {
       .orderBy("lang", "split")
   }
 
+  // --- token-budget corpus selection ----------------------------------------
+  /** Greedy quality-ranked selection under a token budget — "take the
+    * best documents until the budget is spent", the step that turns a
+    * scored corpus into a right-sized training set. A document is
+    * selected iff the tokens of all strictly-better documents (quality
+    * desc, doc_id asc) sum below the budget (half the corpus tokens
+    * here), so the last selected document may straddle the boundary —
+    * standard greedy semantics, encoded identically in the oracle.
+    *
+    * The quality score is exact integer arithmetic (scaled stopword
+    * ratio: `n_stop * 1e6 div n_words`), so ordering and the budget
+    * threshold replay bit-identically in DuckDB — no IEEE ordering
+    * hazards.
+    *
+    * Scale shape: the naive form is a GLOBAL sort + running sum — a
+    * single-reducer bottleneck at 100 TB. Instead the score is bucketed
+    * (score div 10⁴ → ≤ 101 buckets; global order = bucket desc, then
+    * in-bucket order, because the bucket is monotone in the score);
+    * per-bucket token totals aggregate to ≤ 101 rows whose running sum
+    * is driver-trivial (tiny window, bounded by the bucket count, never
+    * by the corpus), and each document then needs only its WITHIN-bucket
+    * prefix sum — a window partitioned by bucket, i.e. 101 independent
+    * sorts of ~1% of the corpus each instead of one sort of all of it.
+    * The budget scalar and the 101 offsets join as broadcasts. */
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is")
+    val pred = stop.map(m => s"w = '$m'").mkString(" OR ")
+    val d = Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      expr(s"size(filter(split(text, ' '), w -> $pred))").cast(LongType)
+        .as("n_stop"),
+      size(split(col("text"), " ")).cast(LongType).as("n_words"))
+      .withColumn("score", expr("n_stop * 1000000 div n_words"))
+      .withColumn("bucket", expr("score div 10000"))
+    val budget = d.agg((sum(col("n_words")) / 2).cast(LongType).as("budget"))
+    // offset(bucket) = tokens in all strictly-better buckets; the window
+    // runs over ≤ 101 rows (the bucket histogram), never the corpus
+    val offsets = d.groupBy(col("bucket")).agg(sum(col("n_words")).as("btok"))
+      .withColumn("offset", coalesce(
+        sum(col("btok")).over(Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    val within = Window.partitionBy(col("bucket"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(offsets), "bucket")
+      .crossJoin(broadcast(budget))
+      .withColumn("before", col("offset") + coalesce(sum(col("n_words")).over(within), lit(0L)))
+      .filter(col("before") < col("budget"))
+      .select("doc_id", "score", "n_words")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sample_stratified" -> sampleStratified,
     "q_pack_chunks" -> packChunks,
     "q_train_shuffle" -> trainShuffle,
     "q_mix_temperature" -> mixTemperature,
+    "q_budget_select" -> budgetSelect,
     "q_split_assign" -> splitAssign)
 
   /** DuckDB lacks a hex-to-int cast, so the oracle folds the 8 hex digits
@@ -168,6 +222,28 @@ object Sampling {
   private val sqlU = sqlFold("smp")
 
   val oracles: Map[String, String] = Map(
+    // the oracle encodes the NAIVE global form (one running sum over the
+    // full quality order) — the bucketed plan must reproduce it exactly
+    "q_budget_select" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (CAST(len(list_filter(string_split(text, ' '),
+        |       w -> w IN ('the','a','and','of','to','in','is'))) AS BIGINT)
+        |     * 1000000)
+        |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS score,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |  FROM documents
+        |), b AS (
+        |  SELECT CAST(SUM(n_words) AS BIGINT) // 2 AS budget FROM d
+        |), o AS (
+        |  SELECT doc_id, score, n_words,
+        |    COALESCE(CAST(SUM(n_words) OVER (ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS bef
+        |  FROM d
+        |)
+        |SELECT doc_id, score, n_words FROM o, b
+        |WHERE bef < budget ORDER BY doc_id""".stripMargin,
     "q_split_assign" ->
       s"""WITH s AS (
          |  SELECT lang,

@@ -68,6 +68,31 @@ class OpsSpec extends SparkSpec {
       .sameElements(s.map(_.getLong(0))))
   }
 
+  test("budget select: bucketed plan equals brute-force greedy selection") {
+    // the operator's bucket-histogram decomposition must reproduce the
+    // NAIVE semantics exactly: sort all docs (score desc, doc_id), take
+    // while the running token total of strictly-better docs < budget
+    val docs = graft.Tables(spark, sf01, "documents")
+      .selectExpr("doc_id",
+        "size(filter(split(text, ' '), w -> w = 'the' OR w = 'a' OR " +
+          "w = 'and' OR w = 'of' OR w = 'to' OR w = 'in' OR w = 'is')) " +
+          "* 1000000L div size(split(text, ' ')) AS score",
+        "cast(size(split(text, ' ')) as long) AS n_words")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val budget = docs.map(_._3).sum / 2
+    val ranked = docs.sortBy { case (id, s, _) => (-s, id) }
+    val before = ranked.scanLeft(0L)(_ + _._3) // tokens strictly before i
+    val expected = ranked.zip(before).collect {
+      case ((id, _, _), b) if b < budget => id
+    }.sorted.toSeq
+    val got = Sampling.budgetSelect(spark, sf01).collect().map(_.getLong(0)).toSeq
+    assert(got == expected,
+      s"selection diverged: got ${got.size} docs, expected ${expected.size}")
+    // the budget binds: a strict subset whose tokens cover >= budget
+    val selTokens = docs.filter(d => expected.contains(d._1)).map(_._3).sum
+    assert(got.size < docs.length && selTokens >= budget)
+  }
+
   test("pack chunks: per-source chunk ids are contiguous and span counts consistent") {
     val rows = Sampling.packChunks(spark, sf01).collect()
       .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
