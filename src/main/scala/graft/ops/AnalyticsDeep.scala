@@ -167,15 +167,21 @@ object AnalyticsDeep {
   }
 
   // --- q15: top supplier(s) by quarter revenue (scalar MAX subquery) ------
+  /** the per-supplier revenue aggregate is checkpointed once and feeds
+    * BOTH the max scalar and the equality filter (q11's treatment); the
+    * max joins back as a broadcast 1-row scalar — no driver collect, no
+    * lineitem rescan. An empty quarter yields a NULL max, `=` NULL never
+    * matches, empty result — no special-casing. */
   def q15(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
         col("l_shipdate") < ts("1996-04-01 00:00:00"))
       .groupBy(col("l_suppkey"))
       .agg(d(sum(discPrice)).as("total_revenue"))
-    val maxRow = rev.agg(max(col("total_revenue"))).collect()(0)
-    val mx = if (maxRow.isNullAt(0)) lit(null) else lit(maxRow.getDouble(0))
-    rev.filter(col("total_revenue") === mx)
+      .localCheckpoint()
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
       .join(broadcast(Tables(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "total_revenue")
       .orderBy("s_suppkey")

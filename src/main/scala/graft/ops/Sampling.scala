@@ -174,17 +174,15 @@ object Sampling {
     * prefix sum — a window partitioned by bucket, i.e. 101 independent
     * sorts of ~1% of the corpus each instead of one sort of all of it.
     * The budget scalar and the 101 offsets join as broadcasts. */
-  def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
-    val stop = Seq("the", "a", "and", "of", "to", "in", "is")
-    val pred = stop.map(m => s"w = '$m'").mkString(" OR ")
-    val d = Tables(spark, dir, "documents").select(
-      col("doc_id"),
-      expr(s"size(filter(split(text, ' '), w -> $pred))").cast(LongType)
-        .as("n_stop"),
-      size(split(col("text"), " ")).cast(LongType).as("n_words"))
-      .withColumn("score", expr("n_stop * 1000000 div n_words"))
-      .withColumn("bucket", expr("score div 10000"))
-    val budget = d.agg((sum(col("n_words")) / 2).cast(LongType).as("budget"))
+  /** Bucketed greedy core over a scored table: `scored` must carry
+    * (doc_id, score BIGINT, n_words BIGINT); selects every doc whose
+    * strictly-better token prefix sum (score desc, doc_id asc) is below
+    * `budget`. Kept separate from the documents wiring so the property
+    * spec can falsify the decomposition on arbitrary synthetic inputs
+    * (tie pileups, single-bucket corpora, boundary-exact budgets). */
+  private[graft] def budgetSelectCore(scored: DataFrame,
+      budget: DataFrame): DataFrame = {
+    val d = scored.withColumn("bucket", expr("score div 10000"))
     // offset(bucket) = tokens in all strictly-better buckets; the window
     // runs over ≤ 101 rows (the bucket histogram), never the corpus
     val offsets = d.groupBy(col("bucket")).agg(sum(col("n_words")).as("btok"))
@@ -201,6 +199,20 @@ object Sampling {
       .filter(col("before") < col("budget"))
       .select("doc_id", "score", "n_words")
       .orderBy("doc_id")
+  }
+
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is")
+    val pred = stop.map(m => s"w = '$m'").mkString(" OR ")
+    val d = Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      expr(s"size(filter(split(text, ' '), w -> $pred))").cast(LongType)
+        .as("n_stop"),
+      size(split(col("text"), " ")).cast(LongType).as("n_words"))
+      .withColumn("score", expr("n_stop * 1000000 div n_words"))
+      .select("doc_id", "score", "n_words")
+    budgetSelectCore(d,
+      d.agg((sum(col("n_words")) / 2).cast(LongType).as("budget")))
   }
 
   val queries: Map[String, Q] = Map(
