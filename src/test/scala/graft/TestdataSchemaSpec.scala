@@ -48,6 +48,21 @@ class TestdataSchemaSpec extends SparkSpec {
       "embedding" -> ArrayType(FloatType), "label" -> IntegerType)
   )
 
+  // types alone can't catch a UNIT flip (e.g. a future regen shipping ts
+  // as int64 MICROS would satisfy the LongType branch but decode 1000x
+  // off) — pin the decoded instants to a sane range as well
+  test("events.ts decodes to plausible instants (unit sanity)") {
+    import org.apache.spark.sql.functions._
+    for (sfDir <- Seq(sf, sf01)) {
+      val r = Tables(spark, sfDir, "events")
+        .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi"))
+        .collect()(0)
+      assert(r.getInt(0) >= 2000 && r.getInt(1) <= 2100,
+        s"events.ts decodes to years [${r.getInt(0)}, ${r.getInt(1)}] at " +
+          s"$sfDir — the loader is misreading the timestamp unit")
+    }
+  }
+
   for (sfDir <- Seq(sf, sf01); name <- Tables.names) {
     test(s"testdata schema guard: $name at $sfDir") {
       val got = Tables(spark, sfDir, name).schema
