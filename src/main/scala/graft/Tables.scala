@@ -10,17 +10,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session conf every graft entrypoint (Verify/Bench/Explain/specs) sets
+    * at construction: lets the parquet reader accept TIMESTAMP(NANOS)
+    * columns as bigint. One testdata generation shipped events.ts as
+    * NANOS; the conf only affects NANOS columns, so it is a no-op for the
+    * micros generation. Kept here (next to the sniffing loader that
+    * depends on it) so a new entrypoint can't miss it. */
+  val SessionConfs: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped in two physical shapes across testdata
       // generations: TIMESTAMP(NANOS) — which Spark's parquet reader only
-      // accepts via the legacy nanos-as-long conf — and plain
-      // timestamp[us] (no UTC adjustment → reads back as TIMESTAMP_NTZ).
-      // Sniff the loaded schema instead of assuming either shape; every
-      // downstream consumer sees a session-TZ TimestampType `ts` at micro
-      // precision either way. (nanosAsLong only affects NANOS columns, so
-      // setting it is harmless for the micros generation.)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // accepts via the legacy nanos-as-long conf (set at session
+      // construction from [[SessionConfs]]; round 6 set it HERE, a global
+      // toggle hidden inside a table accessor) — and plain timestamp[us]
+      // (no UTC adjustment → reads back as TIMESTAMP_NTZ). Sniff the
+      // loaded schema instead of assuming either shape; every downstream
+      // consumer sees a session-TZ TimestampType `ts` at micro precision
+      // either way.
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       raw.schema("ts").dataType match {
         case LongType =>

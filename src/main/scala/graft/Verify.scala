@@ -44,16 +44,29 @@ object Verify {
     // the driver always calls with 2 args -> full run
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = Tables.SessionConfs.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // a reused outDir can hold result dirs from an earlier (differently
+    // filtered) run; selfcheck compares every dir it finds, so stale dirs
+    // would silently mix old results into this run's verdict — drop any
+    // result dir not in THIS run's selection before writing anything
+    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !selected.contains(f.getName))
+      .foreach { d =>
+        System.err.println(s"[verify] clearing stale result dir ${d.getName}")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+        }
+        rm(d)
+      }
     val failed = selected.toSeq.collect {
       case (name, fn) if !runOne(spark, sfDir, outDir, name, fn) => name
     }

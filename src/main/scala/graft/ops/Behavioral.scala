@@ -261,6 +261,19 @@ object Behavioral {
         |      * (1.0 - CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
         |      * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z
         |FROM a, b""".stripMargin,
+    // ORACLE HAZARD (known, accepted): Spark `percentile` and DuckDB
+    // `quantile_cont` both linearly interpolate, but the engines' FP
+    // formulas may differ in the last ulp, and the strict `v < cut`
+    // comparison could then bucket a value differently across engines.
+    // Why this is green-stable in practice: the bucket comparison only
+    // feeds DATA values to the cut, so `v < cut` depends solely on the
+    // bracketing order statistics unless (a) the interpolation fraction
+    // is 0 — then both engines return `lower` EXACTLY (d=0 multiplies
+    // out in either formula), or (b) two adjacent order statistics sit
+    // within ~1 ulp of each other — impossible for last_us/freq
+    // (integer-valued doubles, gaps ≥ 1) and astronomically unlikely
+    // for mon. A testdata regen tripping this would show as a one-row
+    // bucket-count mismatch; the robust fix is count-based cut ranks.
     "q_rfm" ->
       """WITH u AS (
         |  SELECT user_id, MAX(epoch_us(ts)) AS last_us,

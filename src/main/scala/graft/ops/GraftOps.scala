@@ -526,11 +526,12 @@ object GraftOps {
     import scala.jdk.CollectionConverters._
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     try {
-      val s2 = SparkSession.builder()
+      val s2 = graft.Tables.SessionConfs.foldLeft(SparkSession.builder()
         .config("spark.sql.shuffle.partitions",
           spark.conf.get("spark.sql.shuffle.partitions"))
         .config("spark.sql.session.timeZone", "UTC")
-        .withExtensions(new graft.functions.GraftExtensions())
+        .withExtensions(new graft.functions.GraftExtensions())) {
+          case (b, (k, v)) => b.config(k, v) }
         .getOrCreate()
       val df = body(s2)
       val rows = df.collect().toList.asJava

@@ -100,6 +100,47 @@ object V3Ops {
       .orderBy("id")
   }
 
+  // --- geography: spheroidal distance predicate over the same codec ---------
+  /** Great-circle kilometres between (lat1°,lon1°) and (lat2°,lon2°):
+    * haversine on a 6371-km sphere, built from plain Spark math
+    * functions (radians/sin/cos/asin/sqrt — all codegen'd, no UDF).
+    * sin² is written `sin*sin`, matching the oracle SQL token-for-token
+    * so both engines execute the same FP op sequence. */
+  private def haversineKm(lat1: org.apache.spark.sql.Column,
+      lon1: org.apache.spark.sql.Column,
+      lat2: org.apache.spark.sql.Column,
+      lon2: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sdlat = sin(radians(lat2 - lat1) / 2)
+    val sdlon = sin(radians(lon2 - lon1) / 2)
+    lit(2 * 6371.0) * asin(sqrt(
+      sdlat * sdlat + cos(radians(lat1)) * cos(radians(lat2)) * sdlon * sdlon))
+  }
+
+  /** GEOGRAPHY analog of [[geoBbox]] (the reference creates a
+    * GEOGRAPHY(4326) column alongside GEOMETRY,
+    * tests/iceberg_feature_tests.py:1377-1400): the SAME WKB point codec
+    * stored through a graft table, read back and filtered by a
+    * SPHEROIDAL predicate — great-circle distance to a fixed point
+    * < 1500 km — instead of the planar bbox. Transcendentals are not
+    * bit-identical across engines, so the distance itself is never
+    * output and the threshold is chosen for margin: on the integer
+    * lat/lon grid this codec produces, the nearest achievable distance
+    * to 1500 km is ~7.4 km away (computed over the full 360×180 grid) —
+    * ulp-level libm differences cannot flip the predicate. Output
+    * columns are exact integer-valued doubles, so the hash compare is
+    * safe. */
+  def geoSphere(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, scratch(), "id bigint, geom binary")
+    t.append(Tables(spark, dir, "orders").select(
+      col("o_orderkey").as("id"),
+      wkbPoint((col("o_orderkey") % 360 - 180).cast("double"),
+        (col("o_custkey") % 180 - 90).cast("double")).as("geom")))
+    t.scan()
+      .select(col("id"), wkbX(col("geom")).as("x"), wkbY(col("geom")).as("y"))
+      .filter(haversineKm(col("y"), col("x"), lit(0.0), lit(0.0)) < 1500.0)
+      .orderBy("id")
+  }
+
   // --- #26 nanosecond timestamps: BIGINT nanos logical type -----------------
   /** Nanosecond events with a PLANTED deterministic sub-µs residue
     * (`event_id % 1000` ns on top of the µs instant). The v3 nanos
@@ -163,6 +204,7 @@ object V3Ops {
     "q_variant_nested" -> variantNested,
     "q_variant_shredded" -> variantShredded,
     "q_geo_bbox" -> geoBbox,
+    "q_geo_sphere" -> geoSphere,
     "q_nano_ts" -> nanoTs,
     "q_lineage" -> lineage)
 
@@ -194,6 +236,19 @@ object V3Ops {
         |FROM orders
         |WHERE (o_orderkey % 360 - 180) BETWEEN -10 AND 10
         |  AND (o_custkey % 180 - 90) BETWEEN -10 AND 10
+        |ORDER BY id""".stripMargin,
+    "q_geo_sphere" ->
+      """SELECT o_orderkey AS id,
+        | CAST(o_orderkey % 360 - 180 AS DOUBLE) AS x,
+        | CAST(o_custkey % 180 - 90 AS DOUBLE) AS y
+        |FROM orders
+        |WHERE 2 * 6371.0 * asin(sqrt(
+        |    sin(radians(0.0 - CAST(o_custkey % 180 - 90 AS DOUBLE)) / 2)
+        |  * sin(radians(0.0 - CAST(o_custkey % 180 - 90 AS DOUBLE)) / 2)
+        |  + cos(radians(CAST(o_custkey % 180 - 90 AS DOUBLE))) * cos(radians(0.0))
+        |  * sin(radians(0.0 - CAST(o_orderkey % 360 - 180 AS DOUBLE)) / 2)
+        |  * sin(radians(0.0 - CAST(o_orderkey % 360 - 180 AS DOUBLE)) / 2)
+        |)) < 1500.0
         |ORDER BY id""".stripMargin,
     "q_nano_ts" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hr, COUNT(*) AS n,

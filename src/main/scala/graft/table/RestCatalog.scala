@@ -68,8 +68,14 @@ class RestGraftCatalog(val spark: SparkSession, val baseUrl: String,
   }
   private def jstr(s: String): String = Meta.mapper.writeValueAsString(s)
 
-  def createNamespace(ns: String): Unit = // idempotent, like the peers
-    req("POST", "/v1/namespaces", s"""{"ns":${jstr(ns)}}""")
+  def createNamespace(ns: String): Unit = { // idempotent, like the peers
+    val (code, body) = req("POST", "/v1/namespaces", s"""{"ns":${jstr(ns)}}""")
+    // a failing/misbehaving pointer service must not be silently swallowed
+    // here — every later table operation would 404 confusingly far from
+    // the cause (the shipped server never errors on this route, but the
+    // client is written for any service honoring the API)
+    require(code < 400, s"createNamespace($ns) failed: HTTP $code $body")
+  }
 
   def listNamespaces(): Seq[String] =
     strList(req("GET", "/v1/namespaces")._2, "namespaces").sorted
@@ -144,7 +150,17 @@ class RestGraftCatalog(val spark: SparkSession, val baseUrl: String,
       if (mtime < olderThanMs) {
         val target = s match { case StagingRe(t) => Some(t); case _ => None }
         target.filter(t => stagingComplete(loc) && !tableExists(ns, t)) match {
-          case Some(t) => renameTable(ns, s, t); restored += 1
+          case Some(t) =>
+            // unlike the fs/jdbc peers (which hold a JVM lock around the
+            // whole sweep), another client sharing the SERVICE can create
+            // or restore the target between the tableExists probe and the
+            // rename — the server-side CAS then 409s. First writer wins:
+            // degrade to dropping the staging leftover instead of
+            // aborting the sweep.
+            try { renameTable(ns, s, t); restored += 1 }
+            catch { case _: IllegalStateException =>
+              dropTable(ns, s); removed += 1
+            }
           case None => dropTable(ns, s); removed += 1
         }
       }
@@ -213,7 +229,12 @@ object RestCatalogServer {
           case ("POST", Seq(ns, "tables")) => lock.synchronized {
             val b = parse(ex)
             val key = (ns, b.get("tbl").toString)
-            if (tables.putIfAbsent(key, b.get("location").toString) != null)
+            // a pointer must not appear under a namespace that was never
+            // created — the client would otherwise mask a lost/failed
+            // createNamespace until listNamespaces disagrees much later
+            if (!namespaces.contains(ns))
+              send(ex, 404, s"""{"error":"no such namespace"}""")
+            else if (tables.putIfAbsent(key, b.get("location").toString) != null)
               send(ex, 409, s"""{"error":"table exists"}""")
             else send(ex, 201, "{}")
           }

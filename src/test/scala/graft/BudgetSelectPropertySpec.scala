@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.Sampling
 
-/** Exactness property for the bucketed budget-selection decomposition:
-  * for ARBITRARY (score, n_words) corpora — tie pileups on one score,
-  * everything in one bucket, budgets landing exactly on document
-  * boundaries, zero budgets — the bucket-histogram + within-bucket
-  * prefix-sum plan must select EXACTLY the documents the naive global
-  * greedy (sort by score desc, doc_id; take while strictly-before
-  * tokens < budget) selects. */
+/** Exactness property for the hierarchical budget-selection
+  * decomposition: for ARBITRARY (score, n_words) corpora — tie pileups
+  * on one score, everything in one bucket, doc_ids straddling TieSpan
+  * boundaries, budgets landing exactly on document boundaries, zero
+  * budgets — the histogram-pyramid + within-(score,span) prefix-sum
+  * plan must select EXACTLY the documents the naive global greedy
+  * (sort by score desc, doc_id; take while strictly-before tokens <
+  * budget) selects. */
 class BudgetSelectPropertySpec extends SparkSpec {
 
   private def check(prop: Prop): Unit = {
@@ -30,10 +31,16 @@ class BudgetSelectPropertySpec extends SparkSpec {
         Gen.const(70000L)),                             // heavy tie pileup
       Gen.chooseNum(1L, 20L)))
 
+  // id stride: 1 keeps every doc in one TieSpan span; TieSpan/2 makes
+  // consecutive docs straddle span boundaries (2 per span), exercising
+  // the tie-split level that dense small ids never reach
+  private val genStride: Gen[Long] =
+    Gen.oneOf(1L, graft.ops.Sampling.TieSpan / 2, graft.ops.Sampling.TieSpan * 3)
+
   test("bucketed selection equals naive global greedy on arbitrary corpora") {
     import spark.implicits._
-    check(Prop.forAll(genDocs, Gen.chooseNum(0, 100)) { (docs, budgetPct) =>
-      val rows = docs.zipWithIndex.map { case ((s, w), i) => (i.toLong, s, w) }
+    check(Prop.forAll(genDocs, Gen.chooseNum(0, 100), genStride) { (docs, budgetPct, stride) =>
+      val rows = docs.zipWithIndex.map { case ((s, w), i) => (i.toLong * stride, s, w) }
       val total = rows.map(_._3).sum
       val budget = total * budgetPct / 100
       val ranked = rows.sortBy { case (id, s, _) => (-s, id) }

@@ -170,6 +170,31 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.nonEmpty, "expected hash exchanges in the jaccard plan")
   }
 
+  test("q_budget_select: doc-stream window partitions by (score, id-span)") {
+    // round-6 `weak (scale)`: the within-bucket window partitioned by the
+    // ≤101-value coarse bucket, putting ~1% of the corpus in ONE task —
+    // and no score-granularity fix alone can help, because score TIES
+    // concentrate mass (sf0.1: score 0 holds 8.9% of the corpus in one
+    // value). The reshape's only corpus-sized window must partition by
+    // (exact score, doc_id div TieSpan): by construction a partition
+    // holds at most TieSpan consecutive doc_ids, an ABSOLUTE bound no
+    // data distribution can break — strictly stronger than the
+    // "≥10³ distinct partition keys" criterion, which tie pileups defeat.
+    val df = Sampling.budgetSelect(spark, sf01)
+    val plan = planString(df)
+    // the doc-stream window is the one ordering by doc_id (the histogram
+    // windows order by score/bucket/span keys only); its partition spec
+    // must carry the exact score AND the id-span key, never a coarse
+    // bucket
+    val docWindows = "windowspecdefinition\\([^)]*doc_id[^)]*\\)".r
+      .findAllIn(plan).toSeq
+    assert(docWindows.nonEmpty, s"expected a doc-stream window:\n$plan")
+    assert(docWindows.forall(w => w.contains("score#") && w.contains("d3#")),
+      s"doc-stream window must partition by (score, d3): $docWindows")
+    assert(docWindows.forall(w => !w.contains("b1#") && !w.contains("b2#")),
+      s"doc-stream window must not partition by a coarse bucket: $docWindows")
+  }
+
   test("ngram novelty: distinct grams in-expression — no pre-join dedup shuffle") {
     val plan = planString(TextOps.ngramNovelty(spark, sf))
     // shape: gram df agg + join-back agg + doc agg + output sort; an
