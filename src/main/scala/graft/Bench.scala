@@ -4,16 +4,24 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: one JSON line with per-query MEDIAN seconds plus a
   * machine-readable vs-floor verdict against BASELINE.md.
   *
-  * Sampling is ROUND-INTERLEAVED: each round runs the WHOLE suite once
-  * (round 1: q1..qN, round 2: q1..qN, ...) instead of taking a query's
-  * samples back-to-back. The VM shows ±40% CPU-steal bursts lasting
-  * seconds-to-minutes; back-to-back samples let one burst poison all of
-  * a query's samples so its median defends nothing, while interleaving
-  * spreads a burst across at most one sample of many queries — the
-  * median survives. Each round is bracketed by a machine-speed canary
-  * sample so a bad window is attributable to specific rounds, and any
-  * query flagged >2x its floor after the main loop is re-sampled twice
-  * in a (hopefully cleaner) tail window before the final median. */
+  * Sampling is ROUND-INTERLEAVED and STEAL-AWARE. Each round runs the
+  * WHOLE suite once (round 1: q1..qN, round 2: q1..qN, ...) instead of
+  * taking a query's samples back-to-back: the VM shows ±40% CPU-steal
+  * bursts lasting seconds-to-minutes, and back-to-back samples let one
+  * burst poison all of a query's samples, while interleaving spreads a
+  * burst across at most one sample of many queries. Each round is
+  * BRACKETED by machine-speed canary samples (one before, one after);
+  * a round whose worse bracket reads above `clean_threshold` × the
+  * committed canary floor measured the VM, not the engine, and its
+  * samples are DROPPED from the medians. Rounds keep running (bounded
+  * by SPARK_GRAFT_MAX_ROUNDS) until `SPARK_GRAFT_CLEAN_ROUNDS` clean
+  * rounds exist — rounds 5 and 6 both ran entirely inside 5×-steal
+  * windows, so a fixed 3-round run can end with nothing trustworthy;
+  * the bounded retry is what finally grounds a verdict in clean
+  * windows when the VM offers any. If NO round is clean the medians
+  * fall back to all samples (a fully-stolen window still measures
+  * something; the canary-normalized verdict then carries the
+  * adjudication) and the JSON says so via per-round provenance. */
 object Bench {
   /** per-query floor = best historical column in BASELINE.md's table
     * (the repo's committed comparison protocol). Tolerant parse: rows
@@ -51,15 +59,54 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  // --- steal-aware sample selection (pure; pinned by BenchSampleSpec) -------
+  /** one bracket per round: canary seconds before and after the round */
+  final case class Bracket(pre: Double, post: Double) {
+    def worst: Double = math.max(pre, post)
+  }
+
+  /** Is each round clean — i.e. did BOTH its bracketing canaries run
+    * below `thresh` × the committed canary floor? With no floor (fresh
+    * checkout) nothing can be judged, so every round counts as clean. */
+  def cleanFlags(brackets: Seq[Bracket], floor: Option[Double],
+      thresh: Double): Seq[Boolean] = floor match {
+    case Some(f) if f > 0 => brackets.map(_.worst / f < thresh)
+    case _ => brackets.map(_ => true)
+  }
+
+  /** Rounds whose samples feed the medians: the clean rounds, unless
+    * NONE are clean — then all rounds (an all-stolen run still has to
+    * report medians; the normalized verdict adjudicates them). */
+  def keptRounds(brackets: Seq[Bracket], floor: Option[Double],
+      thresh: Double): Seq[Boolean] = {
+    val clean = cleanFlags(brackets, floor, thresh)
+    if (clean.contains(true)) clean else brackets.map(_ => true)
+  }
+
+  /** Samples to median over for one query: the round-aligned main
+    * samples filtered to kept rounds, plus the tail re-run samples when
+    * the tail window itself was clean. `main` and `kept` are aligned by
+    * round index. */
+  def selectSamples(main: Vector[Double], kept: Seq[Boolean],
+      tail: Vector[Double], tailKept: Boolean): Vector[Double] = {
+    val m = main.zip(kept).collect { case (s, true) => s }
+    if (tailKept) m ++ tail else m
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
+    // bounded retry budget: keep adding rounds (up to maxRounds total)
+    // until cleanTarget rounds have clean brackets
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_MAX_ROUNDS", "7").toInt.max(runs)
+    val cleanTarget = sys.env.getOrElse("SPARK_GRAFT_CLEAN_ROUNDS", "3").toInt
+    val cleanThresh = sys.env.getOrElse("SPARK_GRAFT_CANARY_CLEAN", "2.0").toDouble
+    val spark = Tables.SessionConfs.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet-reader paths so the first timed query
@@ -82,8 +129,8 @@ object Bench {
     // machine-speed canary: a fixed engine-independent workload (range
     // sum through whole-stage codegen). Its ratio vs the committed
     // clean-window floor (BASELINE.md, `canary floor:`) tells the READER
-    // whether a window measured the VM or the engine — query samples
-    // from a round whose canary reads >> 1 should be discounted.
+    // whether a window measured the VM or the engine — and tells THIS
+    // HARNESS which rounds to drop.
     def canarySample(): Double = {
       val t0 = System.nanoTime()
       spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
@@ -103,18 +150,33 @@ object Bench {
       if (ok) secs else -secs
     }
     val names = picked.keys.toSeq
+    val cFloor = canaryFloor()
+    // the committed canary floor was measured at local[32] and the canary
+    // workload parallelizes — at any other thread count the comparison is
+    // meaningless (observed: CPUS=8 reads ~4x the floor on an idle box),
+    // so round cleanliness is only judged at the driver's 32-thread
+    // config; other configs run exactly `runs` rounds and keep everything
+    val gateFloor = if (cpus == "32") cFloor else None
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    val roundCanaries = scala.collection.mutable.ArrayBuffer[Double]()
-    for (_ <- 1 to runs) {
-      roundCanaries += canarySample()
+    val brackets = scala.collection.mutable.ArrayBuffer[Bracket]()
+    def cleanCount: Int = cleanFlags(brackets.toSeq, gateFloor, cleanThresh).count(identity)
+    var round = 0
+    while (round < runs || (round < maxRounds && cleanCount < cleanTarget)) {
+      val pre = canarySample()
       names.foreach(n => samples(n) = samples(n) :+ sample(n, picked(n)))
+      val post = canarySample()
+      brackets += Bracket(pre, post)
+      round += 1
+      System.err.println(f"[bench] round $round bracket ${pre}%.3f/${post}%.3f " +
+        s"clean_rounds=$cleanCount")
     }
-    roundCanaries += canarySample() // closing bracket after the last round
+    val kept = keptRounds(brackets.toSeq, gateFloor, cleanThresh)
     // any failed sample poisons the query: report the (negative) median
     // of magnitudes so the failure is visible regardless of sample order
     def medOf(xs: Vector[Double]): Double =
-      if (xs.forall(_ > 0)) median(xs) else -median(xs.map(math.abs))
+      if (xs.isEmpty) 0.0
+      else if (xs.forall(_ > 0)) median(xs) else -median(xs.map(math.abs))
     val fl = floors()
     def flaggedOf(res: Map[String, Double]): Seq[(String, Double)] =
       res.toSeq.flatMap { case (k, v) =>
@@ -122,24 +184,37 @@ object Bench {
       }.filter(_._2 > 2.0).sortBy(-_._2)
     // tail re-run: queries flagged >2x floor after the main loop get two
     // more samples here — if the main loop crossed a steal window, the
-    // tail usually doesn't, and the 5-sample median then reflects the
-    // engine. Queries still flagged after this ARE suspicious.
-    val firstPass = names.map(n => n -> medOf(samples(n))).toMap
+    // tail usually doesn't; tail samples join the medians only when the
+    // tail's own bracket is clean (same rule as a main round)
+    val firstPass = names.map(n =>
+      n -> medOf(selectSamples(samples(n), kept, Vector.empty, tailKept = false))).toMap
     // worst offenders first, capped so a globally slow window (every
     // query flagged) can't double the suite cost in the tail
     val toRerun = flaggedOf(firstPass).map(_._1).take(30)
+    val tailSamples = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    var tailBracket: Option[Bracket] = None
     if (toRerun.nonEmpty) {
-      roundCanaries += canarySample()
+      val pre = canarySample()
       for (_ <- 1 to 2; n <- toRerun)
-        samples(n) = samples(n) :+ sample(n, picked(n))
-      roundCanaries += canarySample()
+        tailSamples(n) = tailSamples(n) :+ sample(n, picked(n))
+      val post = canarySample()
+      tailBracket = Some(Bracket(pre, post))
     }
-    val results = names.map(n => n -> medOf(samples(n))).toMap
+    val tailKept = tailBracket.exists(b =>
+      cleanFlags(Seq(b), gateFloor, cleanThresh).head)
+    val results = names.map(n =>
+      n -> medOf(selectSamples(samples(n), kept, tailSamples(n), tailKept))).toMap
     val qs = names.map(k => s"\"" + k + "\":" + results(k))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val canary = median(roundCanaries.toSeq)
-    val canaryFloor = Bench.canaryFloor()
+    // the canary that normalizes the verdict is the median over the SAME
+    // rounds the query medians came from — kept-round brackets (plus the
+    // tail bracket when used); mixing in dropped rounds would divide
+    // clean samples by a stolen-window canary and overcorrect
+    val usedBrackets = brackets.toSeq.zip(kept).collect { case (b, true) => b } ++
+      (if (tailKept) tailBracket.toSeq else Nil)
+    val canary = median(usedBrackets.flatMap(b => Seq(b.pre, b.post)))
     // vs-floor verdict: per-query median / best committed BASELINE.md
     // column; flagged = ratio > 2 (the documented noise tolerance)
     val ratios = results.toSeq.flatMap { case (k, v) =>
@@ -151,10 +226,11 @@ object Bench {
     // measured in the SAME historical window, so dividing by the canary
     // cancels the machine-speed term and leaves the engine term — a
     // query that is genuinely 3x slower stays ~3x after normalization,
-    // while one that merely rode a slow VM window drops to ~1x. This is
-    // the adjudication the round-4 judge performed by hand; the harness
-    // now emits it so a noisy-window driver run is self-explaining.
-    val canaryR = canaryFloor.map(canary / _)
+    // while one that merely rode a slow VM window drops to ~1x. With
+    // steal-aware selection the kept windows are usually clean, so the
+    // normalization is ~identity; it earns its keep exactly when no
+    // clean window existed all run.
+    val canaryR = cFloor.map(canary / _)
     val vsFloor = if (ratios.isEmpty) "null" else {
       val medR = median(ratios.map(_._2))
       val fj = flagged.map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }
@@ -170,15 +246,28 @@ object Bench {
     }
     // canary emits top-level: it is meaningful even when no floor rows
     // matched (fresh checkout, SPARK_GRAFT_ONLY on brand-new queries).
-    // canary_rounds lists every bracket sample in order so a reader can
-    // see WHICH rounds (and the re-run tail) sat in a steal window.
-    val cr = canaryFloor.map(f => f"${canary / f}%.2f").getOrElse("null")
-    val crs = roundCanaries.map(c => f"$c%.3f").mkString("[", ",", "]")
+    // "rounds" carries full per-round provenance — bracket canaries and
+    // whether the round's samples made it into the medians — so a reader
+    // can see WHICH windows the verdict stands on.
+    val cr = canaryR.map(f => f"$f%.2f").getOrElse("null")
+    val cleanSeq = cleanFlags(brackets.toSeq, gateFloor, cleanThresh)
+    val roundsJson = brackets.toSeq.zip(kept).map { case (b, k) =>
+      s"""{"pre":${f"${b.pre}%.3f"},"post":${f"${b.post}%.3f"},"kept":$k}"""
+    }.mkString("[", ",", "]")
+    val tailJson = tailBracket.map(b =>
+      s"""{"pre":${f"${b.pre}%.3f"},"post":${f"${b.post}%.3f"},"kept":$tailKept}""")
+      .getOrElse("null")
+    // canary_rounds: flat bracket list in time order (back-compat field)
+    val crs = (brackets.toSeq.flatMap(b => Seq(b.pre, b.post)) ++
+      tailBracket.toSeq.flatMap(b => Seq(b.pre, b.post)))
+      .map(c => f"$c%.3f").mkString("[", ",", "]")
     val rr = toRerun.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","runs":$runs,"stat":"median","interleaved":true,""" +
+      s""""sf":"$sfDir","runs":${brackets.size},"stat":"median","interleaved":true,""" +
       s""""canary_sec":${f"$canary%.3f"},"canary_ratio":$cr,""" +
-      s""""canary_rounds":$crs,"reran":$rr,""" +
+      s""""canary_rounds":$crs,"rounds":$roundsJson,"tail":$tailJson,""" +
+      s""""clean_threshold":$cleanThresh,"rounds_kept":${cleanSeq.count(identity)},""" +
+      s""""rounds_total":${brackets.size},"reran":$rr,""" +
       s""""vs_floor":$vsFloor}""")
     spark.stop()
   }
