@@ -139,6 +139,29 @@ object Bench {
     // the first canary execution compiles its codegen (~0.3-4 s cold);
     // warm it once so bracket samples measure the machine, not the JIT
     canarySample()
+    // a canary taken IMMEDIATELY after suite work reads systematically
+    // high (observed: 0.34-0.6 s posts with 0.09-0.2 s pres microseconds
+    // later — one-time post-round GC/cache effects, not steal). The
+    // bracket must measure the MACHINE, so discard one re-warming run
+    // before every post-work bracket sample.
+    def warmedCanary(): Double = { canarySample(); canarySample() }
+    // SCHEDULING canary: a three-stage job over trivial data — measures
+    // task-dispatch + shuffle round-trip latency, the machine term the
+    // CPU canary cannot see (one fat stage hides dispatch entirely).
+    // Sub-second queries are dominated by this additive per-stage
+    // latency, not by compute: a jittery-scheduler window inflates a
+    // 0.1 s query 3x while the CPU canary still reads clean (observed
+    // exactly that shape — kept-round CPU canary 1.31x floor with every
+    // short query at ~2-2.5x and multi-second write-path queries at
+    // ~1.1-1.4x). Emitted as provenance only; the clean gate stays on
+    // the CPU canary until a quiet-window floor exists for this one.
+    def schedCanary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 1024, 1, 8).repartition(cpus.toInt)
+        .repartition(7).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    schedCanary() // warm its codegen/plan once, same as the CPU canary
     // one timed execution; a failed query must be visible: negative secs
     def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -160,16 +183,19 @@ object Bench {
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     val brackets = scala.collection.mutable.ArrayBuffer[Bracket]()
+    val schedRounds = scala.collection.mutable.ArrayBuffer[Double]()
     def cleanCount: Int = cleanFlags(brackets.toSeq, gateFloor, cleanThresh).count(identity)
     var round = 0
     while (round < runs || (round < maxRounds && cleanCount < cleanTarget)) {
       val pre = canarySample()
+      val sched = schedCanary()
       names.foreach(n => samples(n) = samples(n) :+ sample(n, picked(n)))
-      val post = canarySample()
+      val post = warmedCanary()
       brackets += Bracket(pre, post)
+      schedRounds += sched
       round += 1
       System.err.println(f"[bench] round $round bracket ${pre}%.3f/${post}%.3f " +
-        s"clean_rounds=$cleanCount")
+        f"sched ${sched}%.3f clean_rounds=$cleanCount")
     }
     val kept = keptRounds(brackets.toSeq, gateFloor, cleanThresh)
     // any failed sample poisons the query: report the (negative) median
@@ -195,10 +221,10 @@ object Bench {
       .withDefaultValue(Vector.empty)
     var tailBracket: Option[Bracket] = None
     if (toRerun.nonEmpty) {
-      val pre = canarySample()
+      val pre = warmedCanary()
       for (_ <- 1 to 2; n <- toRerun)
         tailSamples(n) = tailSamples(n) :+ sample(n, picked(n))
-      val post = canarySample()
+      val post = warmedCanary()
       tailBracket = Some(Bracket(pre, post))
     }
     val tailKept = tailBracket.exists(b =>
@@ -261,11 +287,15 @@ object Bench {
     val crs = (brackets.toSeq.flatMap(b => Seq(b.pre, b.post)) ++
       tailBracket.toSeq.flatMap(b => Seq(b.pre, b.post)))
       .map(c => f"$c%.3f").mkString("[", ",", "]")
+    val schedJson = schedRounds.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val schedKept = schedRounds.toSeq.zip(kept).collect { case (s, true) => s }
+    val schedSec = if (schedKept.nonEmpty) f"${median(schedKept)}%.3f" else "null"
     val rr = toRerun.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","runs":${brackets.size},"stat":"median","interleaved":true,""" +
       s""""canary_sec":${f"$canary%.3f"},"canary_ratio":$cr,""" +
-      s""""canary_rounds":$crs,"rounds":$roundsJson,"tail":$tailJson,""" +
+      s""""canary_rounds":$crs,"sched_rounds":$schedJson,"sched_sec":$schedSec,""" +
+      s""""rounds":$roundsJson,"tail":$tailJson,""" +
       s""""clean_threshold":$cleanThresh,"rounds_kept":${cleanSeq.count(identity)},""" +
       s""""rounds_total":${brackets.size},"reran":$rr,""" +
       s""""vs_floor":$vsFloor}""")

@@ -28,6 +28,12 @@ class BenchParseSpec extends AnyFunSuite {
     assert(fl.size > 100, s"floor table shrank: ${fl.size} rows parsed")
     // best-column semantics: q01 best is its r4_median 0.19
     assert(fl.get("q01_pricing_summary").contains(0.19))
-    assert(fl.get("q_dedup_jaccard").contains(1.43))
+    // refresh semantics: a LATER table row overrides the main table —
+    // q_dedup_jaccard's round-7 row (3.72, post-reshape) must beat its
+    // stale main-table 1.43 (the pre-reshape array-verify shape)
+    assert(fl.get("q_dedup_jaccard").contains(3.72),
+      s"r7 floor-refresh row must override: ${fl.get("q_dedup_jaccard")}")
+    // round-7 additions present
+    assert(fl.contains("q_geo_sphere"))
   }
 }
