@@ -189,7 +189,50 @@ object Behavioral {
       .limit(20)
   }
 
+  /** Last-touch marketing attribution: each purchase is credited to the
+    * campaign of the user's most recent click STRICTLY before it (ties
+    * on ts break by event_id, so both engines pick the same click) and
+    * within a 7-day lookback window; purchases with no qualifying click
+    * are "organic". Campaign = click's props.k mod 10 — the synthetic
+    * campaign axis. Revenue rolls up per campaign in DECIMAL(18,6)
+    * (exact, engine-identical).
+    *
+    * Scale shape: ONE user-keyed window shuffle (the per-entity ordering
+    * cost every attribution system pays) carries the last click's
+    * campaign and timestamp forward via `last(_, ignoreNulls)` over rows
+    * [-∞, -1] — NOT a purchases×clicks self-join, whose per-user
+    * worst case is quadratic and whose join would shuffle both sides
+    * anyway. Click campaign and click time ride ONE struct through the
+    * window, so both always come from the same click row even if a
+    * click's props were malformed (no split-brain between two
+    * independent `last` calls). The rollup output is ≤ 11 rows. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val lookbackUs = 7L * 24 * 3600 * 1000000
+    val ev = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"),
+        when(col("event_type") === "click",
+          struct(unix_micros(col("ts")).as("us"),
+            (get_json_object(col("props"), "$.k").cast("long") % 10)
+              .as("campaign"))).as("click"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_click", last(col("click"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("campaign",
+        when(col("last_click").isNotNull &&
+          unix_micros(col("ts")) - col("last_click.us") <= lookbackUs,
+          concat(lit("c"), col("last_click.campaign").cast("string")))
+          .otherwise("organic"))
+      .groupBy(col("campaign"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("revenue"))
+      .orderBy("campaign")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_attribution" -> attribution,
     "q_ab_test" -> abTest,
     "q_rfm" -> rfm,
     "q_funnel" -> funnel,
@@ -198,6 +241,29 @@ object Behavioral {
     "q_cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    CASE WHEN event_type = 'click'
+        |      THEN {'us': epoch_us(ts),
+        |            'campaign': CAST(json_extract_string(props, '$.k') AS BIGINT) % 10}
+        |    END AS click
+        |  FROM events WHERE event_type IN ('click','purchase')),
+        |w AS (
+        |  SELECT *, last_value(click IGNORE NULLS) OVER win AS last_click
+        |  FROM ev
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (
+        |  SELECT CASE WHEN last_click IS NOT NULL
+        |      AND epoch_us(ts) - last_click.us <= 604800000000
+        |    THEN 'c' || CAST(last_click.campaign AS VARCHAR)
+        |    ELSE 'organic' END AS campaign,
+        |    value
+        |  FROM w WHERE event_type = 'purchase')
+        |SELECT campaign, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM p GROUP BY campaign ORDER BY campaign""".stripMargin,
     "q_session_paths" ->
       """WITH s AS (
         |  SELECT user_id, event_id, ts, event_type,

@@ -266,12 +266,62 @@ object Sampling {
       d.agg((sum(col("n_words")) / 2).cast(LongType).as("budget")))
   }
 
+  // --- domain-balanced corpus capping ---------------------------------------
+  /** Cap any single source's contribution at [[DomainCapPct]]% of the
+    * corpus' total character mass (the RefinedWeb/FineWeb domain-mixing
+    * move: a handful of boilerplate-heavy domains must not dominate the
+    * training distribution). An over-cap source is down-sampled by a
+    * deterministic per-document hash gate at rate cap/source_chars, so
+    * the expected kept mass is exactly the cap; under-cap sources pass
+    * whole (rate clamps to 1). Reported per source: kept docs, kept
+    * chars, and the gate rate in ppm.
+    *
+    * Scale shape: one source-keyed partial agg (20-row result here;
+    * O(#domains) generally — millions of rows at web scale, still tiny
+    * vs the corpus), a 1-row total joined in broadcast, the per-source
+    * rate table joined back broadcast, then a PURE per-row hash
+    * predicate — no window, no second corpus shuffle, and the gate is
+    * stable under repartitioning (a document's fate depends only on its
+    * id). Rate arithmetic is all-integer (ppm = total*CapPct*10⁴ div
+    * src), replayed verbatim by the oracle; the md5 gate is the same
+    * engine-identical fold [[sqlFold]] the sampling family uses. The
+    * BIGINT product total_chars * 40000 holds to ~2.3 × 10¹⁴ total
+    * chars (≈ 230 TB of text) — the documented ceiling before this
+    * needs DECIMAL(38,0). */
+  val DomainCapPct = 4
+
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val bySrc = docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("src_chars"))
+    // grand total via an unpartitioned window over the PER-SOURCE table —
+    // O(#domains) narrow rows, never the corpus — so the corpus is
+    // aggregated exactly once (a separate `.agg` subtree would recompute
+    // the per-source rollup, doubling the big-side scan+shuffle)
+    val rates = bySrc
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr(s"sum(src_chars) over () * ${DomainCapPct * 10000} div src_chars")))
+      .select("source", "rate_ppm")
+    val gate = pmod(conv(substring(
+      md5(concat(lit("cap:"), col("doc_id").cast("string")).cast("binary")),
+      1, 8), 16, 10).cast(LongType), lit(1000000L))
+    docs.join(broadcast(rates), "source")
+      .filter(gate < col("rate_ppm"))
+      .groupBy(col("source"), col("rate_ppm"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      .select("source", "n_kept", "kept_chars", "rate_ppm")
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sample_stratified" -> sampleStratified,
     "q_pack_chunks" -> packChunks,
     "q_train_shuffle" -> trainShuffle,
     "q_mix_temperature" -> mixTemperature,
     "q_budget_select" -> budgetSelect,
+    "q_domain_cap" -> domainCap,
     "q_split_assign" -> splitAssign)
 
   /** DuckDB lacks a hex-to-int cast, so the oracle folds the 8 hex digits
@@ -317,6 +367,23 @@ object Sampling {
          |)
          |SELECT lang, split, COUNT(*) AS n_docs
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q_domain_cap" ->
+      s"""WITH s AS (
+         |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_chars
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT CAST(SUM(src_chars) AS BIGINT) AS total_chars FROM s),
+         |r AS (
+         |  SELECT source,
+         |    LEAST(1000000, total_chars * ${Sampling.DomainCapPct * 10000} // src_chars)
+         |      AS rate_ppm
+         |  FROM s, t),
+         |k AS (
+         |  SELECT d.source, d.n_chars, r.rate_ppm
+         |  FROM documents d JOIN r USING (source)
+         |  WHERE CAST(${sqlFold("cap")} AS BIGINT) % 1000000 < rate_ppm)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars, rate_ppm
+         |FROM k GROUP BY source, rate_ppm ORDER BY source""".stripMargin,
     "q_train_shuffle" ->
       s"""WITH k AS (
          |  SELECT doc_id, md5('shd:' || CAST(doc_id AS VARCHAR)) AS key,

@@ -657,6 +657,73 @@ class OpsSpec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
 
+  test("q_attribution: last-touch credit matches a naive per-user replay") {
+    val out = Behavioral.attribution(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    case class E(id: Long, us: Long, typ: String, value: Double, k: Long)
+    val byUser = graft.Tables(spark, sf01, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us", "event_type",
+        "value", "cast(get_json_object(props, '$.k') AS long) % 10 AS k")
+      .collect()
+      .map(r => r.getLong(0) ->
+        E(r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4), r.getLong(5)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val naive = scala.collection.mutable.Map[String, (Long, BigDecimal)]()
+    for ((_, evs) <- byUser) {
+      // the engine's order: (ts, event_id); a click strictly earlier in
+      // that order is eligible, a simultaneous-ts click with a SMALLER
+      // event_id included, larger excluded
+      val sorted = evs.filter(e => e.typ == "click" || e.typ == "purchase")
+        .sortBy(e => (e.us, e.id))
+      for ((p, i) <- sorted.zipWithIndex if p.typ == "purchase") {
+        val last = sorted.take(i).reverseIterator.find(_.typ == "click")
+        val camp = last match {
+          case Some(c) if p.us - c.us <= 7L * 24 * 3600 * 1000000 => s"c${c.k}"
+          case _ => "organic"
+        }
+        val (n, v) = naive.getOrElse(camp, (0L, BigDecimal(0)))
+        naive(camp) = (n + 1, v + BigDecimal(p.value.toString).setScale(6))
+      }
+    }
+    assert(out.keySet == naive.keySet)
+    naive.foreach { case (camp, (n, rev)) =>
+      assert(out(camp)._1 == n, s"$camp purchase count")
+      assert(math.abs(out(camp)._2 - rev.toDouble) < 1e-6, s"$camp revenue")
+    }
+    // both attributed and organic purchases must exist on this data
+    assert(naive.contains("organic") && naive.exists(_._1 != "organic"))
+  }
+
+  test("q_domain_cap: rates and kept sets replay the md5 gate exactly") {
+    val out = Sampling.domainCap(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = graft.Tables(spark, sf01, "documents")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val total = bySrc.values.sum
+    val rate = bySrc.view
+      .mapValues(s => math.min(1000000L, total * 40000L / s)).toMap
+    def gate(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cap:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 1000000L
+    }
+    val kept = docs.filter { case (id, src, _) => gate(id) < rate(src) }
+    val keptBySrc = kept.groupBy(_._2)
+    assert(out.keySet == keptBySrc.keySet)
+    keptBySrc.foreach { case (src, ds) =>
+      assert(out(src)._1 == ds.length.toLong, s"$src kept count")
+      assert(out(src)._2 == ds.map(_._3).sum, s"$src kept chars")
+      assert(out(src)._3 == rate(src), s"$src rate_ppm")
+    }
+    // uniform testdata: every source sits over the 4% cap, so every
+    // rate must actually gate (a vacuous always-pass rate would hide a
+    // broken gate)
+    assert(out.values.forall(_._3 < 1000000L))
+    assert(kept.length < docs.length)
+  }
+
   test("funnel: step counts are monotonically non-increasing") {
     val r = Behavioral.funnel(spark, sf01).collect().head
     val steps = Seq("n_signup", "n_view", "n_click", "n_purchase")

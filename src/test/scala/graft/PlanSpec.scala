@@ -203,4 +203,30 @@ class PlanSpec extends SparkSpec {
     assert(countShuffles(plan) <= 4,
       s"expected <=4 shuffles, got ${countShuffles(plan)}:\n$plan")
   }
+
+  test("q_domain_cap: rate table broadcasts; the corpus never join-shuffles") {
+    val plan = planString(Sampling.domainCap(spark, sf01))
+    assert("BroadcastHashJoin".r.findAllIn(plan).nonEmpty,
+      s"per-source rates must join broadcast:\n$plan")
+    assert("SortMergeJoin".r.findAllIn(plan).isEmpty &&
+      !plan.contains("CartesianProduct"),
+      s"domain cap must not shuffle or cross-join the corpus:\n$plan")
+    // corpus-side shuffles: the per-source partial agg and the final
+    // (source, rate) rollup (+ output range sort); the hash gate itself
+    // is a pure per-row filter
+    assert(countShuffles(plan) <= 3,
+      s"expected <=3 shuffles, got ${countShuffles(plan)}:\n$plan")
+  }
+
+  test("q_attribution: join-free — one user window carries the last click") {
+    val plan = planString(Behavioral.attribution(spark, sf01))
+    // the naive shape self-joins purchases against clicks (per-user
+    // quadratic); the windowed shape must contain NO join at all
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).isEmpty && !plan.contains("CartesianProduct"),
+      s"attribution must be join-free:\n$plan")
+    // user window + campaign rollup + output sort
+    assert(countShuffles(plan) <= 3,
+      s"expected <=3 shuffles, got ${countShuffles(plan)}:\n$plan")
+  }
 }
