@@ -335,6 +335,149 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  // --- product-quantized ANN (ADC) ------------------------------------------
+  /** PQ codebook geometry: [[dim]]=64 splits into PqM=4 subspaces of
+    * PqSub=16 dims, PqKs=16 centroids per subspace — a vector compresses
+    * to 4 codes (4 bytes in a production layout; 512 bytes of raw
+    * doubles → 128× smaller than the float form it stands in for). */
+  val PqM = 4
+  val PqSub = 16
+  val PqKs = 16
+  /** ADC shortlist size before the exact re-rank */
+  val PqShortlist = 32
+
+  /** L2² between v's m-th subvector and a PqSub-dim centroid — index-order
+    * accumulation, the bit-exact twin of the oracle's list_sum fold */
+  private def subL2(v: Array[Double], m: Int, c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < PqSub) { val d = v(m * PqSub + i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** dot of v's m-th subvector with a centroid — same fold discipline */
+  private def subDot(v: Array[Double], m: Int, c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < PqSub) { s += v(m * PqSub + i) * c(i); i += 1 }
+    s
+  }
+
+  /** nearest centroid by L2², ties to the LOWER index (strict `<` keeps
+    * the first minimum — the twin of ORDER BY d ASC, k) */
+  private def nearestCode(v: Array[Double], m: Int,
+      book: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var k = 0
+    while (k < book.length) {
+      val d = subL2(v, m, book(k))
+      if (d < bestD) { bestD = d; best = k }
+      k += 1
+    }
+    best
+  }
+
+  /** deterministic per-subspace codebooks, the same discipline as
+    * [[ivfCentroids]]: seeds = the first PqKs vectors' subvectors, one
+    * k-means step over 2^20-quantized coordinates (exact integer sums →
+    * one double division), empty clusters keep their seed. The refine
+    * pass is a corpus-wide partial agg over (m, k, i) keys — 1024 rows
+    * out regardless of corpus size. */
+  private def pqCodebooks(spark: SparkSession,
+      e: org.apache.spark.sql.Dataset[(Long, Array[Double])]): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val seeds = e.filter(_._1 < PqKs).collect().sortBy(_._1).map(_._2)
+    val seedBooks: Array[Array[Array[Double]]] =
+      Array.tabulate(PqM)(m => seeds.map(s => s.slice(m * PqSub, (m + 1) * PqSub)))
+    val bc0 = spark.sparkContext.broadcast(seedBooks)
+    val refined = e.flatMap { case (_, v) =>
+      (0 until PqM).map { m =>
+        (m, nearestCode(v, m, bc0.value(m)), v.slice(m * PqSub, (m + 1) * PqSub))
+      }
+    }.toDF("m", "k", "sv")
+      .select(col("m"), col("k"), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy("m", "k", "i")
+      .agg(sum(floor(col("x") * lit(1048576.0)).cast(LongType)).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("m"), col("k"), col("i"),
+        (col("sx").cast("double") / (col("n").cast("double") * lit(1048576.0))).as("mu"))
+      .groupBy("m", "k")
+      .agg(map_from_arrays(collect_list(col("i")), collect_list(col("mu"))).as("dims"))
+      .as[(Int, Int, Map[Int, Double])].collect()
+    Array.tabulate(PqM, PqKs) { (m, k) =>
+      refined.find(r => r._1 == m && r._2 == k).map { case (_, _, dims) =>
+        Array.tabulate(PqSub)(i => dims(i))
+      }.getOrElse(seedBooks(m)(k))
+    }
+  }
+
+  /** Product-quantization ANN with asymmetric distance computation — the
+    * third leg of the ANN family (LSH buckets, IVF lists, PQ codes) and
+    * the one that wins when the CODES fit in memory but the vectors
+    * don't: scoring a candidate is 4 table lookups + 3 adds instead of a
+    * 64-dim dot product, against a 4-byte-per-vector scan.
+    *
+    * Scale shape: codebooks are deterministic and tiny (4×16×16 doubles,
+    * broadcast); the codes table is one linear map over the corpus; each
+    * query precomputes a LUT[m][k] = ⟨q_sub, centroid⟩ on the driver
+    * (PqM×PqKs doubles per query) and ships it broadcast, so the ADC
+    * scan is join-free per row and embarrassingly parallel. The top-
+    * [[PqShortlist]] selection is TWO-PHASE over a deterministic salt
+    * (n_id mod 64): a per-(query, salt) window prunes each cell to
+    * PqShortlist rows, then the global window ranks the 64×PqShortlist
+    * survivors per query — the single-phase per-query window would
+    * funnel the whole corpus through ≤#queries tasks at 100 TB (the
+    * next rung at extreme scale is a map-side partial top-k, which
+    * also caps the pre-prune sort). Exact-arithmetic contract:
+    * every fold (LUT dots, the 4-term ADC sum, the k-means refine) runs
+    * in index order in both engines, so scores are bit-identical and
+    * the final exact-cosine re-rank mirrors the IVF/LSH tail. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), vdouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+    val books = pqCodebooks(spark, e)
+    val bc = spark.sparkContext.broadcast(books)
+    val codes = e.map { case (id, v) =>
+      (id, nearestCode(v, 0, bc.value(0)), nearestCode(v, 1, bc.value(1)),
+        nearestCode(v, 2, bc.value(2)), nearestCode(v, 3, bc.value(3)))
+    }.toDF("vec_id", "c0", "c1", "c2", "c3")
+    val queries = e.filter(_._1 < 10).collect().sortBy(_._1).map { case (id, v) =>
+      (id, v.toSeq,
+        Array.tabulate(PqKs)(k => subDot(v, 0, books(0)(k))).toSeq,
+        Array.tabulate(PqKs)(k => subDot(v, 1, books(1)(k))).toSeq,
+        Array.tabulate(PqKs)(k => subDot(v, 2, books(2)(k))).toSeq,
+        Array.tabulate(PqKs)(k => subDot(v, 3, books(3)(k))).toSeq)
+    }.toSeq.toDF("q_id", "qv", "lut0", "lut1", "lut2", "lut3")
+    val adc = codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("qv"),
+        (element_at(col("lut0"), col("c0") + 1) +
+          element_at(col("lut1"), col("c1") + 1) +
+          element_at(col("lut2"), col("c2") + 1) +
+          element_at(col("lut3"), col("c3") + 1)).as("score"))
+    // two-phase exact top-k: phase 1 prunes per (query, n_id%64) — a pure
+    // DATA key, so the plan is deterministic and each window partition
+    // holds ~1/64 of one query's candidates; phase 2 ranks the 64×
+    // PqShortlist survivors. Every global-top-PqShortlist row survives
+    // phase 1 (fewer than PqShortlist rows beat it anywhere, a fortiori
+    // in its salt cell), so the result is EXACTLY the single-window
+    // top-k without ever funneling a corpus through ≤#queries tasks.
+    val local = Window.partitionBy(col("q_id"), pmod(col("n_id"), lit(64L)))
+      .orderBy(col("score").desc, col("n_id"))
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    val shortlist = adc
+      .withColumn("rl", row_number().over(local)).filter(col("rl") <= PqShortlist)
+      .withColumn("rs", row_number().over(global)).filter(col("rs") <= PqShortlist)
+      .select("q_id", "n_id", "qv")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    shortlist.join(e.toDF("n_id", "nv"), "n_id")
+      .select(col("q_id"), col("n_id"),
+        graft.functions.GraftFunctions.cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "n_id")
+      .orderBy("q_id", "rnk")
+  }
+
   /** Hard-negative mining for contrastive training: for each query vector,
     * the most-similar vectors carrying a DIFFERENT label — the pairs that
     * teach a retriever the most. Same broadcast-queries × linear-scan shape
@@ -438,6 +581,7 @@ object Similarity {
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLsh,
     "q_ann_ivf" -> annIvf,
+    "q_ann_pq" -> annPq,
     "q_dedup_semantic" -> dedupSemantic,
     "q_ann_int8" -> annInt8,
     "q_embed_quantize" -> embedQuantize,
@@ -527,6 +671,68 @@ object Similarity {
        |        ORDER BY ${sqlCos("e.v", "ct.cv")} DESC, ct.c) AS rnk
        |    FROM e CROSS JOIN cents ct) z WHERE rnk = 1
        |)""".stripMargin
+
+  /** PQ oracle: replays codebook build (seeds → exact quantized k-means
+    * step → books), code assignment, the per-query LUT, the ADC score
+    * (4 MAX-CASE terms summed LEFT-ASSOCIATIVELY — a bare SUM() over the
+    * 4 joined rows would have engine-dependent accumulation order), the
+    * top-[[PqShortlist]] shortlist, and the exact-cosine re-rank tail. */
+  private def sqlSubL2(vExpr: String, mExpr: String, cvExpr: String): String =
+    s"list_sum(list_transform(range(1, ${PqSub + 1}), " +
+      s"i -> ($vExpr[$mExpr * $PqSub + i] - $cvExpr[i])" +
+      s" * ($vExpr[$mExpr * $PqSub + i] - $cvExpr[i])))"
+
+  private val pqOracle = rerankSql(
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), sub AS (
+       |  SELECT u.m, e.vec_id AS k,
+       |    list_transform(range(1, ${PqSub + 1}), i -> e.v[u.m * $PqSub + i]) AS cv
+       |  FROM e, UNNEST(range(0, $PqM)) u(m) WHERE e.vec_id < $PqKs
+       |), a0 AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT e.vec_id, s.m, s.k,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, s.m
+       |        ORDER BY ${sqlSubL2("e.v", "s.m", "s.cv")} ASC, s.k) AS rnk
+       |    FROM e CROSS JOIN sub s) z WHERE rnk = 1
+       |), ref AS (
+       |  SELECT a0.m, a0.k, i,
+       |    CAST(SUM(CAST(floor(e.v[a0.m * $PqSub + i] * 1048576.0) AS BIGINT)) AS DOUBLE)
+       |      / (CAST(COUNT(*) AS DOUBLE) * 1048576.0) AS mu
+       |  FROM a0 JOIN e USING (vec_id), UNNEST(range(1, ${PqSub + 1})) u(i)
+       |  GROUP BY a0.m, a0.k, i
+       |), refc AS (
+       |  SELECT m, k, list(mu ORDER BY i) AS rv FROM ref GROUP BY m, k
+       |), books AS (
+       |  SELECT s.m, s.k, COALESCE(r.rv, s.cv) AS cv
+       |  FROM sub s LEFT JOIN refc r ON s.m = r.m AND s.k = r.k
+       |), codes AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT e.vec_id, b.m, b.k,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.m
+       |        ORDER BY ${sqlSubL2("e.v", "b.m", "b.cv")} ASC, b.k) AS rnk
+       |    FROM e CROSS JOIN books b) z WHERE rnk = 1
+       |), lut AS (
+       |  SELECT q.vec_id AS q_id, b.m, b.k,
+       |    list_sum(list_transform(range(1, ${PqSub + 1}),
+       |      i -> q.v[b.m * $PqSub + i] * b.cv[i])) AS d
+       |  FROM e q CROSS JOIN books b WHERE q.vec_id < 10
+       |), adc AS (
+       |  SELECT l.q_id, c.vec_id AS n_id,
+       |    MAX(CASE WHEN l.m = 0 THEN l.d END)
+       |      + MAX(CASE WHEN l.m = 1 THEN l.d END)
+       |      + MAX(CASE WHEN l.m = 2 THEN l.d END)
+       |      + MAX(CASE WHEN l.m = 3 THEN l.d END) AS score
+       |  FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.k
+       |  WHERE c.vec_id <> l.q_id GROUP BY l.q_id, c.vec_id
+       |), cand AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY score DESC, n_id) AS rs
+       |    FROM adc) z WHERE rs <= $PqShortlist
+       |)""".stripMargin)
 
   private val ivfOracle = rerankSql(
     s"""$ivfCentsCte, probes AS (
@@ -642,6 +848,7 @@ object Similarity {
          |ORDER BY emb.vec_id""".stripMargin,
     "q_ann_lsh" -> lshOracle,
     "q_ann_ivf" -> ivfOracle,
+    "q_ann_pq" -> pqOracle,
     "q_ann_int8" -> int8Oracle,
     "q_embed_quantize" ->
       """WITH e AS (

@@ -206,6 +206,72 @@ object StreamingOps {
       .orderBy("user_id", "session_id")
   }
 
+  // --- stateful last-touch attribution --------------------------------------
+  case class AEv(user_id: Long, ts_us: Long, event_id: Long, event_type: String,
+      value: Double, campaign: Long)
+  case class AClick(us: Long, campaign: Long, has: Boolean)
+  case class AOut(campaign: String, value: Double)
+
+  private val AttrLookbackUs = 7L * 24 * 3600 * 1000000
+
+  /** Per-user attribution state machine: state is ONE (ts, campaign)
+    * pair — the most recent click — regardless of how many events the
+    * user ever produced; each purchase emits its credited campaign as it
+    * arrives. The streaming twin of [[Behavioral.attribution]]'s batch
+    * window (same strictly-before, (ts, event_id)-ordered, 7-day-lookback
+    * semantics), so the two share one oracle. Events sort by (ts,
+    * event_id) within the micro-batch; across batches the state carries
+    * the last click, so the replay is exact as long as the source feeds
+    * batches in event order (the staged single-file source does). */
+  def attributionFn(uid: Long, it: Iterator[AEv],
+      state: GroupState[AClick]): Iterator[AOut] = {
+    val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var click: Option[(Long, Long)] =
+      state.getOption.filter(_.has).map(c => (c.us, c.campaign))
+    val out = ArrayBuffer[AOut]()
+    evs.foreach { e =>
+      if (e.event_type == "click") click = Some((e.ts_us, e.campaign))
+      else if (e.event_type == "purchase") {
+        val camp = click match {
+          case Some((us, c)) if e.ts_us - us <= AttrLookbackUs => s"c$c"
+          case _ => "organic"
+        }
+        out += AOut(camp, e.value)
+      }
+    }
+    state.update(click.map(c => AClick(c._1, c._2, has = true))
+      .getOrElse(AClick(0, 0, has = false)))
+    out.iterator
+  }
+
+  def streamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val src = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long") % 10,
+          lit(-1L)).as("campaign"))
+    src.coalesce(1).write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in").as[AEv]
+    val credited = withStatePartitions(spark) {
+      val out = stream.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(attributionFn)
+      val name = s"a_${UUID.randomUUID.toString.replace("-", "")}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name)
+    }
+    credited.groupBy(col("campaign"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("revenue"))
+      .orderBy("campaign")
+  }
+
   // --- native session_window sessionization ---------------------------------
   /** Spark's BUILT-IN `session_window` aggregation — the declarative
     * (codegen'd merging-session state store) counterpart to the custom
@@ -531,6 +597,7 @@ object StreamingOps {
     "q_stream_window_append" -> streamWindowAppend,
     "q_stream_sketch" -> streamSketch,
     "q_stream_sessions" -> streamSessions,
+    "q_stream_attribution" -> streamAttribution,
     "q_stream_session_window" -> streamSessionWindow,
     "q_stream_pipeline" -> streamPipeline,
     "q_stream_ingest" -> streamIngest,
@@ -542,6 +609,9 @@ object StreamingOps {
     }
 
   val oracles: Map[String, String] = Map(
+    // the streaming state machine must reproduce the BATCH attribution
+    // window exactly — one oracle serves both
+    "q_stream_attribution" -> Behavioral.oracles("q_attribution"),
     "q_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -428,6 +428,17 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"ivf recall $recall below target for 32-list/4-probe")
   }
 
+  test("ann pq: ADC shortlist + exact re-rank recalls the brute-force top-k") {
+    val exact = Similarity.annTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.annPq(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // every query must yield a full top-5 (shortlist >= 5 candidates)
+    assert(approx.size == exact.size, s"pq returned ${approx.size} rows")
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"pq recall $recall below target for 4x16-code ADC")
+  }
+
   test("range join matches the nested-loop predicate semantics") {
     import org.apache.spark.sql.functions.unix_micros
     val pairs = RangeJoin.eventsFollowRange(spark, sf).collect()
@@ -886,6 +897,16 @@ class OpsSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT graft_kmv(user_id) AS sk FROM ev_kmv")
       .collect().head.getSeq[Long](0)
     assert(viaSql == full)
+  }
+
+  test("q_stream_attribution: stateful replay equals the batch window exactly") {
+    val batch = Behavioral.attribution(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val stream = StreamingOps.queries("q_stream_attribution")(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // both sum the same DECIMAL(18,6) set per campaign -> doubles equal
+    // bit-for-bit, so exact set equality is the right assertion
+    assert(stream == batch)
   }
 
   test("q_stream_sketch: streaming windowed NDV matches batch truth") {
