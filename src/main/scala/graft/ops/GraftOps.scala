@@ -218,6 +218,40 @@ object GraftOps {
     aggByStatus(t.scan())
   }
 
+  /** #14c the REST of the maintenance surface under the correctness gate
+    * (rewriteDeleteFiles / compactSmallFiles / rewriteManifests /
+    * removeOrphanFiles were spec-only before): MoR delete →
+    * rewriteDeleteFiles (deletes materialize into data files) →
+    * small-file compaction → manifest rewrite → aggressive expiry →
+    * orphan sweep. The readback must equal the logical table through
+    * all six steps, and the steps PROVE they did work through boolean
+    * columns computed from live metadata / step counters — booleans,
+    * not file counts, because file counts depend on session parallelism
+    * while "no delete files remain live" and "the sweep removed
+    * something" hold under any partitioning. A sweep that finds
+    * nothing (or a delete-rewrite that leaves delete files live) fails
+    * the hash gate loudly instead of silently degrading. */
+  def maintenance(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    val o = orders(spark, dir)
+    (0 until 3).foreach(i => t.append(o.filter(col("o_orderkey") % 3 === i)))
+    // two MoR deletes -> >=2 positional delete files, so the rewrite has
+    // real coalescing work to prove (it no-ops below 2)
+    t.delete("o_orderkey % 10 = 7", WriteMode.MergeOnRead)
+    t.delete("o_orderkey % 10 = 4", WriteMode.MergeOnRead)
+    t.rewriteDeleteFiles()
+    val deletesCoalesced = t.liveFiles().count(_.fileType == "posdel") == 1
+    t.compact() // materializes the deletes into rewritten data files
+    val deletesGone = t.liveFiles().forall(_.fileType == "data")
+    t.rewriteManifests()
+    t.expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 1)
+    val orphans = t.removeOrphanFiles(System.currentTimeMillis() + 1000)
+    aggByStatus(t.scan())
+      .withColumn("deletes_coalesced", lit(deletesCoalesced))
+      .withColumn("delete_files_gone", lit(deletesGone))
+      .withColumn("orphans_swept", lit(orphans > 0))
+  }
+
   /** Snapshot expiry with LIVE REFS: after main compacts away the files
     * the dev branch and v1 tag still list, an aggressive expiry (every
     * non-head, non-recent snapshot) must leave all three refs readable —
@@ -741,6 +775,7 @@ object GraftOps {
     "q_branch_tag" -> branchTag,
     "q_branch_rowops" -> branchRowOps,
     "q_expire_refs" -> expireRefs,
+    "q_maintenance" -> maintenance,
     "q_rollback" -> rollback,
     "q_wap" -> wap,
     "q_cdc_changes" -> cdcChanges,
@@ -923,6 +958,12 @@ object GraftOps {
     "q_compaction" ->
       aggByStatusSql.replace("%SRC%",
         "(SELECT * FROM orders WHERE o_orderkey % 10 <> 0)"),
+    "q_maintenance" ->
+      ("SELECT o_orderstatus, n, sum_total, TRUE AS deletes_coalesced, " +
+        "TRUE AS delete_files_gone, TRUE AS orphans_swept FROM (" +
+        aggByStatusSql.replace("%SRC%",
+          "(SELECT * FROM orders WHERE o_orderkey % 10 NOT IN (7, 4))") +
+        ") ORDER BY o_orderstatus"),
     "q_branch_rowops" ->
       """WITH mainref AS (
         |  SELECT o_orderstatus, o_totalprice FROM orders

@@ -315,7 +315,46 @@ object Sampling {
       .orderBy("source")
   }
 
+  // --- curriculum staging -----------------------------------------------------
+  /** Curriculum ordering: assign each document one of 4 training stages
+    * by integer difficulty (scaled mean token length — easy/short-word
+    * text first), with COUNT-based stage boundaries: a document's stage
+    * is decided by how many documents are strictly easier, so stages
+    * split the corpus into quarters and ties (same score) always share
+    * a stage — deterministic, engine-replayable, no interpolated
+    * quantiles (the RFM oracle-hazard class is designed out).
+    *
+    * Scale shape: per-doc difficulty is a per-row expression; the
+    * histogram groupBy yields O(distinct scores) rows (bounded by the
+    * score's value range, not the corpus), the prefix-count window runs
+    * over THAT histogram only, and the stage map joins back broadcast.
+    * No corpus-sized window, no global sort — the same histogram
+    * decomposition as budgetSelectCore, one level deep because stage
+    * assignment needs only the prefix COUNT, not a running token sum. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("n_words"),
+      expr("length(text) * 100L div size(split(text, ' '))").as("difficulty"))
+    val hist = d.groupBy(col("difficulty")).agg(count(lit(1)).as("cnt"))
+    val wc = Window.orderBy(col("difficulty"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = hist.agg(sum(col("cnt")).as("n_total"))
+    val stages = hist
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(wc), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("difficulty"),
+        (lit(1L) + least(lit(3L), expr("cum_before * 4 div n_total")))
+          .as("stage"))
+    d.join(broadcast(stages), "difficulty")
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"),
+        min(col("difficulty")).as("min_diff"), max(col("difficulty")).as("max_diff"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_curriculum" -> curriculum,
     "q_sample_stratified" -> sampleStratified,
     "q_pack_chunks" -> packChunks,
     "q_train_shuffle" -> trainShuffle,
@@ -367,6 +406,26 @@ object Sampling {
          |)
          |SELECT lang, split, COUNT(*) AS n_docs
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(text) AS BIGINT) * 100
+        |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS difficulty
+        |  FROM documents),
+        |h AS (SELECT difficulty, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM d GROUP BY difficulty),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM h),
+        |s AS (
+        |  SELECT difficulty,
+        |    CAST(1 + LEAST(3, COALESCE(CAST(SUM(cnt) OVER (ORDER BY difficulty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      * 4 // n_total) AS BIGINT) AS stage
+        |  FROM h, t)
+        |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(d.n_words) AS BIGINT) AS sum_words,
+        |  MIN(d.difficulty) AS min_diff, MAX(d.difficulty) AS max_diff
+        |FROM d JOIN s USING (difficulty)
+        |GROUP BY stage ORDER BY stage""".stripMargin,
     "q_domain_cap" ->
       s"""WITH s AS (
          |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_chars

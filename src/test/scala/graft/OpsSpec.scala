@@ -705,6 +705,42 @@ class OpsSpec extends SparkSpec {
     assert(naive.contains("organic") && naive.exists(_._1 != "organic"))
   }
 
+  test("q_maintenance: six-step gauntlet keeps the logical table and proves work") {
+    val rows = GraftOps.queries("q_maintenance")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("deletes_coalesced"),
+        "rewriteDeleteFiles did not coalesce to one posdel file")
+      assert(r.getAs[Boolean]("delete_files_gone"),
+        "compaction left delete files live")
+      assert(r.getAs[Boolean]("orphans_swept"),
+        "orphan sweep found nothing after compaction+expiry")
+    }
+    val expect = graft.Tables(spark, sf, "orders")
+      .filter(col("o_orderkey") % 10 =!= 7 && col("o_orderkey") % 10 =!= 4)
+      .groupBy(col("o_orderstatus")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n") == expect(r.getString(0)), r.getString(0)))
+  }
+
+  test("q_curriculum: count-based stages quarter the corpus with disjoint ranges") {
+    val rows = Sampling.curriculum(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val total = graft.Tables(spark, sf01, "documents").count()
+    assert(rows.map(_._2).sum == total)
+    // ties share a stage -> per-stage difficulty ranges never overlap
+    rows.sliding(2).foreach { case Array((_, _, _, hi), (_, _, lo, _)) =>
+      assert(hi < lo, s"stage ranges overlap: $hi >= $lo")
+    }
+    // count-based boundaries: no stage can exceed a quarter by more than
+    // a modest tie pileup on this near-uniform difficulty distribution
+    rows.foreach { case (_, n, _, _) =>
+      assert(n <= total / 4 + total / 10 + 1, s"stage size $n far beyond quarter")
+    }
+  }
+
   test("q_domain_cap: rates and kept sets replay the md5 gate exactly") {
     val out = Sampling.domainCap(spark, sf01).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

@@ -195,8 +195,23 @@ class TableFuzzSpec extends SparkSpec {
           checkAllRefs(s"step=$step op=expire")
           None
         case _ if rnd.nextBoolean() && model.nonEmpty =>
-          // compaction folds tombstones into data files; contents unchanged
-          Some(t.compact(targetMB = 1, branch = br).snapshotId)
+          // maintenance family — by contract NONE of these changes the
+          // contents of any ref, so the model is untouched and every
+          // readback must replay: compaction folds tombstones into data
+          // files, rewriteDeleteFiles coalesces posdels, rewriteManifests
+          // is metadata-only, compactSmallFiles rewrites only
+          // sub-threshold files, the orphan sweep touches only files no
+          // logged snapshot references
+          rnd.nextInt(5) match {
+            case 0 => Some(t.compact(targetMB = 1, branch = br).snapshotId)
+            case 1 => Some(t.rewriteDeleteFiles(branch = br).snapshotId)
+            case 2 => Some(t.rewriteManifests(branch = br).snapshotId)
+            case 3 => Some(t.compactSmallFiles(branch = br).snapshotId)
+            case _ =>
+              t.removeOrphanFiles(System.currentTimeMillis() + 1000)
+              checkAllRefs(s"step=$step op=orphan")
+              None
+          }
         case _ => None // predicate matched nothing — empty-match paths are
                        // pinned deterministically in TableSpec
       }
