@@ -1665,4 +1665,54 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     metas.foreach(r => assert(r.getAs[Long]("n_bytes") == lens(r.getAs[Long]("doc_id"))))
   }
+
+  test("url filter: canonicalization + suffix blocklist match a scala replay") {
+    // Independent replay of the URL synthesis + canonicalization in plain
+    // Scala (no regex shared with the operator), then the same per-host
+    // rollup — pins host-lowering, www-stripping, query-stripping, and
+    // suffix-aware blocklist semantics.
+    val docs = Tables(spark, sf01, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def canon(id: Long, src: String): (String, String, Boolean) = {
+      val hostRaw = if (id % 3 == 0) s"WWW.${src.toUpperCase}.Example.COM"
+                    else s"$src.example.com"
+      val host0 = hostRaw.toLowerCase
+      val host = if (host0.startsWith("www.")) host0.drop(4) else host0
+      (host, s"/article-${id % 7}", id % 5 == 0)
+    }
+    def blocked(host: String): Boolean = UrlOps.BlockedDomains
+      .exists(d => host == d || host.endsWith("." + d))
+    val expect = docs.map { case (id, src) => canon(id, src) }
+      .groupBy(_._1).map { case (h, rows) =>
+        h -> (rows.length.toLong,
+          if (blocked(h)) 0L else rows.length.toLong,
+          rows.count(_._3).toLong)
+      }
+    val got = UrlOps.urlFilter(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+    assert(expect.exists(_._2._2 == 0L), "blocklist must actually fire")
+    assert(expect.exists(kv => kv._2._2 == kv._2._1), "unlisted hosts must survive")
+  }
+
+  test("url dedup: first-wins per canonical URL, variants unify, dups exist") {
+    val removed = UrlOps.dedupUrl(spark, sf01).collect()
+    assert(removed.nonEmpty, "sf0.01 must contain canonical-URL duplicates")
+    // every (host, path) group: exactly one survivor = the min doc_id,
+    // and each removed row names that survivor
+    val all = Tables(spark, sf01, "documents").select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val groups = all.groupBy { case (id, src) =>
+      (s"$src.example.com", s"/article-${id % 7}") }
+    removed.foreach { r =>
+      val key = (r.getString(1), r.getString(2))
+      val ids = groups(key).map(_._1)
+      assert(r.getLong(3) == ids.min, s"representative must be min doc_id for $key")
+      assert(r.getLong(0) > ids.min)
+    }
+    val expectedRemoved = groups.values.map(_.size - 1).sum
+    assert(removed.length == expectedRemoved,
+      s"every non-representative is removed exactly once: ${removed.length} vs $expectedRemoved")
+  }
 }

@@ -229,4 +229,17 @@ class PlanSpec extends SparkSpec {
     assert(countShuffles(plan) <= 3,
       s"expected <=3 shuffles, got ${countShuffles(plan)}:\n$plan")
   }
+
+  test("q_url_filter: blocklist joins broadcast; corpus scanned once, no shuffle-join") {
+    val plan = planString(UrlOps.urlFilter(spark, sf01))
+    // suffix matching is a non-equi predicate → BroadcastNestedLoopJoin
+    // over the tiny blocklist; the corpus side must never sort-merge
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"blocklist must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus must not shuffle-join against the blocklist:\n$plan")
+    // per-host agg + output sort only
+    assert(countShuffles(plan) <= 2,
+      s"expected <=2 shuffles, got ${countShuffles(plan)}:\n$plan")
+  }
 }
