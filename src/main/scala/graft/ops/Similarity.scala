@@ -574,7 +574,76 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  // --- principal-direction projection (integer power iteration) -------------
+  /** Quantization scale for [[embedPca]]: embedding components and the
+    * direction vector are held as integers at these scales, so every
+    * reduction is exact and order-free in BOTH engines. */
+  val PcaQuantScale = 1000L
+  val PcaDirScale = 1000000L
+  val PcaIters = 200
+
+  /** PCA-style principal-direction projection, exact across engines.
+    *
+    * Pipeline meaning: rank every vector by its projection onto the
+    * dominant direction of the corpus second-moment matrix — the 1-D
+    * embedding summary used for curriculum ordering, outlier triage, and
+    * diversity bucketing.
+    *
+    * Numerics: a float power iteration is order-sensitive (summation
+    * order changes the last ulp, and on a near-isotropic spectrum that
+    * can flip ranks), so the whole computation is integer-exact instead:
+    * components quantize to `floor(e * PcaQuantScale)`, the 64x64
+    * second-moment matrix accumulates BIGINT products (one map-side
+    * fan-out of the per-row outer product, one partial-agg shuffle — the
+    * corpus is read once and never joined), and the power iteration runs
+    * on the driver over the collected 4096-cell matrix in BigInt with an
+    * L-infinity re-scale per step (`y * DirScale / max|y|`, trunc
+    * division — identical in Scala BigInt and DuckDB's `//`). The
+    * converged direction broadcasts back as a literal array and each
+    * vector's projection is an in-expression `zip_with`/`aggregate` dot
+    * product in exact BIGINT.
+    *
+    * Scale: the driver matrix is dim^2 cells regardless of corpus size
+    * (the K-means-centroid pattern); 200 iterations of 64x64 BigInt
+    * mat-vec is microseconds. At 100 TB only the one second-moment
+    * aggregation touches the data. */
+  def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr(s"transform(embedding, e -> cast(floor(cast(e as double) * $PcaQuantScale.0d) as bigint))")
+          .as("q"))
+    // the matrix is symmetric: emit only the upper triangle (halves the
+    // fan-out) and mirror on the driver
+    val cells = q.select(explode(expr(
+      "flatten(transform(q, (qi, i) -> transform(slice(q, i + 1, size(q) - i), (qj, j) -> " +
+        "named_struct('i', i, 'j', i + j, 'v', qi * qj))))")).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.v")).as("cij"))
+      .collect()
+    val dim = cells.map(_.getAs[Int]("j")).max + 1
+    val mat = Array.ofDim[BigInt](dim, dim)
+    cells.foreach { r =>
+      val (i, j, v) = (r.getAs[Int]("i"), r.getAs[Int]("j"), BigInt(r.getAs[Long]("cij")))
+      mat(i)(j) = v; mat(j)(i) = v
+    }
+    var x = Array.fill(dim)(BigInt(PcaDirScale))
+    for (_ <- 1 to PcaIters) {
+      val y = Array.tabulate(dim)(i => (0 until dim).map(j => mat(i)(j) * x(j)).sum)
+      val m = y.map(_.abs).max
+      x = y.map(v => v * PcaDirScale / m) // BigInt /: trunc toward zero, like `//`
+    }
+    val dLit = array(x.map(v => lit(v.toLong)): _*)
+    val proj = expr("aggregate(zip_with(q, d, (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
+    q.withColumn("d", dLit)
+      .select(col("vec_id"), col("label"), proj.as("p"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("p").desc, col("vec_id")))
+        .cast(LongType))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_pca" -> embedPca,
     "q_embed_cov" -> embedCov,
     "q_triplets" -> triplets,
     "q_dedup_embedding" -> dedupEmbedding,
@@ -764,6 +833,33 @@ object Similarity {
        |)""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    "q_embed_pca" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT vec_id, label, CAST(u.i - 1 AS BIGINT) AS i,
+         |    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * $PcaQuantScale.0) AS BIGINT) AS qv
+         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)
+         |), c AS (
+         |  SELECT a.i, b.i AS j, SUM(a.qv * b.qv) AS cij
+         |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2
+         |), pw(itn, i, x) AS (
+         |  SELECT 0, i, CAST($PcaDirScale AS HUGEINT) FROM (SELECT DISTINCT i FROM q)
+         |  UNION ALL
+         |  SELECT m.itn + 1, m.i, (m.y * $PcaDirScale) // MAX(ABS(m.y)) OVER ()
+         |  FROM (
+         |    SELECT pw.itn, c.i, SUM(CAST(c.cij AS HUGEINT) * pw.x) AS y
+         |    FROM pw JOIN c ON c.j = pw.i
+         |    GROUP BY 1, 2
+         |  ) m
+         |  WHERE m.itn < $PcaIters
+         |), d AS (SELECT i, CAST(x AS BIGINT) AS d FROM pw WHERE itn = $PcaIters),
+         |p AS (
+         |  SELECT q.vec_id, q.label, SUM(q.qv * d.d) AS p
+         |  FROM q JOIN d USING (i) GROUP BY 1, 2
+         |)
+         |SELECT vec_id, label, CAST(p AS BIGINT) AS p,
+         |  CAST(row_number() OVER (PARTITION BY label ORDER BY p DESC, vec_id)
+         |       AS BIGINT) AS r
+         |FROM p ORDER BY vec_id""".stripMargin,
     "q_embed_cov" ->
       """WITH dims AS (
         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,

@@ -1666,6 +1666,49 @@ class OpsSpec extends SparkSpec {
     metas.foreach(r => assert(r.getAs[Long]("n_bytes") == lens(r.getAs[Long]("doc_id"))))
   }
 
+  test("embed pca: integer power iteration is exact and converged") {
+    // Independent replay: plain-Scala quantize -> second-moment -> BigInt
+    // power iteration (no Spark expressions shared with the operator),
+    // then assert (a) bit-exact projection equality and (b) convergence —
+    // 100 extra iterations must improve the Rayleigh quotient by < 0.1%
+    // (on a near-isotropic spectrum an under-iterated direction would
+    // still be climbing).
+    val vecs = Tables(spark, sf01, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val dim = vecs.head._2.length
+    val q = vecs.map { case (id, e) =>
+      id -> e.map(x => BigInt(math.floor(x.toDouble * Similarity.PcaQuantScale).toLong))
+    }
+    val mat = Array.ofDim[BigInt](dim, dim)
+    for (i <- 0 until dim; j <- 0 until dim)
+      mat(i)(j) = q.map { case (_, v) => v(i) * v(j) }.sum
+    def iterate(x0: Array[BigInt], n: Int): Array[BigInt] = {
+      var x = x0
+      for (_ <- 1 to n) {
+        val y = Array.tabulate(dim)(i => (0 until dim).map(j => mat(i)(j) * x(j)).sum)
+        val m = y.map(_.abs).max
+        x = y.map(v => v * Similarity.PcaDirScale / m)
+      }
+      x
+    }
+    val d = iterate(Array.fill(dim)(BigInt(Similarity.PcaDirScale)), Similarity.PcaIters)
+    val expect = q.map { case (id, v) =>
+      id -> (0 until dim).map(i => v(i) * d(i)).sum.toLong }.toMap
+    val got = Similarity.embedPca(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expect)
+    def rayleigh(x: Array[BigInt]): Double = {
+      val cx = Array.tabulate(dim)(i => (0 until dim).map(j => mat(i)(j) * x(j)).sum)
+      val num = (0 until dim).map(i => (x(i) * cx(i)).doubleValue).sum
+      val den = (0 until dim).map(i => (x(i) * x(i)).doubleValue).sum
+      num / den
+    }
+    val rqNow = rayleigh(d)
+    val rqMore = rayleigh(iterate(d, 100))
+    assert(rqMore <= rqNow * 1.001, s"direction still climbing: $rqNow -> $rqMore")
+  }
+
   test("url filter: canonicalization + suffix blocklist match a scala replay") {
     // Independent replay of the URL synthesis + canonicalization in plain
     // Scala (no regex shared with the operator), then the same per-host

@@ -230,6 +230,19 @@ class PlanSpec extends SparkSpec {
       s"expected <=3 shuffles, got ${countShuffles(plan)}:\n$plan")
   }
 
+  test("q_embed_pca: projection is join-free — direction rides as a literal array") {
+    val plan = planString(Similarity.embedPca(spark, sf01))
+    // the direction comes back from the driver as a literal, so the
+    // returned plan must contain NO join (a naive shape joins a 64-row
+    // direction table against every exploded component)
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).isEmpty && !plan.contains("CartesianProduct"),
+      s"projection must be join-free:\n$plan")
+    // label-rank window + output sort only
+    assert(countShuffles(plan) <= 2,
+      s"expected <=2 shuffles, got ${countShuffles(plan)}:\n$plan")
+  }
+
   test("q_url_filter: blocklist joins broadcast; corpus scanned once, no shuffle-join") {
     val plan = planString(UrlOps.urlFilter(spark, sf01))
     // suffix matching is a non-equi predicate → BroadcastNestedLoopJoin
