@@ -347,6 +347,20 @@ object GraftOps {
     aggByStatus(t.scan())
   }
 
+  // --- incremental append scan (consumer-checkpoint read) --------------------
+  /** three append batches; a consumer checkpointed at snapshot 1 reads
+    * the delta (batches 2+3) via [[GraftTable.appendsBetween]] — the
+    * manifest-pruned incremental read whose cost is the delta, not the
+    * table (TableSpec pins that only the window's files are scanned) */
+  def incrScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    val o = orders(spark, dir)
+    val s1 = t.append(o.filter(col("o_orderkey") % 3 === 0))
+    t.append(o.filter(col("o_orderkey") % 3 === 1))
+    t.append(o.filter(col("o_orderkey") % 3 === 2))
+    aggByStatus(t.appendsBetween(s1.snapshotId))
+  }
+
   // --- CDC changelog (insert/delete/update classification) -------------------
   /** one window over an append + a MoR delete + a CoW update; the
     * changelog must classify the net change per row id — including
@@ -779,6 +793,7 @@ object GraftOps {
     "q_rollback" -> rollback,
     "q_wap" -> wap,
     "q_cdc_changes" -> cdcChanges,
+    "q_incr_scan" -> incrScan,
     "q_hidden_partitioning" -> hiddenPartitioning,
     "q_overwrite_partitions" -> overwritePartitionsQuery,
     "q_partition_evolution" -> partitionEvolution,
@@ -958,6 +973,9 @@ object GraftOps {
     "q_compaction" ->
       aggByStatusSql.replace("%SRC%",
         "(SELECT * FROM orders WHERE o_orderkey % 10 <> 0)"),
+    "q_incr_scan" ->
+      aggByStatusSql.replace("%SRC%",
+        "(SELECT * FROM orders WHERE o_orderkey % 3 <> 0)"),
     "q_maintenance" ->
       ("SELECT o_orderstatus, n, sum_total, TRUE AS deletes_coalesced, " +
         "TRUE AS delete_files_gone, TRUE AS orphans_swept FROM (" +

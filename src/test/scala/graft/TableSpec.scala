@@ -1080,6 +1080,30 @@ class TableSpec extends SparkSpec {
     assert(after.liveFiles().forall(_.fileType == "data"))
   }
 
+  test("appendsBetween scans only the delta files; refuses mixed windows") {
+    val t = mkOrders(tmp())
+    val s1 = t.append(seedDf(Seq((1L, 1L, "A", 10.0), (2L, 1L, "B", 20.0))))
+    t.append(seedDf(Seq((3L, 2L, "A", 30.0))))
+    t.append(seedDf(Seq((4L, 2L, "C", 40.0))))
+    val inc = t.appendsBetween(s1.snapshotId)
+    assert(inc.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    // file-subset pruning: the incremental read plans strictly fewer
+    // files than the full scan (this is the whole point at 100 TB)
+    val incFiles = inc.inputFiles.toSet
+    val allFiles = t.scan().inputFiles.toSet
+    assert(incFiles.nonEmpty && incFiles.subsetOf(allFiles) && incFiles.size < allFiles.size,
+      s"delta must plan a strict file subset: ${incFiles.size} vs ${allFiles.size}")
+    // empty window -> empty result, full schema
+    val head = t.meta.head("main").get
+    val empty = t.appendsBetween(head.snapshotId)
+    assert(empty.collect().isEmpty &&
+      empty.columns.toSeq == Seq("o_orderkey", "o_custkey", "o_status", "o_total"))
+    // a delete in the window invalidates append-only semantics: refuse
+    t.delete("o_orderkey = 3", WriteMode.MergeOnRead)
+    val err = intercept[IllegalArgumentException](t.appendsBetween(s1.snapshotId))
+    assert(err.getMessage.contains("changes()"))
+  }
+
   test("day/year/month transforms are timezone-independent (UTC semantics)") {
     val tzKey = "spark.sql.session.timeZone"
     val prev = spark.conf.get(tzKey)
