@@ -900,43 +900,29 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * the manifest (cost = the delta, the steady-state CDC path at scale).
     * Output: table columns + `_change_type` + `_commit_seq` (null for
     * deletes — the removing commit does not stamp removed rows). */
-  /** Incremental append-only scan: the rows committed strictly after
-    * `fromSnapshotId`, up to `toSnapshotId` (default: current main head).
-    * This is the consumer-checkpoint read pattern — a downstream job
-    * remembers the last snapshot it processed and reads only the delta.
-    *
-    * Requires every snapshot in the window to be an append; windows
-    * containing deletes/updates/replaces need [[changes]]'s CDC
-    * classification instead (this method refuses rather than silently
-    * returning appends that deletes may have since retracted).
-    *
-    * Scale: plans ONLY the files whose sequence number falls inside the
-    * window (file-subset pruning at the manifest layer, before any task
-    * launches), so cost is proportional to the delta, not the table —
-    * on a 100 TB table an hourly incremental read touches one hour of
-    * files. Unlike [[changes]] it needs no row lineage, so it works on
-    * v1/v2 tables too. */
+  /** Strict append-only incremental scan (the Iceberg incremental APPEND
+    * scan contract): [[scanIncremental]]'s manifest-pruned delta read,
+    * plus a guard that every snapshot in the window is an append —
+    * windows containing deletes/updates/replaces are REFUSED rather than
+    * silently returning appends that later operations may have
+    * retracted; those consumers need [[changes]]'s CDC classification.
+    * This is the consumer-checkpoint read: a downstream job remembers
+    * the last snapshot it processed and reads only the delta (delta
+    * cost, not table cost — only the window's files are ever planned).
+    * Needs no row lineage, so it works on v1/v2 tables too. */
   def appendsBetween(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
     val m = Meta.readJson(location)
     val from = m.snapshot(fromSnapshotId)
     val toSnap = toSnapshotId.map(m.snapshot).orElse(m.head("main"))
       .getOrElse(throw new IllegalStateException("empty table"))
-    val windowOps = m.snapshots.filter(s =>
+    val nonAppend = m.snapshots.filter(s =>
       s.sequenceNumber > from.sequenceNumber &&
         s.sequenceNumber <= toSnap.sequenceNumber)
-    val nonAppend = windowOps.filterNot(_.operation == "append").map(_.operation).distinct
+      .filterNot(_.operation == "append").map(_.operation).distinct
     require(nonAppend.isEmpty,
       s"appendsBetween window contains non-append operations (${nonAppend.mkString(", ")}); use changes()")
     val names = m.schema(toSnap.schemaId).fields.map(_.name)
-    val entries = Meta.readEntries(location, toSnap)
-    val newFiles = entries
-      .filter(e => e.fileType == "data" && e.sequenceNumber > from.sequenceNumber)
-      .map(e => normPath(abs(e.path))).toSet
-    val base =
-      if (newFiles.isEmpty) emptyDf(m.schema(toSnap.schemaId), lineage = false, pos = false)
-      else scanSnapshot(m, toSnap, toSnap.schemaId, None,
-        withLineage = false, withPos = false, fileSubset = Some(newFiles))
-    base.select(names.map(col): _*)
+    scanIncremental(fromSnapshotId, Some(toSnap.snapshotId)).select(names.map(col): _*)
   }
 
   def changes(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
