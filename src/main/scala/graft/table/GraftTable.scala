@@ -909,20 +909,57 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * This is the consumer-checkpoint read: a downstream job remembers
     * the last snapshot it processed and reads only the delta (delta
     * cost, not table cost — only the window's files are ever planned).
-    * Needs no row lineage, so it works on v1/v2 tables too. */
+    * Needs no row lineage, so it works on v1/v2 tables too.
+    *
+    * Semantics (the Iceberg incremental-append-scan contract):
+    *  - the window is `to`'s ANCESTOR CHAIN back to `from` (a delete
+    *    committed to a different branch in the same sequence range does
+    *    not poison this branch's window); `from` must be an ancestor,
+    *    and an expired window snapshot is a loud error, never a silent
+    *    partial answer;
+    *  - row-CHANGING snapshots (overwrite/delete) in the window are
+    *    refused — those consumers need [[changes]]'s CDC classification;
+    *  - contents-PRESERVING maintenance (compaction, delete-file /
+    *    manifest rewrites) is tolerated: the delta is assembled from
+    *    each append snapshot's OWN added files (still referenced by that
+    *    snapshot's manifests even after a later compaction rewrote
+    *    them), so routine table maintenance never breaks checkpoint
+    *    consumers — the production property a naive "files newer than
+    *    the checkpoint" implementation silently lacks (it would replay
+    *    the whole compacted table as new rows). */
   def appendsBetween(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
     val m = Meta.readJson(location)
-    val from = m.snapshot(fromSnapshotId)
+    m.snapshot(fromSnapshotId) // loud error on unknown/expired checkpoint
     val toSnap = toSnapshotId.map(m.snapshot).orElse(m.head("main"))
       .getOrElse(throw new IllegalStateException("empty table"))
-    val nonAppend = m.snapshots.filter(s =>
-      s.sequenceNumber > from.sequenceNumber &&
-        s.sequenceNumber <= toSnap.sequenceNumber)
-      .filterNot(_.operation == "append").map(_.operation).distinct
-    require(nonAppend.isEmpty,
-      s"appendsBetween window contains non-append operations (${nonAppend.mkString(", ")}); use changes()")
+    val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+    // ordered walk to -> from (exclusive of from)
+    val chain = Iterator.iterate(Option(toSnap))(_.flatMap(_.parentId).flatMap(byId.get))
+      .takeWhile(s => s.isDefined && s.get.snapshotId != fromSnapshotId)
+      .map(_.get).toList
+    val reachedFrom = toSnap.snapshotId == fromSnapshotId ||
+      chain.lastOption.exists(_.parentId.contains(fromSnapshotId))
+    require(reachedFrom,
+      s"snapshot $fromSnapshotId is not a live ancestor of ${toSnap.snapshotId} " +
+        "(different branch, or the window was expired) — no linear append window exists")
+    val rowChanging = chain.filterNot(s =>
+      Set("append", "add-files", "replace", "rewrite-deletes", "rewrite-manifests")(s.operation))
+      .map(_.operation).distinct
+    require(rowChanging.isEmpty,
+      s"appendsBetween window contains row-changing operations (${rowChanging.mkString(", ")}); use changes()")
     val names = m.schema(toSnap.schemaId).fields.map(_.name)
-    scanIncremental(fromSnapshotId, Some(toSnap.snapshotId)).select(names.map(col): _*)
+    val empty = emptyDf(m.schema(toSnap.schemaId), lineage = false, pos = false)
+    chain.reverse.filter(s => Set("append", "add-files")(s.operation))
+      .flatMap { s =>
+        val added = Meta.readEntries(location, s)
+          .filter(e => e.fileType == "data" && e.sequenceNumber == s.sequenceNumber)
+          .map(e => normPath(abs(e.path))).toSet
+        if (added.isEmpty) None
+        else Some(scanSnapshot(m, s, toSnap.schemaId, None,
+          withLineage = false, withPos = false, fileSubset = Some(added)))
+      }
+      .reduceOption(_ unionByName _).getOrElse(empty)
+      .select(names.map(col): _*)
   }
 
   def changes(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
@@ -1215,7 +1252,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * read at all, so consuming a day's delta from a year-old table costs
     * the delta, not the table. Row-level deletes in the window are
     * reflected (a row appended then MoR-deleted inside the window does
-    * not appear). */
+    * not appear).
+    *
+    * Refuses windows containing a data-file REWRITE (compaction):
+    * rewritten files carry new sequence numbers, so the file-seq
+    * selection would replay pre-window rows as "new" — a silently wrong
+    * delta. (Delete-file / manifest rewrites are harmless: they never
+    * re-sequence data files.) Maintenance-tolerant consumers use
+    * [[appendsBetween]] (per-snapshot added files, deletes NOT
+    * reflected) or [[changes]] (full lineage-based CDC). */
   def scanIncremental(fromSnapshotId: Long,
       toSnapshotId: Option[Long] = None): DataFrame = {
     val m = Meta.readJson(location)
@@ -1223,6 +1268,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val end = toSnapshotId.map(m.snapshot)
       .orElse(m.head("main"))
       .getOrElse(throw new IllegalStateException("empty table"))
+    val rewrites = m.snapshots.filter(s =>
+      ancestorsOf(m, end.snapshotId)(s.snapshotId) &&
+        s.sequenceNumber > fromSeq && s.sequenceNumber <= end.sequenceNumber &&
+        s.operation == "replace")
+    require(rewrites.isEmpty,
+      s"scanIncremental window contains ${rewrites.size} data-file rewrite (compaction) " +
+        "snapshot(s) whose re-sequenced files would corrupt the delta; " +
+        "use appendsBetween() or changes()")
     val entries = Meta.readEntries(location, end)
     val newFiles = entries.filter(e => e.fileType == "data" && e.sequenceNumber > fromSeq)
       .map(e => normPath(abs(e.path))).toSet

@@ -236,6 +236,56 @@ class TableFuzzSpec extends SparkSpec {
       assert(scanRows(t, hcols, snapshotId = Some(sid)) == hstate,
         s"seed=$seedVal time-travel to snapshot $sid (commit #$i)")
     }
+
+    // incremental-read consistency: wherever a strict append-only window
+    // exists between two recorded commits, appendsBetween must equal the
+    // recorded state DIFFERENCE exactly (the checkpoint-consumer
+    // contract). Windows with row-changing ops, cross-branch pairs, or
+    // expired ancestry refuse — that refusal path is exercised too.
+    def multisetDiff(b: Vector[String], a: Vector[String]): Vector[String] = {
+      val cnt = mutable.Map.empty[String, Int]
+      a.foreach(r => cnt(r) = cnt.getOrElse(r, 0) + 1)
+      b.filter { r =>
+        val c = cnt.getOrElse(r, 0)
+        if (c > 0) { cnt(r) = c - 1; false } else true
+      }
+    }
+    def checkPair(i: Int, j: Int): Unit = {
+      val (sa, ca, ra) = addressable(i)
+      val (sb, cb, rb) = addressable(j)
+      if (ca == cb) {
+        val res =
+          try Some(t.appendsBetween(sa, Some(sb)))
+          catch { case _: IllegalArgumentException | _: IllegalStateException => None }
+        res.foreach { df =>
+          val got = canon(df.select(cb.map(org.apache.spark.sql.functions.col): _*)
+            .collect().map(_.toSeq))
+          assert(got == multisetDiff(rb, ra),
+            s"seed=$seedVal appendsBetween($sa -> $sb) != recorded state diff")
+        }
+      }
+    }
+    // opportunistic: all surviving recorded pairs (refusals — cross-
+    // branch, row-changing window, expired ancestry — cost only a
+    // metadata walk; aggressive expiry usually leaves few live pairs)
+    for (i <- addressable.indices; j <- i + 1 until addressable.size)
+      checkPair(i, j)
+    // deterministic: build a guaranteed append-only window on main —
+    // two appends then a compaction, which appendsBetween must tolerate
+    // (the delta is the appended rows, not the rewritten table)
+    val mainModel = models("main")
+    val preHead = t.meta.head("main").get.snapshotId
+    val preRows = modelRows(mainModel.toSeq, cols)
+    val extra1 = freshRows(4); mainModel ++= extra1
+    t.append(toDf(extra1))
+    val extra2 = freshRows(3); mainModel ++= extra2
+    t.append(toDf(extra2))
+    t.compact(targetMB = 1)
+    val gotTail = canon(t.appendsBetween(preHead)
+      .select(cols.map(org.apache.spark.sql.functions.col): _*).collect().map(_.toSeq))
+    assert(gotTail == multisetDiff(modelRows(mainModel.toSeq, cols), preRows),
+      s"seed=$seedVal tail appendsBetween != appended rows across compaction")
+    checkAllRefs("incremental tail")
   }
 
   test("random op sequences match the per-ref models at every commit (seed 42)") {

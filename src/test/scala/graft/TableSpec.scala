@@ -1098,10 +1098,38 @@ class TableSpec extends SparkSpec {
     val empty = t.appendsBetween(head.snapshotId)
     assert(empty.collect().isEmpty &&
       empty.columns.toSeq == Seq("o_orderkey", "o_custkey", "o_status", "o_total"))
-    // a delete in the window invalidates append-only semantics: refuse
+    // a delete on ANOTHER branch must not poison this branch's window
+    t.createBranch("other")
+    t.delete("o_orderkey = 1", WriteMode.MergeOnRead, branch = "other")
+    assert(t.appendsBetween(s1.snapshotId).count() == 2L)
+    // a delete on the read lineage invalidates append-only semantics: refuse
     t.delete("o_orderkey = 3", WriteMode.MergeOnRead)
     val err = intercept[IllegalArgumentException](t.appendsBetween(s1.snapshotId))
     assert(err.getMessage.contains("changes()"))
+  }
+
+  test("appendsBetween survives in-window compaction; scanIncremental refuses it") {
+    val t = mkOrders(tmp())
+    val s1 = t.append(seedDf(Seq((1L, 1L, "A", 10.0), (2L, 1L, "B", 20.0))))
+    t.append(seedDf(Seq((3L, 2L, "A", 30.0))))
+    t.compact(targetMB = 1) // rewrites ALL live data with a new sequence number
+    t.append(seedDf(Seq((4L, 2L, "C", 40.0))))
+    // the checkpoint consumer must see exactly the appended rows — a
+    // files-newer-than-checkpoint implementation would replay rows 1-2
+    // out of the compacted file as "new"
+    val got = t.appendsBetween(s1.snapshotId)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(3L, 4L), s"delta must be the appends only, got $got")
+    // scanIncremental's deletes-reflected contract cannot survive the
+    // re-sequencing; it must refuse loudly, not return a wrong delta
+    val err = intercept[IllegalArgumentException](t.scanIncremental(s1.snapshotId))
+    assert(err.getMessage.contains("appendsBetween"))
+    // expiring the window's snapshots kills the checkpoint: loud error
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    if (!t.meta.snapshots.exists(_.snapshotId == s1.snapshotId)) {
+      val gone = intercept[Exception](t.appendsBetween(s1.snapshotId))
+      assert(gone.getMessage != null)
+    }
   }
 
   test("day/year/month transforms are timezone-independent (UTC semantics)") {
