@@ -642,7 +642,51 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // --- full kNN self-join (the kNN-graph builder) ---------------------------
+  /** neighbors per vector in [[knnJoin]] */
+  val KnnK = 3
+  /** probed lists per vector — higher than [[Probes]] because a graph
+    * build tolerates more candidate work per vector than a query path */
+  val KnnProbes = 6
+
+  /** Full approximate kNN self-join: EVERY vector finds its top-K
+    * neighbors — the kNN-graph that SemDeDup-style semantic dedup,
+    * embedding clustering, and diversity mining all start from. The
+    * naive form is an N² cross join; here each vector multi-probes its
+    * [[Probes]] nearest IVF lists and candidates are vectors sharing a
+    * list, so the quadratic is bounded per-list (candidates/vector ≈
+    * Probes × N/Lists; both sides shuffle ONCE keyed by list id). The
+    * same deterministic quantized-k-means centroids as [[annIvf]], so
+    * the oracle replays membership exactly; exact cosine + rank on the
+    * candidate set. At 100 TB the list count is the parallelism/recall
+    * knob (lists ∝ sqrt(N) keeps per-list work flat); a hot list salts
+    * like any skewed join key. */
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), vdouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+    val cents = ivfCentroids(spark, e)
+    val bc = spark.sparkContext.broadcast(cents)
+    val bucketed = e.map { case (id, v) => (id, v, nearestCentroid(v, bc.value)) }
+      .toDF("vec_id", "v", "bucket")
+    val probes = e.flatMap { case (id, v) =>
+      topCentroids(v, bc.value, KnnProbes).map(c => (id, v, c)) }
+      .toDF("q_id", "qv", "bucket")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    probes.join(bucketed, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        graft.functions.GraftFunctions.cosine(col("qv"), col("v")).as("cos"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= KnnK)
+      .select("q_id", "rnk", "n_id")
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_knn_join" -> knnJoin,
     "q_embed_pca" -> embedPca,
     "q_embed_cov" -> embedCov,
     "q_triplets" -> triplets,
@@ -669,7 +713,7 @@ object Similarity {
       s" * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])))))"
 
   /** shared tail: exact cosine re-rank of a (q_id, n_id) candidate CTE */
-  private def rerankSql(candCte: String): String =
+  private def rerankSql(candCte: String, k: Int = 5): String =
     s"""$candCte, scored AS (
        |  SELECT cd.q_id, cd.n_id, ${sqlCos("a.v", "b.v")} AS cos
        |  FROM cand cd JOIN e a ON a.vec_id = cd.q_id JOIN e b ON b.vec_id = cd.n_id
@@ -678,7 +722,7 @@ object Similarity {
        |  SELECT q_id, n_id,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
        |  FROM scored) t
-       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+       |WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
 
   private val lshOracle = rerankSql(
     s"""WITH e AS (
@@ -802,6 +846,18 @@ object Similarity {
        |        ORDER BY score DESC, n_id) AS rs
        |    FROM adc) z WHERE rs <= $PqShortlist
        |)""".stripMargin)
+
+  private val knnOracle = rerankSql(
+    s"""$ivfCentsCte, probes AS (
+       |  SELECT vec_id AS q_id, c FROM (
+       |    SELECT e.vec_id, ct.c,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlCos("e.v", "ct.cv")} DESC, ct.c) AS rnk
+       |    FROM e CROSS JOIN cents ct) z WHERE rnk <= $KnnProbes
+       |), cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
+       |  FROM probes p JOIN a1 a ON a.bucket = p.c WHERE a.vec_id <> p.q_id
+       |)""".stripMargin, k = KnnK)
 
   private val ivfOracle = rerankSql(
     s"""$ivfCentsCte, probes AS (
@@ -943,6 +999,7 @@ object Similarity {
          |WHERE d.vec_id IS NULL
          |ORDER BY emb.vec_id""".stripMargin,
     "q_ann_lsh" -> lshOracle,
+    "q_knn_join" -> knnOracle,
     "q_ann_ivf" -> ivfOracle,
     "q_ann_pq" -> pqOracle,
     "q_ann_int8" -> int8Oracle,
