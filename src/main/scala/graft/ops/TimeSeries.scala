@@ -113,12 +113,111 @@ object TimeSeries {
       .limit(20)
   }
 
+  /** OHLC bar resampling (daily bars per event type) — the candlestick /
+    * market-data aggregation. Open/close are the values at the earliest/
+    * latest (ts, event_id) in the bar: two row_numbers (asc/desc) over
+    * ONE (type, day) partitioning pick them deterministically even under
+    * timestamp ties — min_by/arg_min would tie-break arbitrarily and
+    * differently per engine. High/low/volume are plain aggs; turnover
+    * sums through DECIMAL. One exchange total: both windows and the
+    * final agg share the (type, day) hash partitioning. */
+  def ohlc(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .withColumn("day", date_trunc("day", col("ts")))
+    val part = Window.partitionBy(col("event_type"), col("day"))
+    val asc = part.orderBy(col("ts"), col("event_id"))
+    val desc = part.orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("volume"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("turnover"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Time-weighted average (the step-function integral / VWAP-of-time):
+    * each observation holds until the next one, so TWA = Σ vᵢ·Δtᵢ / Σ Δtᵢ
+    * per user. Entirely integer-exact: values quantize to milliunits,
+    * Δt is whole seconds from one `lead` window, the products sum
+    * through DECIMAL, and the result is an integer DIVISION — no double
+    * ever forms, so the output is bit-identical at any corpus size (the
+    * usual float dot-product would be summation-order-dependent). One
+    * exchange: the lead window and the per-user agg share the user_id
+    * partitioning. */
+  def timeWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("sec", unix_micros(col("ts")))
+      .withColumn("dt", lead(col("sec"), 1).over(w) - col("sec"))
+      .filter(col("dt").isNotNull)
+      .withColumn("vm", floor(col("value") * lit(1000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_holds"),
+        sum(col("dt")).as("held_us"),
+        sum((col("vm") * col("dt")).cast(DecimalType(38, 0))).as("wsum"))
+      .filter(col("held_us") > 0L)
+      .select(col("user_id"), col("n_holds"),
+        expr("held_us div 1000000").as("held_s"),
+        expr("CAST(wsum div held_us AS BIGINT)").as("twa_milli"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_gap_fill" -> gapFill,
     "q_moving_window" -> movingWindow,
+    "q_ohlc" -> ohlc,
+    "q_time_weighted" -> timeWeighted,
     "q_anomaly" -> anomaly)
 
   val oracles: Map[String, String] = Map(
+    "q_ohlc" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, ts, value,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events
+        |), rn AS (
+        |  SELECT event_type, day, value,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |                       ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM ev
+        |)
+        |SELECT event_type, day,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high,
+        |  MIN(value) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  CAST(COUNT(*) AS BIGINT) AS volume,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS turnover
+        |FROM rn GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
+    "q_time_weighted" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS sec_us, value FROM events
+        |), d AS (
+        |  SELECT user_id,
+        |    lead(sec_us) OVER (PARTITION BY user_id ORDER BY sec_us, event_id)
+        |      - sec_us AS dt,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm
+        |  FROM ev
+        |), g AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_holds,
+        |    CAST(SUM(dt) AS BIGINT) AS held_us,
+        |    SUM(CAST(vm * dt AS HUGEINT)) AS wsum
+        |  FROM d WHERE dt IS NOT NULL GROUP BY user_id
+        |)
+        |SELECT user_id, n_holds,
+        |  CAST(held_us // 1000000 AS BIGINT) AS held_s,
+        |  CAST(wsum // held_us AS BIGINT) AS twa_milli
+        |FROM g WHERE held_us > 0 ORDER BY user_id""".stripMargin,
     "q_anomaly" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec, value,

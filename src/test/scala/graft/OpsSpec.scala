@@ -1666,6 +1666,48 @@ class OpsSpec extends SparkSpec {
     metas.foreach(r => assert(r.getAs[Long]("n_bytes") == lens(r.getAs[Long]("doc_id"))))
   }
 
+  test("ohlc bars: open/close are the tie-broken first/last observations") {
+    val ev = Tables(spark, sf01, "events")
+      .select("event_type", "event_id", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    val byBar = ev.groupBy { case (t, _, ts, _) =>
+      (t, ts.toInstant.truncatedTo(java.time.temporal.ChronoUnit.DAYS)) }
+    val got = TimeSeries.ohlc(spark, sf01).collect()
+    assert(got.length == byBar.size)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getTimestamp(1).toInstant
+        .truncatedTo(java.time.temporal.ChronoUnit.DAYS))
+      val rows = byBar(key).sortBy { case (_, id, ts, _) => (ts.getTime, id) }
+      assert(r.getDouble(2) == rows.head._4, s"open mismatch for $key")
+      assert(r.getDouble(5) == rows.last._4, s"close mismatch for $key")
+      assert(r.getDouble(3) == rows.map(_._4).max &&
+        r.getDouble(4) == rows.map(_._4).min)
+      assert(r.getLong(6) == rows.length.toLong)
+    }
+  }
+
+  test("time-weighted average: integer replay of the step-function integral") {
+    val ev = Tables(spark, sf01, "events")
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).toInstant.getEpochSecond * 1000000L +
+          r.getTimestamp(2).toInstant.getNano / 1000L, r.getDouble(3)))
+    val expect = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val s = rows.sortBy { case (_, id, us, _) => (us, id) }
+      val holds = s.zip(s.tail).map { case ((_, _, a, v), (_, _, b, _)) =>
+        (b - a, BigInt(math.floor(v * 1000.0 + 0.5).toLong) * BigInt(b - a))
+      }
+      val heldUs = holds.map(_._1).sum
+      if (heldUs > 0)
+        Some(u -> (holds.length.toLong, heldUs / 1000000L,
+          (holds.map(_._2).sum / BigInt(heldUs)).toLong))
+      else None
+    }
+    val got = TimeSeries.timeWeighted(spark, sf01).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+  }
+
   test("knn join: full coverage and recall vs exact brute force") {
     // exact top-K per vector via a plain-Scala O(N²) pass (independent
     // of every Spark expression in the operator), then recall of the
