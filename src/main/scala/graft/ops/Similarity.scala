@@ -685,7 +685,35 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Semantic cluster inventory: connected components over the MUTUAL
+    * kNN graph (an edge exists iff a lists b AND b lists a — the standard
+    * symmetrization that kills hub vertices and asymmetric near-misses).
+    * [[knnJoin]] supplies the directed top-K edges; the mutual filter is
+    * one self-join on the (tiny) edge list; components come from the
+    * shared min-label-propagation loop (two shuffles per round over the
+    * EDGE set, never the corpus — [[CorpusGraph.connectedComponents]]).
+    * Output: every clustered vector, its elected representative (min id)
+    * and cluster size; singletons (no mutual edge) are not clusters and
+    * don't appear. */
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the kNN edge list once: the mutual self-join references
+    // it twice and the CC loop replays it every round — without the
+    // checkpoint the whole IVF+rerank subtree would re-execute each time
+    val knn = knnJoin(spark, dir).select(col("q_id"), col("n_id"))
+      .localCheckpoint()
+    val mutual = knn.as("a").join(knn.as("b"),
+        col("a.q_id") === col("b.n_id") && col("a.n_id") === col("b.q_id"))
+      .filter(col("a.q_id") < col("a.n_id"))
+      .select(col("a.q_id").as("a_id"), col("a.n_id").as("b_id"))
+    val rep = CorpusGraph.connectedComponents(mutual)
+    val sizes = rep.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    rep.join(sizes, "rep")
+      .select(col("v").as("vec_id"), col("rep"), col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_semantic_clusters" -> semanticClusters,
     "q_knn_join" -> knnJoin,
     "q_embed_pca" -> embedPca,
     "q_embed_cov" -> embedCov,
@@ -847,7 +875,8 @@ object Similarity {
        |    FROM adc) z WHERE rs <= $PqShortlist
        |)""".stripMargin)
 
-  private val knnOracle = rerankSql(
+  /** candidate CTE for the full kNN self-join (every vector probes) */
+  private val knnCandCte =
     s"""$ivfCentsCte, probes AS (
        |  SELECT vec_id AS q_id, c FROM (
        |    SELECT e.vec_id, ct.c,
@@ -857,7 +886,23 @@ object Similarity {
        |), cand AS (
        |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
        |  FROM probes p JOIN a1 a ON a.bucket = p.c WHERE a.vec_id <> p.q_id
-       |)""".stripMargin, k = KnnK)
+       |)""".stripMargin
+
+  private val knnOracle = rerankSql(knnCandCte, k = KnnK)
+
+  /** the kNN edge set as a named CTE `knn(q_id, n_id)` — the prefix the
+    * semantic-clusters oracle builds its transitive closure on */
+  private def knnEdgesCte: String =
+    s"""$knnCandCte, scored AS (
+       |  SELECT cd.q_id, cd.n_id, ${sqlCos("a.v", "b.v")} AS cos
+       |  FROM cand cd JOIN e a ON a.vec_id = cd.q_id JOIN e b ON b.vec_id = cd.n_id
+       |), knn AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |    FROM scored) t
+       |  WHERE rnk <= $KnnK
+       |)""".stripMargin
 
   private val ivfOracle = rerankSql(
     s"""$ivfCentsCte, probes AS (
@@ -1000,6 +1045,22 @@ object Similarity {
          |ORDER BY emb.vec_id""".stripMargin,
     "q_ann_lsh" -> lshOracle,
     "q_knn_join" -> knnOracle,
+    "q_semantic_clusters" -> (knnEdgesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, mut AS (
+        |  SELECT a.q_id AS u, a.n_id AS v
+        |  FROM knn a JOIN knn b ON a.q_id = b.n_id AND a.n_id = b.q_id
+        |  WHERE a.q_id < a.n_id
+        |), edges AS (
+        |  SELECT u, v FROM mut UNION SELECT v, u FROM mut
+        |), reach(v, w) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.v, e.v FROM reach r JOIN edges e ON e.u = r.w
+        |), rep AS (
+        |  SELECT v, least(v, min(w)) AS rep FROM reach GROUP BY v
+        |), sizes AS (SELECT rep, count(*) AS n FROM rep GROUP BY rep)
+        |SELECT r.v AS vec_id, r.rep AS rep, CAST(s.n AS BIGINT) AS cluster_size
+        |FROM rep r JOIN sizes s USING (rep) ORDER BY vec_id""".stripMargin),
     "q_ann_ivf" -> ivfOracle,
     "q_ann_pq" -> pqOracle,
     "q_ann_int8" -> int8Oracle,

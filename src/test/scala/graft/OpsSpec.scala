@@ -1666,6 +1666,64 @@ class OpsSpec extends SparkSpec {
     metas.foreach(r => assert(r.getAs[Long]("n_bytes") == lens(r.getAs[Long]("doc_id"))))
   }
 
+  test("star-contraction CC equals union-find on adversarial graph shapes") {
+    // the DISTRIBUTED path (bypassing the small-graph fast path): a long
+    // path (diameter 300 — label propagation would need ~150 rounds, the
+    // star loop must finish within the 20-round cap), a clique, disjoint
+    // components, and seeded random graphs
+    import spark.implicits._
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(v => v -> find(v)).toMap
+    }
+    val rnd = new scala.util.Random(7L)
+    val graphs: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "path-300" -> (1L to 299L).map(i => (i, i + 1)),
+      "clique-20" -> (for (i <- 1L to 20L; j <- (i + 1) to 20L) yield (i, j)),
+      "two-comps" -> (Seq((1L, 2L), (2L, 3L)) ++ Seq((10L, 11L), (11L, 12L))),
+      "random-200" -> Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+        .filter(e => e._1 != e._2))
+    graphs.foreach { case (name, edges) =>
+      val df = edges.toDF("u", "v")
+      val got = CorpusGraph.starContract(df, maxIters = 20).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(edges), s"graph $name")
+    }
+  }
+
+  test("semantic clusters: union-find replay over the mutual kNN edges") {
+    // independent clustering: collect the kNN edges, symmetrize with the
+    // same mutual rule, run plain union-find — the distributed min-label
+    // loop must land on the identical partition
+    val knn = Similarity.knnJoin(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mutual = knn.filter { case (a, b) => a < b && knn((b, a)) }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = mutual.flatMap(e => Seq(e._1, e._2))
+    val expect = members.groupBy(find).flatMap { case (rep, vs) =>
+      vs.map(v => v -> (rep, vs.size.toLong)) }
+    val got = Similarity.semanticClusters(spark, sf01).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+    assert(expect.nonEmpty, "sf0.01 must produce at least one mutual-kNN cluster")
+  }
+
   test("ohlc bars: open/close are the tie-broken first/last observations") {
     val ev = Tables(spark, sf01, "events")
       .select("event_type", "event_id", "ts", "value").collect()
