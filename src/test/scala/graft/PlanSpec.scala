@@ -243,6 +243,20 @@ class PlanSpec extends SparkSpec {
       s"expected <=2 shuffles, got ${countShuffles(plan)}:\n$plan")
   }
 
+  test("q_knn_join: candidate join is list-keyed — no cartesian, bounded windows") {
+    val plan = planString(Similarity.knnJoin(spark, sf01))
+    // the naive kNN self-join is a cross join; the IVF-blocked form must
+    // join on the list id only
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"kNN join must stay an equi-join on the list id:\n$plan")
+    // the re-rank window partitions by q_id (bounded candidate sets per
+    // vector), never unpartitioned
+    assert(!plan.contains("Window [") ||
+      !"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isDefined,
+      s"re-rank window must be partitioned:\n$plan")
+  }
+
   test("q_url_filter: blocklist joins broadcast; corpus scanned once, no shuffle-join") {
     val plan = planString(UrlOps.urlFilter(spark, sf01))
     // suffix matching is a non-equi predicate → BroadcastNestedLoopJoin
