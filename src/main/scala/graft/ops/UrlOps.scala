@@ -55,12 +55,15 @@ object UrlOps {
 
   /** Canonicalization: strip scheme (case-insensitive), lowercase the
     * host, strip a leading `www.`, drop query string and fragment. Path
-    * case is preserved (paths are case-sensitive; hosts are not). All
+    * case is preserved (paths are case-sensitive; hosts are not). A URL
+    * with no path (`https://a.com`) canonicalizes to path `/`. All
     * regex steps are anchored or single-match, so Java regex and RE2
     * (DuckDB) agree byte-for-byte. Adds `host`, `path`, `tracked`. */
-  private def withCanonical(df: DataFrame): DataFrame = {
-    val ns = regexp_replace(rawUrl, "(?i)^https?://", "")
-    df.withColumn("ns", ns)
+  private[graft] def withCanonicalUrl(df: DataFrame, url: Column): DataFrame = {
+    val stripped = regexp_replace(url, "(?i)^https?://", "")
+    df.withColumn("ns",
+        when(instr(stripped, "/") === 0, concat(stripped, lit("/")))
+          .otherwise(stripped))
       .withColumn("slash", instr(col("ns"), "/"))
       .withColumn("host",
         regexp_replace(lower(col("ns").substr(lit(1), col("slash") - 1)),
@@ -73,6 +76,9 @@ object UrlOps {
         when(col("ns").contains("utm_"), 1L).otherwise(0L))
       .drop("ns", "slash")
   }
+
+  private def withCanonical(df: DataFrame): DataFrame =
+    withCanonicalUrl(df, rawUrl)
 
   /** Shared DuckDB replica of [[withCanonical]] as a CTE producing
     * `c(doc_id, host, path, tracked)`. */
@@ -87,9 +93,13 @@ object UrlOps {
       |    (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=share&sid=42'
       |          ELSE '' END) AS url
       |  FROM documents
-      |), s AS (
-      |  SELECT doc_id, regexp_replace(url, '(?i)^https?://', '') AS ns
+      |), s0 AS (
+      |  SELECT doc_id, regexp_replace(url, '(?i)^https?://', '') AS ns0
       |  FROM u
+      |), s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN strpos(ns0, '/') = 0 THEN ns0 || '/' ELSE ns0 END AS ns
+      |  FROM s0
       |), c AS (
       |  SELECT doc_id,
       |    regexp_replace(lower(substr(ns, 1, strpos(ns, '/') - 1)),

@@ -1870,6 +1870,48 @@ class OpsSpec extends SparkSpec {
     assert(expect.exists(kv => kv._2._2 == kv._2._1), "unlisted hosts must survive")
   }
 
+  test("url canonicalization: randomized urls match a reference normalizer") {
+    // 400 seeded random URLs over scheme case x www x host case x path
+    // depth x query/fragment x NO-PATH — each canonicalized by the Spark
+    // chain and by an independent plain-Scala normalizer
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    def seg(): String = (1 to (1 + rnd.nextInt(6)))
+      .map(_ => "abcXYZ059-_".charAt(rnd.nextInt(11))).mkString
+    val cases = (1 to 400).map { i =>
+      val scheme = Seq("http://", "https://", "HTTP://", "HttpS://")(rnd.nextInt(4))
+      val www = Seq("", "www.", "WWW.", "wWw.")(rnd.nextInt(4))
+      val host = (1 to (2 + rnd.nextInt(2))).map(_ => seg()).mkString(".")
+      val path = rnd.nextInt(4) match {
+        case 0 => "" // no path at all
+        case d => (1 to d).map(_ => seg()).mkString("/", "/", "")
+      }
+      val tail = rnd.nextInt(4) match {
+        case 0 => ""
+        case 1 => "?utm_source=" + seg()
+        case 2 => "?" + seg() + "=" + seg() + "#" + seg()
+        case _ => "#" + seg()
+      }
+      (i.toLong, scheme + www + host + path + tail)
+    }
+    def refCanon(url: String): (String, String, Long) = {
+      val ns0 = url.replaceFirst("(?i)^https?://", "")
+      val ns = if (!ns0.contains("/")) ns0 + "/" else ns0
+      val slash = ns.indexOf('/')
+      val host0 = ns.substring(0, slash).toLowerCase
+      val host = if (host0.startsWith("www.")) host0.drop(4) else host0
+      val path = ns.substring(slash).replaceAll("[?#].*$", "")
+      (host, path, if (ns.contains("utm_")) 1L else 0L)
+    }
+    val df = cases.toDF("id", "u")
+    val got = UrlOps.withCanonicalUrl(df, col("u"))
+      .select("id", "host", "path", "tracked").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    cases.foreach { case (id, url) =>
+      assert(got(id) == refCanon(url), s"url $url")
+    }
+  }
+
   test("url dedup: first-wins per canonical URL, variants unify, dups exist") {
     val removed = UrlOps.dedupUrl(spark, sf01).collect()
     assert(removed.nonEmpty, "sf0.01 must contain canonical-URL duplicates")
