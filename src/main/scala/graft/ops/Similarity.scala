@@ -733,7 +733,25 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Recall evaluation harness: the IVF approximate path scored against
+    * the brute-force exact top-5 for the query set — the measurement a
+    * pipeline runs before trusting an ANN index config. Pure composition
+    * of two existing queries (and their oracles compose the same way),
+    * so the gate checks the recall NUMBERS cross-engine, not just each
+    * method in isolation. recall_pct = hits × 20 (k = 5). */
+  def annEval(spark: SparkSession, dir: String): DataFrame = {
+    val brute = annTopK(spark, dir).select(col("q_id"), col("n_id"))
+    val approx = annIvf(spark, dir)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+    brute.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("rnk")).as("hits"))
+      .select(col("q_id"), col("hits"), (col("hits") * 20L).as("recall_pct"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ann_eval" -> annEval,
     "q_semantic_clusters" -> semanticClusters,
     "q_knn_join" -> knnJoin,
     "q_embed_pca" -> embedPca,
@@ -908,6 +926,26 @@ object Similarity {
        |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
        |  FROM probes p JOIN a1 a ON a.bucket = p.c WHERE a.vec_id <> p.q_id
        |)""".stripMargin
+
+  /** brute-force top-5 oracle, shared verbatim by q_ann_topk and the
+    * recall-evaluation composition in q_ann_eval */
+  private val topkOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), en AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) AS nrm
+       |  FROM e
+       |), scored AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, $cosExpr AS cos
+       |  FROM en a JOIN en b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+       |)
+       |SELECT q_id, rnk, n_id FROM (
+       |  SELECT q_id, n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   private val knnOracle = rerankSql(knnCandCte, k = KnnK)
 
@@ -1113,21 +1151,12 @@ object Similarity {
          |FROM en a JOIN en b ON a.vec_id < b.vec_id
          |WHERE $cosExpr >= 0.45
          |ORDER BY a_id, b_id""".stripMargin,
-    "q_ann_topk" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings
-         |), en AS (
-         |  SELECT vec_id, v,
-         |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) AS nrm
-         |  FROM e
-         |), scored AS (
-         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, $cosExpr AS cos
-         |  FROM en a JOIN en b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
-         |)
-         |SELECT q_id, rnk, n_id FROM (
-         |  SELECT q_id, n_id,
-         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
-         |  FROM scored) t
-         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)
+    "q_ann_topk" -> topkOracle,
+    "q_ann_eval" ->
+      s"""SELECT b.q_id, CAST(COUNT(a.rnk) AS BIGINT) AS hits,
+         |  CAST(COUNT(a.rnk) * 20 AS BIGINT) AS recall_pct
+         |FROM ( $topkOracle ) b
+         |LEFT JOIN ( $ivfOracle ) a
+         |  ON b.q_id = a.q_id AND b.n_id = a.n_id
+         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin)
 }
