@@ -102,8 +102,8 @@ object Interop {
     * the on-disk retention contract that makes branches readable until
     * snapshot expiry, proven from outside the writer. */
   def buildBranchAndScan(spark: SparkSession, dir: String): DataFrame = {
-    wipe(Loc4)
-    val t = GraftTable.create(spark, Loc4,
+    wipe(Loc5)
+    val t = GraftTable.create(spark, Loc5,
       "id bigint, status string, total double")
     val o = Tables(spark, dir, "orders").select(
       col("o_orderkey").as("id"),
@@ -165,7 +165,8 @@ object Interop {
     "q_interop_duckdb" -> buildAndScan,
     "q_interop_timetravel" -> buildAndScanHistory,
     "q_interop_branch" -> buildBranchAndScan,
-    "q_interop_evolved" -> buildEvolvedAndScan)
+    "q_interop_evolved" -> buildEvolvedAndScan,
+    "q_interop_incremental" -> buildAndScanIncremental)
 
   /** The independent DuckDB reader. Format facts it encodes (all from
     * graft.table.{Meta, GraftTable, Dv} scaladoc):
@@ -181,6 +182,30 @@ object Interop {
     *    LATEST-sequence vector per target file applies
     *  - eqdel parquet: key columns under physical names (f2 here); a row is
     *    deleted iff its file's sequenceNumber < the delete's */
+  /** fixed location for the incremental-read variant */
+  val Loc5 = "/tmp/graft_interop_incr"
+
+  /** Incremental read through the INDEPENDENT reader: three appends; the
+    * Spark side reads the append-only window after snapshot 1 via
+    * [[GraftTable.appendsBetween]], and the DuckDB oracle resolves the
+    * SAME window from the metadata alone — entry sequence numbers in the
+    * manifests are all a foreign engine needs to serve checkpoint
+    * consumers, so the incremental-read contract is a property of the
+    * on-disk FORMAT, not of this library's reader. */
+  def buildAndScanIncremental(spark: SparkSession, dir: String): DataFrame = {
+    wipe(Loc5)
+    val t = GraftTable.create(spark, Loc5,
+      "id bigint, status string, total double")
+    val o = Tables(spark, dir, "orders").select(
+      col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("total"))
+    val s1 = t.append(o.filter(col("id") % 3 === 0)) // seq 1 = the checkpoint
+    t.append(o.filter(col("id") % 3 === 1))
+    t.append(o.filter(col("id") % 3 === 2))
+    t.appendsBetween(s1.snapshotId).orderBy("id")
+  }
+
   /** the generic base-table resolver, parameterized by table location and
     * snapshot selector ("meta.head_id" for the current state, a literal id
     * for time travel) — the SAME SQL reads any point in history */
@@ -242,6 +267,33 @@ object Interop {
 
   val oracles: Map[String, String] = Map(
     "q_interop_duckdb" -> baseResolver(Loc, "meta.head_id"),
+    // incremental window: the head snapshot's manifests, data entries
+    // filtered to sequenceNumber > 1 (the checkpoint commit's sequence —
+    // a fresh table's first append). No delete overlays exist on this
+    // table, so the resolver is the pure append-window shape.
+    "q_interop_incremental" ->
+      s"""WITH meta AS (
+         |  SELECT refs.main.snapshotId AS head_id, snapshots
+         |  FROM read_json_auto('$Loc5/metadata/v*.json', filename=true)
+         |  ORDER BY filename DESC LIMIT 1
+         |), head AS (
+         |  SELECT s FROM meta, UNNEST(meta.snapshots) t(s)
+         |  WHERE s.snapshotId = meta.head_id
+         |), segs AS (
+         |  SELECT UNNEST(s.manifests) AS rel FROM head
+         |), entries AS (
+         |  SELECT e.path, e.fileType, e.sequenceNumber
+         |  FROM read_json('$Loc5/manifests/*.jsonl', format='newline_delimited',
+         |    filename=true, columns={path:'VARCHAR', fileType:'VARCHAR',
+         |    sequenceNumber:'BIGINT'}) e
+         |  JOIN segs ON 'manifests/' || regexp_extract(e.filename, '[^/]+$$') = segs.rel
+         |)
+         |SELECT r.f1 AS id, r.f2 AS status, r.f3 AS total
+         |FROM read_parquet('$Loc5/data/*/*.parquet', filename=true) r
+         |JOIN (SELECT * FROM entries
+         |      WHERE fileType = 'data' AND sequenceNumber > 1) d
+         |  ON r.filename = '$Loc5/' || d.path
+         |ORDER BY id""".stripMargin,
     // time travel: the SAME resolver pinned to historical snapshot 4 —
     // after all three delete shapes, before the second append and the
     // superseding DV commit
