@@ -102,8 +102,8 @@ object Interop {
     * the on-disk retention contract that makes branches readable until
     * snapshot expiry, proven from outside the writer. */
   def buildBranchAndScan(spark: SparkSession, dir: String): DataFrame = {
-    wipe(Loc5)
-    val t = GraftTable.create(spark, Loc5,
+    wipe(Loc4)
+    val t = GraftTable.create(spark, Loc4,
       "id bigint, status string, total double")
     val o = Tables(spark, dir, "orders").select(
       col("o_orderkey").as("id"),
