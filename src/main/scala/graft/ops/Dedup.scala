@@ -374,7 +374,35 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Dedup-method evaluation harness: SimHash's Hamming-band pair set
+    * scored against the exact-Jaccard(0.6) pair set as ground truth —
+    * tp/fp/fn plus integer precision/recall percentages. Like the ANN
+    * recall harness, this is pure composition: both methods AND their
+    * oracles compose the same way, so the cross-engine gate checks the
+    * evaluation numbers themselves. (SimHash detects a different
+    * similarity notion than shingle-Jaccard — the point of the report is
+    * quantifying exactly that gap on the corpus at hand.) */
+  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = jaccard(spark, dir).select(col("a_id"), col("b_id"))
+      .withColumn("tm", lit(1L))
+    val cand = simhash(spark, dir).select(col("a_id"), col("b_id"))
+      .withColumn("cm", lit(1L))
+    truth.join(cand, Seq("a_id", "b_id"), "full_outer")
+      .select(coalesce(col("tm"), lit(0L)).as("tm"),
+        coalesce(col("cm"), lit(0L)).as("cm"))
+      .agg(
+        sum(when(col("tm") === 1L && col("cm") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("tm") === 0L && col("cm") === 1L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("tm") === 1L && col("cm") === 0L, 1L).otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp = 0 THEN 0L ELSE tp * 100 div (tp + fp) END")
+          .as("precision_pct"),
+        expr("CASE WHEN tp + fn = 0 THEN 0L ELSE tp * 100 div (tp + fn) END")
+          .as("recall_pct"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_eval" -> dedupEval,
     "q_dedup_exact" -> exact,
     "q_dedup_jaccard" -> jaccard,
     "q_dedup_minhash" -> minhash,
@@ -542,5 +570,27 @@ object Dedup {
     "q_dedup_jaccard" -> jaccardCappedOracle.replace("%TAU%", "0.6")
       .replace("%MAXDF%", JACCARD_MAX_DF.toString),
     "q_dedup_minhash" -> jaccardOracle.replace("%TAU%", "0.5"),
+    "q_dedup_eval" ->
+      s"""WITH t AS (
+         |  SELECT a_id, b_id, 1 AS tm
+         |  FROM ( ${jaccardCappedOracle.replace("%TAU%", "0.6").replace("%MAXDF%", JACCARD_MAX_DF.toString)} )
+         |), c AS (
+         |  SELECT a_id, b_id, 1 AS cm FROM ( $simhashOracle )
+         |), j AS (
+         |  SELECT COALESCE(t.tm, 0) AS tm, COALESCE(c.cm, 0) AS cm
+         |  FROM t FULL OUTER JOIN c ON t.a_id = c.a_id AND t.b_id = c.b_id
+         |), m AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN tm = 1 AND cm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN tm = 0 AND cm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN tm = 1 AND cm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM j
+         |)
+         |SELECT tp, fp, fn,
+         |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 100 // (tp + fp) END AS BIGINT)
+         |    AS precision_pct,
+         |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 100 // (tp + fn) END AS BIGINT)
+         |    AS recall_pct
+         |FROM m""".stripMargin,
     "q_dedup_simhash" -> simhashOracle)
 }
