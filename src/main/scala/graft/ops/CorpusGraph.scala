@@ -35,10 +35,20 @@ object CorpusGraph {
 
   /** Small-graph fast path bound for [[connectedComponents]]: an edge
     * list at or below this size is collected and solved with driver-side
-    * union-find (one job, exact same contract). Near-dup / mutual-kNN
-    * edge sets are 1-5% of corpus pairs, so even multi-TB corpora
-    * usually land here; beyond it the alternating-star loop runs.
-    * Env-tunable via SPARK_GRAFT_CC_LOCAL_EDGES. */
+    * union-find (one job, exact same contract); beyond it the
+    * alternating-star loop runs. Env-tunable via
+    * SPARK_GRAFT_CC_LOCAL_EDGES.
+    *
+    * 100 TB sizing: the edge sets fed here are NOT corpus-scale. A
+    * mutual-kNN graph has at most K·N/2 edges pre-filter and the mutual
+    * condition keeps a few per vertex (K = 3 here), and near-dup pair
+    * sets run 1-5% of N — so at N = 10^9 documents the edge list is
+    * ~10^7-10^8 rows of two longs (a few GB), while the default bound
+    * (2^22 ≈ 4M edges ≈ 64 MB collected) stays comfortably inside any
+    * driver heap. Corpora whose edge lists outgrow the bound take the
+    * distributed path automatically; the boundary spec pins that the
+    * star-contraction path activates above the bound and agrees with
+    * the driver path on the same graph. */
   val CcLocalEdges: Long =
     sys.env.get("SPARK_GRAFT_CC_LOCAL_EDGES").flatMap(_.toLongOption)
       .filter(_ >= 0).getOrElse(1L << 22)
@@ -109,18 +119,28 @@ object CorpusGraph {
     * beats a 10-job loop); above it, [[starContract]] runs the
     * O(log n)-round distributed contraction. Both paths are pinned
     * against each other and against plain union-find by spec. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+      localEdgeBound: Long = CcLocalEdges): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .filter(col("u") =!= col("v")).localCheckpoint()
     val n = edges.count()
-    if (n <= CcLocalEdges) {
+    if (n <= localEdgeBound) {
       val es = edges.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find (walk to root, then compress the walked path):
+      // recursion would nest to component DEPTH, and union-by-min with an
+      // adversarial edge order — a chain collected in descending id order,
+      // (999,1000),(998,999),... — builds an O(n)-deep parent chain that
+      // a recursive find would StackOverflow on; mutual-kNN components
+      // are exactly such thin paths
       def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
       }
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))

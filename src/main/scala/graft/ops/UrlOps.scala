@@ -73,7 +73,12 @@ object UrlOps {
           col("ns").substr(col("slash"), length(col("ns")) - col("slash") + 1),
           "[?#].*$", ""))
       .withColumn("tracked",
-        when(col("ns").contains("utm_"), 1L).otherwise(0L))
+        // query-string-only match: a host or path segment containing
+        // "utm_" is not a tracking param
+        when(instr(col("ns"), "?") > 0 &&
+          col("ns").substr(instr(col("ns"), "?"), length(col("ns")))
+            .contains("utm_"), 1L)
+          .otherwise(0L))
       .drop("ns", "slash")
   }
 
@@ -107,7 +112,9 @@ object UrlOps {
       |    regexp_replace(substr(ns, strpos(ns, '/'),
       |                          len(ns) - strpos(ns, '/') + 1),
       |                   '[?#].*$', '') AS path,
-      |    CASE WHEN contains(ns, 'utm_') THEN 1 ELSE 0 END AS tracked
+      |    CASE WHEN strpos(ns, '?') > 0
+      |           AND contains(substr(ns, strpos(ns, '?')), 'utm_')
+      |         THEN 1 ELSE 0 END AS tracked
       |  FROM s
       |)""".stripMargin
 

@@ -1254,11 +1254,18 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * reflected (a row appended then MoR-deleted inside the window does
     * not appear).
     *
-    * Refuses windows containing a data-file REWRITE (compaction):
-    * rewritten files carry new sequence numbers, so the file-seq
-    * selection would replay pre-window rows as "new" — a silently wrong
-    * delta. (Delete-file / manifest rewrites are harmless: they never
-    * re-sequence data files.) Maintenance-tolerant consumers use
+    * Refuses windows containing any DATA-FILE REWRITE — compaction
+    * ("replace") AND copy-on-write delete/update/merge/partition-
+    * overwrite: all of them rewrite SURVIVING pre-window rows into files
+    * with new sequence numbers, so the file-seq selection would replay
+    * old rows as "new" — a silently wrong delta. The discriminator is
+    * the snapshot summary, not the operation tag (a CoW delete commits
+    * as "delete", same as the harmless MoR delete): a commit that both
+    * ADDS data files and REMOVES files has re-sequenced surviving rows.
+    * MoR deletes/updates and delete-file / manifest rewrites are
+    * harmless — they never remove-and-replace data files (an in-window
+    * MoR update surfaces the updated rows' new versions, matching the
+    * deletes-reflected contract). Maintenance-tolerant consumers use
     * [[appendsBetween]] (per-snapshot added files, deletes NOT
     * reflected) or [[changes]] (full lineage-based CDC). */
   def scanIncremental(fromSnapshotId: Long,
@@ -1268,14 +1275,27 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val end = toSnapshotId.map(m.snapshot)
       .orElse(m.head("main"))
       .getOrElse(throw new IllegalStateException("empty table"))
+    // rewrote-data test: added data files AND removed files in one commit
+    // (summary-based; falls back to the operation tag for snapshots
+    // persisted before summaries existed)
+    def rewritesData(s: SnapshotMeta): Boolean = {
+      val added = s.summary.get("added-data-files").flatMap(_.toLongOption)
+      val removed = s.summary.get("removed-files").flatMap(_.toLongOption)
+      (added, removed) match {
+        case (Some(a), Some(r)) => a > 0 && r > 0
+        case _ => Set("replace", "overwrite")(s.operation)
+      }
+    }
     val rewrites = m.snapshots.filter(s =>
       ancestorsOf(m, end.snapshotId)(s.snapshotId) &&
         s.sequenceNumber > fromSeq && s.sequenceNumber <= end.sequenceNumber &&
-        s.operation == "replace")
+        rewritesData(s))
     require(rewrites.isEmpty,
-      s"scanIncremental window contains ${rewrites.size} data-file rewrite (compaction) " +
-        "snapshot(s) whose re-sequenced files would corrupt the delta; " +
-        "use appendsBetween() or changes()")
+      s"scanIncremental window contains ${rewrites.size} data-file-rewriting " +
+        s"snapshot(s) (${rewrites.map(_.operation).distinct.mkString(",")}: " +
+        "compaction or copy-on-write delete/update/overwrite) whose " +
+        "re-sequenced files would corrupt the delta; use appendsBetween() " +
+        "or changes()")
     val entries = Meta.readEntries(location, end)
     val newFiles = entries.filter(e => e.fileType == "data" && e.sequenceNumber > fromSeq)
       .map(e => normPath(abs(e.path))).toSet

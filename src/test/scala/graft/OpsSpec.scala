@@ -425,7 +425,44 @@ class OpsSpec extends SparkSpec {
     val approx = Similarity.annIvf(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"ivf recall $recall below target for 32-list/4-probe")
+    assert(recall >= 0.5, s"ivf recall $recall below target for auto-scaled lists")
+  }
+
+  test("ivf geometry scales with corpus size (lists ~ sqrt(N), probes track lists)") {
+    assume(sys.env.get("SPARK_GRAFT_IVF_LISTS").isEmpty)
+    // floor at the historical 32-list geometry for small corpora
+    assert(Similarity.ivfListsFor(500) == 32)
+    assert(Similarity.ivfListsFor(1024) == 32)
+    // then sqrt growth: per-list work stays ~sqrt(N) at any corpus size
+    assert(Similarity.ivfListsFor(2000) == 44)
+    assert(Similarity.ivfListsFor(1000000) == 1000)
+    assert(Similarity.ivfListsFor(10000000000L) == 100000)
+    // probed fraction of the corpus stays constant as lists grow
+    assert(Similarity.probesFor(32) == 4 && Similarity.probesFor(44) == 5)
+    assert(Similarity.knnProbesFor(32) == 6 && Similarity.knnProbesFor(44) == 8)
+    assert(Similarity.dedupProbesFor(32) == 4)
+  }
+
+  test("ivf centroids build at most once per table (memoized across the family)") {
+    val before = Similarity.centroidBuilds.get()
+    Similarity.annIvf(spark, sf01).collect()
+    Similarity.knnJoin(spark, sf01).collect()
+    Similarity.dedupSemantic(spark, sf01).collect()
+    Similarity.annEval(spark, sf01).collect()
+    val delta = Similarity.centroidBuilds.get() - before
+    // 0 if another spec already warmed the cache for this table, 1 on a
+    // cold run — never one build per query
+    assert(delta <= 1, s"centroid build ran $delta times across 4 queries")
+  }
+
+  test("ann ivf recall holds at sf0.1 where the list count auto-scales past 32") {
+    val sf1 = "/root/testdata/sf0.1"
+    val exact = Similarity.annTopK(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.annIvf(spark, sf1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall $recall at sf0.1 with auto-scaled lists")
   }
 
   test("ann pq: ADC shortlist + exact re-rank recalls the brute-force top-k") {
@@ -1699,6 +1736,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("driver union-find survives a deep chain in adversarial (descending) edge order") {
+    // a chain component collected in DESCENDING id order builds the
+    // deepest possible parent chain under union-by-min: (n-1,n), (n-2,n-1),
+    // ... each union links the new max root under a min that is itself a
+    // chain tail. A recursive find() recurses to component depth and
+    // overflows the driver stack around ~10^4; the iterative
+    // walk-then-compress implementation must handle 10^5 without growing
+    // the stack. Exercises the fast path via an explicit bound.
+    import spark.implicits._
+    val n = 100000L
+    val edges = (n - 1 to 1L by -1).map(i => (i, i + 1))
+    val rep = CorpusGraph.connectedComponents(
+        edges.toDF("a_id", "b_id"), localEdgeBound = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rep.length == n)
+    assert(rep.forall(_._2 == 1L), "every chain vertex must elect rep 1")
+  }
+
+  test("CC boundary: distributed star path activates above the local-edge bound") {
+    // same graph through both paths at the boundary: bound just ABOVE the
+    // edge count -> driver union-find; bound just BELOW -> star
+    // contraction. Identical (v, rep) partitions required.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val edges = (Seq.fill(400)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(e => e._1 != e._2) ++ (500L until 520L).map(i => (i, i + 1))).distinct
+    val df = edges.toDF("a_id", "b_id")
+    val m = edges.size.toLong
+    val viaDriver = CorpusGraph.connectedComponents(df, localEdgeBound = m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = CorpusGraph.connectedComponents(df, localEdgeBound = m - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaStars, "both CC paths must agree at the boundary")
+  }
+
   test("semantic clusters: union-find replay over the mutual kNN edges") {
     // independent clustering: collect the kNN edges, symmetrize with the
     // same mutual rule, run plain union-find — the distributed min-label
@@ -1893,7 +1965,14 @@ class OpsSpec extends SparkSpec {
         case _ => "#" + seg()
       }
       (i.toLong, scheme + www + host + path + tail)
-    }
+    } ++ Seq(
+      // falsifiers for the tracked flag's query-string-only contract:
+      // "utm_" in a host or path segment is NOT a tracking param
+      (1001L, "https://utm_tracker.example.com/a"),
+      (1002L, "http://a.example.com/utm_docs/page"),
+      (1003L, "https://a.example.com/utm_docs?x=1"),
+      (1004L, "https://a.example.com/p?ref=1&utm_medium=x"),
+      (1005L, "HTTP://WWW.B.example.com/p#utm_fragment"))
     def refCanon(url: String): (String, String, Long) = {
       val ns0 = url.replaceFirst("(?i)^https?://", "")
       val ns = if (!ns0.contains("/")) ns0 + "/" else ns0
@@ -1901,7 +1980,8 @@ class OpsSpec extends SparkSpec {
       val host0 = ns.substring(0, slash).toLowerCase
       val host = if (host0.startsWith("www.")) host0.drop(4) else host0
       val path = ns.substring(slash).replaceAll("[?#].*$", "")
-      (host, path, if (ns.contains("utm_")) 1L else 0L)
+      val q = ns.indexOf('?')
+      (host, path, if (q >= 0 && ns.substring(q).contains("utm_")) 1L else 0L)
     }
     val df = cases.toDF("id", "u")
     val got = UrlOps.withCanonicalUrl(df, col("u"))

@@ -1132,6 +1132,32 @@ class TableSpec extends SparkSpec {
     }
   }
 
+  test("scanIncremental refuses in-window CoW delete/update (overwrite re-sequencing)") {
+    // a CoW delete commits as "overwrite" and rewrites SURVIVING pre-window
+    // rows into new-sequence files — a seq > fromSeq file selection would
+    // replay rows 1,2 (minus the deleted one) as "new". Must refuse, not
+    // silently corrupt the delta.
+    val t = mkOrders(tmp())
+    val s1 = t.append(seedDf(Seq((1L, 1L, "A", 10.0), (2L, 1L, "B", 20.0))))
+    t.append(seedDf(Seq((3L, 2L, "A", 30.0))))
+    t.delete("o_orderkey = 1", WriteMode.CopyOnWrite)
+    val err = intercept[IllegalArgumentException](t.scanIncremental(s1.snapshotId))
+    assert(err.getMessage.contains("changes()"), err.getMessage)
+    // same for a CoW update window
+    val t2 = mkOrders(tmp())
+    val s2 = t2.append(seedDf(Seq((1L, 1L, "A", 10.0), (2L, 1L, "B", 20.0))))
+    t2.update("o_orderkey = 2", Map("o_totalprice" -> "o_totalprice + 1.0"),
+      WriteMode.CopyOnWrite)
+    val err2 = intercept[IllegalArgumentException](t2.scanIncremental(s2.snapshotId))
+    assert(err2.getMessage.contains("overwrite"), err2.getMessage)
+    // a pre-window CoW rewrite is fine: only the window is constrained
+    val s3 = t2.append(seedDf(Seq((4L, 2L, "C", 40.0))))
+    t2.append(seedDf(Seq((5L, 2L, "D", 50.0))))
+    val got = t2.scanIncremental(s3.snapshotId)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(5L), s"post-rewrite append-only window must read, got $got")
+  }
+
   test("day/year/month transforms are timezone-independent (UTC semantics)") {
     val tzKey = "spark.sql.session.timeZone"
     val prev = spark.conf.get(tzKey)
