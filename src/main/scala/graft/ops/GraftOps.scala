@@ -568,10 +568,12 @@ object GraftOps {
 
   /** run `body` in a sibling session with GraftExtensions injected (same
     * SparkContext); the result is re-materialized on the caller's session
-    * so Verify/Bench never hold a frame bound to the sub-session */
+    * so Verify/Bench never hold a frame bound to the sub-session. The
+    * hand-off is a distributed temp-parquet round-trip, never a driver
+    * collect — the result frame stays executor-resident however large the
+    * DML readback is. */
   private def withSqlSession(spark: SparkSession)(
       body: SparkSession => DataFrame): DataFrame = {
-    import scala.jdk.CollectionConverters._
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     try {
       val s2 = graft.Tables.SessionConfs.foldLeft(SparkSession.builder()
@@ -582,10 +584,17 @@ object GraftOps {
           case (b, (k, v)) => b.config(k, v) }
         .getOrCreate()
       val df = body(s2)
-      val rows = df.collect().toList.asJava
+      // a result with zero partitions (empty relation) writes no parquet
+      // footers and would fail schema inference on read-back
+      val out = df.queryExecution.toRdd.getNumPartitions match {
+        case 0 => df.repartition(1)
+        case _ => df
+      }
+      val dir = Files.createTempDirectory("graft-sqlout").toString
+      out.write.parquet(s"$dir/r")
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
-      spark.createDataFrame(rows, df.schema)
+      spark.read.parquet(s"$dir/r")
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)

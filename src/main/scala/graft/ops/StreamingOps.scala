@@ -46,6 +46,14 @@ object StreamingOps {
     (tmp, src)
   }
 
+  /** global max event time in unix micros for the sentinel rows — read
+    * from the parquet FOOTER stats on the driver (one footer per file, no
+    * Spark job; the countFast pattern applied to event time). Falls back
+    * to a distributed scan only when a footer carries no ts stats. */
+  private def maxTsMicros(dir: String, src: DataFrame): Long =
+    graft.table.FooterStats.maxTimestampMicros(s"$dir/events.parquet", "ts")
+      .getOrElse(src.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0))
+
   // --- tumbling window + watermark ------------------------------------------
   def streamWindow(spark: SparkSession, dir: String): DataFrame = {
     val (tmp, src) = stage(spark, dir)
@@ -80,7 +88,7 @@ object StreamingOps {
     * equals the batch truth). */
   def streamWindowAppend(spark: SparkSession, dir: String): DataFrame = {
     val (tmp, src) = stage(spark, dir)
-    val maxUs = src.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val maxUs = maxTsMicros(dir, src)
     val sentinels = src.select(col("event_type")).distinct()
       .withColumn("event_id", lit(-1L))
       .withColumn("ts", timestamp_micros(lit(maxUs + 10800000000L)))
@@ -117,7 +125,7 @@ object StreamingOps {
     * bit-exactly. */
   def streamSketch(spark: SparkSession, dir: String): DataFrame = {
     val (tmp, src) = stage(spark, dir)
-    val maxUs = src.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val maxUs = maxTsMicros(dir, src)
     val sentinel = src.limit(1)
       .withColumn("event_id", lit(-1L))
       .withColumn("ts", timestamp_micros(lit(maxUs + 10800000000L)))
@@ -181,7 +189,7 @@ object StreamingOps {
   def streamSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (tmp, src) = stage(spark, dir)
-    val maxUs = src.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val maxUs = maxTsMicros(dir, src)
     val real = src.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
     val sentinels = real.select("user_id").distinct()
       .withColumn("ts_us", lit(maxUs + 7200000000L))
@@ -283,7 +291,7 @@ object StreamingOps {
     * session — the oracle encodes `diff >= gap` accordingly. */
   def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
     val (tmp, src) = stage(spark, dir)
-    val maxUs = src.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val maxUs = maxTsMicros(dir, src)
     val real = src.select(col("user_id"), col("ts"), col("event_id"))
     val sentinels = real.select("user_id").distinct()
       .withColumn("ts", timestamp_micros(lit(maxUs + 10800000000L)))
@@ -448,7 +456,7 @@ object StreamingOps {
     * the batch readback. */
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
     val (tmp, src) = stage(spark, dir)
-    val maxUs = src.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val maxUs = maxTsMicros(dir, src)
     val sentinels = src.select(col("event_type")).distinct()
       .filter(col("event_type").isin("click", "purchase"))
       .withColumn("event_id", lit(-1L))
@@ -493,7 +501,7 @@ object StreamingOps {
     * pins the padding logic, not just the matches. */
   def streamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
     val (tmp, src) = stage(spark, dir)
-    val maxUs = src.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val maxUs = maxTsMicros(dir, src)
     val sentinels = src.select(col("event_type")).distinct()
       .filter(col("event_type").isin("click", "purchase"))
       .withColumn("event_id", lit(-1L))

@@ -64,6 +64,50 @@ object FooterStats {
       }.sum
   }
 
+  /** driver-side max of a timestamp column in unix MICROS across every
+    * parquet file in `pathAbs` (file or directory) — one footer read per
+    * file, no Spark job launched (the countFast pattern applied to event
+    * time). Handles MILLIS/MICROS/NANOS annotations — the generations
+    * events.ts has shipped as; NANOS truncates toward zero exactly like
+    * the `ts div 1000` read normalization in [[graft.Tables]]. None if
+    * any file lacks usable stats for the column (caller falls back to a
+    * scan). */
+  def maxTimestampMicros(pathAbs: String, column: String): Option[Long] = {
+    val root = Paths.get(pathAbs)
+    val files =
+      if (Files.isRegularFile(root)) Seq(root)
+      else if (!Files.isDirectory(root)) return None
+      else Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .toSeq
+    if (files.isEmpty) return None
+    val perFile = files.map { p =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), hconf))
+      try {
+        val vals = r.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala.filter(_.getPath.toDotString == column).flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else (c.getPrimitiveType.getPrimitiveTypeName,
+                c.getPrimitiveType.getLogicalTypeAnnotation) match {
+              case (INT64, ts: TimestampLogicalTypeAnnotation) =>
+                val v = st.genericGetMax.asInstanceOf[java.lang.Long].longValue
+                Some(ts.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => v
+                  case LogicalTypeAnnotation.TimeUnit.NANOS => v / 1000L
+                })
+              case _ => None
+            }
+          }
+        }
+        if (vals.isEmpty) None else Some(vals.max)
+      } finally r.close()
+    }
+    if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.max)
+  }
+
   def collect(dirAbs: String, location: String, schema: SchemaMeta,
       spec: PartSpecMeta, specId: Int, schemaId: Int, seq: Long,
       nameMapped: Boolean = false): Seq[FileMeta] = {

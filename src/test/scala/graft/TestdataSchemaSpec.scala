@@ -63,6 +63,22 @@ class TestdataSchemaSpec extends SparkSpec {
     }
   }
 
+  test("footer-stat max(ts) equals the scanned max (streaming sentinel source)") {
+    // the streaming sentinels derive their watermark horizon from parquet
+    // FOOTER stats (no Spark job); the footer answer must equal the scan
+    // on every testdata generation (nanos-as-int64 AND timestamp[us])
+    import org.apache.spark.sql.functions._
+    for (sfDir <- Seq(sf, sf01, "/root/testdata/sf0.1")) {
+      val footer = graft.table.FooterStats
+        .maxTimestampMicros(s"$sfDir/events.parquet", "ts")
+      assert(footer.isDefined, s"no footer ts stats at $sfDir")
+      val scanned = Tables(spark, sfDir, "events")
+        .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      assert(footer.get == scanned,
+        s"footer max ${footer.get} != scanned max $scanned at $sfDir")
+    }
+  }
+
   for (sfDir <- Seq(sf, sf01); name <- Tables.names) {
     test(s"testdata schema guard: $name at $sfDir") {
       val got = Tables(spark, sfDir, name).schema
