@@ -374,31 +374,49 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Dedup-method evaluation harness: SimHash's Hamming-band pair set
-    * scored against the exact-Jaccard(0.6) pair set as ground truth —
-    * tp/fp/fn plus integer precision/recall percentages. Like the ANN
-    * recall harness, this is pure composition: both methods AND their
-    * oracles compose the same way, so the cross-engine gate checks the
-    * evaluation numbers themselves. (SimHash detects a different
-    * similarity notion than shingle-Jaccard — the point of the report is
-    * quantifying exactly that gap on the corpus at hand.) */
+  /** Dedup-method evaluation MATRIX: each production candidate method's
+    * pair set scored against UNCAPPED exact-Jaccard(0.6) ground truth —
+    * one row per method with tp/fp/fn plus integer precision/recall
+    * percentages. Methods:
+    *
+    *  - `jaccard_capped`  — the deployed df-capped candidate path
+    *    (measures what the skew cap costs: a pair sharing only hot
+    *    shingles is the one shape it can miss);
+    *  - `minhash_lsh`     — LSH banding + exact verify at the SAME tau
+    *    (precision is 100 by construction; recall measures banding
+    *    misses);
+    *  - `simhash`         — Hamming-band pairs (detects a different
+    *    similarity notion than shingle-Jaccard; the row quantifies
+    *    exactly that gap on the corpus at hand).
+    *
+    * Ground truth is the only uncapped pair join in the codebase and is
+    * evaluation-only by design. Like the ANN recall harness this is pure
+    * composition — methods AND their oracles compose the same way, so the
+    * cross-engine gate checks the evaluation numbers themselves. */
   def dedupEval(spark: SparkSession, dir: String): DataFrame = {
-    val truth = jaccard(spark, dir).select(col("a_id"), col("b_id"))
-      .withColumn("tm", lit(1L))
-    val cand = simhash(spark, dir).select(col("a_id"), col("b_id"))
-      .withColumn("cm", lit(1L))
-    truth.join(cand, Seq("a_id", "b_id"), "full_outer")
-      .select(coalesce(col("tm"), lit(0L)).as("tm"),
-        coalesce(col("cm"), lit(0L)).as("cm"))
-      .agg(
-        sum(when(col("tm") === 1L && col("cm") === 1L, 1L).otherwise(0L)).as("tp"),
-        sum(when(col("tm") === 0L && col("cm") === 1L, 1L).otherwise(0L)).as("fp"),
-        sum(when(col("tm") === 1L && col("cm") === 0L, 1L).otherwise(0L)).as("fn"))
-      .select(col("tp"), col("fp"), col("fn"),
-        expr("CASE WHEN tp + fp = 0 THEN 0L ELSE tp * 100 div (tp + fp) END")
-          .as("precision_pct"),
-        expr("CASE WHEN tp + fn = 0 THEN 0L ELSE tp * 100 div (tp + fn) END")
-          .as("recall_pct"))
+    val docs = Tables(spark, dir, "documents")
+    // checkpoint: the truth subtree is joined once per method row
+    val truth = jaccardPairs(docs, 0.6, maxDf = Int.MaxValue)
+      .select(col("a_id"), col("b_id")).withColumn("tm", lit(1L))
+      .localCheckpoint()
+    def score(method: String, pairs: DataFrame): DataFrame =
+      truth.join(pairs.select(col("a_id"), col("b_id")).withColumn("cm", lit(1L)),
+          Seq("a_id", "b_id"), "full_outer")
+        .select(coalesce(col("tm"), lit(0L)).as("tm"),
+          coalesce(col("cm"), lit(0L)).as("cm"))
+        .agg(
+          sum(when(col("tm") === 1L && col("cm") === 1L, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("tm") === 0L && col("cm") === 1L, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("tm") === 1L && col("cm") === 0L, 1L).otherwise(0L)).as("fn"))
+        .select(lit(method).as("method"), col("tp"), col("fp"), col("fn"),
+          expr("CASE WHEN tp + fp = 0 THEN 0L ELSE tp * 100 div (tp + fp) END")
+            .as("precision_pct"),
+          expr("CASE WHEN tp + fn = 0 THEN 0L ELSE tp * 100 div (tp + fn) END")
+            .as("recall_pct"))
+    score("jaccard_capped", jaccard(spark, dir))
+      .unionByName(score("minhash_lsh", minhashVerifiedPairs(docs, 0.6)))
+      .unionByName(score("simhash", simhash(spark, dir)))
+      .orderBy("method")
   }
 
   val queries: Map[String, Q] = Map(
@@ -570,27 +588,42 @@ object Dedup {
     "q_dedup_jaccard" -> jaccardCappedOracle.replace("%TAU%", "0.6")
       .replace("%MAXDF%", JACCARD_MAX_DF.toString),
     "q_dedup_minhash" -> jaccardOracle.replace("%TAU%", "0.5"),
-    "q_dedup_eval" ->
-      s"""WITH t AS (
-         |  SELECT a_id, b_id, 1 AS tm
-         |  FROM ( ${jaccardCappedOracle.replace("%TAU%", "0.6").replace("%MAXDF%", JACCARD_MAX_DF.toString)} )
-         |), c AS (
-         |  SELECT a_id, b_id, 1 AS cm FROM ( $simhashOracle )
-         |), j AS (
-         |  SELECT COALESCE(t.tm, 0) AS tm, COALESCE(c.cm, 0) AS cm
-         |  FROM t FULL OUTER JOIN c ON t.a_id = c.a_id AND t.b_id = c.b_id
-         |), m AS (
-         |  SELECT
-         |    CAST(SUM(CASE WHEN tm = 1 AND cm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-         |    CAST(SUM(CASE WHEN tm = 0 AND cm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-         |    CAST(SUM(CASE WHEN tm = 1 AND cm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
-         |  FROM j
-         |)
-         |SELECT tp, fp, fn,
-         |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 100 // (tp + fp) END AS BIGINT)
-         |    AS precision_pct,
-         |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 100 // (tp + fn) END AS BIGINT)
-         |    AS recall_pct
-         |FROM m""".stripMargin,
+    "q_dedup_eval" -> dedupEvalOracle,
     "q_dedup_simhash" -> simhashOracle)
+
+  /** one matrix row: `method`'s pair set vs the uncapped Jaccard(0.6)
+    * truth — the SQL twin of dedupEval.score */
+  private def evalRowSql(method: String, candSql: String): String =
+    s"""SELECT '$method' AS method, tp, fp, fn,
+       |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 100 // (tp + fp) END AS BIGINT)
+       |    AS precision_pct,
+       |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 100 // (tp + fn) END AS BIGINT)
+       |    AS recall_pct
+       |FROM (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN tm = 1 AND cm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN tm = 0 AND cm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN tm = 1 AND cm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM (
+       |    SELECT COALESCE(t.tm, 0) AS tm, COALESCE(c.cm, 0) AS cm
+       |    FROM (SELECT a_id, b_id, 1 AS tm
+       |          FROM ( ${jaccardOracle.replace("%TAU%", "0.6")} )) t
+       |    FULL OUTER JOIN (SELECT a_id, b_id, 1 AS cm FROM ( $candSql )) c
+       |      ON t.a_id = c.a_id AND t.b_id = c.b_id
+       |  )
+       |)""".stripMargin
+
+  /** Matrix oracle. The minhash_lsh row composes the EXACT Jaccard(0.6)
+    * oracle as its candidate set — i.e. it asserts banding loses nothing
+    * on this corpus (pair similarities sit far above tau, where the
+    * per-pair band-miss probability is ~1e-7); a Spark-side banding miss
+    * fails the gate. */
+  private def dedupEvalOracle: String =
+    Seq(
+      evalRowSql("jaccard_capped", jaccardCappedOracle
+        .replace("%TAU%", "0.6").replace("%MAXDF%", JACCARD_MAX_DF.toString)),
+      evalRowSql("minhash_lsh", jaccardOracle.replace("%TAU%", "0.6")),
+      evalRowSql("simhash",
+        s"SELECT a_id, b_id FROM ( $simhashOracle )"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY method")
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -76,16 +76,14 @@ object V3Ops {
   }
 
   // --- #25 geometry: point(x,y) as WKB binary + bbox predicate --------------
-  /** WKB little-endian 2D point codec (21 bytes: order, type=1, x, y) */
-  val wkbPoint = udf((x: Double, y: Double) => {
-    val b = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    b.put(1.toByte); b.putInt(1); b.putDouble(x); b.putDouble(y)
-    b.array()
-  })
-  val wkbX = udf((w: Array[Byte]) =>
-    java.nio.ByteBuffer.wrap(w).order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble(5))
-  val wkbY = udf((w: Array[Byte]) =>
-    java.nio.ByteBuffer.wrap(w).order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble(13))
+  /** WKB little-endian 2D point codec (21 bytes: order, type=1, x, y) —
+    * native codegen'd expressions ([[graft.functions.WkbPointEnc]] /
+    * [[graft.functions.WkbCoord]]); a Scala UDF here blocked whole-stage
+    * codegen on the geometry scan */
+  private def wkbPoint(x: Column, y: Column): Column =
+    graft.functions.GraftFunctions.wkbPoint(x, y)
+  private def wkbX(w: Column): Column = graft.functions.GraftFunctions.wkbX(w)
+  private def wkbY(w: Column): Column = graft.functions.GraftFunctions.wkbY(w)
 
   def geoBbox(spark: SparkSession, dir: String): DataFrame = {
     val t = GraftTable.create(spark, scratch(), "id bigint, geom binary")

@@ -47,6 +47,16 @@ class PlanSpec extends SparkSpec {
       s"expected physical-column pushdown, got $pushed")
   }
 
+  test("geo queries run the WKB codec as native expressions (no ScalaUDF)") {
+    for (q <- Seq("q_geo_bbox", "q_geo_sphere")) {
+      val plan = fullPlan(V3Ops.queries(q)(spark, sf))
+      assert(!plan.contains("ScalaUDF"),
+        s"$q must not fall out of codegen via a UDF:\n$plan")
+      assert(plan.contains("graft_wkb"),
+        s"$q must decode through the native WKB expressions")
+    }
+  }
+
   test("q05 star join: all dimensions broadcast, fact side never shuffles for joins") {
     val plan = planString(Analytics.q05(spark, sf))
     val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
