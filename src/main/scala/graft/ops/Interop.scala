@@ -161,12 +161,76 @@ object Interop {
     t.scan().orderBy("id")
   }
 
+  /** fixed location for the external-WRITER variant */
+  val Loc6 = "/tmp/graft_interop_ext"
+
+  /** locate scripts/extwriter.py relative to the repo checkout */
+  private def extWriterScript: String =
+    Seq(Paths.get("scripts/extwriter.py"),
+      Paths.get(sys.props.getOrElse("user.dir", "."), "scripts", "extwriter.py"),
+      Paths.get("/root/repo/scripts/extwriter.py"))
+      .find(Files.exists(_)).map(_.toAbsolutePath.toString)
+      .getOrElse(throw new IllegalStateException("scripts/extwriter.py not found"))
+
+  /** stage `rows` as JSON and invoke the INDEPENDENT Python writer
+    * (scripts/extwriter.py); returns its exit code (0 = committed,
+    * 2 = CAS conflict). Driver-side staging is inherent here — the rows
+    * cross a process boundary to an engine that shares no code. */
+  private[graft] def runExtWriter(loc: String, rows: Seq[(Long, String, Double)],
+      pin: Option[Int] = None): Int = {
+    val payload = rows.map { case (id, st, total) =>
+      s"""{"id":$id,"status":"$st","total":$total}"""
+    }.mkString("""{"rows":[""", ",", "]}")
+    val f = Files.createTempFile("graft-extwrite", ".json")
+    Files.writeString(f, payload)
+    val cmd = Seq("python3", extWriterScript, loc, f.toString) ++
+      pin.toSeq.flatMap(v => Seq("--pin", v.toString))
+    import scala.sys.process._
+    Process(cmd).!
+  }
+
+  /** The independent second WRITER proof (the write-side mirror of
+    * [[buildAndScan]]'s independent reader): snapshot 1 is a native Spark
+    * append; snapshot 2 is committed entirely by scripts/extwriter.py —
+    * parquet data file with physical f<id> columns, manifest segment,
+    * row-lineage bookkeeping, and the CAS hard-link version publish, all
+    * re-implemented in Python from FORMAT.md with no shared code;
+    * snapshot 3 is a native append ON TOP of the external commit (the
+    * Scala writer must accept and extend externally-written metadata).
+    * The scan then reads all three generations through GraftTable and the
+    * oracle recomputes the aggregate from the source parquet — matching
+    * the reference's pyiceberg/Flink write-path proofs
+    * (tests/pyiceberg_feature_tests.py, flink_feature_tests.py). */
+  def buildExtWriteAndScan(spark: SparkSession, dir: String): DataFrame = {
+    wipe(Loc6)
+    val t = GraftTable.create(spark, Loc6,
+      "id bigint, status string, total double")
+    val o = Tables(spark, dir, "orders").select(
+      col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("total"))
+    t.append(o.filter(col("id") % 3 === 0))                   // snap 1: native
+    val extRows = o.filter(col("id") % 3 === 1).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val rc = runExtWriter(Loc6, extRows)                      // snap 2: python
+    require(rc == 0, s"external writer failed with exit code $rc")
+    GraftTable.load(spark, Loc6)
+      .append(o.filter(col("id") % 3 === 2))                  // snap 3: native
+    GraftTable.load(spark, Loc6).scan()
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("id")).as("sum_id"),
+        sum(col("total").cast("decimal(18,2)")).cast("double").as("sum_total"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_interop_duckdb" -> buildAndScan,
     "q_interop_timetravel" -> buildAndScanHistory,
     "q_interop_branch" -> buildBranchAndScan,
     "q_interop_evolved" -> buildEvolvedAndScan,
-    "q_interop_incremental" -> buildAndScanIncremental)
+    "q_interop_incremental" -> buildAndScanIncremental,
+    "q_interop_extwrite" -> buildExtWriteAndScan)
 
   /** The independent DuckDB reader. Format facts it encodes (all from
     * graft.table.{Meta, GraftTable, Dv} scaladoc):
@@ -267,6 +331,16 @@ object Interop {
 
   val oracles: Map[String, String] = Map(
     "q_interop_duckdb" -> baseResolver(Loc, "meta.head_id"),
+    // external-writer proof: the expectation comes from the SOURCE
+    // parquet — if Spark's read of the python-committed snapshot matches
+    // it hash-exactly, the externally-written data file, manifest segment
+    // and metadata version were all format-correct (read-side interop of
+    // the same table is certified by q_interop_duckdb's resolver)
+    "q_interop_extwrite" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_id,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // incremental window: the head snapshot's manifests, data entries
     // filtered to sequenceNumber > 1 (the checkpoint commit's sequence —
     // a fresh table's first append). No delete overlays exist on this

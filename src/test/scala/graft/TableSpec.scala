@@ -32,6 +32,44 @@ class TableSpec extends SparkSpec {
     (1L, 10L, "O", 100.0), (2L, 10L, "F", 200.0), (3L, 20L, "O", 300.0),
     (4L, 20L, "F", 400.0), (5L, 30L, "O", 500.0), (6L, 30L, "F", 600.0))
 
+  test("external python writer: CAS racing commits, exactly one wins; state stays sound") {
+    import spark.implicits._
+    def idsDf(rows: (Long, String, Double)*) = rows.toDF("id", "status", "total")
+    def ids(loc: String): Set[Long] = GraftTable.load(spark, loc).scan()
+      .select("id").collect().map(_.getLong(0)).toSet
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, "id bigint, status string, total double")
+    t.append(idsDf((1L, "A", 10.0), (2L, "B", 20.0)))
+    val baseV = Meta.currentVersion(loc).get
+    // two EXTERNAL commits pinned to the same base: the hard-link CAS lets
+    // exactly one publish v(base+1); the loser exits 2 and changes nothing
+    assert(graft.ops.Interop.runExtWriter(loc, Seq((10L, "C", 100.0)),
+      pin = Some(baseV)) == 0)
+    assert(graft.ops.Interop.runExtWriter(loc, Seq((11L, "D", 110.0)),
+      pin = Some(baseV)) == 2)
+    assert(ids(loc) == Set(1L, 2L, 10L), "loser's rows must not appear")
+    // EXTERNAL commit wins against a stale NATIVE handle: the native append
+    // rebases (additive) — both commits' rows survive, no lost update
+    val stale = GraftTable.load(spark, loc)
+    assert(graft.ops.Interop.runExtWriter(loc, Seq((20L, "E", 200.0))) == 0)
+    stale.append(idsDf((21L, "F", 210.0)))
+    assert(ids(loc) == Set(1L, 2L, 10L, 20L, 21L))
+    // NATIVE commit wins against a pinned EXTERNAL committer: the external
+    // CAS publish finds its version taken and exits 2
+    val v3 = Meta.currentVersion(loc).get
+    GraftTable.load(spark, loc).append(idsDf((30L, "G", 300.0)))
+    assert(graft.ops.Interop.runExtWriter(loc, Seq((31L, "H", 310.0)),
+      pin = Some(v3)) == 2)
+    assert(ids(loc) == Set(1L, 2L, 10L, 20L, 21L, 30L))
+    // externally-committed manifests carry correct row counts (countFast
+    // is metadata-only) and row lineage stays globally unique
+    val fin = GraftTable.load(spark, loc)
+    assert(fin.countFast() == 6L)
+    val rids = fin.scan(withLineage = true)
+      .select("_row_id").collect().map(_.getLong(0))
+    assert(rids.distinct.length == 6, s"row ids must be unique: ${rids.toSeq}")
+  }
+
   test("create/append/scan round-trips; second append adds a snapshot") {
     val t = mkOrders(tmp())
     t.append(seedDf(seed))
