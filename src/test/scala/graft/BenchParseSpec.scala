@@ -35,5 +35,21 @@ class BenchParseSpec extends AnyFunSuite {
       s"r7 floor-refresh row must override: ${fl.get("q_dedup_jaccard")}")
     // round-7 additions present
     assert(fl.contains("q_geo_sphere"))
+    // round-8 refresh of the stale r4-pristine floors must override
+    assert(fl.get("q_ann_ivf").contains(0.56),
+      s"r8 floor-refresh row must override: ${fl.get("q_ann_ivf")}")
+    assert(fl.get("q_events_window").contains(0.25))
+    assert(fl.get("q_bm25").contains(0.66))
+  }
+
+  test("sched floor parses from the committed BASELINE.md (round-8 commitment)") {
+    val f = Bench.schedFloor()
+    assert(f.nonEmpty, "BASELINE.md lost its `sched floor: N s` phrase")
+    assert(f.get > 0.0 && f.get < 2.0, s"implausible sched floor: $f")
+    // wrap tolerance, same guarantee as the CPU canary's phrase
+    val t = Files.createTempFile("baseline", ".md")
+    Files.writeString(t, "committed: sched\nfloor: 0.090 s, kept-round median")
+    assert(Bench.schedFloor(t.toString).contains(0.090))
+    Files.delete(t)
   }
 }
