@@ -14,8 +14,17 @@ flink_feature_tests.py).
 
 Usage:
     extwriter.py <table_location> <rows.json> [--pin N]
+    extwriter.py <table_location> --delete <col> <values.json> [--pin N]
 
-rows.json: {"rows": [{<logical col>: <value>, ...}, ...]}
+rows.json:   {"rows": [{<logical col>: <value>, ...}, ...]}
+values.json: {"values": [<v>, ...]}  (rows whose <col> is in the list
+             are position-deleted, merge-on-read)
+
+The delete mode writes a POSITION-DELETE file: it walks the head
+snapshot's live data files from the manifests, reads each file's
+physical f<id> column with pyarrow to find matching row indices, and
+commits a (file_path, pos) parquet + manifest entry + CAS version —
+the merge-on-read write path, proven from outside the JVM.
 
 --pin N: base the commit on metadata version N specifically and attempt
 to publish at exactly N+1 with NO retry — exits 2 on a create-new
@@ -85,17 +94,18 @@ def main():
         i = argv.index("--pin")
         pin = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    delete_col = None
+    if "--delete" in argv:
+        i = argv.index("--delete")
+        delete_col = argv[i + 1]
+        argv = argv[:i] + [argv[i + 2]] + argv[i + 3:]
     if len(argv) != 2:
         fail(__doc__)
-    loc, rows_path = argv
+    loc, payload_path = argv
 
     base_v = pin if pin is not None else current_version(loc)
     with open(os.path.join(loc, "metadata", f"v{base_v:05d}.json")) as f:
         meta = json.load(f)
-    with open(rows_path) as f:
-        rows = json.load(f)["rows"]
-    if not rows:
-        fail("no rows to append")
 
     schema = next(s for s in meta["schemas"]
                   if s["schemaId"] == meta["currentSchemaId"])
@@ -110,38 +120,114 @@ def main():
     seq = meta["lastSequenceNumber"] + 1
     tag = uuid.uuid4().hex[:8]
 
-    # --- data file: physical f<id> columns, one parquet file ---------------
-    arrays, stats = {}, {}
-    for fld in schema["fields"]:
-        vals = [r.get(fld["name"]) for r in rows]
-        arrays[f"f{fld['id']}"] = pa.array(vals, type=ARROW_TYPES[fld["dtype"]])
-        mn, mx = stat_str(vals, fld["dtype"])
-        stats[str(fld["id"])] = {
-            "min": mn, "max": mx,
-            "nullCount": sum(1 for v in vals if v is None),
+    parent = None
+    if "main" in meta["refs"]:
+        parent = meta["refs"]["main"]["snapshotId"]
+    parent_snap = next((s for s in meta["snapshots"]
+                        if s["snapshotId"] == parent), None)
+
+    if delete_col is None:
+        with open(payload_path) as f:
+            rows = json.load(f)["rows"]
+        if not rows:
+            fail("no rows to append")
+        # --- data file: physical f<id> columns, one parquet file -----------
+        arrays, stats = {}, {}
+        for fld in schema["fields"]:
+            vals = [r.get(fld["name"]) for r in rows]
+            arrays[f"f{fld['id']}"] = pa.array(vals, type=ARROW_TYPES[fld["dtype"]])
+            mn, mx = stat_str(vals, fld["dtype"])
+            stats[str(fld["id"])] = {
+                "min": mn, "max": mx,
+                "nullCount": sum(1 for v in vals if v is None),
+            }
+        rel_data_dir = f"data/s{snap_id}-{tag}"
+        os.makedirs(os.path.join(loc, rel_data_dir), exist_ok=True)
+        rel_file = f"{rel_data_dir}/part-00000-ext.parquet"
+        pq.write_table(pa.table(arrays), os.path.join(loc, rel_file))
+        entry = {
+            "path": rel_file,
+            "fileType": "data",
+            "specId": meta["currentSpecId"],
+            "schemaId": meta["currentSchemaId"],
+            "partition": {},
+            "rowCount": len(rows),
+            "sizeBytes": os.path.getsize(os.path.join(loc, rel_file)),
+            "sequenceNumber": seq,
+            "stats": {k: {kk: vv for kk, vv in v.items() if vv is not None}
+                      for k, v in stats.items()},
+            "eqFieldIds": [],
+            # v3 row lineage: this file's rows get ids [lastRowId, +rowCount)
+            "firstRowId": meta["lastRowId"],
+            "nameMapped": False,
         }
-    rel_data_dir = f"data/s{snap_id}-{tag}"
-    os.makedirs(os.path.join(loc, rel_data_dir), exist_ok=True)
-    rel_data = f"{rel_data_dir}/part-00000-ext.parquet"
-    pq.write_table(pa.table(arrays), os.path.join(loc, rel_data))
+        operation, n_records = "append", len(rows)
+        summary = {
+            "added-data-files": "1",
+            "added-delete-files": "0",
+            "added-records": str(n_records),
+            "removed-files": "0",
+            "removed-records": "0",
+        }
+        new_last_row_id = meta["lastRowId"] + len(rows)
+    else:
+        with open(payload_path) as f:
+            values = set(json.load(f)["values"])
+        fld = next((f for f in schema["fields"] if f["name"] == delete_col),
+                   None) or fail(f"no column {delete_col}")
+        phys = f"f{fld['id']}"
+        # --- find (file, pos) hits: walk the head snapshot's live data
+        # files from the manifests, read the one physical column ------------
+        if parent_snap is None:
+            fail("cannot delete from an empty table")
+        entries = []
+        for seg in parent_snap["manifests"]:
+            with open(os.path.join(loc, seg)) as f:
+                entries += [json.loads(line) for line in f if line.strip()]
+        hits_fp, hits_pos = [], []
+        for e in entries:
+            if e["fileType"] != "data":
+                continue
+            abs_path = os.path.abspath(os.path.join(loc, e["path"]))
+            col = pq.read_table(abs_path, columns=[phys])[phys]
+            # pos = row index within the FILE (pyarrow reads in file order,
+            # matching Spark's _metadata.row_index)
+            for pos, v in enumerate(col.to_pylist()):
+                if v in values:
+                    hits_fp.append(abs_path)
+                    hits_pos.append(pos)
+        rel_del_dir = f"deletes/pd{snap_id}-{tag}"
+        os.makedirs(os.path.join(loc, rel_del_dir), exist_ok=True)
+        rel_file = f"{rel_del_dir}/part-00000-ext.parquet"
+        pq.write_table(pa.table({
+            "file_path": pa.array(hits_fp, type=pa.string()),
+            "pos": pa.array(hits_pos, type=pa.int64()),
+        }), os.path.join(loc, rel_file))
+        entry = {
+            "path": rel_file,
+            "fileType": "posdel",
+            "specId": meta["currentSpecId"],
+            "schemaId": meta["currentSchemaId"],
+            "partition": {},
+            "rowCount": len(hits_pos),
+            "sizeBytes": os.path.getsize(os.path.join(loc, rel_file)),
+            "sequenceNumber": seq,
+            "stats": {},
+            "eqFieldIds": [],
+            "firstRowId": -1,
+            "nameMapped": False,
+        }
+        operation, n_records = "delete", len(hits_pos)
+        summary = {
+            "added-data-files": "0",
+            "added-delete-files": "1",
+            "added-records": "0",
+            "removed-files": "0",
+            "removed-records": "0",
+        }
+        new_last_row_id = meta["lastRowId"]
 
     # --- manifest segment: one FileMeta JSONL line, atomic rename ----------
-    entry = {
-        "path": rel_data,
-        "fileType": "data",
-        "specId": meta["currentSpecId"],
-        "schemaId": meta["currentSchemaId"],
-        "partition": {},
-        "rowCount": len(rows),
-        "sizeBytes": os.path.getsize(os.path.join(loc, rel_data)),
-        "sequenceNumber": seq,
-        "stats": {k: {kk: vv for kk, vv in v.items() if vv is not None}
-                  for k, v in stats.items()},
-        "eqFieldIds": [],
-        # v3 row lineage: this file's rows get ids [lastRowId, +rowCount)
-        "firstRowId": meta["lastRowId"],
-        "nameMapped": False,
-    }
     seg_name = f"{snap_id}-a-{tag}.jsonl"
     seg_rel = f"manifests/{seg_name}"
     os.makedirs(os.path.join(loc, "manifests"), exist_ok=True)
@@ -151,33 +237,22 @@ def main():
     os.rename(tmp_seg, os.path.join(loc, seg_rel))
 
     # --- new snapshot + table state ----------------------------------------
-    parent = None
-    if "main" in meta["refs"]:
-        parent = meta["refs"]["main"]["snapshotId"]
-    parent_snap = next((s for s in meta["snapshots"]
-                        if s["snapshotId"] == parent), None)
     snapshot = {
         "snapshotId": snap_id,
         "sequenceNumber": seq,
         "timestampMs": int(time.time() * 1000),
-        "operation": "append",
+        "operation": operation,
         "schemaId": meta["currentSchemaId"],
         # parent segments carried BY REFERENCE + the fresh added segment
         "manifests": (parent_snap["manifests"] if parent_snap else []) + [seg_rel],
-        "summary": {
-            "added-data-files": "1",
-            "added-delete-files": "0",
-            "added-records": str(len(rows)),
-            "removed-files": "0",
-            "removed-records": "0",
-        },
+        "summary": summary,
     }
     if parent is not None:
         snapshot["parentId"] = parent
 
     meta["lastSnapshotId"] = snap_id
     meta["lastSequenceNumber"] = seq
-    meta["lastRowId"] = meta["lastRowId"] + len(rows)
+    meta["lastRowId"] = new_last_row_id
     meta["snapshots"] = meta["snapshots"] + [snapshot]
     meta["refs"] = dict(meta["refs"])
     meta["refs"]["main"] = {"snapshotId": snap_id, "isBranch": True}

@@ -395,10 +395,29 @@ object Dedup {
     * cross-engine gate checks the evaluation numbers themselves. */
   def dedupEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    // checkpoint: the truth subtree is joined once per method row
-    val truth = jaccardPairs(docs, 0.6, maxDf = Int.MaxValue)
-      .select(col("a_id"), col("b_id")).withColumn("tm", lit(1L))
-      .localCheckpoint()
+    // ONE uncapped candidate self-join yields BOTH the ground truth and
+    // the jaccard_capped method row: each pair carries its total shared
+    // shingles (the exact intersection) and its shared RARE (df <= cap)
+    // shingles — a pair is in the capped method's output iff it shares
+    // >= 1 rare shingle, which is exactly the production candidate rule.
+    // rareness is a property of the shingle, so min(a.r, b.r) = r.
+    val sh = shingles(docs)
+    val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val tagged = sh.join(dfc, "s").select(col("doc_id"), col("s"),
+      (col("df") <= JACCARD_MAX_DF).cast("long").as("r"))
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val scored = tagged.as("a").join(tagged.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"), sum(col("a.r")).as("rare_inter"))
+      .join(cnt.select(col("doc_id").as("a_id"), col("c").as("ca")), "a_id")
+      .join(cnt.select(col("doc_id").as("b_id"), col("c").as("cb")), "b_id")
+      .filter(col("inter").cast("double") /
+        (col("ca") + col("cb") - col("inter")) >= 0.6)
+      .select(col("a_id"), col("b_id"), col("rare_inter"))
+      .localCheckpoint() // joined once per method row
+    val truth = scored.select(col("a_id"), col("b_id")).withColumn("tm", lit(1L))
+    val capped = scored.filter(col("rare_inter") >= 1L).select("a_id", "b_id")
     def score(method: String, pairs: DataFrame): DataFrame =
       truth.join(pairs.select(col("a_id"), col("b_id")).withColumn("cm", lit(1L)),
           Seq("a_id", "b_id"), "full_outer")
@@ -413,7 +432,7 @@ object Dedup {
             .as("precision_pct"),
           expr("CASE WHEN tp + fn = 0 THEN 0L ELSE tp * 100 div (tp + fn) END")
             .as("recall_pct"))
-    score("jaccard_capped", jaccard(spark, dir))
+    score("jaccard_capped", capped)
       .unionByName(score("minhash_lsh", minhashVerifiedPairs(docs, 0.6)))
       .unionByName(score("simhash", simhash(spark, dir)))
       .orderBy("method")

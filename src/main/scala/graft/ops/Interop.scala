@@ -189,6 +189,20 @@ object Interop {
     Process(cmd).!
   }
 
+  /** external merge-on-read POSITION DELETE: the Python writer walks the
+    * live data files from the manifests, finds matching row positions
+    * with pyarrow, and commits a (file_path, pos) delete file — the MoR
+    * write path proven from outside the JVM. */
+  private[graft] def runExtWriterDelete(loc: String, colName: String,
+      values: Seq[Long], pin: Option[Int] = None): Int = {
+    val f = Files.createTempFile("graft-extdel", ".json")
+    Files.writeString(f, values.mkString("""{"values":[""", ",", "]}"))
+    val cmd = Seq("python3", extWriterScript, loc, "--delete", colName,
+      f.toString) ++ pin.toSeq.flatMap(v => Seq("--pin", v.toString))
+    import scala.sys.process._
+    Process(cmd).!
+  }
+
   /** The independent second WRITER proof (the write-side mirror of
     * [[buildAndScan]]'s independent reader): snapshot 1 is a native Spark
     * append; snapshot 2 is committed entirely by scripts/extwriter.py —
@@ -196,8 +210,11 @@ object Interop {
     * row-lineage bookkeeping, and the CAS hard-link version publish, all
     * re-implemented in Python from FORMAT.md with no shared code;
     * snapshot 3 is a native append ON TOP of the external commit (the
-    * Scala writer must accept and extend externally-written metadata).
-    * The scan then reads all three generations through GraftTable and the
+    * Scala writer must accept and extend externally-written metadata);
+    * snapshot 4 is an external MERGE-ON-READ position delete — the
+    * Python writer locates matching row positions in all three data
+    * files with pyarrow and commits the (file_path, pos) overlay. The
+    * scan reads the four-snapshot history through GraftTable and the
     * oracle recomputes the aggregate from the source parquet — matching
     * the reference's pyiceberg/Flink write-path proofs
     * (tests/pyiceberg_feature_tests.py, flink_feature_tests.py). */
@@ -216,6 +233,13 @@ object Interop {
     require(rc == 0, s"external writer failed with exit code $rc")
     GraftTable.load(spark, Loc6)
       .append(o.filter(col("id") % 3 === 2))                  // snap 3: native
+    // snap 4: python MERGE-ON-READ position delete spanning all three
+    // data files (ids ≡ 3 mod 10 land in every id%3 class) — the Spark
+    // read must apply an externally-written (file_path, pos) overlay
+    val delIds = o.filter(col("id") % 10 === 3).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    val rcDel = runExtWriterDelete(Loc6, "id", delIds)
+    require(rcDel == 0, s"external delete failed with exit code $rcDel")
     GraftTable.load(spark, Loc6).scan()
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"),
@@ -340,7 +364,8 @@ object Interop {
       """SELECT o_orderstatus AS status, COUNT(*) AS n,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_id,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+        |FROM orders WHERE o_orderkey % 10 <> 3
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // incremental window: the head snapshot's manifests, data entries
     // filtered to sequenceNumber > 1 (the checkpoint commit's sequence —
     // a fresh table's first append). No delete overlays exist on this

@@ -68,6 +68,17 @@ class TableSpec extends SparkSpec {
     val rids = fin.scan(withLineage = true)
       .select("_row_id").collect().map(_.getLong(0))
     assert(rids.distinct.length == 6, s"row ids must be unique: ${rids.toSeq}")
+    // external MERGE-ON-READ position delete: python walks the manifests,
+    // locates the row positions with pyarrow, commits (file_path, pos) —
+    // the Spark scan must apply the externally-written overlay
+    assert(graft.ops.Interop.runExtWriterDelete(loc, "id", Seq(2L, 20L)) == 0)
+    assert(ids(loc) == Set(1L, 10L, 21L, 30L), "external MoR delete must apply")
+    // and a native CoW update still works ON TOP of the external overlay
+    GraftTable.load(spark, loc).update("id = 10",
+      Map("total" -> "total + 1.0"), WriteMode.CopyOnWrite)
+    val after = GraftTable.load(spark, loc).scan()
+      .select("id", "total").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after == Map(1L -> 10.0, 10L -> 101.0, 21L -> 210.0, 30L -> 300.0))
   }
 
   test("create/append/scan round-trips; second append adds a snapshot") {
