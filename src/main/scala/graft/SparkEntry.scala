@@ -22,7 +22,7 @@ object SparkEntry {
       GraftOps.queries ++ V3Ops.queries ++ Multimodal.queries ++ Pipeline.queries ++
       IncrementalAgg.queries ++ CorpusGraph.queries ++ Clustering.queries ++ Interop.queries ++
       IncrementalDedup.queries ++ GraphRank.queries ++ Sketches.queries ++ Behavioral.queries ++
-      Scd2.queries ++ DataQuality.queries ++ UrlOps.queries ++
+      Scd2.queries ++ DataQuality.queries ++ UrlOps.queries ++ ImageCodec.queries ++
       StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,6 +34,6 @@ object SparkEntry {
       GraftOps.oracles ++ V3Ops.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
       IncrementalAgg.oracles ++ CorpusGraph.oracles ++ Clustering.oracles ++ Interop.oracles ++
       IncrementalDedup.oracles ++ GraphRank.oracles ++ Sketches.oracles ++ Behavioral.oracles ++
-      Scd2.oracles ++ DataQuality.oracles ++ UrlOps.oracles ++
+      Scd2.oracles ++ DataQuality.oracles ++ UrlOps.oracles ++ ImageCodec.oracles ++
       StreamingOps.oracles
 }

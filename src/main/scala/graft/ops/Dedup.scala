@@ -401,7 +401,7 @@ object Dedup {
     // shingles — a pair is in the capped method's output iff it shares
     // >= 1 rare shingle, which is exactly the production candidate rule.
     // rareness is a property of the shingle, so min(a.r, b.r) = r.
-    val sh = shingles(docs)
+    val sh = shingles(docs).cache()
     val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val tagged = sh.join(dfc, "s").select(col("doc_id"), col("s"),
       (col("df") <= JACCARD_MAX_DF).cast("long").as("r"))

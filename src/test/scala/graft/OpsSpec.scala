@@ -1694,6 +1694,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("BMP codec: encode/decode round-trips pixels exactly (all padding classes)") {
+    // widths 5..12 cover every 3w % 4 padding class; random pixel values
+    // from a seeded generator; decode must return the exact pixel array
+    val rnd = new scala.util.Random(42L)
+    for (w <- 5 to 12; h <- Seq(1, 3, 7)) {
+      val pixels = Array.fill(h, w)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val bmp = ImageCodec.encodeBmp(w, h, (x, y) => pixels(y)(x))
+      // spec-correct container sizing: 54-byte headers + padded rows
+      assert(bmp.length == 54 + ((3 * w + 3) / 4 * 4) * h, s"size w=$w h=$h")
+      assert(bmp(0) == 'B' && bmp(1) == 'M')
+      val (dw, dh, px) = ImageCodec.decodeBmp(bmp)
+      assert(dw == w && dh == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(x, y) == pixels(y)(x), s"pixel ($x,$y) w=$w h=$h")
+    }
+    // malformed containers must refuse, not mis-decode
+    intercept[IllegalArgumentException](ImageCodec.decodeBmp("JUNKJUNKJUNK".getBytes))
+    val good = ImageCodec.encodeBmp(4, 4, (_, _) => (1, 2, 3))
+    intercept[IllegalArgumentException](ImageCodec.decodeBmp(good.take(40)))
+  }
+
   test("multimodal metadata matches payload byte lengths") {
     val metas = Multimodal.multimodalMeta(spark, sf).collect()
     assert(metas.nonEmpty)
