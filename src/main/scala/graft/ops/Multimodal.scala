@@ -7,10 +7,13 @@ import graft.Tables
 
 /** Multimodal-column plumbing (SURVEY.md §2.3): media as opaque `binary`
   * columns + typed metadata extracted by batched per-partition pipelines.
-  * The decode itself is a clearly-marked deterministic STUB (image/audio
-  * libs are not in this container); everything Spark-side — binary payload
+  * The decode here is a clearly-marked deterministic STUB (JPEG/MP4 libs
+  * are not in this container); everything Spark-side — binary payload
   * column, schema, partition-parallel batch processing via mapPartitions,
-  * 1→N frame explosion, typed outputs — is real and oracle-checked.
+  * 1→N frame explosion, typed outputs — is real and oracle-checked. For
+  * a REAL container decode through the same plumbing see [[ImageCodec]]
+  * (lib-free BMP encode/decode, pixel statistics gated against a
+  * byte-blind oracle).
   *
   * The four operators mirror a production media pipeline:
   *  - [[multimodalMeta]]  : container-header decode → typed metadata
