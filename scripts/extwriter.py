@@ -15,16 +15,22 @@ flink_feature_tests.py).
 Usage:
     extwriter.py <table_location> <rows.json> [--pin N]
     extwriter.py <table_location> --delete <col> <values.json> [--pin N]
+    extwriter.py <table_location> --delete-eq <col> <values.json> [--pin N]
 
 rows.json:   {"rows": [{<logical col>: <value>, ...}, ...]}
 values.json: {"values": [<v>, ...]}  (rows whose <col> is in the list
-             are position-deleted, merge-on-read)
+             are deleted, merge-on-read)
 
-The delete mode writes a POSITION-DELETE file: it walks the head
-snapshot's live data files from the manifests, reads each file's
-physical f<id> column with pyarrow to find matching row indices, and
-commits a (file_path, pos) parquet + manifest entry + CAS version —
-the merge-on-read write path, proven from outside the JVM.
+`--delete` writes a POSITION-DELETE file: it walks the head snapshot's
+live data files from the manifests, reads each file's physical f<id>
+column with pyarrow to find matching row indices, and commits a
+(file_path, pos) parquet + manifest entry + CAS version.
+
+`--delete-eq` writes an EQUALITY-DELETE file: key values under the
+physical column name, applying (by the format's sequence gate) only to
+rows whose data file carries an OLDER sequence number — rows appended
+after this delete survive. Both prove the merge-on-read write path
+from outside the JVM.
 
 --pin N: base the commit on metadata version N specifically and attempt
 to publish at exactly N+1 with NO retry — exits 2 on a create-new
@@ -94,10 +100,14 @@ def main():
         i = argv.index("--pin")
         pin = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
-    delete_col = None
+    delete_col = eq_col = None
     if "--delete" in argv:
         i = argv.index("--delete")
         delete_col = argv[i + 1]
+        argv = argv[:i] + [argv[i + 2]] + argv[i + 3:]
+    if "--delete-eq" in argv:
+        i = argv.index("--delete-eq")
+        eq_col = argv[i + 1]
         argv = argv[:i] + [argv[i + 2]] + argv[i + 3:]
     if len(argv) != 2:
         fail(__doc__)
@@ -126,7 +136,41 @@ def main():
     parent_snap = next((s for s in meta["snapshots"]
                         if s["snapshotId"] == parent), None)
 
-    if delete_col is None:
+    if eq_col is not None:
+        with open(payload_path) as f:
+            values = json.load(f)["values"]
+        fld = next((f for f in schema["fields"] if f["name"] == eq_col),
+                   None) or fail(f"no column {eq_col}")
+        rel_del_dir = f"deletes/eq{snap_id}-{tag}"
+        os.makedirs(os.path.join(loc, rel_del_dir), exist_ok=True)
+        rel_file = f"{rel_del_dir}/part-00000-ext.parquet"
+        pq.write_table(pa.table({
+            f"f{fld['id']}": pa.array(values, type=ARROW_TYPES[fld["dtype"]]),
+        }), os.path.join(loc, rel_file))
+        entry = {
+            "path": rel_file,
+            "fileType": "eqdel",
+            "specId": meta["currentSpecId"],
+            "schemaId": meta["currentSchemaId"],
+            "partition": {},
+            "rowCount": len(values),
+            "sizeBytes": os.path.getsize(os.path.join(loc, rel_file)),
+            "sequenceNumber": seq,
+            "stats": {},
+            "eqFieldIds": [fld["id"]],
+            "firstRowId": -1,
+            "nameMapped": False,
+        }
+        operation = "delete"
+        summary = {
+            "added-data-files": "0",
+            "added-delete-files": "1",
+            "added-records": "0",
+            "removed-files": "0",
+            "removed-records": "0",
+        }
+        new_last_row_id = meta["lastRowId"]
+    elif delete_col is None:
         with open(payload_path) as f:
             rows = json.load(f)["rows"]
         if not rows:

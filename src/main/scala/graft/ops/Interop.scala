@@ -203,6 +203,20 @@ object Interop {
     Process(cmd).!
   }
 
+  /** external EQUALITY DELETE: key values written under the physical
+    * column name; the format's sequence gate must apply it only to rows
+    * whose data file is OLDER than the delete's sequence number. */
+  private[graft] def runExtWriterDeleteEq(loc: String, colName: String,
+      values: Seq[String], pin: Option[Int] = None): Int = {
+    val f = Files.createTempFile("graft-exteq", ".json")
+    Files.writeString(f,
+      values.map(v => "\"" + v + "\"").mkString("""{"values":[""", ",", "]}"))
+    val cmd = Seq("python3", extWriterScript, loc, "--delete-eq", colName,
+      f.toString) ++ pin.toSeq.flatMap(v => Seq("--pin", v.toString))
+    import scala.sys.process._
+    Process(cmd).!
+  }
+
   /** The independent second WRITER proof (the write-side mirror of
     * [[buildAndScan]]'s independent reader): snapshot 1 is a native Spark
     * append; snapshot 2 is committed entirely by scripts/extwriter.py —
@@ -213,11 +227,14 @@ object Interop {
     * Scala writer must accept and extend externally-written metadata);
     * snapshot 4 is an external MERGE-ON-READ position delete — the
     * Python writer locates matching row positions in all three data
-    * files with pyarrow and commits the (file_path, pos) overlay. The
-    * scan reads the four-snapshot history through GraftTable and the
-    * oracle recomputes the aggregate from the source parquet — matching
-    * the reference's pyiceberg/Flink write-path proofs
-    * (tests/pyiceberg_feature_tests.py, flink_feature_tests.py). */
+    * files with pyarrow and commits the (file_path, pos) overlay;
+    * snapshot 5 is an external EQUALITY delete whose sequence gate
+    * snapshot 6 (a native re-append of deleted-status rows) must
+    * survive. The scan reads the six-snapshot mixed-writer history
+    * through GraftTable and the oracle recomputes the aggregate from
+    * the source parquet — matching the reference's pyiceberg/Flink
+    * write-path proofs (tests/pyiceberg_feature_tests.py,
+    * flink_feature_tests.py). */
   def buildExtWriteAndScan(spark: SparkSession, dir: String): DataFrame = {
     wipe(Loc6)
     val t = GraftTable.create(spark, Loc6,
@@ -240,6 +257,13 @@ object Interop {
       .collect().map(_.getLong(0)).toSeq
     val rcDel = runExtWriterDelete(Loc6, "id", delIds)
     require(rcDel == 0, s"external delete failed with exit code $rcDel")
+    // snap 5: python EQUALITY delete of every remaining 'P' row; snap 6:
+    // a native re-append of the id%3==0 'P' rows — NEWER sequence, so the
+    // format's sequence gate must let them survive the external eq-delete
+    val rcEq = runExtWriterDeleteEq(Loc6, "status", Seq("P"))
+    require(rcEq == 0, s"external eq-delete failed with exit code $rcEq")
+    GraftTable.load(spark, Loc6)
+      .append(o.filter(col("id") % 3 === 0 && col("status") === "P"))
     GraftTable.load(spark, Loc6).scan()
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"),
@@ -364,7 +388,9 @@ object Interop {
       """SELECT o_orderstatus AS status, COUNT(*) AS n,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_id,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
-        |FROM orders WHERE o_orderkey % 10 <> 3
+        |FROM orders
+        |WHERE (o_orderkey % 10 <> 3 AND o_orderstatus <> 'P')
+        |   OR (o_orderstatus = 'P' AND o_orderkey % 3 = 0)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // incremental window: the head snapshot's manifests, data entries
     // filtered to sequenceNumber > 1 (the checkpoint commit's sequence —

@@ -79,6 +79,28 @@ class TableSpec extends SparkSpec {
     val after = GraftTable.load(spark, loc).scan()
       .select("id", "total").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(after == Map(1L -> 10.0, 10L -> 101.0, 21L -> 210.0, 30L -> 300.0))
+    // the python-written manifest STATS must drive pruning: a point query
+    // outside the external file's id range prunes it, one inside keeps it
+    // (the surviving external data file is the one holding id 20 — the
+    // id-10 file was rewritten by the CoW update above)
+    val extFiles = GraftTable.load(spark, loc).liveFiles()
+      .filter(f => f.fileType == "data" && f.path.contains("-ext")).map(_.path).toSet
+    assert(extFiles.nonEmpty, "external data file must be live")
+    val prunedHit = GraftTable.load(spark, loc).prunedFiles("id = 20")
+      .map(_.path).toSet
+    val prunedMiss = GraftTable.load(spark, loc).prunedFiles("id = 999")
+      .map(_.path).toSet
+    assert(extFiles.subsetOf(prunedHit), "stats must keep the ext file for id=20")
+    assert(extFiles.intersect(prunedMiss).isEmpty,
+      "stats must prune the ext file for out-of-range ids")
+    // external EQUALITY delete: kills current 'A'-status rows; a native
+    // append AFTER it re-adds an 'A' row that must SURVIVE (the format's
+    // sequence gate applies eq-deletes only to OLDER data files)
+    assert(graft.ops.Interop.runExtWriterDeleteEq(loc, "status", Seq("A")) == 0)
+    assert(ids(loc) == Set(10L, 21L, 30L), "external eq-delete must apply (1 was 'A')")
+    GraftTable.load(spark, loc).append(idsDf((40L, "A", 400.0)))
+    assert(ids(loc) == Set(10L, 21L, 30L, 40L),
+      "a newer-sequence 'A' row must survive the external eq-delete")
   }
 
   test("create/append/scan round-trips; second append adds a snapshot") {
