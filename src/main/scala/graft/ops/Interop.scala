@@ -177,9 +177,10 @@ object Interop {
     * 2 = CAS conflict). Driver-side staging is inherent here — the rows
     * cross a process boundary to an engine that shares no code. */
   private[graft] def runExtWriter(loc: String, rows: Seq[(Long, String, Double)],
-      pin: Option[Int] = None): Int = {
+      pin: Option[Int] = None,
+      cols: (String, String, String) = ("id", "status", "total")): Int = {
     val payload = rows.map { case (id, st, total) =>
-      s"""{"id":$id,"status":"$st","total":$total}"""
+      s"""{"${cols._1}":$id,"${cols._2}":"$st","${cols._3}":$total}"""
     }.mkString("""{"rows":[""", ",", "]}")
     val f = Files.createTempFile("graft-extwrite", ".json")
     Files.writeString(f, payload)

@@ -101,6 +101,17 @@ class TableSpec extends SparkSpec {
     GraftTable.load(spark, loc).append(idsDf((40L, "A", 400.0)))
     assert(ids(loc) == Set(10L, 21L, 30L, 40L),
       "a newer-sequence 'A' row must survive the external eq-delete")
+    // SCHEMA EVOLUTION across writers: rename natively (metadata-only —
+    // the field ID is the identity), then an external append under the
+    // NEW logical name must land in the same physical f<id> column and
+    // read back beside every earlier generation
+    GraftTable.load(spark, loc).renameColumn("status", "state")
+    assert(graft.ops.Interop.runExtWriter(loc, Seq((50L, "Z", 500.0)),
+      cols = ("id", "state", "total")) == 0)
+    val evolved = GraftTable.load(spark, loc).scan()
+      .select("id", "state").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(evolved == Map(10L -> "C", 21L -> "F", 30L -> "G", 40L -> "A", 50L -> "Z"),
+      s"post-rename external append must map by field id, got $evolved")
   }
 
   test("create/append/scan round-trips; second append adds a snapshot") {
