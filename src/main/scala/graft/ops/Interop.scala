@@ -165,7 +165,7 @@ object Interop {
   val Loc6 = "/tmp/graft_interop_ext"
 
   /** locate scripts/extwriter.py relative to the repo checkout */
-  private def extWriterScript: String =
+  private[graft] def extWriterScript: String =
     Seq(Paths.get("scripts/extwriter.py"),
       Paths.get(sys.props.getOrElse("user.dir", "."), "scripts", "extwriter.py"),
       Paths.get("/root/repo/scripts/extwriter.py"))

@@ -52,10 +52,11 @@ class TableFuzzSpec extends SparkSpec {
     canon(model.map(r => cols.map(r(_))))
 
   private def runSeed(seedVal: Long, partitionBy: Seq[String] = Nil,
-      evolveSpec: Boolean = false): Unit = {
+      evolveSpec: Boolean = false): Int = {
+    var extOps = 0
     val rnd = new Random(seedVal)
     val loc = tmp()
-    val t = GraftTable.create(spark, loc, "id bigint, k bigint, s string",
+    var t = GraftTable.create(spark, loc, "id bigint, k bigint, s string",
       partitionBy)
 
     var cols = Vector("id", "k", "s")
@@ -150,8 +151,32 @@ class TableFuzzSpec extends SparkSpec {
       val cond = s"k % $m = $rem"
       // step 0 is always an append — every other op no-ops on an empty
       // table, and an all-no-op prefix would make the run vacuous
-      val op = if (step == 0) 0 else rnd.nextInt(9)
+      val op = if (step == 0) 0 else rnd.nextInt(10)
       val snap: Option[Long] = op match {
+        case 9 if br == "main" && t.meta.currentSpec.fields.isEmpty =>
+          // EXTERNAL commit interleaved into the random sequence: the
+          // Python writer (scripts/extwriter.py) appends rows between
+          // native commits of every shape — the strongest mixed-writer
+          // soundness proof the format has. The handle is re-pinned
+          // afterwards so later rewrite ops validate against the true
+          // head (a stale-base rewrite would rightly conflict).
+          val rows = freshRows(3 + rnd.nextInt(5))
+          model ++= rows
+          val payload = rows.map(r => cols.map { c =>
+            r(c) match {
+              case s: String => s""""$c":"$s""""
+              case x => s""""$c":$x"""
+            }
+          }.mkString("{", ",", "}")).mkString("""{"rows":[""", ",", "]}")
+          val f = Files.createTempFile("fuzz-ext", ".json")
+          Files.writeString(f, payload)
+          import scala.sys.process._
+          val rc = Process(Seq("python3",
+            graft.ops.Interop.extWriterScript, loc, f.toString)).!
+          assert(rc == 0, s"seed=$seedVal external append failed rc=$rc")
+          extOps += 1
+          t = GraftTable.load(spark, loc)
+          Some(t.meta.head("main").get.snapshotId)
         case 0 | 1 =>
           val rows = freshRows(5 + rnd.nextInt(20))
           model ++= rows
@@ -286,6 +311,7 @@ class TableFuzzSpec extends SparkSpec {
     assert(gotTail == multisetDiff(modelRows(mainModel.toSeq, cols), preRows),
       s"seed=$seedVal tail appendsBetween != appended rows across compaction")
     checkAllRefs("incremental tail")
+    extOps
   }
 
   test("random op sequences match the per-ref models at every commit (seed 42)") {
@@ -293,7 +319,11 @@ class TableFuzzSpec extends SparkSpec {
   }
 
   test("random op sequences match the per-ref models at every commit (seed 1337)") {
-    runSeed(1337L)
+    // across the two unpartitioned seeds, the EXTERNAL python writer must
+    // actually have interleaved with the native op mix at least once —
+    // a vacuously-unexercised mixed-writer path would pass silently
+    assert(runSeed(1337L) + runSeed(4242L) > 0,
+      "no external commit fired across the unpartitioned fuzz seeds")
   }
 
   test("random op sequences on a PARTITIONED table match the models (seed 99)") {
