@@ -432,7 +432,16 @@ object Dedup {
             .as("precision_pct"),
           expr("CASE WHEN tp + fn = 0 THEN 0L ELSE tp * 100 div (tp + fn) END")
             .as("recall_pct"))
-    score("jaccard_capped", capped)
+    // exact-text row: the cheapest method — hash-equal full texts. On a
+    // near-dup truth its recall quantifies how much a pipeline loses by
+    // stopping at exact dedup (the usual production baseline).
+    val h = docs.select(col("doc_id"), md5(col("text")).as("hx"), col("text"))
+    val exactPairs = h.as("a").join(h.as("b"),
+        col("a.hx") === col("b.hx") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.text") === col("b.text"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    score("exact_text", exactPairs)
+      .unionByName(score("jaccard_capped", capped))
       .unionByName(score("minhash_lsh", minhashVerifiedPairs(docs, 0.6)))
       .unionByName(score("simhash", simhash(spark, dir)))
       .orderBy("method")
@@ -639,6 +648,10 @@ object Dedup {
     * fails the gate. */
   private def dedupEvalOracle: String =
     Seq(
+      evalRowSql("exact_text",
+        """SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          |FROM documents a JOIN documents b
+          |  ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin),
       evalRowSql("jaccard_capped", jaccardCappedOracle
         .replace("%TAU%", "0.6").replace("%MAXDF%", JACCARD_MAX_DF.toString)),
       evalRowSql("minhash_lsh", jaccardOracle.replace("%TAU%", "0.6")),

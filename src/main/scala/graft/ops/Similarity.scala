@@ -738,8 +738,11 @@ object Similarity {
     * exact cosine + rank on the candidate set. At 100 TB the list count
     * is the parallelism/recall knob and it is WIRED to the corpus size
     * (lists = max(32, sqrt(N)) via [[ivfListsFor]], so per-list work
-    * stays ~sqrt(N), not N/constant); a hot list salts like any skewed
-    * join key. */
+    * stays ~sqrt(N), not N/constant). A pathologically hot list (a
+    * dense cluster collapsing many vectors onto one centroid) is a
+    * skewed equi-join key, and the wired escape hatch is AQE's skew-join
+    * split (spark.sql.adaptive.skewJoin, on by default): the oversized
+    * partition is subdivided at runtime, no salting code needed. */
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables(spark, dir, "embeddings")
