@@ -148,7 +148,9 @@ def main():
             f"f{fld['id']}": pa.array(values, type=ARROW_TYPES[fld["dtype"]]),
         }), os.path.join(loc, rel_file))
         entry = {
-            "path": rel_file,
+            # delete entries point at the parquet DIRECTORY (FORMAT.md;
+            # the independent resolver joins on path || '/%')
+            "path": rel_del_dir,
             "fileType": "eqdel",
             "specId": meta["currentSpecId"],
             "schemaId": meta["currentSchemaId"],
@@ -248,7 +250,8 @@ def main():
             "pos": pa.array(hits_pos, type=pa.int64()),
         }), os.path.join(loc, rel_file))
         entry = {
-            "path": rel_file,
+            # delete entries point at the parquet DIRECTORY (FORMAT.md)
+            "path": rel_del_dir,
             "fileType": "posdel",
             "specId": meta["currentSpecId"],
             "schemaId": meta["currentSchemaId"],

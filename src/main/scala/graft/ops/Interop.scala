@@ -236,9 +236,9 @@ object Interop {
     * the source parquet — matching the reference's pyiceberg/Flink
     * write-path proofs (tests/pyiceberg_feature_tests.py,
     * flink_feature_tests.py). */
-  def buildExtWriteAndScan(spark: SparkSession, dir: String): DataFrame = {
-    wipe(Loc6)
-    val t = GraftTable.create(spark, Loc6,
+  private def buildExtTable(spark: SparkSession, dir: String, loc: String): Unit = {
+    wipe(loc)
+    val t = GraftTable.create(spark, loc,
       "id bigint, status string, total double")
     val o = Tables(spark, dir, "orders").select(
       col("o_orderkey").as("id"),
@@ -247,30 +247,58 @@ object Interop {
     t.append(o.filter(col("id") % 3 === 0))                   // snap 1: native
     val extRows = o.filter(col("id") % 3 === 1).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
-    val rc = runExtWriter(Loc6, extRows)                      // snap 2: python
+    val rc = runExtWriter(loc, extRows)                       // snap 2: python
     require(rc == 0, s"external writer failed with exit code $rc")
-    GraftTable.load(spark, Loc6)
+    GraftTable.load(spark, loc)
       .append(o.filter(col("id") % 3 === 2))                  // snap 3: native
     // snap 4: python MERGE-ON-READ position delete spanning all three
     // data files (ids ≡ 3 mod 10 land in every id%3 class) — the Spark
     // read must apply an externally-written (file_path, pos) overlay
     val delIds = o.filter(col("id") % 10 === 3).select("id")
       .collect().map(_.getLong(0)).toSeq
-    val rcDel = runExtWriterDelete(Loc6, "id", delIds)
+    val rcDel = runExtWriterDelete(loc, "id", delIds)
     require(rcDel == 0, s"external delete failed with exit code $rcDel")
     // snap 5: python EQUALITY delete of every remaining 'P' row; snap 6:
     // a native re-append of the id%3==0 'P' rows — NEWER sequence, so the
     // format's sequence gate must let them survive the external eq-delete
-    val rcEq = runExtWriterDeleteEq(Loc6, "status", Seq("P"))
+    val rcEq = runExtWriterDeleteEq(loc, "status", Seq("P"))
     require(rcEq == 0, s"external eq-delete failed with exit code $rcEq")
-    GraftTable.load(spark, Loc6)
+    GraftTable.load(spark, loc)
       .append(o.filter(col("id") % 3 === 0 && col("status") === "P"))
-    GraftTable.load(spark, Loc6).scan()
+    // snap 7: native DELETION-VECTOR delete on top of the mixed history —
+    // the table now carries every MoR shape (external posdel, external
+    // sequence-gated eqdel, native DV) across files from both writers
+    GraftTable.load(spark, loc).delete("id % 20 = 6", WriteMode.DeletionVector)
+  }
+
+  private def extAgg(spark: SparkSession, loc: String): DataFrame =
+    GraftTable.load(spark, loc).scan()
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"),
         sum(col("id")).as("sum_id"),
         sum(col("total").cast("decimal(18,2)")).cast("double").as("sum_total"))
       .orderBy("status")
+
+  def buildExtWriteAndScan(spark: SparkSession, dir: String): DataFrame = {
+    buildExtTable(spark, dir, Loc6)
+    extAgg(spark, Loc6)
+  }
+
+  /** fixed location for the resolver-read variant of the external-writer
+    * table (own table: registry queries are order-independent) */
+  val Loc7 = "/tmp/graft_interop_ext2"
+
+  /** The capstone interop closure: the SAME mixed-writer six-snapshot
+    * table, but the ORACLE side reads it through the independent DuckDB
+    * metadata resolver — python wrote snapshots 2/4/5, Spark reads the
+    * table natively, DuckDB resolves current metadata, walks the
+    * manifests, and replays the posdel + sequence-gated eqdel overlays
+    * from the files alone. Three implementations (Scala writer+reader,
+    * Python writer, DuckDB reader) sharing nothing but FORMAT.md must
+    * agree hash-exactly. */
+  def buildExtWriteAndResolve(spark: SparkSession, dir: String): DataFrame = {
+    buildExtTable(spark, dir, Loc7)
+    extAgg(spark, Loc7)
   }
 
   val queries: Map[String, Q] = Map(
@@ -279,7 +307,8 @@ object Interop {
     "q_interop_branch" -> buildBranchAndScan,
     "q_interop_evolved" -> buildEvolvedAndScan,
     "q_interop_incremental" -> buildAndScanIncremental,
-    "q_interop_extwrite" -> buildExtWriteAndScan)
+    "q_interop_extwrite" -> buildExtWriteAndScan,
+    "q_interop_extwrite_resolver" -> buildExtWriteAndResolve)
 
   /** The independent DuckDB reader. Format facts it encodes (all from
     * graft.table.{Meta, GraftTable, Dv} scaladoc):
@@ -390,9 +419,20 @@ object Interop {
         |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_id,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         |FROM orders
-        |WHERE (o_orderkey % 10 <> 3 AND o_orderstatus <> 'P')
-        |   OR (o_orderstatus = 'P' AND o_orderkey % 3 = 0)
+        |WHERE ((o_orderkey % 10 <> 3 AND o_orderstatus <> 'P')
+        |    OR (o_orderstatus = 'P' AND o_orderkey % 3 = 0))
+        |  AND o_orderkey % 20 <> 6
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // capstone closure: the oracle reads the python-co-written table
+    // through the INDEPENDENT DuckDB metadata resolver (current
+    // metadata → manifests → data files → posdel + sequence-gated eqdel
+    // overlays) — three zero-shared-code implementations must agree
+    "q_interop_extwrite_resolver" ->
+      s"""SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(id) AS BIGINT) AS sum_id,
+         |  CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+         |FROM ( ${baseResolver(Loc7, "meta.head_id")} )
+         |GROUP BY status ORDER BY status""".stripMargin,
     // incremental window: the head snapshot's manifests, data entries
     // filtered to sequenceNumber > 1 (the checkpoint commit's sequence —
     // a fresh table's first append). No delete overlays exist on this
