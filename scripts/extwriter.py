@@ -120,8 +120,11 @@ def main():
     schema = next(s for s in meta["schemas"]
                   if s["schemaId"] == meta["currentSchemaId"])
     spec = next(s for s in meta["specs"] if s["specId"] == meta["currentSpecId"])
-    if spec["fields"]:
-        fail("this writer handles unpartitioned tables only")
+    # appends support unpartitioned and identity-partitioned layouts; the
+    # delete modes are partition-agnostic (they address files by path)
+    if delete_col is None and eq_col is None and any(
+            f["transform"] != "identity" for f in spec["fields"]):
+        fail("this writer appends only to identity partition transforms")
     for fld in schema["fields"]:
         if fld["dtype"] not in ARROW_TYPES:
             fail(f"unsupported column type {fld['dtype']} ({fld['name']})")
@@ -177,41 +180,66 @@ def main():
             rows = json.load(f)["rows"]
         if not rows:
             fail("no rows to append")
-        # --- data file: physical f<id> columns, one parquet file -----------
-        arrays, stats = {}, {}
-        for fld in schema["fields"]:
-            vals = [r.get(fld["name"]) for r in rows]
-            arrays[f"f{fld['id']}"] = pa.array(vals, type=ARROW_TYPES[fld["dtype"]])
-            mn, mx = stat_str(vals, fld["dtype"])
-            stats[str(fld["id"])] = {
-                "min": mn, "max": mx,
-                "nullCount": sum(1 for v in vals if v is None),
-            }
+        # --- data files: physical f<id> columns, one file per partition ----
+        # identity partitions: rows group by their partition tuple; each
+        # group lands under the native _p_<name>=<value> dir layout with
+        # the partition values in its manifest entry (what pruning reads)
+        part_fields = spec["fields"]
+        col_of = {f2["id"]: f2["name"] for f2 in schema["fields"]}
+
+        def esc(v):
+            return "".join(c if c.isalnum() or c in "._-" else "%%%02X" % ord(c)
+                           for c in str(v))
+
+        groups = {}
+        for r in rows:
+            key = tuple(str(r[col_of[pf["sourceIds"][0]]]) for pf in part_fields)
+            groups.setdefault(key, []).append(r)
         rel_data_dir = f"data/s{snap_id}-{tag}"
-        os.makedirs(os.path.join(loc, rel_data_dir), exist_ok=True)
-        rel_file = f"{rel_data_dir}/part-00000-ext.parquet"
-        pq.write_table(pa.table(arrays), os.path.join(loc, rel_file))
-        entry = {
-            "path": rel_file,
-            "fileType": "data",
-            "specId": meta["currentSpecId"],
-            "schemaId": meta["currentSchemaId"],
-            "partition": {},
-            "rowCount": len(rows),
-            "sizeBytes": os.path.getsize(os.path.join(loc, rel_file)),
-            "sequenceNumber": seq,
-            "stats": {k: {kk: vv for kk, vv in v.items() if vv is not None}
-                      for k, v in stats.items()},
-            "eqFieldIds": [],
-            # v3 row lineage: this file's rows get ids [lastRowId, +rowCount)
-            "firstRowId": meta["lastRowId"],
-            "nameMapped": False,
-        }
-        operation, n_records = "append", len(rows)
+        new_entries = []
+        first_rid = meta["lastRowId"]
+        for key in sorted(groups):
+            grows = groups[key]
+            sub = "/".join(f"_p_{pf['name']}={esc(v)}"
+                           for pf, v in zip(part_fields, key))
+            d = f"{rel_data_dir}/{sub}" if sub else rel_data_dir
+            os.makedirs(os.path.join(loc, d), exist_ok=True)
+            rel_file = f"{d}/part-00000-ext.parquet"
+            arrays, stats = {}, {}
+            for fld in schema["fields"]:
+                vals = [r.get(fld["name"]) for r in grows]
+                arrays[f"f{fld['id']}"] = pa.array(vals,
+                                                   type=ARROW_TYPES[fld["dtype"]])
+                mn, mx = stat_str(vals, fld["dtype"])
+                stats[str(fld["id"])] = {
+                    "min": mn, "max": mx,
+                    "nullCount": sum(1 for v in vals if v is None),
+                }
+            pq.write_table(pa.table(arrays), os.path.join(loc, rel_file))
+            new_entries.append({
+                "path": rel_file,
+                "fileType": "data",
+                "specId": meta["currentSpecId"],
+                "schemaId": meta["currentSchemaId"],
+                "partition": {pf["name"]: str(v)
+                              for pf, v in zip(part_fields, key)},
+                "rowCount": len(grows),
+                "sizeBytes": os.path.getsize(os.path.join(loc, rel_file)),
+                "sequenceNumber": seq,
+                "stats": {k: {kk: vv for kk, vv in v.items() if vv is not None}
+                          for k, v in stats.items()},
+                "eqFieldIds": [],
+                # v3 row lineage: each file's rows get sequential ids
+                "firstRowId": first_rid,
+                "nameMapped": False,
+            })
+            first_rid += len(grows)
+        entry = None
+        operation = "append"
         summary = {
-            "added-data-files": "1",
+            "added-data-files": str(len(new_entries)),
             "added-delete-files": "0",
-            "added-records": str(n_records),
+            "added-records": str(len(rows)),
             "removed-files": "0",
             "removed-records": "0",
         }
@@ -274,13 +302,15 @@ def main():
         }
         new_last_row_id = meta["lastRowId"]
 
-    # --- manifest segment: one FileMeta JSONL line, atomic rename ----------
+    # --- manifest segment: one FileMeta JSONL line per file, atomic rename -
+    if entry is not None:
+        new_entries = [entry]
     seg_name = f"{snap_id}-a-{tag}.jsonl"
     seg_rel = f"manifests/{seg_name}"
     os.makedirs(os.path.join(loc, "manifests"), exist_ok=True)
     tmp_seg = os.path.join(loc, "manifests", f".{seg_name}.tmp")
     with open(tmp_seg, "w") as f:
-        f.write(json.dumps(entry))
+        f.write("\n".join(json.dumps(e) for e in new_entries))
     os.rename(tmp_seg, os.path.join(loc, seg_rel))
 
     # --- new snapshot + table state ----------------------------------------

@@ -114,6 +114,38 @@ class TableSpec extends SparkSpec {
       s"post-rename external append must map by field id, got $evolved")
   }
 
+  test("external python writer appends into identity partitions; pruning applies") {
+    import spark.implicits._
+    def idsDf(rows: (Long, String, Double)*) = rows.toDF("id", "status", "total")
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, "id bigint, status string, total double",
+      Seq("identity(status)"))
+    t.append(idsDf((1L, "A", 10.0), (2L, "B", 20.0)))
+    // python groups rows by partition tuple, writes one file per
+    // partition under the native _p_ dir layout with partition values in
+    // the manifest entries
+    assert(graft.ops.Interop.runExtWriter(loc,
+      Seq((10L, "A", 100.0), (11L, "C", 110.0), (12L, "C", 120.0))) == 0)
+    val all = GraftTable.load(spark, loc).scan()
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 10L, 11L, 12L))
+    // the externally-written partition VALUES must drive pruning: a
+    // status='C' read touches only the external C file
+    val cFiles = GraftTable.load(spark, loc).prunedFiles("status = 'C'")
+    assert(cFiles.nonEmpty && cFiles.forall(f =>
+      f.partition("status") == "C" && f.path.contains("-ext")),
+      s"C-partition read must hit only the external C file: ${cFiles.map(_.path)}")
+    val cRows = GraftTable.load(spark, loc)
+      .scan(filter = Some("status = 'C'"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(cRows == Set(11L, 12L))
+    // external A rows coexist with the native A partition file
+    val aRows = GraftTable.load(spark, loc)
+      .scan(filter = Some("status = 'A'"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(aRows == Set(1L, 10L))
+  }
+
   test("create/append/scan round-trips; second append adds a snapshot") {
     val t = mkOrders(tmp())
     t.append(seedDf(seed))
