@@ -796,6 +796,69 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** neighbors per side feeding the margin denominator in [[bitextMine]] */
+  val BitextK = 4
+  /** mined-pair acceptance threshold in ppm (1.05 = the classic
+    * margin-criterion operating zone) */
+  val BitextMarginPpm = 1050000L
+
+  /** Margin-based parallel-pair mining — the bitext-mining shape
+    * (Artetxe & Schwenk's margin criterion) a multilingual training-data
+    * pipeline runs to pair sentences across two corpora: for every
+    * "source" vector (even vec_id — the deterministic stand-in for
+    * corpus A) find its best "target" (odd vec_id) neighbor, and accept
+    * the pair only when its similarity stands OUT against both sides'
+    * neighborhoods — margin = cos(x,y) / ((avgK_fwd(x) + avgK_bwd(y))/2),
+    * which kills hub vectors that are everyone's nearest neighbor.
+    *
+    * Scale shape: candidates come from the shared IVF blocking (source
+    * probes its [[IvfIndex.knnProbes]] lists, targets live in their
+    * nearest list — the [[knnJoin]] machinery, one shuffle keyed by list
+    * id); both window passes run over the candidate set only. Exactness
+    * contract: cosines quantize to integer micro-units immediately, so
+    * the top-K sums, the margin ratio (2e6·q·fn·bn div (fsum·bn+bsum·fn))
+    * and the threshold are pure integer arithmetic — bit-identical in
+    * the DuckDB oracle regardless of aggregation order. Negative-cosine
+    * candidates are dropped before ranking (a mined pair must be
+    * positively similar; also keeps the integer division floor-safe). */
+  def bitextMine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), vdouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+    val idx = ivfIndex(spark, dir, e)
+    val bc = spark.sparkContext.broadcast(idx.cents)
+    val knnProbes = idx.knnProbes
+    val probes = e.filter(_._1 % 2 == 0)
+      .flatMap { case (id, v) => topCentroids(v, bc.value, knnProbes).map(c => (id, v, c)) }
+      .toDF("s_id", "sv", "bucket")
+    val buck = e.filter(_._1 % 2 == 1)
+      .map { case (id, v) => (id, v, nearestCentroid(v, bc.value)) }
+      .toDF("t_id", "tv", "bucket")
+    val pos = probes.join(buck, "bucket")
+      .select(col("s_id"), col("t_id"),
+        floor(graft.functions.GraftFunctions.cosine(col("sv"), col("tv")) *
+          lit(1000000.0)).cast(LongType).as("q"))
+      .dropDuplicates("s_id", "t_id")
+      .filter(col("q") > 0L)
+    val wf = Window.partitionBy(col("s_id")).orderBy(col("q").desc, col("t_id"))
+    val wb = Window.partitionBy(col("t_id")).orderBy(col("q").desc, col("s_id"))
+    val ranked = pos
+      .withColumn("fr", row_number().over(wf))
+      .withColumn("br", row_number().over(wb))
+    val fs = ranked.filter(col("fr") <= BitextK).groupBy("s_id")
+      .agg(sum(col("q")).as("fsum"), count(lit(1)).as("fn"))
+    val bs = ranked.filter(col("br") <= BitextK).groupBy("t_id")
+      .agg(sum(col("q")).as("bsum"), count(lit(1)).as("bn"))
+    ranked.filter(col("fr") === 1).select("s_id", "t_id", "q")
+      .join(fs, "s_id").join(bs, "t_id")
+      .withColumn("margin_ppm",
+        expr("2000000 * q * fn * bn div (fsum * bn + bsum * fn)"))
+      .filter(col("margin_ppm") >= BitextMarginPpm)
+      .select("s_id", "t_id", "margin_ppm")
+      .orderBy("s_id")
+  }
+
   /** Recall evaluation harness: the IVF approximate path scored against
     * the brute-force exact top-5 for the query set — the measurement a
     * pipeline runs before trusting an ANN index config. Pure composition
@@ -814,6 +877,7 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_bitext_mine" -> bitextMine,
     "q_ann_eval" -> annEval,
     "q_semantic_clusters" -> semanticClusters,
     "q_knn_join" -> knnJoin,
@@ -1072,7 +1136,48 @@ object Similarity {
        |  FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id
        |)""".stripMargin)
 
+  /** SQL twin of [[bitextMine]]: same centroid CTEs, source/target
+    * split by vec_id parity, micro-unit quantized cosines, pure-integer
+    * top-K sums and margin ratio */
+  private def bitextOracle: String =
+    s"""$ivfCentsCte, probes AS (
+       |  SELECT vec_id AS s_id, c FROM (
+       |    SELECT e.vec_id, ct.c,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlCos("e.v", "ct.cv")} DESC, ct.c) AS rnk
+       |    FROM e CROSS JOIN cents ct WHERE e.vec_id % 2 = 0) z
+       |  WHERE rnk <= $knnProbesSql
+       |), cand AS (
+       |  SELECT DISTINCT p.s_id, a.vec_id AS t_id
+       |  FROM probes p JOIN a1 a ON a.bucket = p.c WHERE a.vec_id % 2 = 1
+       |), pos AS (
+       |  SELECT cd.s_id, cd.t_id,
+       |    CAST(floor(${sqlCos("a.v", "b.v")} * 1000000.0) AS BIGINT) AS q
+       |  FROM cand cd
+       |  JOIN e a ON a.vec_id = cd.s_id JOIN e b ON b.vec_id = cd.t_id
+       |  WHERE floor(${sqlCos("a.v", "b.v")} * 1000000.0) > 0
+       |), ranked AS (
+       |  SELECT s_id, t_id, q,
+       |    ROW_NUMBER() OVER (PARTITION BY s_id ORDER BY q DESC, t_id) AS fr,
+       |    ROW_NUMBER() OVER (PARTITION BY t_id ORDER BY q DESC, s_id) AS br
+       |  FROM pos
+       |), fs AS (
+       |  SELECT s_id, SUM(q) AS fsum, COUNT(*) AS fn
+       |  FROM ranked WHERE fr <= $BitextK GROUP BY s_id
+       |), bs AS (
+       |  SELECT t_id, SUM(q) AS bsum, COUNT(*) AS bn
+       |  FROM ranked WHERE br <= $BitextK GROUP BY t_id
+       |), top1 AS (SELECT s_id, t_id, q FROM ranked WHERE fr = 1)
+       |SELECT t.s_id, t.t_id,
+       |  CAST((2000000 * t.q * fs.fn * bs.bn)
+       |       // (fs.fsum * bs.bn + bs.bsum * fs.fn) AS BIGINT) AS margin_ppm
+       |FROM top1 t JOIN fs USING (s_id) JOIN bs USING (t_id)
+       |WHERE (2000000 * t.q * fs.fn * bs.bn)
+       |      // (fs.fsum * bs.bn + bs.bsum * fs.fn) >= $BitextMarginPpm
+       |ORDER BY t.s_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_bitext_mine" -> bitextOracle,
     "q_embed_pca" ->
       s"""WITH RECURSIVE q AS (
          |  SELECT vec_id, label, CAST(u.i - 1 AS BIGINT) AS i,

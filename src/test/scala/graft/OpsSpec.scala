@@ -428,6 +428,23 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"ivf recall $recall below target for auto-scaled lists")
   }
 
+  test("bitext mining: margin criterion selects distinctive pairs and rejects hubs") {
+    val mined = Similarity.bitextMine(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(mined.nonEmpty, "corpus must yield mined pairs")
+    // one pair per source, margins at/above the acceptance threshold
+    assert(mined.map(_._1).distinct.length == mined.length)
+    assert(mined.forall(_._3 >= Similarity.BitextMarginPpm))
+    assert(mined.forall { case (s, t, _) => s % 2 == 0 && t % 2 == 1 })
+    // the criterion must actually REJECT: some sources with candidates
+    // fall below the margin bar (otherwise the threshold is vacuous and
+    // this is plain nearest-neighbor matching)
+    val nSrc = graft.Tables(spark, sf01, "embeddings")
+      .filter(col("vec_id") % 2 === 0).count()
+    assert(mined.length < nSrc,
+      s"margin bar rejected nothing: ${mined.length} of $nSrc sources mined")
+  }
+
   test("ivf geometry scales with corpus size (lists ~ sqrt(N), probes track lists)") {
     assume(sys.env.get("SPARK_GRAFT_IVF_LISTS").isEmpty)
     // floor at the historical 32-list geometry for small corpora
