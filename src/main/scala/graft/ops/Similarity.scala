@@ -859,6 +859,49 @@ object Similarity {
       .orderBy("s_id")
   }
 
+  /** micro-unit cosine threshold for semantic contamination (same 0.45
+    * operating point as the embedding dedup family) */
+  val DecontamQ = 450000L
+
+  /** Semantic decontamination — the embedding-space sibling of the
+    * n-gram [[Dedup]] decontaminate gate: corpus vectors too similar to
+    * any BENCHMARK vector (vec_id % 20 == 0, the same holdout split the
+    * n-gram gate uses on documents) are flagged with their hit count and
+    * strongest similarity. Catches paraphrased contamination that exact
+    * n-gram overlap misses — the reason evaluation-hygiene pipelines run
+    * both gates.
+    *
+    * Scale shape: the (small) benchmark side multi-probes its
+    * [[IvfIndex.dedupProbes]] nearest lists, the corpus side sits in its
+    * nearest list — candidates form per list (the [[dedupSemantic]]
+    * blocking, one shuffle), and similarities quantize to integer
+    * micro-units so counts and maxima replay bit-exactly in the oracle. */
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), vdouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+    val idx = ivfIndex(spark, dir, e)
+    val bc = spark.sparkContext.broadcast(idx.cents)
+    val dedupProbes = idx.dedupProbes
+    val bench = e.filter(_._1 % 20 == 0)
+      .flatMap { case (id, v) =>
+        topCentroids(v, bc.value, dedupProbes).map(c => (id, v, c)) }
+      .toDF("b_id", "bv", "bucket")
+    val corpus = e.filter(_._1 % 20 != 0)
+      .map { case (id, v) => (id, v, nearestCentroid(v, bc.value)) }
+      .toDF("vec_id", "cv", "bucket")
+    corpus.join(bench, "bucket")
+      .select(col("vec_id"), col("b_id"),
+        floor(graft.functions.GraftFunctions.cosine(col("cv"), col("bv")) *
+          lit(1000000.0)).cast(LongType).as("q"))
+      .dropDuplicates("vec_id", "b_id")
+      .filter(col("q") >= DecontamQ)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("q")).as("max_q"))
+      .orderBy("vec_id")
+  }
+
   /** Recall evaluation harness: the IVF approximate path scored against
     * the brute-force exact top-5 for the query set — the measurement a
     * pipeline runs before trusting an ANN index config. Pure composition
@@ -878,6 +921,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "q_bitext_mine" -> bitextMine,
+    "q_decontaminate_semantic" -> decontaminateSemantic,
     "q_ann_eval" -> annEval,
     "q_semantic_clusters" -> semanticClusters,
     "q_knn_join" -> knnJoin,
@@ -1176,8 +1220,32 @@ object Similarity {
        |      // (fs.fsum * bs.bn + bs.bsum * fs.fn) >= $BitextMarginPpm
        |ORDER BY t.s_id""".stripMargin
 
+  /** SQL twin of [[decontaminateSemantic]] */
+  private def decontamOracle: String =
+    s"""$ivfCentsCte, bprobes AS (
+       |  SELECT vec_id AS b_id, c FROM (
+       |    SELECT e.vec_id, ct.c,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlCos("e.v", "ct.cv")} DESC, ct.c) AS rnk
+       |    FROM e CROSS JOIN cents ct WHERE e.vec_id % 20 = 0) z
+       |  WHERE rnk <= $dedupProbesSql
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id, p.b_id
+       |  FROM bprobes p JOIN a1 a ON a.bucket = p.c WHERE a.vec_id % 20 <> 0
+       |), hits AS (
+       |  SELECT cd.vec_id, cd.b_id,
+       |    CAST(floor(${sqlCos("a.v", "b.v")} * 1000000.0) AS BIGINT) AS q
+       |  FROM cand cd
+       |  JOIN e a ON a.vec_id = cd.vec_id JOIN e b ON b.vec_id = cd.b_id
+       |  WHERE floor(${sqlCos("a.v", "b.v")} * 1000000.0) >= $DecontamQ
+       |)
+       |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       |  CAST(MAX(q) AS BIGINT) AS max_q
+       |FROM hits GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_bitext_mine" -> bitextOracle,
+    "q_decontaminate_semantic" -> decontamOracle,
     "q_embed_pca" ->
       s"""WITH RECURSIVE q AS (
          |  SELECT vec_id, label, CAST(u.i - 1 AS BIGINT) AS i,

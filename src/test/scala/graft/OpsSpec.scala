@@ -445,6 +445,30 @@ class OpsSpec extends SparkSpec {
       s"margin bar rejected nothing: ${mined.length} of $nSrc sources mined")
   }
 
+  test("semantic decontamination: flags are sound and recall brute-force truth") {
+    val all = Tables(spark, sf01, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val bench = all.filter(_._1 % 20 == 0)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = all.filter(_._1 % 20 != 0).collect {
+      case (id, v) if bench.exists(b =>
+        math.floor(cos(v, b._2) * 1000000.0).toLong >= Similarity.DecontamQ) => id
+    }.toSet
+    val got = Similarity.decontaminateSemantic(spark, sf01).collect()
+      .map(_.getLong(0)).toSet
+    // soundness: every flag is verified by the exact cosine, so no false
+    // positives are possible; recall depends only on the IVF blocking
+    assert(got.subsetOf(truth), s"false flags: ${got -- truth}")
+    assert(truth.nonEmpty, "corpus must contain semantic contamination")
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.5, s"decontamination recall $recall vs brute truth")
+  }
+
   test("ivf geometry scales with corpus size (lists ~ sqrt(N), probes track lists)") {
     assume(sys.env.get("SPARK_GRAFT_IVF_LISTS").isEmpty)
     // floor at the historical 32-list geometry for small corpora
