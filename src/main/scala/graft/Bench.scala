@@ -65,6 +65,16 @@ object Bench {
       .map(_.group(1).toDouble)
   }
 
+  /** I/O-canary floor (`io floor: N s` in BASELINE.md) — the committed
+    * quiet-window parquet write+read round-trip at local[32]. */
+  def ioFloor(path: String = "BASELINE.md"): Option[Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isReadable(p)) None
+    else "(?s)io\\s+floor:\\s*([0-9.]+)\\s*s".r
+      .findFirstMatchIn(java.nio.file.Files.readString(p))
+      .map(_.group(1).toDouble)
+  }
+
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -173,6 +183,30 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     schedCanary() // warm its codegen/plan once, same as the CPU canary
+    // I/O canary: a small parquet write+read round-trip — the THIRD
+    // machine dimension, which neither the CPU canary (one codegen
+    // stage, no disk) nor the sched canary (trivial data) can see.
+    // Observed round 8: a ~30-minute window where every disk-write-heavy
+    // query (streaming state stores, partitioned writes, catalogs) read
+    // 2-3x its floor while the CPU canary sat at 1.13x and sched at
+    // 0.87x; an isolated re-check minutes later read all of them at
+    // ~1x. When io_ratio is high, write-path raw flags measured the
+    // disk, not the engine — adjudicate them by isolated re-check.
+    def ioCanary(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-iocanary")
+      val t0 = System.nanoTime()
+      spark.range(0L, 2000000L, 1L, 8)
+        .selectExpr("id", "id * 7 as v")
+        .write.mode("overwrite").parquet(s"$dir/p")
+      spark.read.parquet(s"$dir/p").count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+      secs
+    }
+    ioCanary() // warm the write/read codegen + committer paths
     // one timed execution; a failed query must be visible: negative secs
     def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -195,18 +229,21 @@ object Bench {
       .withDefaultValue(Vector.empty)
     val brackets = scala.collection.mutable.ArrayBuffer[Bracket]()
     val schedRounds = scala.collection.mutable.ArrayBuffer[Double]()
+    val ioRounds = scala.collection.mutable.ArrayBuffer[Double]()
     def cleanCount: Int = cleanFlags(brackets.toSeq, gateFloor, cleanThresh).count(identity)
     var round = 0
     while (round < runs || (round < maxRounds && cleanCount < cleanTarget)) {
       val pre = canarySample()
       val sched = schedCanary()
+      val io = ioCanary()
       names.foreach(n => samples(n) = samples(n) :+ sample(n, picked(n)))
       val post = warmedCanary()
       brackets += Bracket(pre, post)
       schedRounds += sched
+      ioRounds += io
       round += 1
       System.err.println(f"[bench] round $round bracket ${pre}%.3f/${post}%.3f " +
-        f"sched ${sched}%.3f clean_rounds=$cleanCount")
+        f"sched ${sched}%.3f io ${io}%.3f clean_rounds=$cleanCount")
     }
     val kept = keptRounds(brackets.toSeq, gateFloor, cleanThresh)
     // any failed sample poisons the query: report the (negative) median
@@ -328,12 +365,20 @@ object Bench {
     val schedSec = schedSecV.map(s => f"$s%.3f").getOrElse("null")
     val schedRatio = (for { f <- schedFloorV; s <- schedSecV }
       yield f"${s / f}%.2f").getOrElse("null")
+    val ioJson = ioRounds.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val ioKept = ioRounds.toSeq.zip(kept).collect { case (s, true) => s }
+    val ioSecV = if (ioKept.nonEmpty) Some(median(ioKept)) else None
+    val ioSec = ioSecV.map(s => f"$s%.3f").getOrElse("null")
+    val ioFloorV = if (cpus == "32") ioFloor() else None
+    val ioRatio = (for { f <- ioFloorV; s <- ioSecV }
+      yield f"${s / f}%.2f").getOrElse("null")
     val rr = toRerun.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","runs":${brackets.size},"stat":"median","interleaved":true,""" +
       s""""canary_sec":${f"$canary%.3f"},"canary_ratio":$cr,""" +
       s""""canary_rounds":$crs,"sched_rounds":$schedJson,"sched_sec":$schedSec,""" +
       s""""sched_ratio":$schedRatio,""" +
+      s""""io_rounds":$ioJson,"io_sec":$ioSec,"io_ratio":$ioRatio,""" +
       s""""rounds":$roundsJson,"tail":$tailJson,""" +
       s""""clean_threshold":$cleanThresh,"rounds_kept":${cleanSeq.count(identity)},""" +
       s""""rounds_total":${brackets.size},"reran":$rr,""" +

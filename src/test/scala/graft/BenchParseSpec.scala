@@ -52,4 +52,10 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.schedFloor(t.toString).contains(0.090))
     Files.delete(t)
   }
+
+  test("io floor parses from the committed BASELINE.md (round-8 closing commitment)") {
+    val f = Bench.ioFloor()
+    assert(f.nonEmpty, "BASELINE.md lost its `io floor: N s` phrase")
+    assert(f.get > 0.0 && f.get < 5.0, s"implausible io floor: $f")
+  }
 }
