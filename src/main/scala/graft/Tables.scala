@@ -30,20 +30,26 @@ object Tables {
       // loaded schema instead of assuming either shape; every downstream
       // consumer sees a session-TZ TimestampType `ts` at micro precision
       // either way.
-      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      raw.schema("ts").dataType match {
-        case LongType =>
-          // nanos generation: truncate to micros (matches DuckDB's
-          // micro-precision read; V3Ops.nanoTs keeps full nanos where the
-          // format requires them)
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case TimestampNTZType =>
-          // micros generation: same wall-clock instant under the UTC
-          // session TZ the harness pins everywhere
-          raw.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => raw
-      }
+      normalizeEventTs(spark.read.parquet(s"$sfDir/$name.parquet"))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
+
+  /** normalize the physically-varying events `ts` column to a session-TZ
+    * TimestampType at micro precision — shared by the batch loader above
+    * and the streaming link-staged source (StreamingOps), which reads the
+    * RAW files and must apply the identical normalization INSIDE the
+    * stream. */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      // nanos generation: truncate to micros (matches DuckDB's
+      // micro-precision read; V3Ops.nanoTs keeps full nanos where the
+      // format requires them)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType =>
+      // micros generation: same wall-clock instant under the UTC
+      // session TZ the harness pins everywhere
+      df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
 }

@@ -590,7 +590,10 @@ object GraftOps {
         case 0 => df.repartition(1)
         case _ => df
       }
-      val dir = Files.createTempDirectory("graft-sqlout").toString
+      // Scratch (not a bare temp dir): the returned frame stays lazily
+      // bound to this path, so it must live exactly as long as the JVM —
+      // the shutdown-hook cleanup gives that without leaking per-call dirs
+      val dir = graft.Scratch.dir("sqlout").toString
       out.write.parquet(s"$dir/r")
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)

@@ -13,7 +13,8 @@ import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Structured Streaming surface (SURVEY.md §2.4): the batch events table is
-  * staged as a file-stream source and processed with Trigger.AvailableNow,
+  * staged as a file-stream source — its parquet files HARD-LINKED, never
+  * copied ([[stageLinked]]) — and processed with Trigger.AvailableNow,
   * so the STREAMING execution path (watermarks, stateful sessionization)
   * produces results the batch DuckDB oracle can check exactly. */
 object StreamingOps {
@@ -39,26 +40,89 @@ object StreamingOps {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  private def stage(spark: SparkSession, dir: String): (String, DataFrame) = {
-    val tmp = Files.createTempDirectory("graft-stream").toString
-    val src = Tables(spark, dir, "events")
-      .select("event_id", "ts", "user_id", "event_type", "value")
-    (tmp, src)
+  private val EventCols = Seq("event_id", "ts", "user_id", "event_type", "value")
+
+  /** Link-stage a source table: every data file of `<dir>/<table>.parquet`
+    * is HARD-LINKED into `tmp/in` — one directory entry per file, no data
+    * copy, no Spark write job (symlink, then copy, as fallbacks for
+    * filesystems that refuse links). The projection / ts-normalization the
+    * batch path applies in [[graft.Tables]] moves INSIDE the stream
+    * ([[rawStream]] + [[Tables.normalizeEventTs]]), and sentinel rows —
+    * when a query needs them — land as ONE tiny extra parquet file
+    * ([[writeSentinels]]). Before round 9 every streaming query re-wrote
+    * its full projected source here, a per-query full-data write job that
+    * was the §2.4 family's whole io cross-section; staging cost is now
+    * independent of source size. Returns (tmp dir, raw file schema). */
+  private def stageLinked(spark: SparkSession, dir: String,
+      table: String = "events"): (String, org.apache.spark.sql.types.StructType) = {
+    val tmp = graft.Scratch.dir("stream").toString
+    val in = java.nio.file.Paths.get(tmp, "in")
+    Files.createDirectories(in)
+    linkInto(in, java.nio.file.Paths.get(dir, s"$table.parquet"))
+    (tmp, spark.read.parquet(s"$dir/$table.parquet").schema)
+  }
+
+  /** link every data file of `source` (file or directory) into `in`;
+    * `tag` keeps names distinct when the same data is linked twice
+    * (streamDedup's re-delivery) */
+  private def linkInto(in: java.nio.file.Path, source: java.nio.file.Path,
+      tag: String = "a"): Unit = {
+    import scala.jdk.CollectionConverters._
+    val files: Seq[java.nio.file.Path] =
+      if (Files.isDirectory(source)) {
+        val s = Files.list(source)
+        try s.iterator().asScala.toList
+          .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+        finally s.close()
+      } else Seq(source)
+    files.zipWithIndex.foreach { case (f, i) =>
+      val dst = in.resolve(f"linked-$tag-$i%05d.parquet")
+      try Files.createLink(dst, f)
+      catch { case _: Exception =>
+        try Files.createSymbolicLink(dst, f.toAbsolutePath)
+        catch { case _: Exception => Files.copy(f, dst); () }
+      }
+    }
+  }
+
+  /** raw file-source stream over the linked dir, reading ONLY `cols` —
+    * the parquet scan prunes to the requested subset, so the projection
+    * the old staging write materialized now happens at scan time */
+  private def rawStream(spark: SparkSession, tmp: String,
+      raw: org.apache.spark.sql.types.StructType, cols: Seq[String]): DataFrame =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(cols.map(c => raw(c))))
+      .parquet(s"$tmp/in")
+
+  /** sentinel rows land as ONE tiny parquet file next to the hard-linked
+    * real files, with `ts` converted back to the RAW physical shape
+    * (nanos-as-long or TIMESTAMP_NTZ) so the mixed directory reads under
+    * a single requested schema; written after the links so any per-file
+    * ordering keeps real data first */
+  private def writeSentinels(sent: DataFrame,
+      raw: org.apache.spark.sql.types.StructType, tmp: String): Unit = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val out = raw("ts").dataType match {
+      case LongType => sent.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType => sent.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case _ => sent
+    }
+    out.coalesce(1).write.mode("append").parquet(s"$tmp/in")
   }
 
   /** global max event time in unix micros for the sentinel rows — read
     * from the parquet FOOTER stats on the driver (one footer per file, no
     * Spark job; the countFast pattern applied to event time). Falls back
     * to a distributed scan only when a footer carries no ts stats. */
-  private def maxTsMicros(dir: String, src: DataFrame): Long =
+  private def maxTsMicros(spark: SparkSession, dir: String): Long =
     graft.table.FooterStats.maxTimestampMicros(s"$dir/events.parquet", "ts")
-      .getOrElse(src.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0))
+      .getOrElse(Tables(spark, dir, "events")
+        .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0))
 
   // --- tumbling window + watermark ------------------------------------------
   def streamWindow(spark: SparkSession, dir: String): DataFrame = {
-    val (tmp, src) = stage(spark, dir)
-    src.write.parquet(s"$tmp/in")
-    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in")
+    val (tmp, raw) = stageLinked(spark, dir)
+    val stream = Tables.normalizeEventTs(rawStream(spark, tmp, raw, EventCols))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -87,16 +151,16 @@ object StreamingOps {
     * (their own window stays open and is never emitted, so the output
     * equals the batch truth). */
   def streamWindowAppend(spark: SparkSession, dir: String): DataFrame = {
-    val (tmp, src) = stage(spark, dir)
-    val maxUs = maxTsMicros(dir, src)
-    val sentinels = src.select(col("event_type")).distinct()
+    val (tmp, raw) = stageLinked(spark, dir)
+    val maxUs = maxTsMicros(spark, dir)
+    val sentinels = Tables(spark, dir, "events").select(col("event_type")).distinct()
       .withColumn("event_id", lit(-1L))
       .withColumn("ts", timestamp_micros(lit(maxUs + 10800000000L)))
       .withColumn("user_id", lit(-1L))
       .withColumn("value", lit(0.0))
-      .select(src.columns.map(col): _*)
-    src.unionByName(sentinels).write.parquet(s"$tmp/in")
-    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in")
+      .select(EventCols.map(col): _*)
+    writeSentinels(sentinels, raw, tmp)
+    val stream = Tables.normalizeEventTs(rawStream(spark, tmp, raw, EventCols))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -124,16 +188,14 @@ object StreamingOps {
     * truth and the DuckDB oracle replays the register algebra per window
     * bit-exactly. */
   def streamSketch(spark: SparkSession, dir: String): DataFrame = {
-    val (tmp, src) = stage(spark, dir)
-    val maxUs = maxTsMicros(dir, src)
-    val sentinel = src.limit(1)
-      .withColumn("event_id", lit(-1L))
-      .withColumn("ts", timestamp_micros(lit(maxUs + 10800000000L)))
-      .withColumn("user_id", lit(-1L))
-      .withColumn("value", lit(0.0))
-      .select(src.columns.map(col): _*)
-    src.unionByName(sentinel).write.parquet(s"$tmp/in")
-    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in")
+    val (tmp, raw) = stageLinked(spark, dir)
+    val maxUs = maxTsMicros(spark, dir)
+    val sentinel = spark.range(1).select(
+      timestamp_micros(lit(maxUs + 10800000000L)).as("ts"),
+      lit(-1L).as("user_id"))
+    writeSentinels(sentinel, raw, tmp)
+    val stream = Tables.normalizeEventTs(
+      rawStream(spark, tmp, raw, Seq("ts", "user_id")))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
@@ -188,15 +250,17 @@ object StreamingOps {
 
   def streamSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (tmp, src) = stage(spark, dir)
-    val maxUs = maxTsMicros(dir, src)
-    val real = src.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
-    val sentinels = real.select("user_id").distinct()
-      .withColumn("ts_us", lit(maxUs + 7200000000L))
+    val (tmp, raw) = stageLinked(spark, dir)
+    val maxUs = maxTsMicros(spark, dir)
+    val sentinels = Tables(spark, dir, "events").select("user_id").distinct()
+      .withColumn("ts", timestamp_micros(lit(maxUs + 7200000000L)))
       .withColumn("event_id", lit(-1L))
-    real.unionByName(sentinels).coalesce(1).write.parquet(s"$tmp/in")
-
-    val stream = spark.readStream.schema(real.schema).parquet(s"$tmp/in").as[SEv]
+      .select("user_id", "ts", "event_id")
+    writeSentinels(sentinels, raw, tmp)
+    val stream = Tables.normalizeEventTs(
+      rawStream(spark, tmp, raw, Seq("user_id", "ts", "event_id")))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[SEv]
     val sessions = stream.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionFn)
     val name = s"s_${UUID.randomUUID.toString.replace("-", "")}"
@@ -254,15 +318,15 @@ object StreamingOps {
 
   def streamAttribution(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = Files.createTempDirectory("graft-stream").toString
-    val src = Tables(spark, dir, "events")
+    val (tmp, raw) = stageLinked(spark, dir)
+    val stream = Tables.normalizeEventTs(rawStream(spark, tmp, raw,
+      Seq("user_id", "ts", "event_id", "event_type", "value", "props")))
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"), col("value"),
         coalesce(get_json_object(col("props"), "$.k").cast("long") % 10,
           lit(-1L)).as("campaign"))
-    src.coalesce(1).write.parquet(s"$tmp/in")
-    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in").as[AEv]
+      .as[AEv]
     val credited = withStatePartitions(spark) {
       val out = stream.groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(attributionFn)
@@ -290,15 +354,15 @@ object StreamingOps {
     * [start, last+gap): an event exactly at last+gap starts a new
     * session — the oracle encodes `diff >= gap` accordingly. */
   def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
-    val (tmp, src) = stage(spark, dir)
-    val maxUs = maxTsMicros(dir, src)
-    val real = src.select(col("user_id"), col("ts"), col("event_id"))
-    val sentinels = real.select("user_id").distinct()
+    val (tmp, raw) = stageLinked(spark, dir)
+    val maxUs = maxTsMicros(spark, dir)
+    val sentinels = Tables(spark, dir, "events").select("user_id").distinct()
       .withColumn("ts", timestamp_micros(lit(maxUs + 10800000000L)))
       .withColumn("event_id", lit(-1L))
       .select("user_id", "ts", "event_id")
-    real.unionByName(sentinels).coalesce(1).write.parquet(s"$tmp/in")
-    val stream = spark.readStream.schema(real.schema).parquet(s"$tmp/in")
+    writeSentinels(sentinels, raw, tmp)
+    val stream = Tables.normalizeEventTs(
+      rawStream(spark, tmp, raw, Seq("user_id", "ts", "event_id")))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -333,7 +397,7 @@ object StreamingOps {
     * final state must equal the batch truth regardless of how the stream
     * was chopped. */
   def streamPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-pipe").toString
+    val tmp = graft.Scratch.dir("pipe").toString
     val src = Tables(spark, dir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
     val a = graft.table.GraftTable.create(spark, s"$tmp/a",
@@ -366,20 +430,29 @@ object StreamingOps {
     * deterministic under retries. maxFilesPerTrigger forces several
     * batches so the multi-commit path is actually exercised. */
   def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-stream").toString
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")
+    val (tmp, raw) = stageLinked(spark, dir, "orders")
     val o = Tables(spark, dir, "orders").select(cols.map(col): _*)
     val t = graft.table.GraftTable.create(spark, s"$tmp/tbl",
       "o_orderkey bigint, o_custkey bigint, o_orderstatus string, " +
         "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
     t.append(o.filter(col("o_orderkey") % 3 === 0))
-    val updates = o.filter(col("o_orderkey") % 6 === 0)
+    // the only data WRITTEN is genuinely new content — the modified
+    // update rows. Insert rows stream straight off the hard-linked
+    // source file (filter + prune inside the stream); unioning the two
+    // single-file-per-trigger sources still forces the multi-batch,
+    // multi-commit path the old multi-file staging exercised.
+    o.filter(col("o_orderkey") % 6 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-    o.filter(col("o_orderkey") % 3 === 1).unionByName(updates)
-      .write.parquet(s"$tmp/in")
-    val stream = spark.readStream.schema(o.schema)
-      .option("maxFilesPerTrigger", 2).parquet(s"$tmp/in")
+      .repartition(2).write.parquet(s"$tmp/upd")
+    val inserts = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(cols.map(c => raw(c))))
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      .filter(col("o_orderkey") % 3 === 1)
+    val updates = spark.readStream.schema(o.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/upd")
+    val stream = inserts.unionByName(updates)
     val q = stream.writeStream
       .foreachBatch((batch: DataFrame, _: Long) => {
         t.merge(batch, on = "t.o_orderkey = s.o_orderkey",
@@ -402,11 +475,10 @@ object StreamingOps {
     * the table readable at the last committed snapshot (exactly the
     * Iceberg streaming-write contract) */
   def streamIngest(spark: SparkSession, dir: String): DataFrame = {
-    val (tmp, src) = stage(spark, dir)
-    src.write.parquet(s"$tmp/in")
+    val (tmp, raw) = stageLinked(spark, dir)
     val t = graft.table.GraftTable.create(spark, s"$tmp/tbl",
       "event_id bigint, ts timestamp, user_id bigint, event_type string, value double")
-    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in")
+    val stream = Tables.normalizeEventTs(rawStream(spark, tmp, raw, EventCols))
     val q = stream.writeStream
       .foreachBatch((batch: DataFrame, _: Long) => { t.append(batch); () })
       .option("checkpointLocation", s"$tmp/ckpt")
@@ -423,7 +495,7 @@ object StreamingOps {
     * snapshot commits land, `GraftTable.readStream()` tails their files as
     * an append stream, and the drained rows aggregate to the batch truth */
   def streamTail(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-tail").toString
+    val tmp = graft.Scratch.dir("tail").toString
     val src = Tables(spark, dir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
     val t = graft.table.GraftTable.create(spark, s"$tmp/tbl",
@@ -455,17 +527,17 @@ object StreamingOps {
     * joins support); sentinel rows use user_id = -1 and are dropped in
     * the batch readback. */
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val (tmp, src) = stage(spark, dir)
-    val maxUs = maxTsMicros(dir, src)
-    val sentinels = src.select(col("event_type")).distinct()
+    val (tmp, raw) = stageLinked(spark, dir)
+    val maxUs = maxTsMicros(spark, dir)
+    val sentinels = Tables(spark, dir, "events").select(col("event_type")).distinct()
       .filter(col("event_type").isin("click", "purchase"))
       .withColumn("event_id", lit(-1L))
       .withColumn("ts", timestamp_micros(lit(maxUs + 10800000000L)))
       .withColumn("user_id", lit(-1L))
       .withColumn("value", lit(0.0))
-      .select(src.columns.map(col): _*)
-    src.unionByName(sentinels).write.parquet(s"$tmp/in")
-    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in")
+      .select(EventCols.map(col): _*)
+    writeSentinels(sentinels, raw, tmp)
+    val stream = Tables.normalizeEventTs(rawStream(spark, tmp, raw, EventCols))
     val clicks = stream.filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
         col("user_id").as("c_user"))
@@ -500,17 +572,17 @@ object StreamingOps {
     * AvailableNow drains. Output counts both outcomes per user, which
     * pins the padding logic, not just the matches. */
   def streamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
-    val (tmp, src) = stage(spark, dir)
-    val maxUs = maxTsMicros(dir, src)
-    val sentinels = src.select(col("event_type")).distinct()
+    val (tmp, raw) = stageLinked(spark, dir)
+    val maxUs = maxTsMicros(spark, dir)
+    val sentinels = Tables(spark, dir, "events").select(col("event_type")).distinct()
       .filter(col("event_type").isin("click", "purchase"))
       .withColumn("event_id", lit(-1L))
       .withColumn("ts", timestamp_micros(lit(maxUs + 10800000000L)))
       .withColumn("user_id", lit(-1L))
       .withColumn("value", lit(0.0))
-      .select(src.columns.map(col): _*)
-    src.unionByName(sentinels).write.parquet(s"$tmp/in")
-    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in")
+      .select(EventCols.map(col): _*)
+    writeSentinels(sentinels, raw, tmp)
+    val stream = Tables.normalizeEventTs(rawStream(spark, tmp, raw, EventCols))
     val clicks = stream.filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
         col("user_id").as("c_user"))
@@ -545,14 +617,13 @@ object StreamingOps {
     * shuffle for the join). The everyday "attach user segment to the
     * clickstream" shape. */
   def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
-    val (tmp, src) = stage(spark, dir)
-    src.write.parquet(s"$tmp/in")
+    val (tmp, raw) = stageLinked(spark, dir)
     val dim = graft.table.GraftTable.create(spark, s"$tmp/dim",
       "user_id bigint, segment string")
-    dim.append(src.select(col("user_id")).distinct()
+    dim.append(Tables(spark, dir, "events").select(col("user_id")).distinct()
       .withColumn("segment",
         concat(lit("seg"), pmod(col("user_id"), lit(4L)).cast("string"))))
-    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in")
+    val stream = Tables.normalizeEventTs(rawStream(spark, tmp, raw, EventCols))
     val enriched = stream.join(broadcast(dim.scan()), Seq("user_id"))
     val name = s"en_${UUID.randomUUID.toString.replace("-", "")}"
     val q = enriched.writeStream.format("memory").queryName(name)
@@ -569,18 +640,19 @@ object StreamingOps {
 
   // --- streaming exactly-once dedup -----------------------------------------
 
-  /** At-least-once delivery repaired to exactly-once: a third of the
-    * stream is re-delivered (duplicate event_ids), and
-    * `dropDuplicatesWithinWatermark` keeps the first arrival per key while
-    * the watermark EVICTS seen-key state — O(rate × delay) state, the only
-    * dedup shape an unbounded stream can afford (plain dropDuplicates
-    * would grow state forever). First-seen rows emit immediately in
-    * append mode, so no sentinels are needed. */
+  /** At-least-once delivery repaired to exactly-once: the ENTIRE source
+    * is re-delivered — a second hard-link of the same data files, the
+    * classic duplicated-file-drop scenario, modeled at zero write cost —
+    * and `dropDuplicatesWithinWatermark` keeps the first arrival per key
+    * while the watermark EVICTS seen-key state — O(rate × delay) state,
+    * the only dedup shape an unbounded stream can afford (plain
+    * dropDuplicates would grow state forever). First-seen rows emit
+    * immediately in append mode, so no sentinels are needed. */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val (tmp, src) = stage(spark, dir)
-    src.unionByName(src.filter(col("event_id") % 3 === 0)) // re-delivery
-      .write.parquet(s"$tmp/in")
-    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/in")
+    val (tmp, raw) = stageLinked(spark, dir)
+    linkInto(java.nio.file.Paths.get(tmp, "in"),
+      java.nio.file.Paths.get(dir, "events.parquet"), tag = "redeliver")
+    val stream = Tables.normalizeEventTs(rawStream(spark, tmp, raw, EventCols))
     val deduped = stream
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")

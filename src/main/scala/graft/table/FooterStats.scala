@@ -49,19 +49,27 @@ object FooterStats {
 
   private val hconf = new Configuration()
 
+  /** every .parquet regular file under `root`, with the walk stream CLOSED
+    * after materialization (a leaked walk holds a directory handle) */
+  private def parquetFiles(root: Path): Seq[Path] = {
+    val walk = Files.walk(root)
+    try walk.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq
+    finally walk.close()
+  }
+
   /** total row count of every parquet file under a directory — one footer
     * read per file, no Spark job (used for delete-file manifest entries) */
   def rowCount(dirAbs: String): Long = {
     val root = Paths.get(dirAbs)
     if (!Files.isDirectory(root)) return 0L
-    Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map { p =>
-        val r = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), hconf))
-        try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-        finally r.close()
-      }.sum
+    parquetFiles(root).map { p =>
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), hconf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }.sum
   }
 
   /** driver-side max of a timestamp column in unix MICROS across every
@@ -77,9 +85,7 @@ object FooterStats {
     val files =
       if (Files.isRegularFile(root)) Seq(root)
       else if (!Files.isDirectory(root)) return None
-      else Files.walk(root).iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .toSeq
+      else parquetFiles(root)
     if (files.isEmpty) return None
     val perFile = files.map { p =>
       val r = ParquetFileReader.open(
@@ -116,9 +122,7 @@ object FooterStats {
       if (Files.isRegularFile(root) && root.toString.endsWith(".parquet"))
         Seq(root) // add_files can register a single parquet file
       else if (!Files.isDirectory(root)) return Nil
-      else Files.walk(root).iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .toSeq.sortBy(_.toString)
+      else parquetFiles(root).sortBy(_.toString)
     val locNorm = Paths.get(location).toAbsolutePath.toString
     // footer reads are independent metadata IO — a large commit (1000s of
     // files) reads them concurrently instead of serially on one thread
