@@ -317,12 +317,43 @@ object Bench {
     val schedSecV = if (schedKept.nonEmpty) Some(median(schedKept)) else None
     val schedExcess = for { f <- schedFloorV; s <- schedSecV }
       yield math.max(0.0, s - f)
+    // canary-normalized per-query ratios (None when no canary floor):
+    // shared by the flagged_normalized list and the recheck key set
+    val normRatios = canaryR.filter(_ > 0).map(c =>
+      ratios.map { case (k, r) => k -> r / c })
+    // --- isolated re-check of surviving flags --------------------------
+    // The round-8 adjudication protocol, run by the harness itself: any
+    // query still flagged (raw or normalized) after medians re-runs
+    // ALONE after the suite, bracketed by fresh CPU + I/O canaries, and
+    // the JSON carries the isolated numbers — so a reader can tell
+    // "dirty io window" (recheck ~1x under clean canaries) from "engine
+    // regression" (recheck still >2x) without any prose adjudication.
+    // Re-check medians never alter the reported medians; they are
+    // evidence, not samples. Always runs when flags survive (the
+    // io_ratio>1.3 write-heavy case is where it earns its keep; running
+    // it unconditionally is strictly more informative and bounded).
+    val recheckKeys = (flagged.map(_._1) ++
+      normRatios.getOrElse(Nil).filter(_._2 > 2.0).map(_._1)).distinct.take(12)
+    val recheckJson = if (recheckKeys.isEmpty) "null" else {
+      val pre = warmedCanary()
+      val ioPre = ioCanary()
+      val entries = recheckKeys.map { k =>
+        val sec = medOf(Vector.fill(2)(sample(k, picked(k))))
+        val ratio = fl.get(k).filter(_ => sec > 0)
+          .map(f => f"${sec / f}%.2f").getOrElse("null")
+        s"""\"$k\":{"sec":${f"$sec%.3f"},"ratio":$ratio}"""
+      }
+      val post = warmedCanary()
+      val ioPost = ioCanary()
+      s"""{"queries":${entries.mkString("{", ",", "}")},""" +
+        s""""canary_pre":${f"$pre%.3f"},"canary_post":${f"$post%.3f"},""" +
+        s""""io_pre":${f"$ioPre%.3f"},"io_post":${f"$ioPost%.3f"}}"""
+    }
     val vsFloor = if (ratios.isEmpty) "null" else {
       val medR = median(ratios.map(_._2))
       val fj = flagged.map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }
         .mkString("{", ",", "}")
-      val norm = canaryR.filter(_ > 0).map { c =>
-        val nr = ratios.map { case (k, r) => k -> r / c }
+      val norm = normRatios.map { nr =>
         val nf = nr.filter(_._2 > 2.0).sortBy(-_._2)
           .map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }
           .mkString("{", ",", "}")
@@ -342,7 +373,8 @@ object Bench {
           .mkString("{", ",", "}")
         s""","flagged_sched_adjusted":$af"""
       }.getOrElse("")
-      s"""{"median_ratio":${f"$medR%.3f"},"n_compared":${ratios.size},"flagged":$fj$norm$adj}"""
+      s"""{"median_ratio":${f"$medR%.3f"},"n_compared":${ratios.size},""" +
+        s""""flagged":$fj$norm$adj,"flagged_recheck":$recheckJson}"""
     }
     // canary emits top-level: it is meaningful even when no floor rows
     // matched (fresh checkout, SPARK_GRAFT_ONLY on brand-new queries).
