@@ -46,6 +46,7 @@ writer that still exercises every format surface an append touches
 segment-by-reference manifests, snapshot summary, CAS publish).
 """
 import json
+import math
 import os
 import re
 import sys
@@ -88,6 +89,13 @@ def stat_str(values, dtype):
         return None, None
     if dtype == "string":
         return min(nn), max(nn)
+    # Non-finite doubles have no decimal rendering the Scala reader's
+    # BigDecimal(stat) can parse — a committed 'nan'/'inf' stat would
+    # crash every PRUNED scan at read time, long after this writer
+    # exited. Omit the column's stats instead: pruning treats missing
+    # stats as keep-file, so the commit stays correct, just unpruned.
+    if any(isinstance(v, float) and not math.isfinite(v) for v in nn):
+        return None, None
     # int/double render via repr, matching the Scala side's toString for
     # the integer/short-double values this writer handles
     return repr(min(nn)), repr(max(nn))

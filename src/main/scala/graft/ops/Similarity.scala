@@ -223,10 +223,30 @@ object Similarity {
     * the one-build-per-table spec */
   val centroidBuilds = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** hard bound on memoized tables: far above any single run's table
+    * count, but keeps a long-lived service JVM from growing the cache
+    * without bound — on overflow the whole cache clears (a rebuild is
+    * two bounded jobs; an LRU would be complexity without a caller) */
+  private val IvfCacheMax = 64
+
   private def tableFingerprint(dir: String): String = {
     def walk(f: java.io.File): Seq[String] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
-      else Seq(s"${f.getPath}:${f.length}:${f.lastModified}")
+      if (f.isDirectory)
+        // listFiles() is null on a concurrent delete or permission error —
+        // treat as empty (the fingerprint then differs and the index
+        // rebuilds: the safe direction) instead of NPEing
+        Option(f.listFiles()).map(_.sortBy(_.getName).toSeq)
+          .getOrElse(Seq.empty).flatMap(walk)
+      else {
+        // nanosecond mtime where the filesystem records it: an in-place
+        // rewrite that preserves file length within coarse-mtime
+        // granularity must still change the key
+        val mt = try {
+          val t = java.nio.file.Files.getLastModifiedTime(f.toPath).toInstant
+          s"${t.getEpochSecond}.${t.getNano}"
+        } catch { case _: Exception => f.lastModified.toString }
+        Seq(s"${f.getPath}:${f.length}:$mt")
+      }
     walk(new java.io.File(s"$dir/embeddings.parquet")).mkString("|")
   }
 
@@ -250,13 +270,15 @@ object Similarity {
   /** memoized IVF geometry + centroids for the embeddings table in `dir`;
     * builds at most once per table content (see [[ivfCache]]) */
   private def ivfIndex(spark: SparkSession, dir: String,
-      e: org.apache.spark.sql.Dataset[(Long, Array[Double])]): IvfIndex =
+      e: org.apache.spark.sql.Dataset[(Long, Array[Double])]): IvfIndex = {
+    if (ivfCache.size > IvfCacheMax) ivfCache.clear()
     ivfCache.computeIfAbsent(tableFingerprint(dir), { _ =>
       centroidBuilds.incrementAndGet()
       val lists = ivfListsFor(e.count())
       IvfIndex(lists, probesFor(lists), knnProbesFor(lists),
         dedupProbesFor(lists), ivfCentroids(spark, e, lists))
     })
+  }
 
   /** deterministic refined centroids — shared by [[annIvf]], [[knnJoin]]
     * and [[dedupSemantic]] via [[ivfIndex]]: seeds from the first `lists`

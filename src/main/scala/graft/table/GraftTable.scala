@@ -1276,14 +1276,18 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .orElse(m.head("main"))
       .getOrElse(throw new IllegalStateException("empty table"))
     // rewrote-data test: added data files AND removed files in one commit
-    // (summary-based; falls back to the operation tag for snapshots
-    // persisted before summaries existed)
+    // (summary-based). Snapshots persisted before summaries existed fall
+    // back to the operation tag — and must refuse 'delete'/'update'/
+    // 'merge' too, because a legacy COPY-ON-WRITE delete commits under
+    // the same tag as the harmless MoR delete and there is no summary to
+    // tell them apart; assuming MoR would silently replay re-sequenced
+    // surviving rows as new (the exact corruption this gate exists for).
     def rewritesData(s: SnapshotMeta): Boolean = {
       val added = s.summary.get("added-data-files").flatMap(_.toLongOption)
       val removed = s.summary.get("removed-files").flatMap(_.toLongOption)
       (added, removed) match {
         case (Some(a), Some(r)) => a > 0 && r > 0
-        case _ => Set("replace", "overwrite")(s.operation)
+        case _ => Set("replace", "overwrite", "delete", "update", "merge")(s.operation)
       }
     }
     val rewrites = m.snapshots.filter(s =>

@@ -1272,6 +1272,28 @@ class TableSpec extends SparkSpec {
     assert(got == Seq(5L), s"post-rewrite append-only window must read, got $got")
   }
 
+  test("scanIncremental refuses summary-less legacy 'delete' snapshots in the window") {
+    // pre-summary metadata can't distinguish a harmless MoR delete from a
+    // CoW delete (both commit under operation='delete'); assuming MoR
+    // would silently replay re-sequenced surviving rows as new, so the
+    // summary-less fallback must refuse the ambiguous tag
+    val loc = tmp()
+    val t = mkOrders(loc)
+    val s1 = t.append(seedDf(Seq((1L, 1L, "A", 10.0), (2L, 1L, "B", 20.0))))
+    t.delete("o_orderkey = 1", WriteMode.MergeOnRead)
+    t.append(seedDf(Seq((3L, 2L, "A", 30.0))))
+    // the MoR delete WITH its summary is provably harmless: window reads
+    assert(t.scanIncremental(s1.snapshotId)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // strip every snapshot summary (simulate pre-summary persistence)
+    val m = graft.table.Meta.readJson(loc)
+    graft.table.Meta.writeJson(
+      m.copy(snapshots = m.snapshots.map(_.copy(summary = Map.empty))), loc)
+    val err = intercept[IllegalArgumentException](
+      graft.table.GraftTable.load(spark, loc).scanIncremental(s1.snapshotId))
+    assert(err.getMessage.contains("delete"), err.getMessage)
+  }
+
   test("day/year/month transforms are timezone-independent (UTC semantics)") {
     val tzKey = "spark.sql.session.timeZone"
     val prev = spark.conf.get(tzKey)
