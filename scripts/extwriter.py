@@ -16,10 +16,39 @@ Usage:
     extwriter.py <table_location> <rows.json> [--pin N]
     extwriter.py <table_location> --delete <col> <values.json> [--pin N]
     extwriter.py <table_location> --delete-eq <col> <values.json> [--pin N]
+    extwriter.py <table_location> --update <col> <update.json> [--pin N]
+    extwriter.py <table_location> --add-column <name> <dtype> \
+                 [--default <sql literal>] [--pin N]
 
 rows.json:   {"rows": [{<logical col>: <value>, ...}, ...]}
 values.json: {"values": [<v>, ...]}  (rows whose <col> is in the list
              are deleted, merge-on-read)
+update.json: {"values": [<v>, ...], "set": {"col": <name>, "add": <x>}}
+             (rows whose <col> is in the list get set.col += set.add,
+             COPY-ON-WRITE)
+
+`--update` is the external COPY-ON-WRITE row rewrite (mirroring the
+reference's second-writer update/merge proof,
+/root/reference/tests/pyiceberg_feature_tests.py:196): it locates the
+data files containing matching rows, rewrites each affected file WITHOUT
+the old row versions (updated values, per-row lineage materialized as
+_row_id/_last_seq columns so v3 row identity survives the rewrite),
+carries every untouched file forward by segment reference, rewrites only
+the manifest segments that lost entries (survivors merged into one), and
+publishes a single 'overwrite' CAS commit whose summary truthfully
+reports added+removed files — which scanIncremental then refuses, per
+the round-8 amendment. Scope: unpartitioned tables without existing
+delete overlays (applying MoR overlays during a foreign rewrite is the
+Scala writer's job; this writer refuses rather than corrupt).
+
+`--add-column` is the external SCHEMA-EVOLUTION commit (mirroring
+pyiceberg_feature_tests.py:336): a METADATA-ONLY publish that appends a
+new schema version (fresh field id, optional v3 initial-default), bumps
+currentSchemaId/lastSchemaId/lastFieldId, and adds NO snapshot — the
+commit-base rule of FORMAT.md §Round-4 exists precisely for such
+version-without-snapshot commits. A following append (this writer or
+Spark) writes the new physical f<id> column; readers present the
+default for files committed under older schema ids.
 
 `--delete` writes a POSITION-DELETE file: it walks the head snapshot's
 live data files from the manifests, reads each file's physical f<id>
@@ -101,6 +130,21 @@ def stat_str(values, dtype):
     return repr(min(nn)), repr(max(nn))
 
 
+def cas_publish(loc, meta, base_v, tag):
+    """publish `meta` as v(base_v+1) via tmp write + hard-link create-new;
+    exits 2 on a conflict (another writer already published)"""
+    target = os.path.join(loc, "metadata", f"v{base_v + 1:05d}.json")
+    tmp_md = os.path.join(loc, "metadata", f".v{base_v + 1}-{tag}.json.tmp")
+    with open(tmp_md, "w") as f:
+        json.dump(meta, f, indent=2)
+    try:
+        os.link(tmp_md, target)
+    except FileExistsError:
+        os.unlink(tmp_md)
+        fail(f"metadata version {base_v + 1} was published concurrently", 2)
+    os.unlink(tmp_md)
+
+
 def main():
     argv = sys.argv[1:]
     pin = None
@@ -108,7 +152,12 @@ def main():
         i = argv.index("--pin")
         pin = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
-    delete_col = eq_col = None
+    default_lit = None
+    if "--default" in argv:
+        i = argv.index("--default")
+        default_lit = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    delete_col = eq_col = update_col = add_col = None
     if "--delete" in argv:
         i = argv.index("--delete")
         delete_col = argv[i + 1]
@@ -117,6 +166,14 @@ def main():
         i = argv.index("--delete-eq")
         eq_col = argv[i + 1]
         argv = argv[:i] + [argv[i + 2]] + argv[i + 3:]
+    if "--update" in argv:
+        i = argv.index("--update")
+        update_col = argv[i + 1]
+        argv = argv[:i] + [argv[i + 2]] + argv[i + 3:]
+    if "--add-column" in argv:
+        i = argv.index("--add-column")
+        add_col = (argv[i + 1], argv[i + 2])
+        argv = argv[:i] + argv[i + 3:] + ["<none>"]
     if len(argv) != 2:
         fail(__doc__)
     loc, payload_path = argv
@@ -128,6 +185,32 @@ def main():
     schema = next(s for s in meta["schemas"]
                   if s["schemaId"] == meta["currentSchemaId"])
     spec = next(s for s in meta["specs"] if s["specId"] == meta["currentSpecId"])
+
+    if add_col is not None:
+        # --- external schema evolution: METADATA-ONLY commit ---------------
+        name, dtype = add_col
+        if dtype not in ARROW_TYPES:
+            fail(f"unsupported column type {dtype}")
+        if any(f["name"] == name for f in schema["fields"]):
+            fail(f"column {name} already exists")
+        fid = meta["lastFieldId"] + 1
+        sid = meta["lastSchemaId"] + 1
+        field = {"id": fid, "name": name, "dtype": dtype, "nullable": True}
+        if default_lit is not None:
+            field["initialDefault"] = default_lit
+        meta["schemas"] = meta["schemas"] + [
+            {"schemaId": sid, "fields": schema["fields"] + [field]}]
+        meta["currentSchemaId"] = sid
+        meta["lastSchemaId"] = sid
+        meta["lastFieldId"] = fid
+        # no snapshot: schema evolution advances the VERSION only — the
+        # exact shape FORMAT.md's commit-base rule exists for
+        tag0 = uuid.uuid4().hex[:8]
+        cas_publish(loc, meta, base_v, tag0)
+        print(f"committed schema {sid} (field f{fid} {name} {dtype}"
+              + (f" default {default_lit}" if default_lit is not None else "")
+              + f") as v{base_v + 1:05d}")
+        return
     # appends support unpartitioned and identity-partitioned layouts; the
     # delete modes are partition-agnostic (they address files by path)
     if delete_col is None and eq_col is None and any(
@@ -147,7 +230,140 @@ def main():
     parent_snap = next((s for s in meta["snapshots"]
                         if s["snapshotId"] == parent), None)
 
-    if eq_col is not None:
+    # manifest-segment plan: branches that only ADD files carry every
+    # parent segment by reference (carried=None → default below); the
+    # copy-on-write update sets its own carried/survivor split
+    carried = None
+    survivors = []
+
+    if update_col is not None:
+        # --- external COPY-ON-WRITE update ---------------------------------
+        with open(payload_path) as f:
+            pl = json.load(f)
+        values = set(pl["values"])
+        set_name = pl["set"]["col"]
+        delta = pl["set"]["add"]
+        key_fld = next((f2 for f2 in schema["fields"]
+                        if f2["name"] == update_col),
+                       None) or fail(f"no column {update_col}")
+        set_fld = next((f2 for f2 in schema["fields"] if f2["name"] == set_name),
+                       None) or fail(f"no column {set_name}")
+        if set_fld["dtype"] not in ("double", "bigint"):
+            fail("--update sets numeric columns only")
+        if spec["fields"]:
+            fail("this writer updates only unpartitioned tables")
+        if parent_snap is None:
+            fail("cannot update an empty table")
+        # per-segment entry lists: segment identity drives the
+        # carry-by-reference vs rewrite split below
+        seg_entries = []
+        for seg in parent_snap["manifests"]:
+            with open(os.path.join(loc, seg)) as f:
+                seg_entries.append(
+                    (seg, [json.loads(line) for line in f if line.strip()]))
+        flat = [e for _, es in seg_entries for e in es]
+        if any(e["fileType"] != "data" for e in flat):
+            fail("--update requires a table without delete overlays "
+                 "(a foreign rewrite must not guess at MoR application)")
+        if any(e.get("nameMapped") for e in flat):
+            fail("--update does not rewrite name-mapped (registered) files")
+        key_phys = f"f{key_fld['id']}"
+        set_phys = f"f{set_fld['id']}"
+        # affected files: one key-column read per data file (the pyarrow
+        # analog of the Scala side's _metadata.file_path semi-join)
+        affected = set()
+        for e in flat:
+            colv = pq.read_table(os.path.join(loc, e["path"]),
+                                 columns=[key_phys])[key_phys]
+            if any(v in values for v in colv.to_pylist()):
+                affected.add(e["path"])
+        if not affected:
+            fail("no rows match --update")
+        # rewrite every affected file: updated values for hit rows,
+        # untouched rows byte-identical, per-row lineage MATERIALIZED as
+        # _row_id/_last_seq columns so v3 row identity survives the
+        # rewrite (hit rows bump to this commit's sequence)
+        out_cols = {f"f{f2['id']}": [] for f2 in schema["fields"]}
+        out_rid, out_lseq = [], []
+        n_rows = removed_records = 0
+        for e in flat:
+            if e["path"] not in affected:
+                continue
+            removed_records += e["rowCount"]
+            t = pq.read_table(os.path.join(loc, e["path"]))
+            names = set(t.schema.names)
+            cols = {f2: (t[f2].to_pylist() if f2 in names
+                         else [None] * t.num_rows) for f2 in out_cols}
+            rid = (t["_row_id"].to_pylist() if "_row_id" in names
+                   else [None] * t.num_rows)
+            lseq = (t["_last_seq"].to_pylist() if "_last_seq" in names
+                    else [None] * t.num_rows)
+            for i in range(t.num_rows):
+                hit = cols[key_phys][i] in values
+                for f2 in out_cols:
+                    v = cols[f2][i]
+                    if hit and f2 == set_phys:
+                        v = v + delta
+                    out_cols[f2].append(v)
+                out_rid.append(rid[i] if rid[i] is not None
+                               else e["firstRowId"] + i)
+                out_lseq.append(seq if hit else
+                                (lseq[i] if lseq[i] is not None
+                                 else e["sequenceNumber"]))
+                n_rows += 1
+        rel_data_dir = f"data/s{snap_id}-{tag}"
+        os.makedirs(os.path.join(loc, rel_data_dir), exist_ok=True)
+        rel_file = f"{rel_data_dir}/part-00000-ext.parquet"
+        arrays, stats = {}, {}
+        for fld in schema["fields"]:
+            phys = f"f{fld['id']}"
+            arrays[phys] = pa.array(out_cols[phys],
+                                    type=ARROW_TYPES[fld["dtype"]])
+            mn, mx = stat_str(out_cols[phys], fld["dtype"])
+            stats[str(fld["id"])] = {
+                "min": mn, "max": mx,
+                "nullCount": sum(1 for v in out_cols[phys] if v is None)}
+        arrays["_row_id"] = pa.array(out_rid, type=pa.int64())
+        arrays["_last_seq"] = pa.array(out_lseq, type=pa.int64())
+        pq.write_table(pa.table(arrays), os.path.join(loc, rel_file))
+        entry = None
+        new_entries = [{
+            "path": rel_file,
+            "fileType": "data",
+            "specId": meta["currentSpecId"],
+            "schemaId": meta["currentSchemaId"],
+            "partition": {},
+            "rowCount": n_rows,
+            "sizeBytes": os.path.getsize(os.path.join(loc, rel_file)),
+            "sequenceNumber": seq,
+            "stats": {k: {kk: vv for kk, vv in v.items() if vv is not None}
+                      for k, v in stats.items()},
+            "eqFieldIds": [],
+            # lineage is materialized per row; the block id mirrors the
+            # native commit's unconditional assignment
+            "firstRowId": meta["lastRowId"],
+            "nameMapped": False,
+        }]
+        # FORMAT.md segment rule: untouched segments carried BY REFERENCE,
+        # dirty segments rewritten as ONE merged survivor segment
+        carried, survivors = [], []
+        for s, es in seg_entries:
+            if any(e["path"] in affected for e in es):
+                survivors += [e for e in es if e["path"] not in affected]
+            else:
+                carried.append(s)
+        operation = "overwrite"
+        summary = {
+            "added-data-files": "1",
+            "added-delete-files": "0",
+            "added-records": str(n_rows),
+            # truthful added+removed counts: scanIncremental's rewrite
+            # gate depends on them (round-8 amendment)
+            "removed-files": str(len(affected)),
+            "removed-records": str(removed_records),
+        }
+        new_last_row_id = meta["lastRowId"] + n_rows
+    elif eq_col is not None:
         with open(payload_path) as f:
             values = json.load(f)["values"]
         fld = next((f for f in schema["fields"] if f["name"] == eq_col),
@@ -310,16 +526,29 @@ def main():
         }
         new_last_row_id = meta["lastRowId"]
 
-    # --- manifest segment: one FileMeta JSONL line per file, atomic rename -
+    # --- manifest segments: FileMeta JSONL lines, atomic rename ------------
+    # additive commits carry every parent segment by reference and add one
+    # fresh segment; the CoW update also rewrites dirty segments' survivors
     if entry is not None:
         new_entries = [entry]
-    seg_name = f"{snap_id}-a-{tag}.jsonl"
-    seg_rel = f"manifests/{seg_name}"
+    if carried is None:
+        carried = parent_snap["manifests"] if parent_snap else []
     os.makedirs(os.path.join(loc, "manifests"), exist_ok=True)
-    tmp_seg = os.path.join(loc, "manifests", f".{seg_name}.tmp")
-    with open(tmp_seg, "w") as f:
-        f.write("\n".join(json.dumps(e) for e in new_entries))
-    os.rename(tmp_seg, os.path.join(loc, seg_rel))
+
+    def write_seg(kind, entries):
+        seg_name = f"{snap_id}-{kind}-{tag}.jsonl"
+        seg_rel = f"manifests/{seg_name}"
+        tmp_seg = os.path.join(loc, "manifests", f".{seg_name}.tmp")
+        with open(tmp_seg, "w") as f:
+            f.write("\n".join(json.dumps(e) for e in entries))
+        os.rename(tmp_seg, os.path.join(loc, seg_rel))
+        return seg_rel
+
+    segs = list(carried)
+    if survivors:
+        segs.append(write_seg("r", survivors))
+    if new_entries:
+        segs.append(write_seg("a", new_entries))
 
     # --- new snapshot + table state ----------------------------------------
     snapshot = {
@@ -328,8 +557,7 @@ def main():
         "timestampMs": int(time.time() * 1000),
         "operation": operation,
         "schemaId": meta["currentSchemaId"],
-        # parent segments carried BY REFERENCE + the fresh added segment
-        "manifests": (parent_snap["manifests"] if parent_snap else []) + [seg_rel],
+        "manifests": segs,
         "summary": summary,
     }
     if parent is not None:
@@ -343,16 +571,7 @@ def main():
     meta["refs"]["main"] = {"snapshotId": snap_id, "isBranch": True}
 
     # --- CAS publish: tmp write, hard-link create-new ----------------------
-    target = os.path.join(loc, "metadata", f"v{base_v + 1:05d}.json")
-    tmp_md = os.path.join(loc, "metadata", f".v{base_v + 1}-{tag}.json.tmp")
-    with open(tmp_md, "w") as f:
-        json.dump(meta, f, indent=2)
-    try:
-        os.link(tmp_md, target)
-    except FileExistsError:
-        os.unlink(tmp_md)
-        fail(f"metadata version {base_v + 1} was published concurrently", 2)
-    os.unlink(tmp_md)
+    cas_publish(loc, meta, base_v, tag)
     print(f"committed snapshot {snap_id} (seq {seq}) as v{base_v + 1:05d}")
 
 

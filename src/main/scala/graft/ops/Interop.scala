@@ -218,6 +218,50 @@ object Interop {
     Process(cmd).!
   }
 
+  /** external COPY-ON-WRITE update: rows whose `keyCol` is in `values`
+    * get `setCol` += `add`; the Python writer rewrites every affected
+    * data file (lineage materialized), carries untouched segments by
+    * reference, and publishes one 'overwrite' CAS commit — the
+    * write-side mirror of [[GraftTable.update]]'s CoW path. */
+  private[graft] def runExtWriterUpdate(loc: String, keyCol: String,
+      values: Seq[Long], setCol: String, add: Double,
+      pin: Option[Int] = None): Int = {
+    val f = Files.createTempFile("graft-extupd", ".json")
+    Files.writeString(f, values.mkString("""{"values":[""", ",",
+      s"""],"set":{"col":"$setCol","add":$add}}"""))
+    val cmd = Seq("python3", extWriterScript, loc, "--update", keyCol,
+      f.toString) ++ pin.toSeq.flatMap(v => Seq("--pin", v.toString))
+    import scala.sys.process._
+    Process(cmd).!
+  }
+
+  /** external SCHEMA-EVOLUTION commit: metadata-only add-column with a
+    * fresh field id and optional v3 initial-default — the write-side
+    * mirror of [[GraftTable.addColumn]]. */
+  private[graft] def runExtWriterAddColumn(loc: String, name: String,
+      dtype: String, default: Option[String] = None,
+      pin: Option[Int] = None): Int = {
+    val cmd = Seq("python3", extWriterScript, loc, "--add-column", name,
+      dtype) ++ default.toSeq.flatMap(d => Seq("--default", d)) ++
+      pin.toSeq.flatMap(v => Seq("--pin", v.toString))
+    import scala.sys.process._
+    Process(cmd).!
+  }
+
+  /** external append of 4-column rows (id, status, total, score) — used
+    * after the external add-column, where the generic 3-tuple helper's
+    * payload shape no longer fits */
+  private[graft] def runExtWriterScored(loc: String,
+      rows: Seq[(Long, String, Double, Double)]): Int = {
+    val payload = rows.map { case (id, st, total, score) =>
+      s"""{"id":$id,"status":"$st","total":$total,"score":$score}"""
+    }.mkString("""{"rows":[""", ",", "]}")
+    val f = Files.createTempFile("graft-extsc", ".json")
+    Files.writeString(f, payload)
+    import scala.sys.process._
+    Process(Seq("python3", extWriterScript, loc, f.toString)).!
+  }
+
   /** The independent second WRITER proof (the write-side mirror of
     * [[buildAndScan]]'s independent reader): snapshot 1 is a native Spark
     * append; snapshot 2 is committed entirely by scripts/extwriter.py —
@@ -301,6 +345,84 @@ object Interop {
     extAgg(spark, Loc7)
   }
 
+  /** fixed location for the external-UPDATE variant */
+  val Loc8 = "/tmp/graft_interop_extupd"
+
+  /** External COPY-ON-WRITE update closure: a native append and an
+    * external append build a two-writer file population; the Python
+    * writer then commits a CoW UPDATE spanning BOTH writers' files
+    * (affected files rewritten with updated values and materialized
+    * lineage, untouched segments carried by reference, truthful
+    * added+removed summary); a native append lands ON TOP of the
+    * external rewrite. Spark reads the result natively while the oracle
+    * reads it through the independent DuckDB metadata resolver — the
+    * same three-implementation closure as the extwrite capstone, now
+    * for the row-REWRITE path (the reference proves this from its
+    * second writer in pyiceberg_feature_tests.py:196). Update
+    * semantics are value-asserted in TableSpec; this gate certifies
+    * that the externally-rewritten table is format-correct. */
+  def buildExtUpdateAndResolve(spark: SparkSession, dir: String): DataFrame = {
+    wipe(Loc8)
+    val t = GraftTable.create(spark, Loc8,
+      "id bigint, status string, total double")
+    val o = Tables(spark, dir, "orders").select(
+      col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("total"))
+    t.append(o.filter(col("id") % 3 === 0))                   // snap 1: native
+    val extRows = o.filter(col("id") % 3 === 1).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    require(runExtWriter(Loc8, extRows) == 0, "external append failed")
+    // snap 3: EXTERNAL CoW update — ids ≡ 0 (mod 7) live in both
+    // writers' files, so the rewrite spans file generations
+    val updIds = o.filter(col("id") % 7 === 0 && col("id") % 3 < 2)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    require(runExtWriterUpdate(Loc8, "id", updIds, "total", 1000.0) == 0,
+      "external update failed")
+    // snap 4: native append on top of the external rewrite — rows with
+    // id % 7 = 0 here must NOT carry the update
+    GraftTable.load(spark, Loc8).append(o.filter(col("id") % 3 === 2))
+    extAgg(spark, Loc8)
+  }
+
+  /** fixed location for the external schema-evolution variant */
+  val Loc9 = "/tmp/graft_interop_extevolve"
+
+  /** External SCHEMA EVOLUTION closure: the Python writer commits a
+    * METADATA-ONLY add-column (fresh field id, v3 initial-default 2.5)
+    * and then appends rows carrying the new physical f4 column; a
+    * native append follows under the same evolved schema. The Spark
+    * read must present the default for pre-evolution files and real
+    * values for both writers' post-evolution files; the DuckDB oracle
+    * replays the identical schemaId-gated default from the metadata
+    * alone (mirrors pyiceberg_feature_tests.py:336's second-writer
+    * evolution proof). */
+  def buildExtEvolveAndResolve(spark: SparkSession, dir: String): DataFrame = {
+    wipe(Loc9)
+    val t = GraftTable.create(spark, Loc9,
+      "id bigint, status string, total double")
+    val o = Tables(spark, dir, "orders").select(
+      col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("total"))
+    t.append(o.filter(col("id") % 5 === 0))                   // snap 1 (schema 0)
+    require(runExtWriterAddColumn(Loc9, "score", "double", Some("2.5")) == 0,
+      "external add-column failed")                           // metadata-only
+    val extRows = o.filter(col("id") % 5 === 1).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        (r.getLong(0) % 7).toDouble)).toSeq
+    require(runExtWriterScored(Loc9, extRows) == 0,
+      "external post-evolution append failed")                // snap 2 (schema 1)
+    GraftTable.load(spark, Loc9).append(o.filter(col("id") % 5 === 2)
+      .withColumn("score", (col("id") % 3).cast("double")))   // snap 3: native
+    GraftTable.load(spark, Loc9).scan()
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("id")).as("sum_id"),
+        sum(col("score").cast("decimal(18,2)")).cast("double").as("sum_score"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_interop_duckdb" -> buildAndScan,
     "q_interop_timetravel" -> buildAndScanHistory,
@@ -308,7 +430,9 @@ object Interop {
     "q_interop_evolved" -> buildEvolvedAndScan,
     "q_interop_incremental" -> buildAndScanIncremental,
     "q_interop_extwrite" -> buildExtWriteAndScan,
-    "q_interop_extwrite_resolver" -> buildExtWriteAndResolve)
+    "q_interop_extwrite_resolver" -> buildExtWriteAndResolve,
+    "q_interop_extupdate" -> buildExtUpdateAndResolve,
+    "q_interop_extevolve" -> buildExtEvolveAndResolve)
 
   /** The independent DuckDB reader. Format facts it encodes (all from
     * graft.table.{Meta, GraftTable, Dv} scaladoc):
@@ -407,6 +531,27 @@ object Interop {
          |    WHERE e.key_status = r.status AND r.fseq < e.dseq)
          |ORDER BY id""".stripMargin
 
+  /** the resolver's shared head-snapshot → live-entries CTE prefix
+    * (current metadata version → head snapshot → manifest segments →
+    * FileMeta entries with schemaId) for tables without delete overlays */
+  private def resolverEntries(loc: String): String =
+    s"""WITH meta AS (
+       |  SELECT refs.main.snapshotId AS head_id, snapshots
+       |  FROM read_json_auto('$loc/metadata/v*.json', filename=true)
+       |  ORDER BY filename DESC LIMIT 1
+       |), head AS (
+       |  SELECT s FROM meta, UNNEST(meta.snapshots) t(s)
+       |  WHERE s.snapshotId = meta.head_id
+       |), segs AS (
+       |  SELECT UNNEST(s.manifests) AS rel FROM head
+       |), entries AS (
+       |  SELECT e.path, e.fileType, e.sequenceNumber, e.schemaId
+       |  FROM read_json('$loc/manifests/*.jsonl', format='newline_delimited',
+       |    filename=true, columns={path:'VARCHAR', fileType:'VARCHAR',
+       |    sequenceNumber:'BIGINT', schemaId:'BIGINT'}) e
+       |  JOIN segs ON 'manifests/' || regexp_extract(e.filename, '[^/]+$$') = segs.rel
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_interop_duckdb" -> baseResolver(Loc, "meta.head_id"),
     // external-writer proof: the expectation comes from the SOURCE
@@ -433,6 +578,37 @@ object Interop {
          |  CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          |FROM ( ${baseResolver(Loc7, "meta.head_id")} )
          |GROUP BY status ORDER BY status""".stripMargin,
+    // external CoW update closure: the oracle resolves the
+    // python-rewritten table through the independent metadata resolver
+    // (union_by_name — the rewritten file carries materialized
+    // _row_id/_last_seq columns the originals lack; dead pre-rewrite
+    // files remain on DISK per the immutability invariant, so liveness
+    // comes from the manifest join alone)
+    "q_interop_extupdate" ->
+      s"""${resolverEntries(Loc8)}
+         |SELECT r.f2 AS status, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(r.f1) AS BIGINT) AS sum_id,
+         |  CAST(SUM(CAST(r.f3 AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+         |FROM read_parquet('$Loc8/data/*/*.parquet', filename=true,
+         |  union_by_name=true) r
+         |JOIN (SELECT * FROM entries WHERE fileType = 'data') d
+         |  ON r.filename = '$Loc8/' || d.path
+         |GROUP BY r.f2 ORDER BY status""".stripMargin,
+    // external schema evolution: the resolver applies the v3
+    // initial-default 2.5 ONLY to files whose manifest schemaId predates
+    // the externally-committed column — replaying the default semantics
+    // from the metadata alone
+    "q_interop_extevolve" ->
+      s"""${resolverEntries(Loc9)}
+         |SELECT r.f2 AS status, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(r.f1) AS BIGINT) AS sum_id,
+         |  CAST(SUM(CAST(CASE WHEN d.schemaId < 1 THEN 2.5 ELSE r.f4 END
+         |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_score
+         |FROM read_parquet('$Loc9/data/*/*.parquet', filename=true,
+         |  union_by_name=true) r
+         |JOIN (SELECT * FROM entries WHERE fileType = 'data') d
+         |  ON r.filename = '$Loc9/' || d.path
+         |GROUP BY r.f2 ORDER BY status""".stripMargin,
     // incremental window: the head snapshot's manifests, data entries
     // filtered to sequenceNumber > 1 (the checkpoint commit's sequence —
     // a fresh table's first append). No delete overlays exist on this

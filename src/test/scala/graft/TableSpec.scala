@@ -114,6 +114,86 @@ class TableSpec extends SparkSpec {
       s"post-rename external append must map by field id, got $evolved")
   }
 
+  test("external python COPY-ON-WRITE update: semantics, lineage, CAS race, incremental gate") {
+    import spark.implicits._
+    def idsDf(rows: (Long, String, Double)*) = rows.toDF("id", "status", "total")
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, "id bigint, status string, total double")
+    val s1 = t.append(idsDf((1L, "A", 10.0), (2L, "B", 20.0), (3L, "A", 30.0)))
+    assert(graft.ops.Interop.runExtWriter(loc, Seq((4L, "C", 40.0), (5L, "A", 50.0))) == 0)
+    val ridsBefore = GraftTable.load(spark, loc).scan(withLineage = true)
+      .select("id", "_row_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // external CoW update spans BOTH writers' files (ids 2 native, 4 ext)
+    assert(graft.ops.Interop.runExtWriterUpdate(loc, "id", Seq(2L, 4L),
+      "total", 1000.0) == 0)
+    val after = GraftTable.load(spark, loc).scan()
+      .select("id", "total").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after == Map(1L -> 10.0, 2L -> 1020.0, 3L -> 30.0,
+      4L -> 1040.0, 5L -> 50.0), s"update semantics, got $after")
+    // v3 lineage survives the foreign rewrite: _row_id stable per row,
+    // _last_updated_sequence_number bumped ONLY for the hit rows
+    val lin = GraftTable.load(spark, loc).scan(withLineage = true)
+      .select("id", "_row_id", "_last_updated_sequence_number").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(lin.view.mapValues(_._1).toMap == ridsBefore,
+      s"_row_id must be stable across the external rewrite: $lin vs $ridsBefore")
+    val updSeq = lin(2L)._2
+    assert(updSeq == lin(4L)._2 && updSeq > lin(1L)._2 && updSeq > lin(5L)._2,
+      s"hit rows must carry the update's sequence, others their origin: $lin")
+    // summary is truthful added+removed → scanIncremental refuses the window
+    val err = intercept[IllegalArgumentException](
+      GraftTable.load(spark, loc).scanIncremental(s1.snapshotId))
+    assert(err.getMessage.contains("rewriting"), err.getMessage)
+    // CAS race: a native commit takes the version the pinned external
+    // update validated against — exactly one wins, the loser exits 2
+    val vPin = Meta.currentVersion(loc).get
+    GraftTable.load(spark, loc).append(idsDf((6L, "D", 60.0)))
+    assert(graft.ops.Interop.runExtWriterUpdate(loc, "id", Seq(1L),
+      "total", 5.0, pin = Some(vPin)) == 2, "racing external update must lose")
+    val finals = GraftTable.load(spark, loc).scan()
+      .select("id", "total").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(finals(1L) == 10.0 && finals(6L) == 60.0,
+      s"loser must change nothing, winner's row present: $finals")
+    // scope guards: refuses tables carrying delete overlays
+    GraftTable.load(spark, loc).delete("id = 3", WriteMode.MergeOnRead)
+    assert(graft.ops.Interop.runExtWriterUpdate(loc, "id", Seq(5L),
+      "total", 1.0) != 0, "must refuse a table with MoR overlays")
+  }
+
+  test("external python add-column: metadata-only commit, defaults, mixed appends") {
+    import spark.implicits._
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, "id bigint, status string, total double")
+    t.append(Seq((1L, "A", 10.0), (2L, "B", 20.0)).toDF("id", "status", "total"))
+    val vBefore = Meta.currentVersion(loc).get
+    val snapsBefore = GraftTable.load(spark, loc).meta.snapshots.size
+    assert(graft.ops.Interop.runExtWriterAddColumn(loc, "score", "double",
+      Some("2.5")) == 0)
+    // metadata-only: version advanced, NO snapshot added
+    assert(Meta.currentVersion(loc).get == vBefore + 1)
+    val m = GraftTable.load(spark, loc).meta
+    assert(m.snapshots.size == snapsBefore, "add-column must add no snapshot")
+    assert(m.currentSchema.byName("score").initialDefault.contains("2.5"))
+    assert(m.lastFieldId == 4 && m.currentSchemaId == 1)
+    // external append WITH the new field id, then a native one
+    assert(graft.ops.Interop.runExtWriterScored(loc,
+      Seq((3L, "C", 30.0, 7.0))) == 0)
+    GraftTable.load(spark, loc).append(
+      Seq((4L, "D", 40.0, 9.0)).toDF("id", "status", "total", "score"))
+    val got = GraftTable.load(spark, loc).scan()
+      .select("id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 2.5, 2L -> 2.5, 3L -> 7.0, 4L -> 9.0),
+      s"pre-evolution files present the default, post-evolution real values: $got")
+    // racing add-column loses the CAS cleanly
+    val vPin = Meta.currentVersion(loc).get
+    GraftTable.load(spark, loc).append(
+      Seq((5L, "E", 50.0, 1.0)).toDF("id", "status", "total", "score"))
+    assert(graft.ops.Interop.runExtWriterAddColumn(loc, "extra", "bigint",
+      pin = Some(vPin)) == 2, "racing external add-column must lose")
+    assert(GraftTable.load(spark, loc).meta.currentSchema.fields
+      .forall(_.name != "extra"))
+  }
+
   test("external python writer appends into identity partitions; pruning applies") {
     import spark.implicits._
     def idsDf(rows: (Long, String, Double)*) = rows.toDF("id", "status", "total")
