@@ -143,9 +143,203 @@ object ImageCodec {
       .orderBy("doc_id")
   }
 
+  // --- PNG: the second real container (zlib via java.util.zip) -------------
+  // Everything a spec-correct 8-bit truecolor PNG needs is JVM-built-in:
+  // CRC32 for chunk checksums, Deflater/Inflater for the IDAT zlib
+  // stream. The encoder exercises ALL FIVE scanline filters (None, Sub,
+  // Up, Average, Paeth) on a deterministic per-row schedule; the decoder
+  // independently re-derives them, verifies every chunk CRC, and rejects
+  // malformed containers — so the round trip covers the whole filter
+  // reconstruction matrix, and the byte-blind oracle again guarantees an
+  // encoder/decoder bug pair cannot cancel.
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+    val tb = typ.getBytes("US-ASCII")
+    out.write(tb)
+    out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+  }
+
+  /** the Paeth predictor (PNG spec §9, exact tie-break order) */
+  def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** spec-correct 8-bit truecolor PNG encoder; `filterOf(y)` picks each
+    * row's filter type (0..4) so callers can force any filter class */
+  def encodePng(w: Int, h: Int, filterOf: Int => Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = w * 3
+    val raw = Array.ofDim[Byte](h * (stride + 1))
+    val cur = new Array[Int](stride)
+    val prior = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, y)
+        cur(x * 3) = r & 0xff; cur(x * 3 + 1) = g & 0xff; cur(x * 3 + 2) = b & 0xff
+        x += 1
+      }
+      val ft = filterOf(y)
+      raw(y * (stride + 1)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val left = if (i >= 3) cur(i - 3) else 0
+        val up = if (y > 0) prior(i) else 0
+        val ul = if (y > 0 && i >= 3) prior(i - 3) else 0
+        val f = ft match {
+          case 0 => cur(i)
+          case 1 => cur(i) - left
+          case 2 => cur(i) - up
+          case 3 => cur(i) - (left + up) / 2
+          case 4 => cur(i) - paeth(left, up, ul)
+          case other => throw new IllegalArgumentException(s"bad filter $other")
+        }
+        raw(y * (stride + 1) + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    writeChunk(out, "IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+    writeChunk(out, "IDAT", zout.toByteArray)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** independent PNG decoder: signature + chunk walk with per-chunk CRC
+    * verification, multi-IDAT zlib inflate, all five filter
+    * reconstructions. Throws on any malformed container. */
+  def decodePng(bytes: Array[Byte]): (Int, Int, (Int, Int) => (Int, Int, Int)) = {
+    require(bytes.length > 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i)),
+      "not a PNG")
+    val b = java.nio.ByteBuffer.wrap(bytes) // chunk fields are big-endian
+    b.position(8)
+    var w = 0; var h = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(b.remaining >= 8, "truncated chunk header")
+      val len = b.getInt
+      val tb = new Array[Byte](4); b.get(tb)
+      val typ = new String(tb, "US-ASCII")
+      require(len >= 0 && b.remaining >= len + 4, s"truncated $typ chunk")
+      val data = new Array[Byte](len); b.get(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      require(b.getInt == crc.getValue.toInt, s"bad CRC on $typ")
+      typ match {
+        case "IHDR" =>
+          val ib = java.nio.ByteBuffer.wrap(data)
+          w = ib.getInt; h = ib.getInt
+          require(ib.get() == 8 && ib.get() == 2, "not 8-bit truecolor")
+          require(ib.get() == 0 && ib.get() == 0 && ib.get() == 0,
+            "unsupported compression/filter/interlace")
+        case "IDAT" => idat.write(data)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks are skippable by spec
+      }
+    }
+    require(w > 0 && h > 0, "missing IHDR")
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    val stride = w * 3
+    val raw = new Array[Byte](h * (stride + 1))
+    var off = 0
+    while (!infl.finished() && off < raw.length) {
+      val n = infl.inflate(raw, off, raw.length - off)
+      if (n == 0)
+        require(!infl.needsInput && !infl.needsDictionary, "truncated zlib stream")
+      off += n
+    }
+    infl.end()
+    require(off == raw.length, s"short pixel stream: $off of ${raw.length}")
+    val img = new Array[Int](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      var i = 0
+      while (i < stride) {
+        val v = raw(y * (stride + 1) + 1 + i) & 0xff
+        val left = if (i >= 3) img(y * stride + i - 3) else 0
+        val up = if (y > 0) img((y - 1) * stride + i) else 0
+        val ul = if (y > 0 && i >= 3) img((y - 1) * stride + i - 3) else 0
+        val rec = ft match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case 4 => v + paeth(left, up, ul)
+          case other => throw new IllegalArgumentException(s"bad filter $other")
+        }
+        img(y * stride + i) = rec & 0xff
+        i += 1
+      }
+      y += 1
+    }
+    def px(x: Int, yy: Int): (Int, Int, Int) =
+      (img(yy * stride + x * 3), img(yy * stride + x * 3 + 1),
+        img(yy * stride + x * 3 + 2))
+    (w, h, px)
+  }
+
+  private case class PngStats(doc_id: Long, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, mean_luma: Double)
+
+  /** PNG encode→decode round trip per document: the per-row filter
+    * schedule `(doc_id + y) % 5` puts every filter class on the hot path
+    * of every run; no n_bytes column — deflate output size has no
+    * closed form for the byte-blind oracle to predict. */
+  def imageDecodePng(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = (widthOf(id), heightOf(id))
+        val png = encodePng(w, h, y => ((id + y) % 5).toInt,
+          (x, y) => (red(id, x, y), green(id, x, y), blue(id, x, y)))
+        val (w2, h2, px) = decodePng(png)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) {
+            val (r, g, bl) = px(x, y)
+            sr += r; sg += g; sb += bl
+            x += 1
+          }
+          y += 1
+        }
+        PngStats(id, w2, h2, sr, sg, sb,
+          (299L * sr + 587L * sg + 114L * sb).toDouble / (1000.0 * w2 * h2))
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_image_decode" -> imageDecode,
-    "q_image_resize" -> imageResize)
+    "q_image_resize" -> imageResize,
+    "q_image_decode_png" -> imageDecodePng)
 
   /** pixel-sum CTE from the generator formulas over a (doc, x, y) grid */
   private def gridSql(wExpr: String, hExpr: String, xMap: String, yMap: String): String =
@@ -181,6 +375,15 @@ object ImageCodec {
         s"""
            |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
            |  CAST(${bmpBytes.replace("W", "w").replace("H", "h")} AS BIGINT) AS n_bytes,
+           |  CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+           |  CAST(sum_b AS BIGINT) AS sum_b,
+           |  CAST(299 * sum_r + 587 * sum_g + 114 * sum_b AS DOUBLE)
+           |    / (1000.0 * w * h) AS mean_luma
+           |FROM p ORDER BY doc_id""".stripMargin),
+    "q_image_decode_png" ->
+      (gridSql("8 + doc_id % 9", "6 + doc_id % 5", "x", "y") +
+        s"""
+           |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
            |  CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
            |  CAST(sum_b AS BIGINT) AS sum_b,
            |  CAST(299 * sum_r + 587 * sum_g + 114 * sum_b AS DOUBLE)

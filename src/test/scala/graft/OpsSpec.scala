@@ -1756,6 +1756,34 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](ImageCodec.decodeBmp(good.take(40)))
   }
 
+  test("PNG codec: encode/decode round-trips pixels exactly (all filter classes)") {
+    val rnd = new scala.util.Random(43L)
+    // every single-filter image AND a mixed per-row schedule; widths and
+    // heights vary so first-row/first-column special cases (no up, no
+    // left) hit every filter's reconstruction
+    val schedules: Seq[(String, Int => Int)] =
+      (0 to 4).map(f => s"filter=$f" -> ((_: Int) => f)) :+
+        ("mixed" -> ((y: Int) => y % 5))
+    for ((label, filterOf) <- schedules; w <- Seq(1, 5, 12); h <- Seq(1, 4, 9)) {
+      val pixels = Array.fill(h, w)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val png = ImageCodec.encodePng(w, h, filterOf, (x, y) => pixels(y)(x))
+      val (dw, dh, px) = ImageCodec.decodePng(png)
+      assert(dw == w && dh == h, s"$label w=$w h=$h")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(x, y) == pixels(y)(x), s"pixel ($x,$y) $label w=$w h=$h")
+    }
+    // malformed containers must refuse, not mis-decode
+    intercept[IllegalArgumentException](ImageCodec.decodePng("NOTAPNGNOTAPNG".getBytes))
+    val good = ImageCodec.encodePng(4, 4, _ % 5, (_, _) => (1, 2, 3))
+    intercept[IllegalArgumentException](ImageCodec.decodePng(good.take(40)))
+    // a flipped payload byte breaks the chunk CRC: corruption is DETECTED,
+    // never silently decoded (flip inside the IDAT data region)
+    val corrupt = good.clone()
+    corrupt(8 + 25 + 8 + 4) = (corrupt(8 + 25 + 8 + 4) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException](ImageCodec.decodePng(corrupt))
+    assert(e.getMessage.contains("CRC"), e.getMessage)
+  }
+
   test("multimodal metadata matches payload byte lengths") {
     val metas = Multimodal.multimodalMeta(spark, sf).collect()
     assert(metas.nonEmpty)
