@@ -514,6 +514,95 @@ object StreamingOps {
       .orderBy("event_type")
   }
 
+  // --- streaming CDC FROM the graft table format ----------------------------
+  /** The MoR-aware sibling of [[streamTail]]: stream the table's CHANGES —
+    * insert / delete / update_before / update_after rows — not just its
+    * appends. The source is the table's METADATA LOG as a file stream:
+    * one commit publishes exactly one immutable `vN.json` (the CAS
+    * invariant), so the file source's checkpointed offsets give each
+    * version's delta exactly-once across restarts with no extra state.
+    * Each micro-batch (one version per trigger) resolves its window's
+    * snapshot ids from the PUBLISHED metadata — both endpoints are
+    * immutable files, so a replayed batch recomputes the identical
+    * delta — and replays [[graft.table.GraftTable.changes]]'s
+    * lineage-based classification for that window into the sink table,
+    * one atomic commit per micro-batch. This is the format-streaming
+    * read the reference proves through its Flink suite beyond pure
+    * appends: MoR deletes RETRACT (delete rows), MoR updates emit
+    * before/after pairs, and the batch `changes()` oracle shape gates
+    * the result (q_cdc_changes is the one-window batch twin).
+    * StreamingRestartSpec drives the stop/commit-more/resume path. */
+  def streamCdc(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.Scratch.dir("cdc").toString
+    val loc = s"$tmp/tbl"
+    val o = Tables(spark, dir, "orders").select(
+      col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("total"))
+    val t = graft.table.GraftTable.create(spark, loc,
+      "id bigint, status string, total double")
+    // a history with every change class: two appends, a MoR delete, a
+    // MoR update — four versions beyond create, four micro-batches
+    t.append(o.filter(col("id") % 3 === 0))
+    t.append(o.filter(col("id") % 3 === 1))
+    t.delete("id % 10 = 4", graft.table.WriteMode.MergeOnRead)
+    t.update("id % 10 = 7", Map("total" -> "total + 500.0"),
+      graft.table.WriteMode.MergeOnRead)
+    val out = graft.table.GraftTable.create(spark, s"$tmp/out",
+      "id bigint, status string, total double, change_type string, commit_seq bigint")
+    runCdcPump(spark, loc, out, s"$tmp/ckpt")
+    out.scan().groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("id")).as("sum_id"),
+        sum(col("total").cast(DecimalType(18, 2))).cast("double").as("sum_total"))
+      .orderBy("change_type")
+  }
+
+  /** drain the metadata log of the table at `loc` into `out` as change
+    * rows, one version per micro-batch (shared by the registry query and
+    * the restart spec, which calls it repeatedly on one checkpoint) */
+  def runCdcPump(spark: SparkSession, loc: String,
+      out: graft.table.GraftTable, ckpt: String): Unit = {
+    val verRe = "v(\\d+)\\.json$".r
+    val mdStream = spark.readStream.format("text")
+      .option("maxFilesPerTrigger", 1)
+      .load(s"$loc/metadata/v*.json")
+      .select(col("_metadata.file_path").as("p"))
+    val q = mdStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vs = batch.select("p").distinct().collect().map(_.getString(0))
+          .flatMap(p => verRe.findFirstMatchIn(p).map(_.group(1).toInt))
+        if (vs.nonEmpty) {
+          // window endpoints from PUBLISHED metadata versions only —
+          // immutable files, so a replayed batch recomputes identically
+          val fromSnap =
+            if (vs.min <= 1) 0L
+            else graft.table.Meta.readJsonVersion(loc, vs.min - 1).lastSnapshotId
+          val toSnap = graft.table.Meta.readJsonVersion(loc, vs.max).lastSnapshotId
+          if (toSnap != fromSnap) {
+            val tbl = graft.table.GraftTable.load(spark, loc)
+            val delta =
+              if (fromSnap == 0L)
+                // no from-snapshot exists yet: the whole window is inserts
+                tbl.scan(snapshotId = Some(toSnap), withLineage = true)
+                  .select(col("id"), col("status"), col("total"),
+                    lit("insert").as("change_type"),
+                    col("_last_updated_sequence_number").as("commit_seq"))
+              else
+                tbl.changes(fromSnap, Some(toSnap))
+                  .select(col("id"), col("status"), col("total"),
+                    col("_change_type").as("change_type"),
+                    col("_commit_seq").as("commit_seq"))
+            out.append(delta)
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   // --- stream-stream interval join ------------------------------------------
 
   /** Click→purchase attribution as a stream-stream inner join: purchases
@@ -682,7 +771,8 @@ object StreamingOps {
     "q_stream_pipeline" -> streamPipeline,
     "q_stream_ingest" -> streamIngest,
     "q_stream_upsert" -> streamUpsert,
-    "q_stream_tail" -> streamTail)
+    "q_stream_tail" -> streamTail,
+    "q_stream_cdc" -> streamCdc)
     // every streaming query runs with state-sized shuffle partitions
     .map { case (k, f) =>
       k -> ((s: SparkSession, d: String) => withStatePartitions(s)(f(s, d)))
@@ -742,6 +832,25 @@ object StreamingOps {
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the streamed change rows must equal the batch change classification
+    // recomputed from the source: inserts for both appends, delete rows
+    // for the MoR delete, before/after pairs for the MoR update
+    "q_stream_cdc" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS total
+        |  FROM orders WHERE o_orderkey % 3 < 2
+        |), ch AS (
+        |  SELECT 'insert' AS change_type, id, total FROM src
+        |  UNION ALL
+        |  SELECT 'delete', id, total FROM src WHERE id % 10 = 4
+        |  UNION ALL
+        |  SELECT 'update_before', id, total FROM src WHERE id % 10 = 7
+        |  UNION ALL
+        |  SELECT 'update_after', id, total + 500.0 FROM src WHERE id % 10 = 7
+        |)
+        |SELECT change_type, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS sum_id,
+        |  CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM ch GROUP BY change_type ORDER BY change_type""".stripMargin,
     "q_stream_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -55,6 +55,40 @@ class StreamingRestartSpec extends SparkSpec {
     assert(seen.sorted == (1L to 150L))
   }
 
+  test("CDC stream resumes from committed versions: exactly-once across restarts") {
+    val tmp = Files.createTempDirectory("graft-cdcrestart").toString
+    val loc = s"$tmp/tbl"
+    val t = GraftTable.create(spark, loc, "id bigint, status string, total double")
+    val out = GraftTable.create(spark, s"$tmp/out",
+      "id bigint, status string, total double, change_type string, commit_seq bigint")
+    def changeRows(): Set[(Long, String, Double)] =
+      out.scan().select("id", "change_type", "total").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+    t.append(Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "A", 30.0))
+      .toDF("id", "status", "total"))
+    graft.ops.StreamingOps.runCdcPump(spark, loc, out, s"$tmp/ckpt")
+    val run1 = changeRows()
+    assert(run1 == Set((1L, "insert", 10.0), (2L, "insert", 20.0),
+      (3L, "insert", 30.0)), s"run1: $run1")
+
+    // between runs: a MoR delete and a MoR update commit two new versions
+    GraftTable.load(spark, loc).delete("id = 2",
+      graft.table.WriteMode.MergeOnRead)
+    GraftTable.load(spark, loc).update("id = 3",
+      Map("total" -> "total + 5.0"), graft.table.WriteMode.MergeOnRead)
+    graft.ops.StreamingOps.runCdcPump(spark, loc, out, s"$tmp/ckpt")
+    val run2 = changeRows() -- run1
+    // ONLY the post-restart versions' deltas — nothing re-emitted
+    assert(run2 == Set((2L, "delete", 20.0), (3L, "update_before", 30.0),
+      (3L, "update_after", 35.0)), s"run2 delta: $run2")
+
+    // no new versions: a third run must emit nothing
+    val before3 = out.scan().count()
+    graft.ops.StreamingOps.runCdcPump(spark, loc, out, s"$tmp/ckpt")
+    assert(out.scan().count() == before3, "run3 re-emitted rows")
+  }
+
   test("stateful aggregation state survives a checkpoint restart") {
     val tmp = Files.createTempDirectory("graft-restate").toString
     val a = GraftTable.create(spark, s"$tmp/a", "k bigint, v double")
