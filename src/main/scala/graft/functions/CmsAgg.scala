@@ -106,7 +106,29 @@ object CmsSketchAgg {
   val D = 4
   val W = 1024
 
+  /** CMS overestimate bound as a fraction of total count: ε = e/W */
+  val Epsilon: Double = math.E / W
+
   /** the sketch aggregate as a Column, for DataFrame use */
   def cms(c: Column): Column =
     Bridge.column(CmsSketchAgg(Bridge.expression(c)).toAggregateExpression())
+
+  /** driver-side probe: min over hash rows — the same upper-bound
+    * estimate the SQL probe path reads, for harness code that already
+    * holds the collected grid (hot-key detection in Similarity) */
+  def probe(grid: Array[Long], key: String): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    var best = Long.MaxValue
+    var d = 0
+    while (d < D) {
+      val digest = md.digest(
+        ("cms" + d + ":" + key).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val u32 = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      val v = grid(d * W + (u32 & (W - 1)).toInt)
+      if (v < best) best = v
+      d += 1
+    }
+    best
+  }
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.Tables
 
@@ -208,7 +208,61 @@ object Similarity {
 
   /** IVF geometry + refined centroids for one embeddings table. */
   final case class IvfIndex(lists: Int, probes: Int, knnProbes: Int,
-      dedupProbes: Int, cents: Array[Array[Double]])
+      dedupProbes: Int, cents: Array[Array[Double]], n: Long)
+
+  /** a list is "hot" above this multiple of the mean list membership */
+  private[graft] val HotFactor = 4.0
+  /** salt-count cap per hot list (a 32-way split already returns the
+    * partition to ~mean size at the detection floor) */
+  private[graft] val MaxSalts = 32
+
+  /** Hot-list salt plan: ONE CMS pass over the list assignments (the
+    * fixed 32 KB counter grid shuffles, never the keys —
+    * [[graft.functions.CmsSketchAgg]]), probed driver-side for every
+    * list id (lists ~ sqrt(N): a driver loop, not a join). A list whose
+    * estimated membership exceeds max(HotFactor × mean, 2εN) gets
+    * ceil(est/mean) salts (capped at [[MaxSalts]]); everything else
+    * stays unsalted. The εN floor is the honesty clause: CMS error
+    * scales with TOTAL assignments, so sub-ε skew (only possible once
+    * lists ≫ 1/ε, where per-list mean is below sketch noise) is left to
+    * AQE's runtime skew split — the guard exists for the PATHOLOGICAL
+    * case the scaladoc of [[knnJoin]] names, a dense cluster collapsing
+    * a corpus-scale fraction onto one centroid, which always clears the
+    * ε floor. */
+  private[graft] def hotListSalts(assignments: DataFrame, keyCol: String,
+      nAssign: Long, lists: Int): Map[Int, Int] = {
+    if (nAssign <= 0 || lists <= 1) return Map.empty
+    val grid = assignments
+      .agg(graft.functions.CmsSketchAgg.cms(col(keyCol)).as("sk"))
+      .collect()(0).getSeq[Long](0).toArray
+    val mean = nAssign.toDouble / lists
+    val floor = math.max(HotFactor * mean,
+      2.0 * graft.functions.CmsSketchAgg.Epsilon * nAssign)
+    (0 until lists).flatMap { b =>
+      val est = graft.functions.CmsSketchAgg.probe(grid, b.toString)
+      if (est > floor)
+        Some(b -> math.min(MaxSalts, math.ceil(est / mean).toInt))
+      else None
+    }.toMap
+  }
+
+  /** Equi-join on `keyCol` with the [[hotListSalts]] plan applied: left
+    * rows salt deterministically (`saltBy` mod the key's salt count),
+    * right rows replicate once per salt, so every original row pair
+    * still matches EXACTLY once — result rows identical to the unsalted
+    * join, max shuffle partition bounded by ~mean × HotFactor instead
+    * of the hot list's full membership. Empty plan → plain join. */
+  private[graft] def saltedJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, saltBy: String, hot: Map[Int, Int]): DataFrame = {
+    if (hot.isEmpty) return left.join(right, keyCol)
+    val saltMap = map(hot.toSeq.flatMap { case (b, s) => Seq(lit(b), lit(s)) }: _*)
+    def nS(c: Column) = coalesce(element_at(saltMap, c), lit(1))
+    val l = left.withColumn("_salt",
+      pmod(col(saltBy), nS(col(keyCol)).cast(LongType)).cast(IntegerType))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), nS(col(keyCol)) - lit(1))))
+    l.join(r, Seq(keyCol, "_salt")).drop("_salt")
+  }
 
   /** Memoized [[IvfIndex]] per table fingerprint: centroids are a pure
     * deterministic function of the table content, and five queries
@@ -274,9 +328,10 @@ object Similarity {
     if (ivfCache.size > IvfCacheMax) ivfCache.clear()
     ivfCache.computeIfAbsent(tableFingerprint(dir), { _ =>
       centroidBuilds.incrementAndGet()
-      val lists = ivfListsFor(e.count())
+      val n = e.count()
+      val lists = ivfListsFor(n)
       IvfIndex(lists, probesFor(lists), knnProbesFor(lists),
-        dedupProbesFor(lists), ivfCentroids(spark, e, lists))
+        dedupProbesFor(lists), ivfCentroids(spark, e, lists), n)
     })
   }
 
@@ -359,9 +414,14 @@ object Similarity {
     val bucketed = e.flatMap { case (id, v) =>
       topCentroids(v, bc.value, dedupProbes).map(c => (id, v, c))
     }.toDF("vec_id", "v", "bucket")
+    // hot-list guard: a dense near-duplicate cluster collapses onto one
+    // centroid and would make that bucket's pair join quadratic in the
+    // cluster; the CMS probe detects it and the salted join bounds it
+    val hot = hotListSalts(bucketed.select(col("bucket")), "bucket",
+      idx.n * dedupProbes, idx.lists)
     val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("av"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("bv"))
-    val dropped = a.join(b, "bucket")
+    val dropped = saltedJoin(a, b, "bucket", "a_id", hot)
       .filter(col("a_id") < col("b_id"))
       .filter(graft.functions.GraftFunctions.cosine(col("av"), col("bv")) >= 0.45)
       .select(col("b_id").as("vec_id")).distinct()
@@ -762,9 +822,11 @@ object Similarity {
     * (lists = max(32, sqrt(N)) via [[ivfListsFor]], so per-list work
     * stays ~sqrt(N), not N/constant). A pathologically hot list (a
     * dense cluster collapsing many vectors onto one centroid) is a
-    * skewed equi-join key, and the wired escape hatch is AQE's skew-join
-    * split (spark.sql.adaptive.skewJoin, on by default): the oversized
-    * partition is subdivided at runtime, no salting code needed. */
+    * skewed equi-join key, guarded twice: the [[hotListSalts]] CMS
+    * probe detects corpus-fraction-hot lists and splits them in the
+    * PLAN (salted join, results provably unchanged — SkewGuardSpec),
+    * and AQE's runtime skew split (spark.sql.adaptive.skewJoin, on by
+    * default) catches whatever runs below the sketch's ε floor. */
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables(spark, dir, "embeddings")
@@ -778,8 +840,14 @@ object Similarity {
     val probes = e.flatMap { case (id, v) =>
       topCentroids(v, bc.value, knnProbes).map(c => (id, v, c)) }
       .toDF("q_id", "qv", "bucket")
+    // hot-list guard (see [[hotListSalts]]): the CMS probe over build-side
+    // memberships detects a corpus-fraction-hot list and the salted join
+    // splits it BEFORE launch — the planned complement to AQE's runtime
+    // skew split, with results provably unchanged (SkewGuardSpec)
+    val hot = hotListSalts(bucketed.select(col("bucket")), "bucket",
+      idx.n, idx.lists)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    probes.join(bucketed, "bucket")
+    saltedJoin(probes, bucketed, "bucket", "q_id", hot)
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         graft.functions.GraftFunctions.cosine(col("qv"), col("v")).as("cos"))
