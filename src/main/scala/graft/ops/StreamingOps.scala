@@ -603,6 +603,57 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  // --- streaming ingest with IN-JOB post-commit maintenance -----------------
+  /** every `CompactEveryCommits` append commits, the sink compacts itself */
+  val CompactEveryCommits = 2
+
+  /** The Flink-maintenance shape (the reference's Flink suite is the one
+    * engine running Iceberg maintenance INSIDE the writing job —
+    * flink_feature_tests.py:1100-1172, `flink-maintenance.rewrite.
+    * schedule.commit-count`): a streaming ingest whose sink triggers
+    * post-commit compaction every [[CompactEveryCommits]] append
+    * commits, with no external scheduler. Source table A holds six
+    * single-file append commits; the stream replays them one file per
+    * micro-batch into sink table B (six appends), and every second
+    * commit fires a bin-pack rewrite — so B's snapshot log interleaves
+    * 'append' and 'replace' operations while the stream keeps writing,
+    * and the final state must equal the batch truth regardless (readers
+    * always see a consistent snapshot; compaction only rewrites files,
+    * never rows). The emitted n_replace column pins the maintenance
+    * cadence cross-engine; the spec asserts the interleaved operation
+    * log itself. */
+  def streamCompact(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.Scratch.dir("scompact").toString
+    val src = Tables(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val ddl = "event_id bigint, ts timestamp, user_id bigint, " +
+      "event_type string, value double"
+    val a = graft.table.GraftTable.create(spark, s"$tmp/a", ddl)
+    (0 until 6).foreach(i => a.append(src.filter(col("event_id") % 6 === i)))
+    val b = graft.table.GraftTable.create(spark, s"$tmp/b", ddl)
+    var commits = 0
+    val q = a.readStream(maxFilesPerTrigger = Some(1)).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sink = graft.table.GraftTable.load(spark, s"$tmp/b")
+        sink.append(batch)
+        commits += 1
+        // post-commit maintenance, in-job: same thread as the sink
+        // commit, so the rewrite serializes with the stream's appends
+        if (commits % CompactEveryCommits == 0) sink.compact(targetMB = 128)
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = graft.table.GraftTable.load(spark, s"$tmp/b")
+    val nReplace = fin.meta.snapshots.count(_.operation == "replace").toLong
+    fin.scan().groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .withColumn("n_replace", lit(nReplace))
+      .orderBy("event_type")
+  }
+
   // --- stream-stream interval join ------------------------------------------
 
   /** Click→purchase attribution as a stream-stream inner join: purchases
@@ -772,7 +823,8 @@ object StreamingOps {
     "q_stream_ingest" -> streamIngest,
     "q_stream_upsert" -> streamUpsert,
     "q_stream_tail" -> streamTail,
-    "q_stream_cdc" -> streamCdc)
+    "q_stream_cdc" -> streamCdc,
+    "q_stream_compact" -> streamCompact)
     // every streaming query runs with state-sized shuffle partitions
     .map { case (k, f) =>
       k -> ((s: SparkSession, d: String) => withStatePartitions(s)(f(s, d)))
@@ -831,6 +883,14 @@ object StreamingOps {
     "q_stream_tail" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // in-job maintenance: 6 single-file batches → 6 append commits →
+    // a rewrite every 2 commits = exactly 3 replace snapshots; the data
+    // survives every interleaved compaction bit-for-bit
+    "q_stream_compact" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        | CAST(3 AS BIGINT) AS n_replace
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the streamed change rows must equal the batch change classification
     // recomputed from the source: inserts for both appends, delete rows

@@ -89,6 +89,33 @@ class StreamingRestartSpec extends SparkSpec {
     assert(out.scan().count() == before3, "run3 re-emitted rows")
   }
 
+  test("in-job post-commit compaction: op log interleaves with the stream, data intact") {
+    val tmp = Files.createTempDirectory("graft-sc").toString
+    val a = GraftTable.create(spark, s"$tmp/a", "k bigint, v double")
+    (0 until 4).foreach(i => a.append(Seq((i.toLong, i * 1.0)).toDF("k", "v")))
+    val b = GraftTable.create(spark, s"$tmp/b", "k bigint, v double")
+    var commits = 0
+    val q = a.readStream(maxFilesPerTrigger = Some(1)).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sink = GraftTable.load(spark, s"$tmp/b")
+        sink.append(batch)
+        commits += 1
+        if (commits % 2 == 0) sink.compact(targetMB = 1)
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = GraftTable.load(spark, s"$tmp/b")
+    val ops = fin.meta.snapshots.map(_.operation)
+    assert(ops == Seq("append", "append", "replace", "append", "append", "replace"),
+      s"maintenance must interleave with the stream: $ops")
+    assert(fin.scan().select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L to 3L), "every streamed row survives the interleaved rewrites")
+    assert(fin.liveFiles().count(_.fileType == "data") == 1,
+      "the final replace bin-packed the small files")
+  }
+
   test("stateful aggregation state survives a checkpoint restart") {
     val tmp = Files.createTempDirectory("graft-restate").toString
     val a = GraftTable.create(spark, s"$tmp/a", "k bigint, v double")
