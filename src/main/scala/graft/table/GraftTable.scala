@@ -42,6 +42,14 @@ object WriteMode extends Enumeration {
   val CopyOnWrite, MergeOnRead, DeletionVector = Value
 }
 
+/** Test instrumentation: counts target×source ON-expression join passes
+  * built by merge(). The single-pass MERGE contract (one ON join per
+  * commit, everything else derived from its persisted matched set) is
+  * pinned by PlanSpec against this counter. */
+private[graft] object MergeStats {
+  val onJoinPasses = new java.util.concurrent.atomic.AtomicLong
+}
+
 /** A graft-format table: Iceberg-equivalent semantics implemented directly
   * on the public Spark DataFrame API (see SURVEY.md §2.1, §3, §4).
   *
@@ -576,8 +584,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   /** read only `files` OF THE GIVEN BRANCH, that branch's deletes applied,
     * lineage materialized — the input to any copy-on-write rewrite */
-  private def readForRewrite(files: Set[String], branch: String): DataFrame =
-    scan(withLineage = true, fileSubset = Some(files), ref = Some(branch))
+  private def readForRewrite(files: Set[String], branch: String,
+      withPos: Boolean = false): DataFrame =
+    scan(withLineage = true, withPos = withPos, fileSubset = Some(files),
+      ref = Some(branch))
       .withColumnRenamed("_last_updated_sequence_number", "_last_seq")
 
   def delete(cond: String, mode: WriteMode.Value = WriteMode.CopyOnWrite,
@@ -721,7 +731,23 @@ class GraftTable(val spark: SparkSession, val location: String) {
     *   WHEN MATCHED [AND matchedDelete] THEN DELETE / UPDATE SET matchedSet
     *   WHEN NOT MATCHED THEN INSERT insertValues.
     * Copy-on-write, file-scoped: only files holding matched rows are
-    * rewritten; inserts append. Expressions may reference `t.` and `s.`. */
+    * rewritten; inserts append. Expressions may reference `t.` and `s.`.
+    *
+    * The target×source ON-expression join runs ONCE: its matched set M
+    * (file, pos, the ON-referenced target keys, all source columns) is
+    * persisted and everything else derives from M —
+    *   - the cardinality guard and the affected-file set are one aggregate
+    *     over M (MERGE must error when a target row matches two source
+    *     rows, not duplicate it through the rewrite);
+    *   - the rewrite joins the affected-file subset to M on (file, pos),
+    *     an equi-join on compact keys (broadcast while M is small);
+    *   - inserts anti-join the source against M's carried target keys,
+    *     never rescanning the table. Any (t, s) pair satisfying ON puts
+    *     t's keys in M, so "s matches no row of M's keys" ⇔ "s matches no
+    *     row of the table".
+    * Per commit the table is scanned once pruned (match pass) and once
+    * file-scoped (rewrite) — this is the per-micro-batch cost a streaming
+    * MERGE apply pays, so no third full scan and no repeated ON join. */
   def merge(source: DataFrame, on: String,
       matchedSet: Map[String, String] = Map.empty,
       matchedDelete: Boolean = false,
@@ -729,54 +755,87 @@ class GraftTable(val spark: SparkSession, val location: String) {
       branch: String = "main"): SnapshotMeta = {
     val (snapId, seq) = nextIds()
     val schema = meta.currentSchema
-    val tgt = scan(withLineage = true, withPos = true, ref = Some(branch))
-      .withColumnRenamed("_last_updated_sequence_number", "_last_seq")
-    // one job finds the affected files AND validates merge cardinality:
-    // SQL/Iceberg MERGE must error when a target row matches more than one
-    // source row, not silently duplicate it through the left-outer rewrite
-    val matchStats = tgt.alias("t").join(source.alias("s"), expr(on), "inner")
-      .groupBy(col("t._gf"), col("t._gp")).agg(count(lit(1)).as("_n"))
-      .groupBy(col("_gf")).agg(max(col("_n")).as("_mx"))
-      .collect()
-    if (matchStats.exists(_.getAs[Long]("_mx") > 1))
-      throw new IllegalStateException(
-        "MERGE: a target row matches more than one source row (ambiguous merge)")
-    val files = matchStats.map(_.getString(0)).toSet
+    require(!source.columns.exists(c => c == "_mf" || c == "_mp" || c.startsWith("_tk_")),
+      "MERGE source columns _mf/_mp/_tk_* collide with internal match-set names")
+    // target columns the ON expression references — carried into M so the
+    // insert anti-join can run against M instead of a second table scan
+    val tRefs: Seq[String] = spark.sessionState.sqlParser.parseExpression(on)
+      .collect {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if ua.nameParts.length >= 2 && ua.nameParts.head.equalsIgnoreCase("t") =>
+          ua.nameParts(1)
+      }.distinct
+    val tgt = scan(withPos = true, ref = Some(branch))
+    MergeStats.onJoinPasses.incrementAndGet()
+    val m = tgt.alias("t").join(source.alias("s"), expr(on), "inner")
+      .select(Seq(col("t._gf").as("_mf"), col("t._gp").as("_mp")) ++
+        tRefs.map(c => col(s"t.$c").as(s"_tk_$c")) ++
+        source.columns.toSeq.map(c => col(s"s.$c").as(c)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = m.groupBy(col("_mf"), col("_mp")).agg(count(lit(1)).as("_n"))
+        .groupBy(col("_mf")).agg(max(col("_n")).as("_mx"), sum(col("_n")).as("_rows"))
+        .collect()
+      if (stats.exists(_.getAs[Long]("_mx") > 1))
+        throw new IllegalStateException(
+          "MERGE: a target row matches more than one source row (ambiguous merge)")
+      val files = stats.map(_.getString(0)).toSet
+      val matchedRows = stats.map(_.getAs[Long]("_rows")).sum
+      // M is micro-batch/source-bounded in the streaming-apply hot path —
+      // broadcast it; past the row bound fall back to a shuffled equi-join
+      // on (file, pos) so a giant batch MERGE cannot overflow the driver
+      val bcastMax = sys.env.get("SPARK_GRAFT_MERGE_BCAST_ROWS")
+        .flatMap(_.toLongOption).getOrElse(4000000L)
+      val mJoin = if (matchedRows <= bcastMax) broadcast(m) else m
 
-    val rewritten: Seq[FileMeta] = if (files.isEmpty) Nil else {
-      val part = readForRewrite(files, branch)
-      val joined = part.alias("t").join(source.alias("s"), expr(on), "left_outer")
-      val matched = source.columns.map(c => col(s"s.$c").isNotNull).reduce(_ || _)
-      val base = if (matchedDelete) joined.filter(!matched) else joined
-      val outRows = base.select(schema.fields.map { f =>
-        matchedSet.get(f.name) match {
-          case Some(e) => when(matched, expr(e).cast(sparkType(f.dtype)))
-            .otherwise(col(s"t.${f.name}")).as(f.name)
-          case None => col(s"t.${f.name}").as(f.name)
-        }
-      } ++ Seq(col("t._row_id").as("_row_id"),
-        when(matched, lit(seq)).otherwise(col("t._last_seq")).as("_last_seq")): _*)
-      writeDataFiles(toPhysical(outRows, schema), snapId, seq,
-        meta.currentSchemaId, meta.currentSpecId)
-    }
-    val inserted: Seq[FileMeta] = insertValues match {
-      case None => Nil
-      case Some(iv) =>
-        val notMatched = source.alias("s")
-          .join(tgt.alias("t"), expr(on), "left_anti")
-        val rows = notMatched.select(schema.fields.map { f =>
-          iv.get(f.name) match {
-            case Some(e) => expr(e).cast(sparkType(f.dtype)).as(f.name)
-            case None => lit(null).cast(sparkType(f.dtype)).as(f.name)
+      val rewritten: Seq[FileMeta] = if (files.isEmpty) Nil else {
+        val part = readForRewrite(files, branch, withPos = true)
+        val joined = part.alias("t").join(mJoin.alias("s"),
+          col("t._gf") === col("s._mf") && col("t._gp") === col("s._mp"),
+          "left_outer")
+        val matched = col("s._mf").isNotNull
+        val base = if (matchedDelete) joined.filter(!matched) else joined
+        val outRows = base.select(schema.fields.map { f =>
+          matchedSet.get(f.name) match {
+            case Some(e) => when(matched, expr(e).cast(sparkType(f.dtype)))
+              .otherwise(col(s"t.${f.name}")).as(f.name)
+            case None => col(s"t.${f.name}").as(f.name)
           }
-        }: _*)
-        // no isEmpty pre-check: that would execute the anti-join twice
-        // (once to count, once to write). Write directly — an empty
-        // result produces no part files — and drop zero-row entries.
-        writeDataFiles(toPhysical(rows, schema), snapId, seq,
-          meta.currentSchemaId, meta.currentSpecId).filter(_.rowCount > 0L)
-    }
-    commit("overwrite", branch, rewritten ++ inserted, files, snapId, seq)
+        } ++ Seq(col("t._row_id").as("_row_id"),
+          when(matched, lit(seq)).otherwise(col("t._last_seq")).as("_last_seq")): _*)
+        writeDataFiles(toPhysical(outRows, schema), snapId, seq,
+          meta.currentSchemaId, meta.currentSpecId)
+      }
+      val inserted: Seq[FileMeta] = insertValues match {
+        case None => Nil
+        case Some(iv) =>
+          // anti-join against M's carried ON keys (broadcast-sized), not the
+          // table; fall back to the table scan only if ON references no
+          // target column at all (degenerate, but keep the old semantics)
+          val notMatched =
+            if (tRefs.nonEmpty) {
+              val tKeys = m.select(tRefs.map(c => col(s"_tk_$c").as(c)): _*)
+              source.alias("s").join(
+                (if (matchedRows <= bcastMax) broadcast(tKeys) else tKeys).alias("t"),
+                expr(on), "left_anti")
+            } else {
+              MergeStats.onJoinPasses.incrementAndGet()
+              source.alias("s").join(tgt.alias("t"), expr(on), "left_anti")
+            }
+          val rows = notMatched.select(schema.fields.map { f =>
+            iv.get(f.name) match {
+              case Some(e) => expr(e).cast(sparkType(f.dtype)).as(f.name)
+              case None => lit(null).cast(sparkType(f.dtype)).as(f.name)
+            }
+          }: _*)
+          // no isEmpty pre-check: that would execute the anti-join twice
+          // (once to count, once to write). Write directly — an empty
+          // result produces no part files — and drop zero-row entries.
+          writeDataFiles(toPhysical(rows, schema), snapId, seq,
+            meta.currentSchemaId, meta.currentSpecId).filter(_.rowCount > 0L)
+      }
+      commit("overwrite", branch, rewritten ++ inserted, files, snapId, seq)
+    } finally m.unpersist(blocking = false)
   }
 
   // ==========================================================================

@@ -279,4 +279,63 @@ class PlanSpec extends SparkSpec {
     assert(countShuffles(plan) <= 2,
       s"expected <=2 shuffles, got ${countShuffles(plan)}:\n$plan")
   }
+
+  test("merge: one ON-join pass; rewrite joins on position; insert never rescans the table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.table.{GraftTable, MergeStats}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+    val loc = java.nio.file.Files.createTempDirectory("graft-mergeplan").toString
+    val t = GraftTable.create(spark, loc, "k bigint, v double")
+    t.append((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    val src = (50L until 150L).map(k => (k, k + 0.5)).toDF("k", "v")
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    val before = MergeStats.onJoinPasses.get
+    // AQE wraps executed plans in an opaque leaf — off for tree inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.listenerManager.register(listener)
+    try {
+      t.merge(src, on = "t.k = s.k", matchedSet = Map("v" -> "s.v"),
+        insertValues = Some(Map("k" -> "s.k", "v" -> "s.v")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(MergeStats.onJoinPasses.get - before == 1,
+      "merge must build exactly one target×source ON-expression join")
+    // the listener fires asynchronously — drain until the count is stable
+    var last = -1; var tries = 0
+    while (plans.size != last && tries < 50) {
+      last = plans.size; Thread.sleep(100); tries += 1
+    }
+    spark.listenerManager.unregister(listener)
+    def scansTable(p: SparkPlan): Boolean = p.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(loc)) => f
+    }.nonEmpty
+    val all = plans.toArray(Array.empty[SparkPlan]).toSeq
+    val writes = all.filter(_.toString.contains("InsertIntoHadoopFsRelationCommand"))
+    assert(writes.size == 2, s"expected rewrite+insert writes, got ${writes.size}")
+    // the ON join executes once, inside the cached match set: the only
+    // plan that scans the table directly is the file-scoped rewrite
+    assert(all.count(scansTable) == 1,
+      "exactly one executed plan (the rewrite) may scan the table's data files")
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val rewrite = writes.filter(scansTable)
+    assert(rewrite.size == 1, "exactly one write (the rewrite) scans the table")
+    assert(rewrite.head.collect {
+      case j: BroadcastHashJoinExec
+        if j.rightKeys.exists(_.toString.contains("_mf")) => j
+    }.nonEmpty, "rewrite must broadcast-join the matched set on (file, pos)")
+    val insertW = writes.filterNot(scansTable).head
+    assert(!scansTable(insertW),
+      s"insert anti-join must run against the matched set's keys, not the table:\n$insertW")
+    // semantics unchanged: 100 originals (50 updated) + 50 inserts
+    val out = t.scan()
+    assert(out.count() == 150)
+    assert(out.filter(col("k") === 60L).select("v").as[Double].head() == 60.5)
+    assert(out.filter(col("k") === 10L).select("v").as[Double].head() == 10.0)
+  }
 }
