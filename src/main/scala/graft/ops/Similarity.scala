@@ -250,8 +250,14 @@ object Similarity {
     * rows salt deterministically (`saltBy` mod the key's salt count),
     * right rows replicate once per salt, so every original row pair
     * still matches EXACTLY once — result rows identical to the unsalted
-    * join, max shuffle partition bounded by ~mean × HotFactor instead
-    * of the hot list's full membership. Empty plan → plain join. */
+    * join. What the salting bounds is the LEFT (salted) side's input
+    * per shuffle partition (~mean × HotFactor) and with it the
+    * per-partition pair product — the quadratic term that serializes a
+    * hot list onto one task. The replicated right side still carries
+    * the hot list's full membership into every salt sub-partition, so
+    * right-side input is parallelized, not shrunk; a right side too big
+    * to materialize per task would need the salt/replicate roles
+    * swapped onto it instead. Empty plan → plain join. */
   private[graft] def saltedJoin(left: DataFrame, right: DataFrame,
       keyCol: String, saltBy: String, hot: Map[Int, Int]): DataFrame = {
     if (hot.isEmpty) return left.join(right, keyCol)
@@ -270,18 +276,19 @@ object Similarity {
     * them — without the cache each call re-runs the seed-collect job and
     * the k-means refine job. The key is the embeddings file's
     * (path, length, mtime) walk, so a rewritten table re-builds. */
-  private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+  /** hard bound on memoized tables: far above any single run's table
+    * count, but keeps a long-lived service JVM from growing the cache
+    * without bound — at the bound the LEAST-RECENTLY-USED entry evicts,
+    * so a long-lived multi-table JVM keeps its hot centroid sets instead
+    * of rebuilding every one at once after a clear-all
+    * (declared BEFORE ivfCache: object init order) */
+  private val IvfCacheMax = 64
+
+  private val ivfCache = new LruCache[String, IvfIndex](IvfCacheMax)
 
   /** observable count of REAL centroid builds (cache misses) — pinned by
     * the one-build-per-table spec */
   val centroidBuilds = new java.util.concurrent.atomic.AtomicLong(0)
-
-  /** hard bound on memoized tables: far above any single run's table
-    * count, but keeps a long-lived service JVM from growing the cache
-    * without bound — on overflow the whole cache clears (a rebuild is
-    * two bounded jobs; an LRU would be complexity without a caller) */
-  private val IvfCacheMax = 64
 
   private def tableFingerprint(dir: String): String = {
     def walk(f: java.io.File): Seq[String] =
@@ -324,16 +331,14 @@ object Similarity {
   /** memoized IVF geometry + centroids for the embeddings table in `dir`;
     * builds at most once per table content (see [[ivfCache]]) */
   private def ivfIndex(spark: SparkSession, dir: String,
-      e: org.apache.spark.sql.Dataset[(Long, Array[Double])]): IvfIndex = {
-    if (ivfCache.size > IvfCacheMax) ivfCache.clear()
-    ivfCache.computeIfAbsent(tableFingerprint(dir), { _ =>
+      e: org.apache.spark.sql.Dataset[(Long, Array[Double])]): IvfIndex =
+    ivfCache.getOrElseUpdate(tableFingerprint(dir), {
       centroidBuilds.incrementAndGet()
       val n = e.count()
       val lists = ivfListsFor(n)
       IvfIndex(lists, probesFor(lists), knnProbesFor(lists),
         dedupProbesFor(lists), ivfCentroids(spark, e, lists), n)
     })
-  }
 
   /** deterministic refined centroids — shared by [[annIvf]], [[knnJoin]]
     * and [[dedupSemantic]] via [[ivfIndex]]: seeds from the first `lists`

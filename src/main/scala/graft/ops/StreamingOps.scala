@@ -519,8 +519,12 @@ object StreamingOps {
     * insert / delete / update_before / update_after rows — not just its
     * appends. The source is the table's METADATA LOG as a file stream:
     * one commit publishes exactly one immutable `vN.json` (the CAS
-    * invariant), so the file source's checkpointed offsets give each
-    * version's delta exactly-once across restarts with no extra state.
+    * invariant), so the file source's checkpointed offsets deliver each
+    * version at-least-once across restarts; the sink commit is made
+    * idempotent against replays (a crash between the sink append and
+    * the offset commit redelivers the window) by a metadata-only
+    * commit_seq watermark in [[runCdcPump]] — together, exactly-once
+    * in the sink's rows.
     * Each micro-batch (one version per trigger) resolves its window's
     * snapshot ids from the PUBLISHED metadata — both endpoints are
     * immutable files, so a replayed batch recomputes the identical
@@ -579,7 +583,25 @@ object StreamingOps {
             if (vs.min <= 1) 0L
             else graft.table.Meta.readJsonVersion(loc, vs.min - 1).lastSnapshotId
           val toSnap = graft.table.Meta.readJsonVersion(loc, vs.max).lastSnapshotId
-          if (toSnap != fromSnap) {
+          // Idempotency watermark: foreachBatch is at-least-once on crash
+          // (a failure between the sink commit and the offset commit
+          // replays the micro-batch), so the sink commit must be a no-op
+          // for an already-applied window. The sink's max committed
+          // commit_seq is read METADATA-ONLY from its file stats (keyed
+          // by field id, O(sink files) driver work, no job); a window
+          // whose endpoint sequence is at or below it was fully applied —
+          // append is atomic, partial application cannot exist.
+          val sinkMeta = graft.table.GraftTable.load(spark, out.location).meta
+          val seqFid = sinkMeta.currentSchema.byName("commit_seq").id.toString
+          val applied = sinkMeta.head("main").toSeq
+            .flatMap(s => graft.table.Meta.readEntries(out.location, s))
+            .filter(_.fileType == "data")
+            .flatMap(_.stats.get(seqFid).flatMap(_.max).flatMap(_.toLongOption))
+            .foldLeft(0L)(math.max)
+          val toSeq = graft.table.Meta.readJsonVersion(loc, vs.max)
+            .snapshots.find(_.snapshotId == toSnap).map(_.sequenceNumber)
+            .getOrElse(Long.MaxValue)
+          if (toSnap != fromSnap && toSeq > applied) {
             val tbl = graft.table.GraftTable.load(spark, loc)
             val delta =
               if (fromSnap == 0L)
@@ -589,11 +611,23 @@ object StreamingOps {
                     lit("insert").as("change_type"),
                     col("_last_updated_sequence_number").as("commit_seq"))
               else
+                // batch changes() leaves deletes unstamped (the lineage
+                // squash cannot attribute the removing commit); here the
+                // window endpoint IS the covering commit, so stamp them
+                // with its sequence — Iceberg-changelog semantics, and it
+                // keeps the idempotency watermark advancing on
+                // delete-only windows
                 tbl.changes(fromSnap, Some(toSnap))
                   .select(col("id"), col("status"), col("total"),
                     col("_change_type").as("change_type"),
-                    col("_commit_seq").as("commit_seq"))
-            out.append(delta)
+                    coalesce(col("_commit_seq"), lit(toSeq)).as("commit_seq"))
+            // second idempotency guard, row-level: a replayed window whose
+            // ENDPOINT commit carries no stamped row changes (e.g. a
+            // compaction) passes the sequence gate above; dropping rows at
+            // or below the applied watermark makes its re-append a no-op
+            // too. A fresh window never loses rows to this — its changes
+            // all carry seqs above the previously applied endpoint.
+            out.append(delta.filter(col("commit_seq") > lit(applied)))
           }
         }
         ()
@@ -629,7 +663,12 @@ object StreamingOps {
     val ddl = "event_id bigint, ts timestamp, user_id bigint, " +
       "event_type string, value double"
     val a = graft.table.GraftTable.create(spark, s"$tmp/a", ddl)
-    (0 until 6).foreach(i => a.append(src.filter(col("event_id") % 6 === i)))
+    // coalesce(1): append writes one file per input partition, and the
+    // n_replace oracle below assumes exactly six single-file commits →
+    // six micro-batches at any scale factor (a multi-split events source
+    // would otherwise change the maintenance cadence)
+    (0 until 6).foreach(i =>
+      a.append(src.filter(col("event_id") % 6 === i).coalesce(1)))
     val b = graft.table.GraftTable.create(spark, s"$tmp/b", ddl)
     var commits = 0
     val q = a.readStream(maxFilesPerTrigger = Some(1)).writeStream

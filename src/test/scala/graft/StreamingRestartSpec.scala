@@ -87,6 +87,14 @@ class StreamingRestartSpec extends SparkSpec {
     val before3 = out.scan().count()
     graft.ops.StreamingOps.runCdcPump(spark, loc, out, s"$tmp/ckpt")
     assert(out.scan().count() == before3, "run3 re-emitted rows")
+
+    // crash-replay: foreachBatch is at-least-once — a failure between the
+    // sink append and the offset commit redelivers the window. Simulate
+    // total redelivery with a FRESH checkpoint (every version replays);
+    // the sink's commit_seq watermark must make every window a no-op.
+    graft.ops.StreamingOps.runCdcPump(spark, loc, out, s"$tmp/ckpt-replay")
+    assert(changeRows() == run1 ++ run2 && out.scan().count() == before3,
+      "replayed windows must not duplicate change rows")
   }
 
   test("in-job post-commit compaction: op log interleaves with the stream, data intact") {
