@@ -95,6 +95,23 @@ object Bench {
     case _ => brackets.map(_ => true)
   }
 
+  /** The recheck instrument's own keep rule (pure; pinned by
+    * BenchSampleSpec): an isolated re-run of a flagged query counts only
+    * when the attempt's OWN brackets are clean — the CPU bracket under
+    * the suite's kept-round rule AND both I/O bracket samples under
+    * `ioThresh` × the committed io floor (write-path queries are only
+    * adjudicable when the disk term was quiet too). No committed floor
+    * on a dimension → that dimension cannot be judged and passes, same
+    * as [[cleanFlags]]. Round 9 published an 11 s recheck sample inside
+    * a 2.4×-canary bracket with no verdict — exactly the ambiguity this
+    * rule removes: such an attempt now retries, and a query never
+    * measured in a clean attempt is published `window_dirty: true`. */
+  def recheckAttemptClean(bracket: Bracket, gateFloor: Option[Double],
+      cleanThresh: Double, io: Bracket, ioFloor: Option[Double],
+      ioThresh: Double): Boolean =
+    cleanFlags(Seq(bracket), gateFloor, cleanThresh).head &&
+      ioFloor.filter(_ > 0).forall(f => io.worst / f < ioThresh)
+
   /** Rounds whose samples feed the medians: the clean rounds, unless
     * NONE are clean — then all rounds (an all-stolen run still has to
     * report medians; the normalized verdict adjudicates them). */
@@ -335,19 +352,44 @@ object Bench {
     val recheckKeys = (flagged.map(_._1) ++
       normRatios.getOrElse(Nil).filter(_._2 > 2.0).map(_._1)).distinct.take(12)
     val recheckJson = if (recheckKeys.isEmpty) "null" else {
-      val pre = warmedCanary()
-      val ioPre = ioCanary()
+      // the recheck defends its OWN window ([[recheckAttemptClean]]):
+      // an attempt whose brackets read dirty retries (bounded, with a
+      // settle pause); keys never measured inside a clean attempt are
+      // published `window_dirty: true` instead of standing as evidence.
+      val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_RECHECK_ATTEMPTS", "3")
+        .toInt.max(1)
+      val ioThresh = sys.env.getOrElse("SPARK_GRAFT_IO_CLEAN", "2.0").toDouble
+      val ioFl = if (cpus == "32") ioFloor() else None
+      final case class Attempt(cpu: Bracket, io: Bracket, clean: Boolean)
+      val attempts = scala.collection.mutable.ArrayBuffer[Attempt]()
+      // last measurement per key (overwritten until a clean attempt)
+      val measured = scala.collection.mutable.Map[String, (Double, Boolean)]()
+      var pending = recheckKeys
+      while (pending.nonEmpty && attempts.size < maxAttempts) {
+        if (attempts.nonEmpty) Thread.sleep(5000) // let a busy window pass
+        val pre = warmedCanary(); val ioPre = ioCanary()
+        val secs = pending.map(k => k -> medOf(Vector.fill(2)(sample(k, picked(k)))))
+        val post = warmedCanary(); val ioPost = ioCanary()
+        val clean = recheckAttemptClean(Bracket(pre, post), gateFloor,
+          cleanThresh, Bracket(ioPre, ioPost), ioFl, ioThresh)
+        attempts += Attempt(Bracket(pre, post), Bracket(ioPre, ioPost), clean)
+        secs.foreach { case (k, s) => measured(k) = (s, !clean) }
+        if (clean) pending = Nil
+      }
       val entries = recheckKeys.map { k =>
-        val sec = medOf(Vector.fill(2)(sample(k, picked(k))))
+        val (sec, dirty) = measured(k)
         val ratio = fl.get(k).filter(_ => sec > 0)
           .map(f => f"${sec / f}%.2f").getOrElse("null")
-        s"""\"$k\":{"sec":${f"$sec%.3f"},"ratio":$ratio}"""
+        s"""\"$k\":{"sec":${f"$sec%.3f"},"ratio":$ratio,"window_dirty":$dirty}"""
       }
-      val post = warmedCanary()
-      val ioPost = ioCanary()
-      s"""{"queries":${entries.mkString("{", ",", "}")},""" +
-        s""""canary_pre":${f"$pre%.3f"},"canary_post":${f"$post%.3f"},""" +
-        s""""io_pre":${f"$ioPre%.3f"},"io_post":${f"$ioPost%.3f"}}"""
+      val attJson = attempts.map(a =>
+        s"""{"canary_pre":${f"${a.cpu.pre}%.3f"},"canary_post":${f"${a.cpu.post}%.3f"},""" +
+          s""""io_pre":${f"${a.io.pre}%.3f"},"io_post":${f"${a.io.post}%.3f"},"clean":${a.clean}}""")
+        .mkString("[", ",", "]")
+      val last = attempts.last
+      s"""{"queries":${entries.mkString("{", ",", "}")},"attempts":$attJson,""" +
+        s""""canary_pre":${f"${last.cpu.pre}%.3f"},"canary_post":${f"${last.cpu.post}%.3f"},""" +
+        s""""io_pre":${f"${last.io.pre}%.3f"},"io_post":${f"${last.io.post}%.3f"}}"""
     }
     val vsFloor = if (ratios.isEmpty) "null" else {
       val medR = median(ratios.map(_._2))

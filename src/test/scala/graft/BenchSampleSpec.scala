@@ -65,4 +65,37 @@ class BenchSampleSpec extends AnyFunSuite {
       Vector.empty, tailKept = false)
     assert(sel.contains(-1.0), "selection must not drop failure markers")
   }
+
+  test("recheck keep rule: an attempt counts only when BOTH its CPU and io brackets are clean") {
+    import graft.Bench.recheckAttemptClean
+    val ioFloor = Some(0.33)
+    // clean CPU + clean io -> counts
+    assert(recheckAttemptClean(Bracket(0.06, 0.07), floor, 2.0,
+      Bracket(0.40, 0.45), ioFloor, 2.0))
+    // the round-9 gap, reproduced: canary_post 0.134 = 2.4x the 0.055
+    // floor around an 11 s sample — that attempt must NOT count
+    assert(!recheckAttemptClean(Bracket(0.089, 0.134), floor, 2.0,
+      Bracket(0.620, 0.638), ioFloor, 2.0))
+    // clean CPU but io bracket >= 2x the io floor -> dirty (write-path
+    // queries are only adjudicable when the disk term was quiet)
+    assert(!recheckAttemptClean(Bracket(0.06, 0.06), floor, 2.0,
+      Bracket(0.30, 0.70), ioFloor, 2.0))
+    // io threshold is strict at the boundary, same as the CPU rule
+    assert(!recheckAttemptClean(Bracket(0.06, 0.06), floor, 2.0,
+      Bracket(0.66, 0.40), ioFloor, 2.0))
+    assert(recheckAttemptClean(Bracket(0.06, 0.06), floor, 2.0,
+      Bracket(0.659, 0.40), ioFloor, 2.0))
+  }
+
+  test("recheck keep rule: an unjudgeable dimension (no committed floor) passes, like cleanFlags") {
+    import graft.Bench.recheckAttemptClean
+    assert(recheckAttemptClean(Bracket(9.0, 9.0), None, 2.0,
+      Bracket(9.0, 9.0), None, 2.0))
+    assert(recheckAttemptClean(Bracket(0.06, 0.06), floor, 2.0,
+      Bracket(9.0, 9.0), Some(0.0), 2.0),
+      "a zero io floor cannot be judged against")
+    // but a judgeable CPU bracket still gates alone
+    assert(!recheckAttemptClean(Bracket(0.30, 0.30), floor, 2.0,
+      Bracket(0.40, 0.40), None, 2.0))
+  }
 }
