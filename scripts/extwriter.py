@@ -17,6 +17,7 @@ Usage:
     extwriter.py <table_location> --delete <col> <values.json> [--pin N]
     extwriter.py <table_location> --delete-eq <col> <values.json> [--pin N]
     extwriter.py <table_location> --update <col> <update.json> [--pin N]
+    extwriter.py <table_location> --merge <col> <merge.json> [--pin N]
     extwriter.py <table_location> --add-column <name> <dtype> \
                  [--default <sql literal>] [--pin N]
 
@@ -26,6 +27,10 @@ values.json: {"values": [<v>, ...]}  (rows whose <col> is in the list
 update.json: {"values": [<v>, ...], "set": {"col": <name>, "add": <x>}}
              (rows whose <col> is in the list get set.col += set.add,
              COPY-ON-WRITE)
+merge.json:  {"rows": [{<logical col>: <value>, ...}, ...]}
+             (MERGE keyed on <col>: live target rows whose key matches a
+             source row are REWRITTEN with the source's values, source
+             rows matching nothing are INSERTED — one commit)
 
 `--update` is the external COPY-ON-WRITE row rewrite (mirroring the
 reference's second-writer update/merge proof,
@@ -37,9 +42,30 @@ carries every untouched file forward by segment reference, rewrites only
 the manifest segments that lost entries (survivors merged into one), and
 publishes a single 'overwrite' CAS commit whose summary truthfully
 reports added+removed files — which scanIncremental then refuses, per
-the round-8 amendment. Scope: unpartitioned tables without existing
-delete overlays (applying MoR overlays during a foreign rewrite is the
-Scala writer's job; this writer refuses rather than corrupt).
+the round-8 amendment.
+
+Live MoR overlays (position deletes, sequence-gated equality deletes,
+deletion vectors) are RESOLVED during the rewrite: deleted rows of an
+affected file stay out of the rewritten file, and overlay entries whose
+remaining targets were all rewritten are dropped from the manifests in
+the same commit — a kept overlay still applies to the surviving files
+it targets (its rows naming rewritten paths are inert; liveness comes
+from the manifest join). Schema-evolved tables are handled the way the
+readers present them: a column physically missing from a file whose
+schemaId predates it is materialized as the field's v3 initialDefault
+(not NULL) in the rewritten file, which stamps currentSchemaId.
+
+`--merge` is the external UPSERT on the same machinery
+(pyiceberg_feature_tests.py:196's write_merge_update_delete from the
+second implementation): affected files rewritten with matched rows
+replaced by their source row (lineage preserved, _last_seq bumped),
+unmatched source rows appended as fresh-lineage inserts, one
+'overwrite' commit. Duplicate source keys are refused (ambiguous
+merge, matching the Scala writer's cardinality rule). A key whose only
+target rows are MoR-deleted counts as unmatched and inserts.
+
+Scope of both rewrites: unpartitioned tables; name-mapped (registered)
+files are refused rather than guessed at.
 
 `--add-column` is the external SCHEMA-EVOLUTION commit (mirroring
 pyiceberg_feature_tests.py:336): a METADATA-ONLY publish that appends a
@@ -145,6 +171,118 @@ def cas_publish(loc, meta, base_v, tag):
     os.unlink(tmp_md)
 
 
+def parse_default(fld):
+    """a field's v3 initialDefault as a python value of its dtype
+    (string literals may carry SQL quotes)"""
+    lit = fld.get("initialDefault")
+    if lit is None:
+        return None
+    if fld["dtype"] == "bigint":
+        return int(lit)
+    if fld["dtype"] == "double":
+        return float(lit)
+    s = str(lit)
+    if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
+        return s[1:-1]
+    return s
+
+
+def read_logical(loc, meta, schema, e):
+    """one data file as per-physical-column python lists under the
+    CURRENT schema, with the schemaId-gated v3 initialDefault
+    materialized (a column physically missing from a file whose
+    schemaId predates it presents the DEFAULT, exactly as both readers
+    do — a rewrite stamping currentSchemaId must bake that value in,
+    or the rows silently flip to NULL); lineage columns resolved to
+    per-row values"""
+    t = pq.read_table(os.path.join(loc, e["path"]))
+    names = set(t.schema.names)
+    fsch = next((s for s in meta["schemas"]
+                 if s["schemaId"] == e["schemaId"]), None)
+    file_fids = {f["id"] for f in fsch["fields"]} if fsch else set()
+    cols = {}
+    for fld in schema["fields"]:
+        phys = f"f{fld['id']}"
+        if phys in names:
+            cols[phys] = t[phys].to_pylist()
+        elif fld["id"] not in file_fids:
+            cols[phys] = [parse_default(fld)] * t.num_rows
+        else:
+            cols[phys] = [None] * t.num_rows
+    rid = (t["_row_id"].to_pylist() if "_row_id" in names
+           else [None] * t.num_rows)
+    lseq = (t["_last_seq"].to_pylist() if "_last_seq" in names
+            else [None] * t.num_rows)
+    return t.num_rows, cols, rid, lseq
+
+
+def load_overlays(loc, flat):
+    """live MoR overlays of the head snapshot, resolved for a rewrite:
+      pos_by_file: {abs target path: deleted position set}
+                   (position deletes ∪ LATEST-sequence deletion vector
+                   per file — the format's DV supersession rule)
+      eqdels:      [(field ids, key-tuple set, delete seq), ...]
+                   (apply to rows of data files OLDER than the delete)
+      targets:     {overlay entry path: abs target path set | None}
+                   (None for eqdels — their targets are seq-implicit)"""
+    pos_by_file, eqdels, targets = {}, [], {}
+    dv_latest = {}  # abs target -> (entry seq, position set)
+    for e in flat:
+        if e["fileType"] == "data":
+            continue
+        t = pq.read_table(os.path.join(loc, e["path"]))
+        if e["fileType"] == "posdel":
+            tg = set()
+            for fp, pos in zip(t["file_path"].to_pylist(),
+                               t["pos"].to_pylist()):
+                pos_by_file.setdefault(fp, set()).add(pos)
+                tg.add(fp)
+            targets[e["path"]] = tg
+        elif e["fileType"] == "dv":
+            tg = set()
+            for fp, dv in zip(t["file_path"].to_pylist(),
+                              t["dv"].to_pylist()):
+                # dense BitSet image, LSB-first within each byte
+                ps = {i * 8 + j for i, b in enumerate(dv)
+                      for j in range(8) if (b >> j) & 1}
+                tg.add(fp)
+                prev = dv_latest.get(fp)
+                if prev is None or e["sequenceNumber"] > prev[0]:
+                    dv_latest[fp] = (e["sequenceNumber"], ps)
+            targets[e["path"]] = tg
+        elif e["fileType"] == "eqdel":
+            fids = e.get("eqFieldIds") or []
+            keys = (set(zip(*(t[f"f{fid}"].to_pylist() for fid in fids)))
+                    if t.num_rows and fids else set())
+            eqdels.append((fids, keys, e["sequenceNumber"]))
+            targets[e["path"]] = None
+    for fp, (_, ps) in dv_latest.items():
+        pos_by_file.setdefault(fp, set()).update(ps)
+    return pos_by_file, eqdels, targets
+
+
+def overlay_keep_paths(loc, flat, affected, targets):
+    """overlay entries still needed once `affected` data files are
+    rewritten: a posdel/dv survives iff it targets at least one
+    UNTOUCHED live data file (its rows naming rewritten paths are inert
+    — liveness comes from the manifest join); an eqdel survives iff any
+    untouched file is older than it. Everything else was consumed by
+    the rewrite and drops from the manifests in the same commit."""
+    surv = [e for e in flat
+            if e["fileType"] == "data" and e["path"] not in affected]
+    surv_abs = {os.path.abspath(os.path.join(loc, e["path"])) for e in surv}
+    keep = set()
+    for e in flat:
+        if e["fileType"] == "data":
+            continue
+        if e["fileType"] == "eqdel":
+            if any(d["sequenceNumber"] < e["sequenceNumber"] for d in surv):
+                keep.add(e["path"])
+        elif targets.get(e["path"]) and targets[e["path"]] & surv_abs:
+            keep.add(e["path"])
+    return keep
+
+
 def main():
     argv = sys.argv[1:]
     pin = None
@@ -157,7 +295,7 @@ def main():
         i = argv.index("--default")
         default_lit = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-    delete_col = eq_col = update_col = add_col = None
+    delete_col = eq_col = update_col = merge_col = add_col = None
     if "--delete" in argv:
         i = argv.index("--delete")
         delete_col = argv[i + 1]
@@ -169,6 +307,10 @@ def main():
     if "--update" in argv:
         i = argv.index("--update")
         update_col = argv[i + 1]
+        argv = argv[:i] + [argv[i + 2]] + argv[i + 3:]
+    if "--merge" in argv:
+        i = argv.index("--merge")
+        merge_col = argv[i + 1]
         argv = argv[:i] + [argv[i + 2]] + argv[i + 3:]
     if "--add-column" in argv:
         i = argv.index("--add-column")
@@ -236,24 +378,43 @@ def main():
     carried = None
     survivors = []
 
-    if update_col is not None:
-        # --- external COPY-ON-WRITE update ---------------------------------
+    if update_col is not None or merge_col is not None:
+        # --- external COPY-ON-WRITE rewrite: --update / --merge ------------
         with open(payload_path) as f:
             pl = json.load(f)
-        values = set(pl["values"])
-        set_name = pl["set"]["col"]
-        delta = pl["set"]["add"]
+        key_name = update_col if update_col is not None else merge_col
         key_fld = next((f2 for f2 in schema["fields"]
-                        if f2["name"] == update_col),
-                       None) or fail(f"no column {update_col}")
-        set_fld = next((f2 for f2 in schema["fields"] if f2["name"] == set_name),
-                       None) or fail(f"no column {set_name}")
-        if set_fld["dtype"] not in ("double", "bigint"):
-            fail("--update sets numeric columns only")
+                        if f2["name"] == key_name),
+                       None) or fail(f"no column {key_name}")
+        key_phys = f"f{key_fld['id']}"
         if spec["fields"]:
-            fail("this writer updates only unpartitioned tables")
+            fail("this writer rewrites only unpartitioned tables")
         if parent_snap is None:
-            fail("cannot update an empty table")
+            fail("cannot rewrite an empty table")
+        if update_col is not None:
+            values = set(pl["values"])
+            set_name = pl["set"]["col"]
+            delta = pl["set"]["add"]
+            set_fld = next((f2 for f2 in schema["fields"]
+                            if f2["name"] == set_name),
+                           None) or fail(f"no column {set_name}")
+            if set_fld["dtype"] not in ("double", "bigint"):
+                fail("--update sets numeric columns only")
+            set_phys = f"f{set_fld['id']}"
+            src_by_key = None
+        else:
+            # upsert source keyed on <col>: duplicate keys would make the
+            # rewrite ambiguous (same rule as the Scala writer's MERGE
+            # cardinality guard) — refuse up front
+            src_by_key = {}
+            for r in pl["rows"]:
+                k = r.get(key_name)
+                if k in src_by_key:
+                    fail("--merge source has duplicate keys (ambiguous merge)")
+                src_by_key[k] = r
+            if not src_by_key:
+                fail("--merge needs at least one source row")
+            values = set(src_by_key)
         # per-segment entry lists: segment identity drives the
         # carry-by-reference vs rewrite split below
         seg_entries = []
@@ -262,54 +423,90 @@ def main():
                 seg_entries.append(
                     (seg, [json.loads(line) for line in f if line.strip()]))
         flat = [e for _, es in seg_entries for e in es]
-        if any(e["fileType"] != "data" for e in flat):
-            fail("--update requires a table without delete overlays "
-                 "(a foreign rewrite must not guess at MoR application)")
         if any(e.get("nameMapped") for e in flat):
-            fail("--update does not rewrite name-mapped (registered) files")
-        key_phys = f"f{key_fld['id']}"
-        set_phys = f"f{set_fld['id']}"
+            fail("rewrites do not touch name-mapped (registered) files")
+        data_entries = [e for e in flat if e["fileType"] == "data"]
+        # live MoR overlays resolve DURING the rewrite: deleted rows stay
+        # out of the rewritten file; fully-consumed overlay entries drop
+        # from the manifests in this same commit (overlay_keep_paths)
+        pos_by_file, eqdels, ov_targets = load_overlays(loc, flat)
+
+        def row_dead(e, i, cols, dead_pos):
+            if i in dead_pos:
+                return True
+            for fids, keys, dseq in eqdels:
+                if e["sequenceNumber"] < dseq and \
+                        tuple(cols[f"f{fid}"][i] for fid in fids) in keys:
+                    return True
+            return False
         # affected files: one key-column read per data file (the pyarrow
-        # analog of the Scala side's _metadata.file_path semi-join)
+        # analog of the Scala side's _metadata.file_path semi-join); a
+        # key column missing from a pre-evolution file presents its
+        # initialDefault, the way both readers resolve it
         affected = set()
-        for e in flat:
-            colv = pq.read_table(os.path.join(loc, e["path"]),
-                                 columns=[key_phys])[key_phys]
-            if any(v in values for v in colv.to_pylist()):
+        for e in data_entries:
+            fnames = pq.read_schema(os.path.join(loc, e["path"])).names
+            if key_phys in fnames:
+                colv = pq.read_table(os.path.join(loc, e["path"]),
+                                     columns=[key_phys])[key_phys].to_pylist()
+            else:
+                colv = [parse_default(key_fld)] * e["rowCount"]
+            if any(v in values for v in colv):
                 affected.add(e["path"])
-        if not affected:
+        if update_col is not None and not affected:
             fail("no rows match --update")
-        # rewrite every affected file: updated values for hit rows,
-        # untouched rows byte-identical, per-row lineage MATERIALIZED as
+        # rewrite every affected file: hit rows updated (--update) or
+        # replaced by their source row (--merge), untouched rows carried,
+        # MoR-deleted rows resolved away, per-row lineage MATERIALIZED as
         # _row_id/_last_seq columns so v3 row identity survives the
         # rewrite (hit rows bump to this commit's sequence)
         out_cols = {f"f{f2['id']}": [] for f2 in schema["fields"]}
         out_rid, out_lseq = [], []
         n_rows = removed_records = 0
-        for e in flat:
+        matched_keys = set()
+        for e in data_entries:
             if e["path"] not in affected:
                 continue
             removed_records += e["rowCount"]
-            t = pq.read_table(os.path.join(loc, e["path"]))
-            names = set(t.schema.names)
-            cols = {f2: (t[f2].to_pylist() if f2 in names
-                         else [None] * t.num_rows) for f2 in out_cols}
-            rid = (t["_row_id"].to_pylist() if "_row_id" in names
-                   else [None] * t.num_rows)
-            lseq = (t["_last_seq"].to_pylist() if "_last_seq" in names
-                    else [None] * t.num_rows)
-            for i in range(t.num_rows):
+            nr, cols, rid, lseq = read_logical(loc, meta, schema, e)
+            dead_pos = pos_by_file.get(
+                os.path.abspath(os.path.join(loc, e["path"])), set())
+            for i in range(nr):
+                if row_dead(e, i, cols, dead_pos):
+                    continue
                 hit = cols[key_phys][i] in values
-                for f2 in out_cols:
-                    v = cols[f2][i]
-                    if hit and f2 == set_phys:
-                        v = v + delta
-                    out_cols[f2].append(v)
+                if hit and src_by_key is not None:
+                    matched_keys.add(cols[key_phys][i])
+                    src = src_by_key[cols[key_phys][i]]
+                for f2 in schema["fields"]:
+                    phys = f"f{f2['id']}"
+                    v = cols[phys][i]
+                    if hit:
+                        if src_by_key is None:
+                            if phys == set_phys:
+                                v = v + delta
+                        elif f2["name"] in src:
+                            v = src[f2["name"]]
+                    out_cols[phys].append(v)
                 out_rid.append(rid[i] if rid[i] is not None
                                else e["firstRowId"] + i)
                 out_lseq.append(seq if hit else
                                 (lseq[i] if lseq[i] is not None
                                  else e["sequenceNumber"]))
+                n_rows += 1
+        if src_by_key is not None:
+            # merge inserts: source keys matching no LIVE target row (a
+            # key whose only rows were MoR-deleted inserts — dead rows
+            # neither match nor resurrect). Fresh lineage from this
+            # commit's reserved row-id block: carried rows keep their
+            # materialized ids, so lastRowId + file index cannot collide.
+            for k, r in src_by_key.items():
+                if k in matched_keys:
+                    continue
+                for f2 in schema["fields"]:
+                    out_cols[f"f{f2['id']}"].append(r.get(f2["name"]))
+                out_rid.append(meta["lastRowId"] + len(out_rid))
+                out_lseq.append(seq)
                 n_rows += 1
         rel_data_dir = f"data/s{snap_id}-{tag}"
         os.makedirs(os.path.join(loc, rel_data_dir), exist_ok=True)
@@ -345,21 +542,31 @@ def main():
             "nameMapped": False,
         }]
         # FORMAT.md segment rule: untouched segments carried BY REFERENCE,
-        # dirty segments rewritten as ONE merged survivor segment
+        # dirty segments rewritten as ONE merged survivor segment. An
+        # entry leaves the manifests when its data file was rewritten OR
+        # its overlay was fully consumed by the rewrite.
+        keep_ov = overlay_keep_paths(loc, flat, affected, ov_targets)
+
+        def gone(e):
+            return (e["path"] in affected if e["fileType"] == "data"
+                    else e["path"] not in keep_ov)
         carried, survivors = [], []
         for s, es in seg_entries:
-            if any(e["path"] in affected for e in es):
-                survivors += [e for e in es if e["path"] not in affected]
+            if any(gone(e) for e in es):
+                survivors += [e for e in es if not gone(e)]
             else:
                 carried.append(s)
+        n_dropped_ov = sum(1 for e in flat if e["fileType"] != "data"
+                           and e["path"] not in keep_ov)
         operation = "overwrite"
         summary = {
             "added-data-files": "1",
             "added-delete-files": "0",
             "added-records": str(n_rows),
             # truthful added+removed counts: scanIncremental's rewrite
-            # gate depends on them (round-8 amendment)
-            "removed-files": str(len(affected)),
+            # gate depends on them (round-8 amendment); consumed overlay
+            # entries count among the removed files
+            "removed-files": str(len(affected) + n_dropped_ov),
             "removed-records": str(removed_records),
         }
         new_last_row_id = meta["lastRowId"] + n_rows

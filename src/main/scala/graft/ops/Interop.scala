@@ -235,6 +235,22 @@ object Interop {
     Process(cmd).!
   }
 
+  /** external MERGE (upsert): live target rows whose `keyCol` matches a
+    * source row are rewritten with the source's values, unmatched
+    * source rows insert, one 'overwrite' commit — the write-side mirror
+    * of [[GraftTable.merge]] on the same affected-file machinery as the
+    * external update. Rows are passed as raw JSON objects so callers
+    * can omit columns (an omitted column keeps the target's value). */
+  private[graft] def runExtWriterMerge(loc: String, keyCol: String,
+      rowJsons: Seq[String], pin: Option[Int] = None): Int = {
+    val f = Files.createTempFile("graft-extmerge", ".json")
+    Files.writeString(f, rowJsons.mkString("""{"rows":[""", ",", "]}"))
+    val cmd = Seq("python3", extWriterScript, loc, "--merge", keyCol,
+      f.toString) ++ pin.toSeq.flatMap(v => Seq("--pin", v.toString))
+    import scala.sys.process._
+    Process(cmd).!
+  }
+
   /** external SCHEMA-EVOLUTION commit: metadata-only add-column with a
     * fresh field id and optional v3 initial-default — the write-side
     * mirror of [[GraftTable.addColumn]]. */
@@ -349,18 +365,20 @@ object Interop {
   val Loc8 = "/tmp/graft_interop_extupd"
 
   /** External COPY-ON-WRITE update closure: a native append and an
-    * external append build a two-writer file population; the Python
-    * writer then commits a CoW UPDATE spanning BOTH writers' files
-    * (affected files rewritten with updated values and materialized
-    * lineage, untouched segments carried by reference, truthful
-    * added+removed summary); a native append lands ON TOP of the
-    * external rewrite. Spark reads the result natively while the oracle
-    * reads it through the independent DuckDB metadata resolver — the
-    * same three-implementation closure as the extwrite capstone, now
-    * for the row-REWRITE path (the reference proves this from its
-    * second writer in pyiceberg_feature_tests.py:196). Update
-    * semantics are value-asserted in TableSpec; this gate certifies
-    * that the externally-rewritten table is format-correct. */
+    * external append build a two-writer file population; an EXTERNAL
+    * position delete then overlays both writers' files, and the Python
+    * writer commits a CoW UPDATE over that LIVE MoR overlay — deleted
+    * rows resolve away during the rewrite (they neither update nor
+    * resurrect) and overlay entries whose targets were all rewritten
+    * drop in the same commit, the pyiceberg_feature_tests.py:196 flow
+    * on a MoR table. A native append lands ON TOP of the external
+    * rewrite. Spark reads the result natively while the oracle reads
+    * it through the independent DuckDB metadata resolver (manifests →
+    * union-by-name data files → surviving posdel overlays) — the same
+    * three-implementation closure as the extwrite capstone, now for
+    * the row-REWRITE-over-deletes path. Update semantics are
+    * value-asserted in TableSpec; this gate certifies that the
+    * externally-rewritten table is format-correct. */
   def buildExtUpdateAndResolve(spark: SparkSession, dir: String): DataFrame = {
     wipe(Loc8)
     val t = GraftTable.create(spark, Loc8,
@@ -373,16 +391,64 @@ object Interop {
     val extRows = o.filter(col("id") % 3 === 1).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
     require(runExtWriter(Loc8, extRows) == 0, "external append failed")
-    // snap 3: EXTERNAL CoW update — ids ≡ 0 (mod 7) live in both
-    // writers' files, so the rewrite spans file generations
+    // snap 3: EXTERNAL position delete spanning both writers' files —
+    // the update below must rewrite THROUGH this live overlay
+    val delIds = o.filter(col("id") % 10 === 3 && col("id") % 3 < 2)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    require(runExtWriterDelete(Loc8, "id", delIds) == 0,
+      "external pre-update delete failed")
+    // snap 4: EXTERNAL CoW update — ids ≡ 0 (mod 7) live in both
+    // writers' files, so the rewrite spans file generations; ids ≡ 0
+    // (mod 7) ∧ ≡ 3 (mod 10) are DELETED, so the rewrite must skip them
     val updIds = o.filter(col("id") % 7 === 0 && col("id") % 3 < 2)
       .select("id").collect().map(_.getLong(0)).toSeq
     require(runExtWriterUpdate(Loc8, "id", updIds, "total", 1000.0) == 0,
       "external update failed")
-    // snap 4: native append on top of the external rewrite — rows with
-    // id % 7 = 0 here must NOT carry the update
+    // snap 5: native append on top of the external rewrite — rows with
+    // id % 7 = 0 or id % 10 = 3 here must carry neither the update nor
+    // the (older) delete
     GraftTable.load(spark, Loc8).append(o.filter(col("id") % 3 === 2))
     extAgg(spark, Loc8)
+  }
+
+  /** fixed location for the external-MERGE variant */
+  val Loc10 = "/tmp/graft_interop_extmerge"
+
+  /** External MERGE (upsert) closure — write_merge_update_delete parity
+    * from the second implementation (pyiceberg_feature_tests.py:196):
+    * a native and an external append build the target; the Python
+    * writer then commits ONE upsert — matched rows (ids ≡ 0 mod 9
+    * already in the table) rewritten with the source's values, new ids
+    * inserted with fresh lineage — and a native append lands on top.
+    * Spark reads natively; the oracle reads through the independent
+    * DuckDB metadata resolver. Merge semantics (replacement, dead-key
+    * re-insert, cardinality refusal, CAS race) are value-asserted in
+    * TableSpec; this gate certifies the merged table is
+    * format-correct. */
+  def buildExtMergeAndResolve(spark: SparkSession, dir: String): DataFrame = {
+    wipe(Loc10)
+    val t = GraftTable.create(spark, Loc10,
+      "id bigint, status string, total double")
+    val o = Tables(spark, dir, "orders").select(
+      col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("total"))
+    t.append(o.filter(col("id") % 4 === 0))                   // snap 1: native
+    val extRows = o.filter(col("id") % 4 === 1).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    require(runExtWriter(Loc10, extRows) == 0, "external append failed")
+    // snap 3: EXTERNAL MERGE — source is every id ≡ 0 (mod 9) outside
+    // the class appended later, totals shifted +500: ids in classes
+    // 0/1 match and rewrite, class-2 ids insert, one commit
+    val srcRows = o.filter(col("id") % 9 === 0 && col("id") % 4 < 3)
+      .orderBy("id").collect()
+      .map(r => s"""{"id":${r.getLong(0)},"status":"${r.getString(1)}",""" +
+        s""""total":${r.getDouble(2) + 500.0}}""").toSeq
+    require(runExtWriterMerge(Loc10, "id", srcRows) == 0,
+      "external merge failed")
+    // snap 4: native append on top of the external upsert
+    GraftTable.load(spark, Loc10).append(o.filter(col("id") % 4 === 3))
+    extAgg(spark, Loc10)
   }
 
   /** fixed location for the external schema-evolution variant */
@@ -432,6 +498,7 @@ object Interop {
     "q_interop_extwrite" -> buildExtWriteAndScan,
     "q_interop_extwrite_resolver" -> buildExtWriteAndResolve,
     "q_interop_extupdate" -> buildExtUpdateAndResolve,
+    "q_interop_extmerge" -> buildExtMergeAndResolve,
     "q_interop_extevolve" -> buildExtEvolveAndResolve)
 
   /** The independent DuckDB reader. Format facts it encodes (all from
@@ -578,21 +645,49 @@ object Interop {
          |  CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          |FROM ( ${baseResolver(Loc7, "meta.head_id")} )
          |GROUP BY status ORDER BY status""".stripMargin,
-    // external CoW update closure: the oracle resolves the
+    // external CoW-update-over-deletes closure: the oracle resolves the
     // python-rewritten table through the independent metadata resolver
     // (union_by_name — the rewritten file carries materialized
     // _row_id/_last_seq columns the originals lack; dead pre-rewrite
     // files remain on DISK per the immutability invariant, so liveness
-    // comes from the manifest join alone)
+    // comes from the manifest join alone) and applies whatever posdel
+    // overlays SURVIVED the rewrite — a consumed overlay left the
+    // manifests with the rewrite commit, a kept one still guards its
+    // untouched target files
     "q_interop_extupdate" ->
       s"""${resolverEntries(Loc8)}
+         |, rows0 AS (
+         |  SELECT r.f1 AS id, r.f2 AS status, r.f3 AS total,
+         |    r.filename AS fp, r.file_row_number AS pos
+         |  FROM read_parquet('$Loc8/data/*/*.parquet', filename=true,
+         |    file_row_number=true, union_by_name=true) r
+         |  JOIN (SELECT * FROM entries WHERE fileType = 'data') d
+         |    ON r.filename = '$Loc8/' || d.path
+         |), posdel AS (
+         |  SELECT p.file_path, p.pos
+         |  FROM read_parquet('$Loc8/deletes/pd*/*.parquet', filename=true) p
+         |  JOIN (SELECT * FROM entries WHERE fileType = 'posdel') e
+         |    ON p.filename LIKE '$Loc8/' || e.path || '/%'
+         |)
+         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(id) AS BIGINT) AS sum_id,
+         |  CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+         |FROM rows0 r
+         |WHERE NOT EXISTS (SELECT 1 FROM posdel d
+         |    WHERE d.file_path = r.fp AND d.pos = r.pos)
+         |GROUP BY status ORDER BY status""".stripMargin,
+    // external MERGE closure: resolver readback of the upserted table —
+    // no overlays in this scenario, so the pure manifest-join shape
+    // certifies the rewritten + inserted file population
+    "q_interop_extmerge" ->
+      s"""${resolverEntries(Loc10)}
          |SELECT r.f2 AS status, CAST(COUNT(*) AS BIGINT) AS n,
          |  CAST(SUM(r.f1) AS BIGINT) AS sum_id,
          |  CAST(SUM(CAST(r.f3 AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
-         |FROM read_parquet('$Loc8/data/*/*.parquet', filename=true,
+         |FROM read_parquet('$Loc10/data/*/*.parquet', filename=true,
          |  union_by_name=true) r
          |JOIN (SELECT * FROM entries WHERE fileType = 'data') d
-         |  ON r.filename = '$Loc8/' || d.path
+         |  ON r.filename = '$Loc10/' || d.path
          |GROUP BY r.f2 ORDER BY status""".stripMargin,
     // external schema evolution: the resolver applies the v3
     // initial-default 2.5 ONLY to files whose manifest schemaId predates

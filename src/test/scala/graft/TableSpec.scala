@@ -119,7 +119,10 @@ class TableSpec extends SparkSpec {
     def idsDf(rows: (Long, String, Double)*) = rows.toDF("id", "status", "total")
     val loc = tmp()
     val t = GraftTable.create(spark, loc, "id bigint, status string, total double")
-    val s1 = t.append(idsDf((1L, "A", 10.0), (2L, "B", 20.0), (3L, "A", 30.0)))
+    // coalesce(1): the overlay-consumption assertion below assumes the
+    // native seed lands in ONE file (so the id=3 posdel targets the file
+    // the id=5 update rewrites)
+    val s1 = t.append(idsDf((1L, "A", 10.0), (2L, "B", 20.0), (3L, "A", 30.0)).coalesce(1))
     assert(graft.ops.Interop.runExtWriter(loc, Seq((4L, "C", 40.0), (5L, "A", 50.0))) == 0)
     val ridsBefore = GraftTable.load(spark, loc).scan(withLineage = true)
       .select("id", "_row_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -154,10 +157,98 @@ class TableSpec extends SparkSpec {
       .select("id", "total").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(finals(1L) == 10.0 && finals(6L) == 60.0,
       s"loser must change nothing, winner's row present: $finals")
-    // scope guards: refuses tables carrying delete overlays
+    // overlay resolution: an external rewrite over a live MoR overlay
+    // materializes the delete (the dead row stays out of the rewritten
+    // file, and neither updates nor resurrects) and drops the consumed
+    // posdel entry from the manifests in the same commit
     GraftTable.load(spark, loc).delete("id = 3", WriteMode.MergeOnRead)
     assert(graft.ops.Interop.runExtWriterUpdate(loc, "id", Seq(5L),
-      "total", 1.0) != 0, "must refuse a table with MoR overlays")
+      "total", 1.0) == 0, "rewrite over a live MoR overlay must commit")
+    val t2 = GraftTable.load(spark, loc)
+    val resolved = t2.scan().select("id", "total").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!resolved.contains(3L) && resolved(5L) == 51.0 &&
+      resolved(1L) == 10.0 && resolved(6L) == 60.0,
+      s"overlay must resolve into the rewrite: $resolved")
+    val headEntries = t2.meta.head("main").toSeq
+      .flatMap(s => graft.table.Meta.readEntries(loc, s))
+    assert(headEntries.forall(_.fileType == "data"),
+      s"the consumed posdel entry must leave the manifests: " +
+        headEntries.map(e => e.fileType -> e.path).mkString(", "))
+  }
+
+  test("external python MERGE: upsert over live overlays, schema defaults, cardinality, CAS race") {
+    import spark.implicits._
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, "id bigint, status string, total double")
+    // coalesce(1) throughout: the overlay keep/drop assertions below
+    // assume one file per native append
+    t.append(Seq((1L, "A", 10.0), (2L, "B", 20.0), (5L, "E", 50.0))
+      .toDF("id", "status", "total").coalesce(1))              // file 1 (native)
+    assert(graft.ops.Interop.runExtWriter(loc,
+      Seq((3L, "C", 30.0), (4L, "D", 40.0))) == 0)             // file 2 (ext)
+    // a live posdel spanning files 1+2, then a schema evolution with a
+    // v3 default, then a post-evolution file with its own posdel — the
+    // merge must rewrite THROUGH all of it
+    GraftTable.load(spark, loc).delete("id = 2 or id = 3", WriteMode.MergeOnRead)
+    GraftTable.load(spark, loc).addColumn("score", "double", Some("2.5"))
+    GraftTable.load(spark, loc).append(Seq((6L, "F", 60.0, 6.5), (7L, "G", 70.0, 0.5))
+      .toDF("id", "status", "total", "score").coalesce(1))     // file 3 (schema 1)
+    GraftTable.load(spark, loc).delete("id = 7", WriteMode.MergeOnRead)
+    val ridsBefore = GraftTable.load(spark, loc).scan(withLineage = true)
+      .select("id", "_row_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cardinality guard: duplicate source keys refuse up front
+    assert(graft.ops.Interop.runExtWriterMerge(loc, "id", Seq(
+      """{"id":4,"total":1.0}""", """{"id":4,"total":2.0}""")) != 0,
+      "duplicate-key merge source must be refused")
+    // the MERGE: id 4 matched-replaced; id 5 matched with score OMITTED
+    // (keeps the target's materialized default); id 3's only row is
+    // DEAD, so it re-INSERTS with the source values; id 9 inserts
+    assert(graft.ops.Interop.runExtWriterMerge(loc, "id", Seq(
+      """{"id":4,"status":"D","total":44.0,"score":7.5}""",
+      """{"id":3,"status":"Z","total":33.0,"score":3.5}""",
+      """{"id":9,"status":"I","total":90.0,"score":9.5}""",
+      """{"id":5,"status":"E","total":55.0}""")) == 0, "external merge failed")
+    val m = GraftTable.load(spark, loc)
+    val got = m.scan().select("id", "status", "total", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      (1L, "A", 10.0, 2.5),  // carried: pre-evolution default MATERIALIZED
+      (5L, "E", 55.0, 2.5),  // matched, omitted column keeps the default
+      (4L, "D", 44.0, 7.5),  // matched, replaced
+      (3L, "Z", 33.0, 3.5),  // dead key re-inserted, not resurrected
+      (9L, "I", 90.0, 9.5),  // fresh insert
+      (6L, "F", 60.0, 6.5)), // untouched file 3; id 7 stays deleted
+      s"merge semantics, got $got")
+    // lineage: matched rows keep their _row_id and bump their sequence;
+    // inserts get fresh ids; every id distinct
+    val lin = m.scan(withLineage = true)
+      .select("id", "_row_id", "_last_updated_sequence_number").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(lin.map(_._2).distinct.length == lin.length, s"row ids must be unique: ${lin.toSeq}")
+    val linMap = lin.map(x => x._1 -> (x._2, x._3)).toMap
+    assert(linMap(4L)._1 == ridsBefore(4L) && linMap(5L)._1 == ridsBefore(5L) &&
+      linMap(1L)._1 == ridsBefore(1L),
+      s"matched/carried rows keep row ids: ${lin.toSeq} vs $ridsBefore")
+    assert(linMap(4L)._2 == linMap(5L)._2 && linMap(4L)._2 > linMap(1L)._2,
+      s"matched rows carry the merge sequence, carried rows their origin: ${lin.toSeq}")
+    // overlay consumption: the files-1+2 posdel was fully consumed by the
+    // rewrite and left the manifests; file 3's posdel survives (and still
+    // deletes id 7 above)
+    val overlays = m.meta.head("main").toSeq
+      .flatMap(s => graft.table.Meta.readEntries(loc, s))
+      .filter(_.fileType != "data")
+    assert(overlays.size == 1 && overlays.head.fileType == "posdel",
+      s"exactly the partially-targeted posdel survives: " +
+        overlays.map(e => e.fileType -> e.path).mkString(", "))
+    // CAS race: a pinned merge racing a native commit loses cleanly
+    val vPin = Meta.currentVersion(loc).get
+    GraftTable.load(spark, loc).append(
+      Seq((11L, "K", 110.0, 1.0)).toDF("id", "status", "total", "score"))
+    assert(graft.ops.Interop.runExtWriterMerge(loc, "id",
+      Seq("""{"id":9,"total":1.0}"""), pin = Some(vPin)) == 2,
+      "racing external merge must lose the CAS")
+    assert(GraftTable.load(spark, loc).scan().count() == 7)
   }
 
   test("external python add-column: metadata-only commit, defaults, mixed appends") {
