@@ -214,6 +214,45 @@ object StreamingOps {
       .orderBy("ws")
   }
 
+  // --- windowed top-k ranking in a stream -----------------------------------
+  /** Continuous "trending items": the top-[[TopK]] events by value per
+    * hourly window, via the mergeable bounded aggregate
+    * (functions/TopKAgg.scala — the streaming face of rank). An exact
+    * streaming rank would hold every row of every open window in the
+    * state store; the bounded buffer holds k entries per window and
+    * merges across micro-batches by ordered insert, so state is
+    * O(k × open windows), not O(rows). Append mode + the usual max+3h
+    * sentinel (its own window stays open and is never emitted); ties
+    * break by event_id, so the DuckDB oracle's row_number() replays the
+    * ranking exactly. */
+  val TopK = 3
+
+  def streamTopk(spark: SparkSession, dir: String): DataFrame = {
+    val (tmp, raw) = stageLinked(spark, dir)
+    val maxUs = maxTsMicros(spark, dir)
+    val sentinel = spark.range(1).select(
+      timestamp_micros(lit(maxUs + 10800000000L)).as("ts"),
+      lit(-1L).as("event_id"), lit(0.0).as("value"))
+    writeSentinels(sentinel, raw, tmp)
+    val stream = Tables.normalizeEventTs(
+      rawStream(spark, tmp, raw, Seq("ts", "event_id", "value")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.TopKAgg.topK(col("value"), col("event_id"), TopK).as("top"))
+    val name = s"tk_${UUID.randomUUID.toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("window.start").as("ws"), explode(col("top")).as("t"))
+      .select(col("ws"), col("t.rank").as("rank"),
+        col("t.id").as("event_id"), col("t.value").as("value"))
+      .orderBy("ws", "rank")
+  }
+
   // --- stateful sessionization via flatMapGroupsWithState -------------------
   case class SEv(user_id: Long, ts_us: Long, event_id: Long)
   case class SOpen(start: Long, last: Long, n: Long, closed: Long)
@@ -855,6 +894,7 @@ object StreamingOps {
     "q_stream_window" -> streamWindow,
     "q_stream_window_append" -> streamWindowAppend,
     "q_stream_sketch" -> streamSketch,
+    "q_stream_topk" -> streamTopk,
     "q_stream_sessions" -> streamSessions,
     "q_stream_attribution" -> streamAttribution,
     "q_stream_session_window" -> streamSessionWindow,
@@ -950,6 +990,17 @@ object StreamingOps {
         |SELECT change_type, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS sum_id,
         |  CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         |FROM ch GROUP BY change_type ORDER BY change_type""".stripMargin,
+    // the bounded aggregate's (value DESC, id ASC) total order replayed
+    // as a plain window rank — values pass through both engines untouched
+    "q_stream_topk" ->
+      s"""WITH r AS (
+         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_id, value,
+         |    row_number() OVER (PARTITION BY date_trunc('hour', ts)
+         |                       ORDER BY value DESC, event_id) AS rank
+         |  FROM events
+         |)
+         |SELECT ws, CAST(rank AS BIGINT) AS rank, event_id, value
+         |FROM r WHERE rank <= ${StreamingOps.TopK} ORDER BY ws, rank""".stripMargin,
     "q_stream_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -676,7 +676,57 @@ object TextOps {
         when(col("logit") > 0L, "keep").otherwise("drop"))
       .orderBy("doc_id")
 
+  // --- domain-frequent-segment (boilerplate) removal ------------------------
+  /** Fixed segment width for boilerplate detection (words per segment)
+    * and the per-domain doc-frequency threshold above which a segment is
+    * template text. Both are interpolated into the oracle, so changing
+    * them keeps the cross-engine gate honest. */
+  val BoilerSegWords = 4
+  val BoilerDf = 2
+
+  /** CCNet/RefinedWeb-style boilerplate removal: a segment (fixed
+    * [[BoilerSegWords]]-word span; the line analog for a corpus whose
+    * docs are single-line) that appears in >= [[BoilerDf]] DISTINCT
+    * documents of the SAME source is site template text — navigation,
+    * footers, cookie banners — and every occurrence is dropped,
+    * including the first (the df-threshold semantics that distinguish
+    * this from q_dedup_span's first-wins chunk dedup). Emits the
+    * reassembled clean text per surviving document, so the gate hashes
+    * the actual cleaned corpus, not just counts.
+    *
+    * Scale shape: one corpus-wide shuffle keyed by (source, segment) to
+    * count distinct-doc frequency; the frequent set is tiny by
+    * construction (only segments above the threshold — template text is
+    * a vanishing fraction of distinct segments) and broadcasts back, so
+    * the corpus itself never join-shuffles; reassembly is one hash
+    * aggregation by doc_id. Docs reduced to nothing (all segments
+    * templated) drop from the clean corpus on both sides. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Tables(spark, dir, "documents")
+      .withColumn("w", split(lower(col("text")), " "))
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"transform(sequence(1, cast(ceil(size(w) / $BoilerSegWords.0) as int)), " +
+          "i -> named_struct('si', cast(i as bigint), " +
+          s"'seg', concat_ws(' ', slice(w, (i - 1) * $BoilerSegWords + 1, $BoilerSegWords))))")).as("c"))
+      .select(col("doc_id"), col("source"), col("c.si"), col("c.seg"))
+    val hot = segs.groupBy(col("source"), col("seg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BoilerDf)
+      .select(col("source"), col("seg"), lit(1L).as("boiler"))
+    segs.join(broadcast(hot), Seq("source", "seg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("boiler").isNotNull, 1L).otherwise(0L)).as("n_boiler"),
+        array_join(transform(
+          array_sort(collect_list(when(col("boiler").isNull,
+            struct(col("si"), col("seg"))))),
+          c => c.getField("seg")), " ").as("clean_text"))
+      .filter(col("n_seg") > col("n_boiler"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_boilerplate" -> boilerplate,
     "q_quality_logit" -> qualityLogit,
     "q_tfidf_pairs" -> tfidfPairs,
     "q_text_entropy" -> textEntropy,
@@ -736,6 +786,27 @@ object TextOps {
     s"lpad(CAST(${sqlCountIn(markers)} AS VARCHAR), 10, '0') || '$code'"
 
   val oracles: Map[String, String] = Map(
+    "q_boilerplate" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents),
+         |segs AS (
+         |  SELECT doc_id, source, CAST(u.i AS BIGINT) AS si,
+         |    array_to_string(
+         |      w[CAST((u.i - 1) * $BoilerSegWords + 1 AS INT):CAST(u.i * $BoilerSegWords AS INT)],
+         |      ' ') AS seg
+         |  FROM tok, UNNEST(range(1, CAST(ceil(len(w) / $BoilerSegWords.0) AS BIGINT) + 1)) AS u(i)),
+         |hot AS (
+         |  SELECT source, seg FROM segs
+         |  GROUP BY source, seg HAVING COUNT(DISTINCT doc_id) >= $BoilerDf),
+         |fl AS (
+         |  SELECT s.doc_id, s.si, s.seg, (h.seg IS NOT NULL) AS boiler
+         |  FROM segs s LEFT JOIN hot h ON s.source = h.source AND s.seg = h.seg)
+         |SELECT doc_id, COUNT(*) AS n_seg,
+         |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  string_agg(seg, ' ' ORDER BY si) FILTER (WHERE NOT boiler) AS clean_text
+         |FROM fl GROUP BY doc_id
+         |HAVING COUNT(*) > CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
     "q_quality_logit" ->
       s"""WITH toks AS (
          |  SELECT doc_id, u.w
