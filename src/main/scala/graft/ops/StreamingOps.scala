@@ -253,6 +253,68 @@ object StreamingOps {
       .orderBy("ws", "rank")
   }
 
+  // --- windowed histogram quantiles in a stream -----------------------------
+  /** Histogram bucket width for the streaming quantile profile. Sizing
+    * rule at scale: B = value_range / width buckets of state per open
+    * window — width trades quantile resolution against state, the same
+    * dial a production latency monitor turns. Interpolated into the
+    * oracle so the gate re-derives the histogram bit-exactly. */
+  val QuantileBucketWidth = 8.0
+
+  /** Continuous value percentiles (the p50/p90/p99 latency-monitor
+    * shape): each event folds into a FIXED-WIDTH integer histogram —
+    * the streaming groupBy key is (window, floor(value / width)), so the
+    * state store holds one count per live bucket, at most
+    * range/width entries per open window regardless of event rate.
+    * An exact streaming percentile would buffer every row of every open
+    * window; the histogram is the bounded-state contract of
+    * [[streamSketch]]/[[streamTopk]] applied to order statistics, with
+    * resolution = bucket width instead of a probabilistic bound. The
+    * emitted estimate is the LOWER BOUND of the smallest bucket whose
+    * cumulative count reaches q·n — all-integer cross-multiplication
+    * (cum·k ≥ n·m for q = m/k), no float quantile interpolation, so the
+    * DuckDB oracle replays the pick bit-exactly. Append mode + the usual
+    * max+3h sentinel (its own window stays open and is never emitted). */
+  def streamQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val (tmp, raw) = stageLinked(spark, dir)
+    val maxUs = maxTsMicros(spark, dir)
+    val sentinel = spark.range(1).select(
+      timestamp_micros(lit(maxUs + 10800000000L)).as("ts"),
+      lit(0.0).as("value"))
+    writeSentinels(sentinel, raw, tmp)
+    val stream = Tables.normalizeEventTs(
+      rawStream(spark, tmp, raw, Seq("ts", "value")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"),
+        floor(col("value") / QuantileBucketWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val name = s"qt_${UUID.randomUUID.toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // batch tail over the emitted histogram (windows × live buckets rows,
+    // tiny by construction): cumulative pick of each quantile's bucket
+    val byWs = org.apache.spark.sql.expressions.Window.partitionBy("ws")
+    val cumW = byWs.orderBy("bucket")
+    spark.table(name)
+      .select(col("window.start").as("ws"), col("bucket"), col("bn"))
+      .withColumn("cum", sum(col("bn")).over(cumW))
+      .withColumn("n", sum(col("bn")).over(byWs))
+      .groupBy(col("ws"), col("n"))
+      .agg(
+        min(when(col("cum") * 2 >= col("n"), col("bucket"))).as("b50"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("bucket"))).as("b90"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("bucket"))).as("b99"))
+      .select(col("ws"), col("n"),
+        (col("b50") * QuantileBucketWidth).as("p50_lo"),
+        (col("b90") * QuantileBucketWidth).as("p90_lo"),
+        (col("b99") * QuantileBucketWidth).as("p99_lo"))
+      .orderBy("ws")
+  }
+
   // --- stateful sessionization via flatMapGroupsWithState -------------------
   case class SEv(user_id: Long, ts_us: Long, event_id: Long)
   case class SOpen(start: Long, last: Long, n: Long, closed: Long)
@@ -895,6 +957,7 @@ object StreamingOps {
     "q_stream_window_append" -> streamWindowAppend,
     "q_stream_sketch" -> streamSketch,
     "q_stream_topk" -> streamTopk,
+    "q_stream_quantile" -> streamQuantile,
     "q_stream_sessions" -> streamSessions,
     "q_stream_attribution" -> streamAttribution,
     "q_stream_session_window" -> streamSessionWindow,
@@ -1001,6 +1064,24 @@ object StreamingOps {
          |)
          |SELECT ws, CAST(rank AS BIGINT) AS rank, event_id, value
          |FROM r WHERE rank <= ${StreamingOps.TopK} ORDER BY ws, rank""".stripMargin,
+    // the histogram quantile pick replayed with the same all-integer
+    // cross-multiplication; bucket lower bounds multiply out exactly
+    "q_stream_quantile" ->
+      s"""WITH h AS (
+         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+         |    CAST(floor(value / $QuantileBucketWidth) AS BIGINT) AS bucket,
+         |    COUNT(*) AS bn
+         |  FROM events GROUP BY 1, 2),
+         |c AS (
+         |  SELECT ws, bucket, bn,
+         |    SUM(bn) OVER (PARTITION BY ws ORDER BY bucket) AS cum,
+         |    SUM(bn) OVER (PARTITION BY ws) AS n
+         |  FROM h)
+         |SELECT ws, CAST(n AS BIGINT) AS n,
+         |  CAST(MIN(CASE WHEN cum * 2 >= n THEN bucket END) * $QuantileBucketWidth AS DOUBLE) AS p50_lo,
+         |  CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN bucket END) * $QuantileBucketWidth AS DOUBLE) AS p90_lo,
+         |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN bucket END) * $QuantileBucketWidth AS DOUBLE) AS p99_lo
+         |FROM c GROUP BY ws, n ORDER BY ws""".stripMargin,
     "q_stream_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

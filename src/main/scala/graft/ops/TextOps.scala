@@ -725,8 +725,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // --- markup stripping (HTML → text extraction) ----------------------------
+
+  /** `(?s)` so a script body spanning lines still drops; non-greedy so
+    * two script blocks on one document don't merge. Both inline-flag
+    * syntax and semantics are identical in Java regex and RE2, so the
+    * DuckDB oracle runs the same pattern. */
+  private val ScriptRe = "(?s)<script[^>]*>.*?</script>"
+  private val TagRe = "<[^>]+>"
+
+  /** HTML → training-text extraction (the step CCNet/RefinedWeb run
+    * before every quality filter): drop script blocks WITH their
+    * contents, strip remaining tags to whitespace, collapse runs and
+    * trim — tag-delimited text (including in-page boilerplate like ad
+    * copy) survives as text, which is exactly why [[boilerplate]] exists
+    * as the next pipeline stage. The synthetic corpus is plain text, so
+    * the query PLANTS a deterministic page shell (nav/script/ad/footer,
+    * mirrored exactly in the oracle) — the extraction pass is the
+    * operator under test, per the q_pii_redact precedent. Pure per-row
+    * codegen'd regex expressions, no shuffle at all until the gate's
+    * ORDER BY: at 100 TB this is a map-only pass. */
+  def markupStrip(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(spark, dir, "documents").withColumn("html", concat(
+      lit("<html><body><nav>Home | About | "), col("source"), lit("</nav>"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("<script type=\"text/javascript\">track("),
+          col("doc_id").cast("string"), lit(");</script>"))).otherwise(lit("")),
+      lit("<p>"), col("text"), lit("</p>"),
+      when(col("doc_id") % 5 === 0,
+        lit("<div class=\"ad\">BUY NOW!!!</div>")).otherwise(lit("")),
+      lit("<footer>(c) 2026 "), col("source"), lit("</footer></body></html>")))
+    planted
+      .withColumn("noscript", regexp_replace(col("html"), ScriptRe, ""))
+      .withColumn("n_tags", regexp_count(col("noscript"), lit(TagRe)).cast("long"))
+      .withColumn("clean", trim(regexp_replace(
+        regexp_replace(col("noscript"), TagRe, " "), " +", " ")))
+      .select(col("doc_id"), col("n_tags"),
+        length(col("clean")).cast("long").as("clean_len"),
+        col("clean").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_boilerplate" -> boilerplate,
+    "q_markup_strip" -> markupStrip,
     "q_quality_logit" -> qualityLogit,
     "q_tfidf_pairs" -> tfidfPairs,
     "q_text_entropy" -> textEntropy,
@@ -807,6 +849,30 @@ object TextOps {
          |FROM fl GROUP BY doc_id
          |HAVING COUNT(*) > CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
          |ORDER BY doc_id""".stripMargin,
+    "q_markup_strip" ->
+      """WITH planted AS (
+        |  SELECT doc_id, '<html><body><nav>Home | About | ' || source || '</nav>' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN '<script type="text/javascript">track(' ||
+        |              CAST(doc_id AS VARCHAR) || ');</script>' ELSE '' END ||
+        |    '<p>' || text || '</p>' ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN '<div class="ad">BUY NOW!!!</div>' ELSE '' END ||
+        |    '<footer>(c) 2026 ' || source || '</footer></body></html>' AS html
+        |  FROM documents),
+        |ns AS (
+        |  SELECT doc_id,
+        |    regexp_replace(html, '(?s)<script[^>]*>.*?</script>', '', 'g') AS noscript
+        |  FROM planted),
+        |cl AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(noscript, '<[^>]+>')) AS n_tags,
+        |    trim(regexp_replace(regexp_replace(noscript, '<[^>]+>', ' ', 'g'),
+        |         ' +', ' ', 'g')) AS clean
+        |  FROM ns)
+        |SELECT doc_id, CAST(n_tags AS BIGINT) AS n_tags,
+        |  CAST(length(clean) AS BIGINT) AS clean_len, clean AS clean_text
+        |FROM cl ORDER BY doc_id""".stripMargin,
     "q_quality_logit" ->
       s"""WITH toks AS (
          |  SELECT doc_id, u.w
