@@ -347,6 +347,31 @@ object GraftOps {
     aggByStatus(t.scan())
   }
 
+  // --- zero-copy shallow clone ----------------------------------------------
+  /** [[GraftTable.shallowClone]] under divergence: the source gets two
+    * appends AND a live MoR positional delete BEFORE the clone (so the
+    * clone must carry the delete overlay by reference and resolve it
+    * identically), then each side diverges with its own append — the
+    * post-clone appends land only on their own table, and the pre-clone
+    * delete keeps applying on BOTH (positional deletes address files, so
+    * neither side's new rows are touched). The clone commit itself moves
+    * zero data bytes (TableSpec pins no parquet under the clone tree
+    * until its own append). */
+  def tableClone(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    val o = orders(spark, dir)
+    t.append(o.filter(col("o_orderkey") % 4 === 0))
+    t.append(o.filter(col("o_orderkey") % 4 === 1))
+    t.delete("o_orderkey % 10 = 0", WriteMode.MergeOnRead)
+    val c = t.shallowClone(scratch())
+    c.append(o.filter(col("o_orderkey") % 4 === 2))
+    t.append(o.filter(col("o_orderkey") % 4 === 3))
+    aggByStatus(t.scan()).withColumn("side", lit("source"))
+      .unionByName(aggByStatus(c.scan()).withColumn("side", lit("clone")))
+      .select("side", "o_orderstatus", "n", "sum_total")
+      .orderBy("side", "o_orderstatus")
+  }
+
   // --- incremental append scan (consumer-checkpoint read) --------------------
   /** three append batches; a consumer checkpointed at snapshot 1 reads
     * the delta (batches 2+3) via [[GraftTable.appendsBetween]] — the
@@ -804,6 +829,7 @@ object GraftOps {
     "q_maintenance" -> maintenance,
     "q_rollback" -> rollback,
     "q_wap" -> wap,
+    "q_table_clone" -> tableClone,
     "q_cdc_changes" -> cdcChanges,
     "q_incr_scan" -> incrScan,
     "q_hidden_partitioning" -> hiddenPartitioning,
@@ -891,6 +917,22 @@ object GraftOps {
     "q_wap" ->
       aggByStatusSql.replace("%SRC%",
         "(SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O'))"),
+    // pre-clone state = %4 in (0,1) minus the %10 posdel; each side adds
+    // its own post-clone append, untouched by the earlier positional delete
+    "q_table_clone" ->
+      """WITH pre AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 10 <> 0),
+        |u AS (
+        |  SELECT 'source' AS side, o_orderstatus, o_totalprice FROM pre
+        |  UNION ALL SELECT 'source', o_orderstatus, o_totalprice
+        |    FROM orders WHERE o_orderkey % 4 = 3
+        |  UNION ALL SELECT 'clone', o_orderstatus, o_totalprice FROM pre
+        |  UNION ALL SELECT 'clone', o_orderstatus, o_totalprice
+        |    FROM orders WHERE o_orderkey % 4 = 2)
+        |SELECT side, o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM u GROUP BY side, o_orderstatus ORDER BY side, o_orderstatus""".stripMargin,
     "q_cdc_changes" ->
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
         |ins0 AS (SELECT * FROM orders

@@ -896,6 +896,50 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def createBranch(name: String, at: Option[Long] = None): Unit = setRef(name, at, isBranch = true)
   def createTag(name: String, at: Option[Long] = None): Unit = setRef(name, at, isBranch = false)
 
+  /** Zero-copy SHALLOW CLONE (the Delta `CREATE TABLE ... CLONE` shape):
+    * a NEW independent table at `target` whose single initial snapshot
+    * references every current file of this table's `branch` head BY
+    * ABSOLUTE PATH — data files, position/equality deletes, and DVs alike
+    * (delete-file CONTENTS already address data files absolutely, and
+    * per-entry sequence numbers are preserved, so MoR resolution in the
+    * clone is bit-identical to the source). The clone commit writes one
+    * manifest segment and one metadata json: O(files) metadata, ZERO data
+    * bytes — cloning a 100 TB table costs the same as cloning 100 GB.
+    * Afterwards the tables diverge freely: clone commits write under
+    * `target` and never touch source files; source commits rewrite only
+    * source metadata. Schema history, specs, row-id lineage space, and
+    * the sequence-number high-water mark carry over (a post-clone commit
+    * sequences ABOVE every cloned overlay, exactly like a source commit
+    * would). Caveat shared with every shallow-clone design: physically
+    * deleting source data files (snapshot expiry + orphan cleanup on the
+    * source) breaks clones that still reference them — production keeps
+    * cloned-from tables on a retention lease. */
+  def shallowClone(target: String, branch: String = "main"): GraftTable = {
+    require(Meta.currentVersion(target).isEmpty, s"table exists at $target")
+    val m = refresh()
+    val entries = m.head(branch).toSeq
+      .flatMap(s => Meta.readEntries(location, s))
+      .map(e => e.copy(
+        path = normPath(abs(e.path)),
+        appliesTo = e.appliesTo.map(p => normPath(abs(p)))))
+    Files.createDirectories(Paths.get(target))
+    val seg = Meta.writeManifest(target,
+      s"1-clone-${UUID.randomUUID.toString.take(8)}", entries)
+    val snap = SnapshotMeta(1L, None, m.lastSequenceNumber,
+      System.currentTimeMillis(), "clone", m.currentSchemaId, List(seg),
+      Map(
+        "cloned-from" -> location,
+        "added-data-files" -> entries.count(_.fileType == "data").toString,
+        "added-delete-files" -> entries.count(_.fileType != "data").toString,
+        "added-records" -> entries.filter(_.fileType == "data")
+          .map(_.rowCount).sum.toString))
+    val cm = m.copy(tableUuid = UUID.randomUUID.toString,
+      lastSnapshotId = 1L, snapshots = List(snap),
+      refs = Map("main" -> RefMeta(1L, isBranch = true)))
+    Meta.writeJson(cm, target)
+    new GraftTable(spark, target)
+  }
+
   private def setRef(name: String, at: Option[Long], isBranch: Boolean): Unit = {
     val (m, v) = pinned()
     val sid = at.orElse(m.refs.get("main").map(_.snapshotId))

@@ -1528,4 +1528,40 @@ class TableSpec extends SparkSpec {
     // no incrementable unit -> no finite bound
     assert(FooterStats.truncUpper("￿" * 150).isEmpty)
   }
+
+  test("shallow clone: zero data bytes, overlays carried, full divergence") {
+    def keys(t: GraftTable): Set[Long] =
+      t.scan().select("o_orderkey").collect().map(_.getLong(0)).toSet
+    def parquetsUnder(loc: String): Seq[String] =
+      Files.walk(java.nio.file.Paths.get(loc)).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    t.delete("o_orderkey = 2", WriteMode.MergeOnRead) // live posdel overlay
+    t.addColumn("origin", "string", initialDefault = Some("'legacy'"))
+    val cloneLoc = tmp()
+    val c = t.shallowClone(cloneLoc)
+    // the clone commit moved ZERO data bytes: no parquet under its tree
+    assert(parquetsUnder(cloneLoc).isEmpty)
+    // content identical, including the MoR overlay and the v3 default
+    assert(keys(c) == Set(1L, 3L, 4L, 5L, 6L))
+    assert(c.scan().select("origin").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("legacy"))
+    // divergence, both directions: a clone append stays out of the
+    // source; a source MoR delete stays out of the clone
+    c.append(seedDf(Seq((7L, 40L, "O", 700.0)))
+      .withColumn("origin", lit("new")))
+    t.delete("o_orderkey = 3", WriteMode.MergeOnRead)
+    assert(keys(c) == Set(1L, 3L, 4L, 5L, 6L, 7L))
+    assert(keys(t) == Set(1L, 4L, 5L, 6L))
+    // the clone's own append wrote under ITS tree, not the source's
+    assert(parquetsUnder(cloneLoc).nonEmpty)
+    // a post-clone MoR delete in the clone addresses CLONED files (its
+    // posdel rows carry the absolute source paths) without touching them
+    c.delete("o_custkey = 30", WriteMode.MergeOnRead)
+    assert(keys(c) == Set(1L, 3L, 4L, 7L))
+    assert(keys(t) == Set(1L, 4L, 5L, 6L))
+    // refusal: target already a table
+    intercept[IllegalArgumentException] { t.shallowClone(cloneLoc) }
+  }
 }
