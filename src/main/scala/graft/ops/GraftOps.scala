@@ -347,6 +347,31 @@ object GraftOps {
     aggByStatus(t.scan())
   }
 
+  // --- write-time CHECK constraints ------------------------------------------
+  /** Constraint lifecycle under enforcement: two CHECKs added (each
+    * validated against existing data first), then a poisoned batch —
+    * planted negative totals, mirroring the oracle — is REFUSED
+    * atomically (the whole append, not just its bad rows: the inline
+    * guard aborts the write job before the commit publishes), and a
+    * clean batch proceeds. Final state = the two clean appends only;
+    * the refusal's atomicity is what the oracle hash actually gates. */
+  def checkConstraintsQ(spark: SparkSession, dir: String): DataFrame = {
+    val t = mkOrders(spark, dir)
+    val o = orders(spark, dir)
+    t.append(o.filter(col("o_orderkey") % 3 === 0))
+    t.addConstraint("positive_total", "o_totalprice > 0.0")
+    t.addConstraint("known_status", "o_orderstatus IN ('O', 'F', 'P')")
+    val poisoned = o.filter(col("o_orderkey") % 3 === 1)
+      .withColumn("o_totalprice", when(col("o_orderkey") % 5 === 0,
+        -col("o_totalprice")).otherwise(col("o_totalprice")))
+    val refused =
+      try { t.append(poisoned); false }
+      catch { case _: ConstraintViolationException => true }
+    require(refused, "poisoned append was not refused")
+    t.append(o.filter(col("o_orderkey") % 3 === 2))
+    aggByStatus(t.scan())
+  }
+
   // --- zero-copy shallow clone ----------------------------------------------
   /** [[GraftTable.shallowClone]] under divergence: the source gets two
     * appends AND a live MoR positional delete BEFORE the clone (so the
@@ -830,6 +855,7 @@ object GraftOps {
     "q_rollback" -> rollback,
     "q_wap" -> wap,
     "q_table_clone" -> tableClone,
+    "q_check_constraints" -> checkConstraintsQ,
     "q_cdc_changes" -> cdcChanges,
     "q_incr_scan" -> incrScan,
     "q_hidden_partitioning" -> hiddenPartitioning,
@@ -917,6 +943,11 @@ object GraftOps {
     "q_wap" ->
       aggByStatusSql.replace("%SRC%",
         "(SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O'))"),
+    // the poisoned %3=1 batch is refused ATOMICALLY — final state is the
+    // two clean appends only
+    "q_check_constraints" ->
+      aggByStatusSql.replace("%SRC%",
+        "(SELECT * FROM orders WHERE o_orderkey % 3 IN (0, 2))"),
     // pre-clone state = %4 in (0,1) minus the %10 posdel; each side adds
     // its own post-clone append, untouched by the earlier positional delete
     "q_table_clone" ->

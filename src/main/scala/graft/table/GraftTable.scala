@@ -461,8 +461,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
   /** INSERT: append df (logical column names) as new data files. */
   def append(df: DataFrame, branch: String = "main"): SnapshotMeta = {
     val (snapId, seq) = nextIds()
-    val files = writeDataFiles(toPhysical(df, meta.currentSchema), snapId, seq,
-      meta.currentSchemaId, meta.currentSpecId)
+    val files = translatingChecks {
+      writeDataFiles(toPhysical(enforceChecks(df, "append"), meta.currentSchema),
+        snapId, seq, meta.currentSchemaId, meta.currentSpecId)
+    }
     commit("append", branch, files, Set.empty, snapId, seq, rebaseable = true)
   }
 
@@ -529,8 +531,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * writer raises [[CommitConflictException]] instead of interleaving. */
   def overwrite(df: DataFrame, branch: String = "main"): SnapshotMeta = {
     val (snapId, seq) = nextIds()
-    val files = writeDataFiles(toPhysical(df, meta.currentSchema), snapId, seq,
-      meta.currentSchemaId, meta.currentSpecId)
+    val files = translatingChecks {
+      writeDataFiles(toPhysical(enforceChecks(df, "overwrite"), meta.currentSchema),
+        snapId, seq, meta.currentSchemaId, meta.currentSpecId)
+    }
     val prior = meta.head(branch).toSeq
       .flatMap(s => Meta.readEntries(location, s))
       .map(e => normPath(abs(e.path))).toSet
@@ -551,8 +555,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
     require(m0.spec(m0.currentSpecId).fields.nonEmpty,
       "overwritePartitions needs a partitioned table; use overwrite()")
     val (snapId, seq) = nextIds()
-    val files = writeDataFiles(toPhysical(df, m0.currentSchema), snapId, seq,
-      m0.currentSchemaId, m0.currentSpecId)
+    val files = translatingChecks {
+      writeDataFiles(toPhysical(enforceChecks(df, "overwrite-partitions"),
+        m0.currentSchema), snapId, seq, m0.currentSchemaId, m0.currentSpecId)
+    }
     val touched = files.map(_.partition).toSet
     val priorEntries = meta.head(branch).toSeq
       .flatMap(s => Meta.readEntries(location, s))
@@ -700,8 +706,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
           }
         } ++ Seq(col("_row_id"),
           when(hit, lit(seq)).otherwise(col("_last_seq")).as("_last_seq")): _*)
-        val out = writeDataFiles(toPhysical(updated, schema), snapId, seq,
-          meta.currentSchemaId, meta.currentSpecId)
+        val out = translatingChecks {
+          writeDataFiles(toPhysical(enforceChecks(updated, "update"), schema),
+            snapId, seq, meta.currentSchemaId, meta.currentSpecId)
+        }
         commit("overwrite", branch, out, files, snapId, seq)
       case _ =>
         // MoR update = position-delete the old rows + append the new versions
@@ -721,8 +729,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
             case None => col(f.name)
           }
         } ++ Seq(col("_row_id"), lit(seq).as("_last_seq")): _*)
-        val dataEntries = writeDataFiles(toPhysical(updated, schema), snapId, seq,
-          meta.currentSchemaId, meta.currentSpecId)
+        val dataEntries = translatingChecks {
+          writeDataFiles(toPhysical(enforceChecks(updated, "update"), schema),
+            snapId, seq, meta.currentSchemaId, meta.currentSpecId)
+        }
         commit("overwrite", branch, delEntry +: dataEntries, Set.empty, snapId, seq)
     }
   }
@@ -803,8 +813,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
           }
         } ++ Seq(col("t._row_id").as("_row_id"),
           when(matched, lit(seq)).otherwise(col("t._last_seq")).as("_last_seq")): _*)
-        writeDataFiles(toPhysical(outRows, schema), snapId, seq,
-          meta.currentSchemaId, meta.currentSpecId)
+        translatingChecks {
+          writeDataFiles(toPhysical(enforceChecks(outRows, "merge"), schema),
+            snapId, seq, meta.currentSchemaId, meta.currentSpecId)
+        }
       }
       val inserted: Seq[FileMeta] = insertValues match {
         case None => Nil
@@ -831,8 +843,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
           // no isEmpty pre-check: that would execute the anti-join twice
           // (once to count, once to write). Write directly — an empty
           // result produces no part files — and drop zero-row entries.
-          writeDataFiles(toPhysical(rows, schema), snapId, seq,
-            meta.currentSchemaId, meta.currentSpecId).filter(_.rowCount > 0L)
+          translatingChecks {
+            writeDataFiles(toPhysical(enforceChecks(rows, "merge-insert"), schema),
+              snapId, seq, meta.currentSchemaId, meta.currentSpecId)
+          }.filter(_.rowCount > 0L)
       }
       commit("overwrite", branch, rewritten ++ inserted, files, snapId, seq)
     } finally m.unpersist(blocking = false)
@@ -1525,6 +1539,70 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val preds = Pruning.extract(filter, spark)
     liveFiles().filter(_.fileType == "data").filter(f => Pruning.fileMatches(f, m, preds))
   }
+
+  // ==========================================================================
+  // CHECK constraints
+  // ==========================================================================
+
+  /** Write-time CHECK constraints (the Delta `ALTER TABLE ADD CONSTRAINT`
+    * shape), stored as table properties `check.<name>` = SQL predicate
+    * over logical column names. Standard SQL CHECK semantics: only a
+    * FALSE predicate violates — NULL passes. Adding a constraint
+    * validates EXISTING live data first (one scan) and is refused if any
+    * row violates, so a published constraint is always a true invariant
+    * of the table. Write-path enforcement is an inline codegen'd guard
+    * FUSED into the write job ([[enforceChecks]]): each incoming row
+    * evaluates every predicate on its way into the parquet writer, so a
+    * 100 TB append pays ZERO extra passes over the batch (no pre-write
+    * validation job, no second scan) and the first violating row aborts
+    * the job before the commit publishes. Aborted task files are
+    * unreferenced and fall to orphan cleanup like any failed write. */
+  def addConstraint(name: String, predicate: String): Unit = {
+    require(name.nonEmpty && !name.contains('='),
+      s"bad constraint name: '$name'")
+    val bad = scan().filter(not(coalesce(expr(predicate), lit(true)))).count()
+    if (bad > 0) throw new ConstraintViolationException(
+      s"cannot add CHECK constraint '$name' ($predicate): " +
+        s"$bad existing row(s) violate it")
+    updateProperties(Map(s"check.$name" -> predicate))
+  }
+
+  def dropConstraint(name: String): Unit =
+    updateProperties(Map.empty, Seq(s"check.$name"))
+
+  private def checkConstraints: Seq[(String, String)] =
+    meta.properties.toSeq.collect {
+      case (k, v) if k.startsWith("check.") => (k.stripPrefix("check."), v)
+    }.sortBy(_._1)
+
+  /** inline write-path constraint guard (see [[addConstraint]]): a filter
+    * whose condition raises from INSIDE the write job on the first
+    * violating row and is identically true otherwise — raise_error is
+    * never constant-folded, so the optimizer cannot drop the guard */
+  private def enforceChecks(df: DataFrame, op: String): DataFrame = {
+    val checks = checkConstraints
+    if (checks.isEmpty) df
+    else df.filter(checks.map { case (n, p) =>
+      when(not(coalesce(expr(p), lit(true))),
+        raise_error(concat(
+          lit(s"GRAFT_CHECK '$n' violated by $op — ($p) is false for row "),
+          to_json(struct(df.columns.map(col): _*)))).cast("boolean"))
+        .otherwise(lit(true))
+    }.reduce(_ && _))
+  }
+
+  /** surface the inline guard's raise as the typed exception */
+  private def translatingChecks[T](body: => T): T =
+    try body catch {
+      case e: Throwable =>
+        var c: Throwable = e
+        while (c != null) {
+          if (c.getMessage != null && c.getMessage.contains("GRAFT_CHECK"))
+            throw new ConstraintViolationException(c.getMessage)
+          c = c.getCause
+        }
+        throw e
+    }
 
   /** table-property update: one metadata-only commit (version file),
     * same optimistic-concurrency path as every other metadata change */

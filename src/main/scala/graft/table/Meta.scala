@@ -133,6 +133,10 @@ final case class TableMeta(
   * version (or cannot be rebased); callers retry from fresh state. */
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+/** Thrown when a write violates a table CHECK constraint, or when
+  * ADD CONSTRAINT finds existing rows that violate the new predicate. */
+class ConstraintViolationException(msg: String) extends RuntimeException(msg)
+
 object Meta {
   implicit val formats: Formats = DefaultFormats
 

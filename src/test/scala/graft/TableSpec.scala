@@ -1564,4 +1564,48 @@ class TableSpec extends SparkSpec {
     // refusal: target already a table
     intercept[IllegalArgumentException] { t.shallowClone(cloneLoc) }
   }
+
+  test("CHECK constraints: inline enforcement, SQL null semantics, lifecycle") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    // ADD validates existing data: refused while a violating row lives
+    intercept[ConstraintViolationException] {
+      t.addConstraint("small", "o_total < 500.0")
+    }
+    t.addConstraint("positive", "o_total > 0.0")
+    val snapsBefore = t.meta.snapshots.size
+    // a poisoned batch is refused ATOMICALLY — nothing from it lands
+    intercept[ConstraintViolationException] {
+      t.append(seedDf(Seq((7L, 40L, "O", 700.0), (8L, 40L, "X", -1.0))))
+    }
+    assert(t.meta.snapshots.size == snapsBefore)
+    assert(t.scan().count() == 6)
+    // standard SQL CHECK: a NULL predicate PASSES
+    import spark.implicits._
+    t.append(Seq((9L, Option.empty[Long], "O", Option.empty[Double]))
+      .toDF("o_orderkey", "o_custkey", "o_status", "o_total"))
+    assert(t.scan().count() == 7)
+    // update into violation refused (CoW and MoR paths share the guard)
+    intercept[ConstraintViolationException] {
+      t.update("o_orderkey = 1", Map("o_total" -> "-5.0"))
+    }
+    intercept[ConstraintViolationException] {
+      t.update("o_orderkey = 1", Map("o_total" -> "-5.0"), WriteMode.MergeOnRead)
+    }
+    // merge-insert violation refused
+    intercept[ConstraintViolationException] {
+      t.merge(seedDf(Seq((10L, 50L, "O", -3.0))), "t.o_orderkey = s.o_orderkey",
+        insertValues = Some(Map("o_orderkey" -> "s.o_orderkey",
+          "o_custkey" -> "s.o_custkey", "o_status" -> "s.o_status",
+          "o_total" -> "s.o_total")))
+    }
+    // constraints survive reload through metadata; DROP re-allows
+    val t2 = GraftTable.load(spark, t.location)
+    intercept[ConstraintViolationException] {
+      t2.append(seedDf(Seq((11L, 60L, "O", -2.0))))
+    }
+    t2.dropConstraint("positive")
+    t2.append(seedDf(Seq((11L, 60L, "O", -2.0))))
+    assert(t2.scan().count() == 8)
+  }
 }
