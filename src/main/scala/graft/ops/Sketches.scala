@@ -118,6 +118,44 @@ object Sketches {
       .orderBy("l_returnflag")
   }
 
+  /** Sketch ALGEBRA rollup: per-grain HLL registers are computed in ONE
+    * pass over the fact table, then the coarser grain derives by merging
+    * REGISTERS (max per index) — events is never rescanned. This is the
+    * property that makes sketches the right NDV answer at 100 TB: a cube
+    * of exact COUNT(DISTINCT)s pays a key-space shuffle PER GRAIN, while
+    * mergeable registers roll any finished grain up to a coarser one for
+    * the cost of a ≤(grains × 512)-row aggregate. The register table is
+    * cached so both output grains read the single pass; the "(all)" row
+    * is bit-identical to a direct single-pass global sketch
+    * (SketchPropertySpec pins it against [[graft.functions.HllNdvAgg]]). */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val (idx, rank) = regRank("user_id")
+    val base = ev.select(col("event_type"), idx.as("idx"), rank.as("rank"))
+      .groupBy(col("event_type"), col("idx")).agg(max(col("rank")).as("r"))
+      .cache()
+    val grains = base.select(col("event_type").as("grain"), col("idx"), col("r"))
+      .unionByName(base.groupBy(col("idx")).agg(max(col("r")).as("r"))
+        .select(lit("(all)").as("grain"), col("idx"), col("r")))
+    val agg = grains.groupBy(col("grain")).agg(
+      count(lit(1)).as("n_registers"),
+      sum(expr(s"shiftleft(cast(1 as bigint), cast(${WBits + 1} - r as int))"))
+        .cast("long").as("t_present"))
+    val sk = agg.select(col("grain"), col("n_registers"),
+      (col("t_present") +
+        (lit(M.toLong) - col("n_registers")) * lit(1L << (WBits + 1))).as("t"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(M.toDouble))
+    val raw = alpha * lit(M.toDouble) * lit(M.toDouble) *
+      lit((1L << (WBits + 1)).toDouble) / col("t").cast("double")
+    val zeros = (lit(M.toLong) - col("n_registers")).cast("double")
+    val lc = lit(M.toDouble) * log(lit(M.toDouble) / zeros)
+    sk.select(col("grain"), col("n_registers"), col("t"),
+      when(raw <= lit(2.5 * M) && col("n_registers") < lit(M.toLong),
+        floor(lc * lit(10000.0) + lit(0.5)) / lit(10000.0))
+        .otherwise(raw).as("ndv_est"))
+      .orderBy("grain")
+  }
+
   /** Count-Min heavy hitters (functions/CmsAgg.scala): ONE pass builds
     * the 4×1024 counter grid (map-side partials, element-wise-sum merge
     * — the shuffle carries one 32 KB grid per partition), then the exact
@@ -276,6 +314,7 @@ object Sketches {
     "q_robust_stats" -> robustStats,
     "q_hll_ndv" -> hllNdv,
     "q_hll_group" -> hllGroup,
+    "q_hll_rollup" -> hllRollup,
     "q_cms_topk" -> cmsTopk,
     "q_hist_quantiles" -> histQuantiles,
     "q_group_minhash" -> groupMinhash,
@@ -509,6 +548,37 @@ object Sketches {
         |  quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90,
         |  quantile_cont(CAST(n_chars AS DOUBLE), 0.99) AS p99
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // the register-merge rollup replayed: grain registers, then the
+    // "(all)" grain as MAX over them — the same associative algebra
+    "q_hll_rollup" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    ${sqlFold("'hll:' || CAST(user_id AS VARCHAR)")} AS u
+         |  FROM events
+         |), rr AS (
+         |  SELECT event_type, u // ${1L << WBits} AS idx,
+         |    CASE WHEN u % ${1L << WBits} = 0 THEN ${WBits + 1}
+         |         ELSE ${WBits + 1} - length(bin(u % ${1L << WBits})) END AS rank
+         |  FROM h
+         |), regs AS (
+         |  SELECT event_type, idx, MAX(rank) AS r FROM rr GROUP BY event_type, idx
+         |), grains AS (
+         |  SELECT event_type AS grain, idx, r FROM regs
+         |  UNION ALL
+         |  SELECT '(all)' AS grain, idx, MAX(r) AS r FROM regs GROUP BY idx
+         |), agg AS (
+         |  SELECT grain, CAST(COUNT(*) AS BIGINT) AS n_registers,
+         |    CAST(SUM(CAST(1 AS BIGINT) << CAST(${WBits + 1} - r AS BIGINT))
+         |         AS BIGINT) AS t_present
+         |  FROM grains GROUP BY grain
+         |), sk AS (
+         |  SELECT grain, n_registers,
+         |    t_present + ($M - n_registers) * ${1L << (WBits + 1)} AS t
+         |  FROM agg
+         |)
+         |SELECT grain, n_registers, CAST(t AS BIGINT) AS t,
+         |  $sqlHllEst AS ndv_est
+         |FROM sk ORDER BY grain""".stripMargin,
     "q_hll_ndv" ->
       s"""WITH h AS (
          |  SELECT $sqlU AS u FROM lineitem

@@ -5,10 +5,24 @@ import org.apache.spark.sql.functions._
 import graft.functions.TopKAgg
 import graft.ops.TextOps
 
-/** Round-10 operators: the bounded top-k aggregate (streaming rank) and
-  * domain-frequent-segment boilerplate removal. */
+/** Round-10 operators: the bounded top-k aggregate (streaming rank),
+  * domain-frequent-segment boilerplate removal, and the HLL register
+  * rollup's merge-equals-single-pass law. */
 class RankBoilerSpec extends SparkSpec {
   import spark.implicits._
+
+  test("hll rollup: merged '(all)' registers equal the single-pass global sketch") {
+    val all = ops.Sketches.hllRollup(spark, sf)
+      .filter(col("grain") === "(all)").collect()(0)
+    // the same global sketch via the Catalyst aggregate in one direct pass
+    val direct = Tables(spark, sf, "events")
+      .agg(graft.functions.HllNdvAgg.hllNdv(col("user_id")).as("sk"))
+      .select(col("sk.n_registers"), col("sk.t"), col("sk.ndv_est"))
+      .collect()(0)
+    assert(all.getLong(1) == direct.getLong(0)) // n_registers
+    assert(all.getLong(2) == direct.getLong(1)) // t
+    assert(all.getDouble(3) == direct.getDouble(2)) // ndv_est, bit-exact
+  }
 
   test("graft_top_k: k-bound, ordering, and tie-break by lower id") {
     val df = Seq(
