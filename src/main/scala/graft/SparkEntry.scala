@@ -23,7 +23,7 @@ object SparkEntry {
       IncrementalAgg.queries ++ CorpusGraph.queries ++ Clustering.queries ++ Interop.queries ++
       IncrementalDedup.queries ++ GraphRank.queries ++ Sketches.queries ++ Behavioral.queries ++
       Scd2.queries ++ DataQuality.queries ++ UrlOps.queries ++ ImageCodec.queries ++
-      StreamingOps.queries
+      AudioCodec.queries ++ StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -35,5 +35,5 @@ object SparkEntry {
       IncrementalAgg.oracles ++ CorpusGraph.oracles ++ Clustering.oracles ++ Interop.oracles ++
       IncrementalDedup.oracles ++ GraphRank.oracles ++ Sketches.oracles ++ Behavioral.oracles ++
       Scd2.oracles ++ DataQuality.oracles ++ UrlOps.oracles ++ ImageCodec.oracles ++
-      StreamingOps.oracles
+      AudioCodec.oracles ++ StreamingOps.oracles
 }
