@@ -315,6 +315,63 @@ object StreamingOps {
       .orderBy("ws")
   }
 
+  // --- windowed distribution drift in a stream ------------------------------
+  /** Distribution-drift monitor (the "did the data change under me"
+    * question every continuously-trained pipeline asks): the SAME
+    * bounded per-(window, bucket) histogram state as [[streamQuantile]]
+    * — ≤ range/width counts per open window, never rows — then each
+    * emitted window's value distribution is compared to its successor's
+    * by L1 distance in ALL-INTEGER cross-multiplication:
+    * l1_num = Σ_b |bn_a·n_b − bn_b·n_a| over the pair's bucket union,
+    * drifted ⇔ 2·l1_num > n_a·n_b (total-variation > ¼) — no float
+    * normalization, so the DuckDB oracle replays the verdict exactly.
+    * The pair comparison runs over (windows × live buckets) rows — the
+    * emitted histogram, not the stream. */
+  def streamDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (tmp, raw) = stageLinked(spark, dir)
+    val maxUs = maxTsMicros(spark, dir)
+    val sentinel = spark.range(1).select(
+      timestamp_micros(lit(maxUs + 10800000000L)).as("ts"),
+      lit(0.0).as("value"))
+    writeSentinels(sentinel, raw, tmp)
+    val stream = Tables.normalizeEventTs(
+      rawStream(spark, tmp, raw, Seq("ts", "value")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"),
+        floor(col("value") / QuantileBucketWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val name = s"dr_${UUID.randomUUID.toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val hist = spark.table(name)
+      .select(col("window.start").as("ws"), col("bucket"), col("bn"))
+    val totals = hist.groupBy(col("ws")).agg(sum(col("bn")).as("n"))
+    val pairs = totals.as("a").join(totals.as("b"),
+        col("b.ws") === col("a.ws") + expr("INTERVAL 1 HOUR"))
+      .select(col("a.ws").as("ws"), col("b.ws").as("ws_next"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+    // bucket union of each adjacent pair with zero-fill, via union + sum
+    // (an outer join on (pair, bucket) would zero-fill the same way with
+    // a second shuffle)
+    val contrib = hist
+      .select(col("ws"), col("bucket"), col("bn").as("ba"), lit(0L).as("bb"))
+      .unionByName(hist.select(
+        (col("ws") - expr("INTERVAL 1 HOUR")).as("ws"), col("bucket"),
+        lit(0L).as("ba"), col("bn").as("bb")))
+      .groupBy(col("ws"), col("bucket"))
+      .agg(sum(col("ba")).as("bn_a"), sum(col("bb")).as("bn_b"))
+    contrib.join(pairs, "ws")
+      .groupBy(col("ws"), col("ws_next"), col("n_a"), col("n_b"))
+      .agg(sum(abs(col("bn_a") * col("n_b") - col("bn_b") * col("n_a")))
+        .as("l1_num"))
+      .withColumn("drifted", col("l1_num") * lit(2L) > col("n_a") * col("n_b"))
+      .orderBy("ws")
+  }
+
   // --- stateful sessionization via flatMapGroupsWithState -------------------
   case class SEv(user_id: Long, ts_us: Long, event_id: Long)
   case class SOpen(start: Long, last: Long, n: Long, closed: Long)
@@ -958,6 +1015,7 @@ object StreamingOps {
     "q_stream_sketch" -> streamSketch,
     "q_stream_topk" -> streamTopk,
     "q_stream_quantile" -> streamQuantile,
+    "q_stream_drift" -> streamDrift,
     "q_stream_sessions" -> streamSessions,
     "q_stream_attribution" -> streamAttribution,
     "q_stream_session_window" -> streamSessionWindow,
@@ -1082,6 +1140,34 @@ object StreamingOps {
          |  CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN bucket END) * $QuantileBucketWidth AS DOUBLE) AS p90_lo,
          |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN bucket END) * $QuantileBucketWidth AS DOUBLE) AS p99_lo
          |FROM c GROUP BY ws, n ORDER BY ws""".stripMargin,
+    // the adjacent-window L1 drift verdict replayed on the same
+    // histogram, all-integer cross-multiplication end to end
+    "q_stream_drift" ->
+      s"""WITH h AS (
+         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+         |    CAST(floor(value / $QuantileBucketWidth) AS BIGINT) AS bucket,
+         |    COUNT(*) AS bn
+         |  FROM events GROUP BY 1, 2),
+         |t AS (
+         |  SELECT ws, CAST(SUM(bn) AS BIGINT) AS n FROM h GROUP BY ws),
+         |p AS (
+         |  SELECT a.ws AS ws, b.ws AS ws_next, a.n AS n_a, b.n AS n_b
+         |  FROM t a JOIN t b ON b.ws = a.ws + INTERVAL 1 HOUR),
+         |c AS (
+         |  SELECT ws, bucket,
+         |    CAST(SUM(ba) AS BIGINT) AS bn_a, CAST(SUM(bb) AS BIGINT) AS bn_b
+         |  FROM (
+         |    SELECT ws, bucket, bn AS ba, 0 AS bb FROM h
+         |    UNION ALL
+         |    SELECT ws - INTERVAL 1 HOUR AS ws, bucket, 0 AS ba, bn AS bb FROM h)
+         |  GROUP BY ws, bucket)
+         |SELECT p.ws, p.ws_next, p.n_a, p.n_b,
+         |  CAST(SUM(ABS(bn_a * p.n_b - bn_b * p.n_a)) AS BIGINT) AS l1_num,
+         |  (CAST(SUM(ABS(bn_a * p.n_b - bn_b * p.n_a)) AS BIGINT) * 2
+         |     > p.n_a * p.n_b) AS drifted
+         |FROM c JOIN p ON c.ws = p.ws
+         |GROUP BY p.ws, p.ws_next, p.n_a, p.n_b
+         |ORDER BY p.ws""".stripMargin,
     "q_stream_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -78,4 +78,42 @@ class MarkupQuantileSpec extends SparkSpec {
       assert(p50 % StreamingOps.QuantileBucketWidth == 0.0)
     }
   }
+
+  test("stream drift: equals the batch pairing replay; verdict is the integer rule") {
+    val rows = StreamingOps.streamDrift(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    // batch replay: same histogram, same adjacent-window L1
+    val hist = Tables(spark, sf, "events")
+      .select(date_trunc("hour", col("ts")).as("ws"),
+        floor(col("value") / StreamingOps.QuantileBucketWidth)
+          .cast("long").as("bucket"))
+      .groupBy("ws", "bucket").agg(count(lit(1)).as("bn"))
+    val totals = hist.groupBy(col("ws")).agg(sum(col("bn")).as("n"))
+    val pairs = totals.as("a").join(totals.as("b"),
+        col("b.ws") === col("a.ws") + expr("INTERVAL 1 HOUR"))
+      .select(col("a.ws").as("ws"), col("b.ws").as("ws_next"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+    val contrib = hist
+      .select(col("ws"), col("bucket"), col("bn").as("ba"), lit(0L).as("bb"))
+      .unionByName(hist.select((col("ws") - expr("INTERVAL 1 HOUR")).as("ws"),
+        col("bucket"), lit(0L).as("ba"), col("bn").as("bb")))
+      .groupBy(col("ws"), col("bucket"))
+      .agg(sum(col("ba")).as("bn_a"), sum(col("bb")).as("bn_b"))
+    val batch = contrib.join(pairs, "ws")
+      .groupBy(col("ws"), col("ws_next"), col("n_a"), col("n_b"))
+      .agg(sum(abs(col("bn_a") * col("n_b") - col("bn_b") * col("n_a")))
+        .as("l1_num"))
+      .withColumn("drifted", col("l1_num") * lit(2L) > col("n_a") * col("n_b"))
+      .orderBy("ws")
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.toSeq == batch.toSeq)
+    // the verdict column IS the integer rule, row by row
+    rows.foreach { case (_, _, na, nb, l1, drifted) =>
+      assert(drifted == (l1 * 2 > na * nb))
+      assert(l1 >= 0 && l1 <= 2 * na * nb) // L1 upper bound
+    }
+  }
 }
