@@ -143,6 +143,8 @@ object GraftFunctions {
       "graft_minhash(col) - mergeable K=64 MinHash set signature"),
     ("graft_kmv", exprs => KmvSketchAgg(exprs.head),
       "graft_kmv(col) - mergeable K=256 KMV/theta distinct sketch (set algebra)"),
+    ("graft_top_k", exprs => TopKAgg.fromExprs(exprs),
+      "graft_top_k(value, id, k) - mergeable bounded top-k rank aggregate"),
     ("graft_wkb_point", exprs => WkbPointEnc(exprs(0), exprs(1)),
       "graft_wkb_point(x, y) - little-endian WKB 2D point"),
     ("graft_wkb_x", exprs => WkbCoord(exprs.head, 5),
@@ -184,7 +186,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_minhash(col) - mergeable K=64 MinHash set signature"),
       ("graft_kmv",
         (exprs: Seq[Expression]) => KmvSketchAgg(exprs.head): Expression,
-        "graft_kmv(col) - mergeable K=256 KMV/theta distinct sketch (set algebra)")
+        "graft_kmv(col) - mergeable K=256 KMV/theta distinct sketch (set algebra)"),
+      ("graft_top_k",
+        (exprs: Seq[Expression]) => TopKAgg.fromExprs(exprs),
+        "graft_top_k(value, id, k) - mergeable bounded top-k rank aggregate")
     ).foreach { case (name, builder, usage) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftFunctions", name, usage),

@@ -132,4 +132,11 @@ object TopKAgg {
     Bridge.column(
       TopKAgg(Bridge.expression(value), Bridge.expression(id), k)
         .toAggregateExpression())
+
+  /** SQL-surface builder: `graft_top_k(value, id, k)`, k a literal */
+  def fromExprs(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "graft_top_k(value, id, k)")
+    TopKAgg(exprs(0), exprs(1),
+      exprs(2).eval().asInstanceOf[Number].intValue)
+  }
 }

@@ -46,6 +46,17 @@ class RankBoilerSpec extends SparkSpec {
     assert(one.size == 5)
   }
 
+  test("graft_top_k: SQL surface matches the Column API") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (4L, 1.0))
+      .toDF("id", "v").createOrReplaceTempView("tk_sql")
+    val viaSql = spark.sql(
+      "SELECT graft_top_k(v, id, 2) AS top FROM tk_sql").collect()(0).getSeq[Any](0)
+    val viaCol = spark.table("tk_sql")
+      .agg(TopKAgg.topK(col("v"), col("id"), 2).as("top")).collect()(0).getSeq[Any](0)
+    assert(viaSql == viaCol && viaSql.size == 2)
+  }
+
   test("graft_top_k: nulls skipped; group smaller than k emits all its rows") {
     val out = Seq((1L, Some(3.0)), (2L, None), (3L, Some(8.0)))
       .toDF("id", "v")
