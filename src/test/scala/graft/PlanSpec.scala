@@ -338,4 +338,24 @@ class PlanSpec extends SparkSpec {
     assert(out.filter(col("k") === 60L).select("v").as[Double].head() == 60.5)
     assert(out.filter(col("k") === 10L).select("v").as[Double].head() == 10.0)
   }
+
+  test("boilerplate: the frequent set broadcasts; the corpus never join-shuffles") {
+    val plan = planString(TextOps.boilerplate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot-segment set must broadcast onto the segment stream:\n$plan")
+    // the only SortMergeJoin-shaped corpus shuffle would be the join
+    // itself; its absence pins the broadcast shape
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus segments must not shuffle for the hot-set join")
+  }
+
+  test("markup strip: map-only — the gate's ORDER BY is the only exchange") {
+    val plan = planString(TextOps.markupStrip(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"markup stripping is a per-row regex pass; found an agg/join shuffle:\n$plan")
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1,
+      "exactly one exchange: the output ORDER BY")
+    assert(!plan.contains("ScalaUDF"),
+      "regex pipeline must stay codegen'd expressions, not UDFs")
+  }
 }

@@ -326,6 +326,71 @@ class TableFuzzSpec extends SparkSpec {
       "no external commit fired across the unpartitioned fuzz seeds")
   }
 
+  test("random divergent ops on a shallow clone and its source stay isolated (seed 7)") {
+    // the clone-specific state space: a clone taken OVER LIVE MoR/DV
+    // overlays, then every content-op shape fired randomly at source or
+    // clone — any cross-table contamination (a clone rewrite touching
+    // source metadata, a source compaction changing clone reads, a
+    // shared-file posdel leaking) fails the lockstep check immediately
+    import spark.implicits._
+    val rnd = new Random(7)
+    val t = GraftTable.create(spark, tmp(), "id bigint, k bigint, s string")
+    var nextId = 0L
+    def fresh(n: Int): Vector[(Long, Long, String)] = Vector.fill(n) {
+      nextId += 1; (nextId, rnd.nextInt(7).toLong, "s" + rnd.nextInt(4))
+    }
+    def df(rows: Seq[(Long, Long, String)]) = rows.toDF("id", "k", "s")
+    def canonOf(tt: GraftTable): Vector[String] =
+      tt.scan().select("id", "k", "s").collect().toVector
+        .map(r => s"${r.getLong(0)}|${r.getLong(1)}|${r.getString(2)}").sorted
+    def canonM(m: Vector[(Long, Long, String)]): Vector[String] =
+      m.map(r => s"${r._1}|${r._2}|${r._3}").sorted
+
+    var srcM = fresh(12); t.append(df(srcM))
+    val more = fresh(9); srcM ++= more; t.append(df(more))
+    t.delete("k % 3 = 0", WriteMode.MergeOnRead)
+    srcM = srcM.filterNot(_._2 % 3 == 0)
+    t.delete("k % 5 = 1", WriteMode.DeletionVector)
+    srcM = srcM.filterNot(_._2 % 5 == 1)
+    val c = t.shallowClone(tmp())
+    var cloneM = srcM
+    assert(canonOf(c) == canonM(cloneM), "clone != source at clone time")
+
+    for (step <- 0 until 14) {
+      val onClone = rnd.nextBoolean()
+      val tt = if (onClone) c else t
+      def model = if (onClone) cloneM else srcM
+      def setModel(v: Vector[(Long, Long, String)]): Unit =
+        if (onClone) cloneM = v else srcM = v
+      val m = 3 + rnd.nextInt(3)
+      val rem = rnd.nextInt(m).toLong
+      rnd.nextInt(7) match {
+        case 0 | 1 =>
+          val rows = fresh(4 + rnd.nextInt(8))
+          setModel(model ++ rows); tt.append(df(rows))
+        case 2 =>
+          setModel(model.filterNot(_._2 % m == rem))
+          tt.delete(s"k % $m = $rem", WriteMode.CopyOnWrite)
+        case 3 =>
+          setModel(model.filterNot(_._2 % m == rem))
+          tt.delete(s"k % $m = $rem", WriteMode.MergeOnRead)
+        case 4 =>
+          setModel(model.filterNot(_._2 % m == rem))
+          tt.delete(s"k % $m = $rem", WriteMode.DeletionVector)
+        case 5 =>
+          setModel(model.map(r =>
+            if (r._2 % m == rem) (r._1, r._2 + 7L, r._3 + "u") else r))
+          tt.update(s"k % $m = $rem",
+            Map("k" -> "k + 7", "s" -> "concat(s, 'u')"),
+            if (rnd.nextBoolean()) WriteMode.CopyOnWrite else WriteMode.MergeOnRead)
+        case _ =>
+          tt.compact(targetMB = 1) // content-preserving on its own table
+      }
+      assert(canonOf(t) == canonM(srcM), s"step=$step source diverged from model")
+      assert(canonOf(c) == canonM(cloneM), s"step=$step clone diverged from model")
+    }
+  }
+
   test("random op sequences on a PARTITIONED table match the models (seed 99)") {
     // same state machine, but every write now routes through hidden
     // partition dirs and per-file partition tuples: deletes/updates must
