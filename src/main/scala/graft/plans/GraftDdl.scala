@@ -205,6 +205,28 @@ case class GraftSetPropertiesCommand(ns: String, tbl: String,
   }
 }
 
+/** ANSI `ALTER TABLE ... ADD CONSTRAINT name CHECK (...)` — validated at
+  * the updateProperties chokepoint, enforced inline on every write */
+case class GraftAddConstraintCommand(ns: String, tbl: String,
+    name: String, predicate: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftDdl.catalog(spark).loadTable(ns, tbl).addConstraint(name, predicate)
+    Nil
+  }
+}
+
+case class GraftDropConstraintCommand(ns: String, tbl: String,
+    name: String, ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftDdl.catalog(spark).loadTable(ns, tbl)
+    if (!ifExists)
+      require(t.meta.properties.contains(s"check.$name"),
+        s"no CHECK constraint '$name' on $ns.$tbl")
+    t.dropConstraint(name)
+    Nil
+  }
+}
+
 case class GraftRenameTableCommand(ns: String, from: String, toNs: String,
     to: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{FieldName, RelationTimeTravel, UnresolvedAttribute, UnresolvedFieldName, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedProcedure, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, NamedArgumentExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, Call, ColumnDefinition, CreateNamespace, CreateTable, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropNamespace, DropTable, Filter, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, QualifiedColType, RenameColumn, RenameTable, SetTableProperties, ShowCreateTable, ShowTableProperties, ShowTables, SubqueryAlias, TruncateTable, UnresolvedTableSpec, UnsetTableProperties, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, AlterColumns, Assignment, Call, ColumnDefinition, CreateNamespace, CreateTable, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, DropNamespace, DropTable, Filter, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, QualifiedColType, RenameColumn, RenameTable, SetTableProperties, ShowCreateTable, ShowTableProperties, ShowTables, SubqueryAlias, TruncateTable, UnresolvedTableSpec, UnsetTableProperties, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.command.ShowNamespacesCommand
@@ -352,6 +352,23 @@ class GraftSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         if graftParts(parts).isDefined =>
       val (ns, tbl) = graftParts(parts).get
       GraftDescribeCommand(ns, tbl, output)
+    // ADD CONSTRAINT parses with its existing-data validation scan as the
+    // child (Filter(NOT cond) over the relation); graft validates at the
+    // updateProperties chokepoint instead, so only the identifier is used
+    case AddCheckConstraint(child, c) if (child.collectFirst {
+          case UnresolvedRelation(parts, _, _) => graftParts(parts)
+        }).flatten.isDefined =>
+      val (ns, tbl) = (child.collectFirst {
+        case UnresolvedRelation(parts, _, _) => graftParts(parts)
+      }).flatten.get
+      val name = Option(c.userProvidedName).filter(_.nonEmpty)
+        .getOrElse(throw new UnsupportedOperationException(
+          "graft ADD CONSTRAINT: a constraint name is required"))
+      GraftAddConstraintCommand(ns, tbl, name, c.condition)
+    case DropConstraint(UnresolvedTable(parts, _, _), name, ifExists, _)
+        if graftParts(parts).isDefined =>
+      val (ns, tbl) = graftParts(parts).get
+      GraftDropConstraintCommand(ns, tbl, name, ifExists)
     case SetTableProperties(UnresolvedTable(parts, _, _), props)
         if graftParts(parts).isDefined =>
       val (ns, tbl) = graftParts(parts).get

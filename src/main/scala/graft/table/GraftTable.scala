@@ -1560,10 +1560,6 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def addConstraint(name: String, predicate: String): Unit = {
     require(name.nonEmpty && !name.contains('='),
       s"bad constraint name: '$name'")
-    val bad = scan().filter(not(coalesce(expr(predicate), lit(true)))).count()
-    if (bad > 0) throw new ConstraintViolationException(
-      s"cannot add CHECK constraint '$name' ($predicate): " +
-        s"$bad existing row(s) violate it")
     updateProperties(Map(s"check.$name" -> predicate))
   }
 
@@ -1605,9 +1601,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
     }
 
   /** table-property update: one metadata-only commit (version file),
-    * same optimistic-concurrency path as every other metadata change */
+    * same optimistic-concurrency path as every other metadata change.
+    * This is the single chokepoint for `check.*` keys, so EVERY route
+    * that can publish a constraint — [[addConstraint]], SQL
+    * `ALTER TABLE ... ADD CONSTRAINT`, or a raw `SET TBLPROPERTIES` —
+    * validates existing live data first (the Delta ADD CONSTRAINT rule);
+    * a published constraint is always a true invariant of the table. */
   def updateProperties(set: Map[String, String], unset: Seq[String] = Nil): Unit = {
     val (m, v) = pinned()
+    set.collect { case (k, p) if k.startsWith("check.") &&
+        !m.properties.get(k).contains(p) => (k.stripPrefix("check."), p)
+    }.foreach { case (n, p) =>
+      val bad = scan().filter(not(coalesce(expr(p), lit(true)))).count()
+      if (bad > 0) throw new ConstraintViolationException(
+        s"cannot add CHECK constraint '$n' ($p): " +
+          s"$bad existing row(s) violate it")
+    }
     val next = m.copy(properties = m.properties ++ set -- unset)
     Meta.writeJsonAt(next, location, v + 1)
     meta = next

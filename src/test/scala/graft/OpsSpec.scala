@@ -1452,6 +1452,27 @@ class OpsSpec extends SparkSpec {
       assert(shown("write.sort") == "full_name")
       s2.sql("ALTER TABLE graft.db.t UNSET TBLPROPERTIES ('write.sort')")
       assert(!cat.loadTable("db", "t").meta.properties.contains("write.sort"))
+      // ANSI CHECK constraints end to end in SQL: ADD validates existing
+      // data, enforcement is inline on SQL writes, DROP re-allows — and
+      // the raw TBLPROPERTIES route hits the same validation chokepoint
+      s2.sql("ALTER TABLE graft.db.t ADD CONSTRAINT amt_pos CHECK (amount > 0)")
+      intercept[graft.table.ConstraintViolationException] {
+        s2.sql("INSERT INTO graft.db.t VALUES (8, 'neg', -1, 'basic')")
+      }
+      assert(s2.sql("SELECT count(*) FROM graft.db.t").head().getLong(0) == 3,
+        "refused insert must not land")
+      intercept[graft.table.ConstraintViolationException] {
+        s2.sql("ALTER TABLE graft.db.t ADD CONSTRAINT amt_small CHECK (amount < 5)")
+      }
+      intercept[graft.table.ConstraintViolationException] {
+        s2.sql("ALTER TABLE graft.db.t SET TBLPROPERTIES ('check.small'='amount < 5')")
+      }
+      s2.sql("ALTER TABLE graft.db.t DROP CONSTRAINT amt_pos")
+      assert(!cat.loadTable("db", "t").meta.properties.contains("check.amt_pos"))
+      intercept[IllegalArgumentException] {
+        s2.sql("ALTER TABLE graft.db.t DROP CONSTRAINT nope")
+      }
+      s2.sql("ALTER TABLE graft.db.t DROP CONSTRAINT IF EXISTS nope")
       val ct = s2.sql("SHOW CREATE TABLE graft.db.t").head().getString(0)
       assert(ct.contains("CREATE TABLE graft.db.t") && ct.contains("full_name") &&
         ct.contains("bucket(4, id)"), ct)
