@@ -341,12 +341,16 @@ case class GraftCallCommand(proc: String, args: Seq[(Option[String], String)])
         val s = t.addFiles(required(1, "source"))
         GraftDdl.info(s"registered files from ${required(1, "source")} " +
           s"at snapshot ${s.snapshotId}")
+      case "clone" =>
+        val Array(tns, ttbl) = required(1, "target").split("\\.", 2)
+        GraftDdl.catalog(spark).cloneTable(ns, tbl, tns, ttbl)
+        GraftDdl.info(s"cloned $ns.$tbl to $tns.$ttbl (zero data bytes)")
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure: $other (known: rewrite_data_files, " +
           "rewrite_small_files, expire_snapshots, rollback_to_snapshot, " +
           "remove_orphan_files, fast_forward, create_branch, create_tag, " +
           "analyze_table, rewrite_manifests, rewrite_position_deletes, " +
-          "add_files)")
+          "add_files, clone)")
     }
   }
 }

@@ -39,6 +39,18 @@ trait Catalog {
   def renameTable(ns: String, from: String, to: String): Unit
   def dropTable(ns: String, name: String): Unit
 
+  /** zero-copy shallow clone as a catalog operation: the normal create
+    * path allocates AND registers the target location (pointer row, REST
+    * entry, or warehouse dir — whatever this backend uses), then the
+    * clone metadata publishes as that empty table's next version
+    * ([[GraftTable.shallowClone]] accepts a snapshot-less target) */
+  def cloneTable(fromNs: String, from: String, toNs: String,
+      to: String): GraftTable = {
+    val src = loadTable(fromNs, from)
+    val target = createTable(toNs, to, "id bigint")
+    src.shallowClone(target.location)
+  }
+
   /** staging-table name for an RTAS swap targeting `tbl` — dot-prefixed
     * (hidden from listings) with a fixed-width uuid so the TARGET is
     * parseable back out of the name, which is what lets [[cleanStaging]]

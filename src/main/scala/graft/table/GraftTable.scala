@@ -929,7 +929,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * source) breaks clones that still reference them — production keeps
     * cloned-from tables on a retention lease. */
   def shallowClone(target: String, branch: String = "main"): GraftTable = {
-    require(Meta.currentVersion(target).isEmpty, s"table exists at $target")
+    // target may be a FRESH directory or a freshly-created EMPTY catalog
+    // table (the CREATE TABLE ... CLONE shape — the catalog allocated and
+    // registered the location; the clone metadata publishes as its next
+    // version, replacing the empty creation schema wholesale)
+    Meta.currentVersion(target).foreach { _ =>
+      require(Meta.readJson(target).snapshots.isEmpty,
+        s"table exists at $target — a clone target must have no snapshots")
+    }
     val m = refresh()
     val entries = m.head(branch).toSeq
       .flatMap(s => Meta.readEntries(location, s))

@@ -1473,6 +1473,15 @@ class OpsSpec extends SparkSpec {
         s2.sql("ALTER TABLE graft.db.t DROP CONSTRAINT nope")
       }
       s2.sql("ALTER TABLE graft.db.t DROP CONSTRAINT IF EXISTS nope")
+      // zero-copy clone as a catalog procedure: content equal at clone
+      // time, then full divergence; the clone commit moves no data bytes
+      s2.sql("CALL graft.system.clone('db.t', 'db.tclone')")
+      assert(s2.sql("SELECT count(*) FROM graft.db.tclone").head().getLong(0) == 3)
+      s2.sql("INSERT INTO graft.db.tclone VALUES (50, 'dora', 500, 'gold')")
+      assert(s2.sql("SELECT count(*) FROM graft.db.tclone").head().getLong(0) == 4)
+      assert(s2.sql("SELECT count(*) FROM graft.db.t").head().getLong(0) == 3,
+        "source must not see the clone's divergent insert")
+      s2.sql("DROP TABLE graft.db.tclone")
       val ct = s2.sql("SHOW CREATE TABLE graft.db.t").head().getString(0)
       assert(ct.contains("CREATE TABLE graft.db.t") && ct.contains("full_name") &&
         ct.contains("bucket(4, id)"), ct)
