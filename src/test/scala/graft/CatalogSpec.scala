@@ -43,6 +43,17 @@ class CatalogSpec extends SparkSpec {
       intercept[Exception] { cat.createTable("db1", "t1", "k bigint") }
       cat.createTable("db2", "x", "k bigint")
       intercept[Exception] { cat.renameTable("db2", "x", "t2b") }
+      // zero-copy clone through EVERY backend's pointer machinery: the
+      // create path allocates + registers, the clone publishes as the
+      // empty table's next version, and the pair diverges freely
+      val c1 = cat.cloneTable("db1", "t1", "db2", "t1c")
+      assert(c1.scan().count() == 2, label)
+      c1.append(Seq((9L, "z")).toDF("k", "v"))
+      assert(cat.loadTable("db2", "t1c").scan().count() == 3, label)
+      assert(cat.loadTable("db1", "t1").scan().count() == 2,
+        s"$label: source saw the clone's divergent append")
+      intercept[Exception] { cat.cloneTable("db1", "t1", "db2", "t1c") }
+      cat.dropTable("db2", "t1c")
       // non-empty namespace refuses to drop (jdbc enforces; fs no-ops on
       // the non-empty dir) — either way db1 survives with its table
       try cat.dropNamespace("db1") catch { case _: Exception => () }
