@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
@@ -37,11 +37,16 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.ArrayList[(Double, Long)]] {
+  extends TypedImperativeAggregate[java.util.ArrayList[(Double, Long)]]
+  with ImplicitCastInputTypes {
 
   require(k > 0, "graft_top_k: k must be positive")
 
   override def children: Seq[Expression] = Seq(valueExpr, idExpr)
+  // declared input types + implicit casts: graft_top_k(int_col, int_id, k)
+  // from the SQL surface analyzes to casts instead of failing executor-side
+  // with a ClassCastException in update()'s asInstanceOf
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("rank", LongType, nullable = false),
@@ -133,10 +138,25 @@ object TopKAgg {
       TopKAgg(Bridge.expression(value), Bridge.expression(id), k)
         .toAggregateExpression())
 
-  /** SQL-surface builder: `graft_top_k(value, id, k)`, k a literal */
+  /** SQL-surface builder: `graft_top_k(value, id, k)`, k a foldable
+    * positive integral literal — validated HERE so a bad k is an
+    * analysis-time error naming the problem, not a runtime cast failure */
   def fromExprs(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3, "graft_top_k(value, id, k)")
-    TopKAgg(exprs(0), exprs(1),
-      exprs(2).eval().asInstanceOf[Number].intValue)
+    val kExpr = exprs(2)
+    require(kExpr.foldable,
+      s"graft_top_k: k must be a literal, got non-foldable ${kExpr.sql}")
+    val kVal = kExpr.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val v = kExpr.eval()
+        require(v != null, "graft_top_k: k must not be null")
+        v.asInstanceOf[Number].longValue
+      case dt => throw new IllegalArgumentException(
+        s"graft_top_k: k must be an integral literal, got ${kExpr.sql} " +
+          s"of type ${dt.simpleString}")
+    }
+    require(kVal > 0 && kVal <= Int.MaxValue,
+      s"graft_top_k: k must be a positive int, got $kVal")
+    TopKAgg(exprs(0), exprs(1), kVal.toInt)
   }
 }

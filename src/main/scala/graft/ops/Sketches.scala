@@ -149,11 +149,17 @@ object Sketches {
       lit((1L << (WBits + 1)).toDouble) / col("t").cast("double")
     val zeros = (lit(M.toLong) - col("n_registers")).cast("double")
     val lc = lit(M.toDouble) * log(lit(M.toDouble) / zeros)
-    sk.select(col("grain"), col("n_registers"), col("t"),
+    val out = sk.select(col("grain"), col("n_registers"), col("t"),
       when(raw <= lit(2.5 * M) && col("n_registers") < lit(M.toLong),
         floor(lc * lit(10000.0) + lit(0.5)) / lit(10000.0))
         .otherwise(raw).as("ndv_est"))
       .orderBy("grain")
+      // the result is ≤(grains+1) rows: pin it eagerly so the register
+      // cache can be released NOW instead of leaking for the JVM's
+      // lifetime (bench loops re-invoke this; each cache would pile up)
+      .localCheckpoint()
+    base.unpersist(blocking = false)
+    out
   }
 
   /** Count-Min heavy hitters (functions/CmsAgg.scala): ONE pass builds

@@ -756,9 +756,17 @@ object StreamingOps {
             .filter(_.fileType == "data")
             .flatMap(_.stats.get(seqFid).flatMap(_.max).flatMap(_.toLongOption))
             .foldLeft(0L)(math.max)
-          val toSeq = graft.table.Meta.readJsonVersion(loc, vs.max)
+          // For a REAL window (endpoints differ), the endpoint snapshot's
+          // sequence must resolve — fail LOUDLY if it cannot: a defaulted
+          // sentinel would poison the sink's commit_seq watermark and
+          // silently skip every subsequent window forever, the worst
+          // possible failure mode in an exactly-once path. (The v1
+          // creation batch has toSnap == fromSnap == 0 and never needs it.)
+          def toSeq: Long = graft.table.Meta.readJsonVersion(loc, vs.max)
             .snapshots.find(_.snapshotId == toSnap).map(_.sequenceNumber)
-            .getOrElse(Long.MaxValue)
+            .getOrElse(throw new IllegalStateException(
+              s"CDC pump: endpoint snapshot $toSnap not found in $loc " +
+                s"metadata v${vs.max} — cannot stamp commit_seq"))
           if (toSnap != fromSnap && toSeq > applied) {
             val tbl = graft.table.GraftTable.load(spark, loc)
             val delta =

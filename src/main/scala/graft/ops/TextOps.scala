@@ -20,6 +20,27 @@ object TextOps {
 
   private def words(c: Column): Column = split(c, " ")
 
+  /** Broadcast a DATA-DEPENDENT small side only while it is actually
+    * small — enforced in code, not scaladoc prose. The vocabulary DF
+    * table (keyword_terms, bm25) and the per-source frequent-segment set
+    * (boilerplate) are corpus-derived: tiny at test SF, unbounded on
+    * noisy web text (#sources × templates, vocabulary of 10⁸-source
+    * crawl). The side is pinned once (localCheckpoint — one
+    * materialization shared by the row count and the join), counted,
+    * and broadcast only at or under the tunable row bound
+    * (`graft.text.bcast.rows` system property / SPARK_GRAFT_TEXT_BCAST_ROWS
+    * env, default 4M); past it the caller's equi-join falls back to a
+    * shuffle — the exact [[graft.table.GraftTable.merge]] bcast-gate
+    * pattern (same default bound). PlanSpec pins BroadcastHashJoin at
+    * test scale AND drives the fallback (bound=0) to the same result. */
+  private[ops] def gatedBroadcast(df: DataFrame): DataFrame = {
+    val bound = sys.props.get("graft.text.bcast.rows")
+      .orElse(sys.env.get("SPARK_GRAFT_TEXT_BCAST_ROWS"))
+      .flatMap(_.toLongOption).getOrElse(4000000L)
+    val pinned = df.localCheckpoint()
+    if (pinned.count() <= bound) broadcast(pinned) else pinned
+  }
+
   private def countIn(c: Column, markers: Seq[String]): Column = {
     val pred = markers.map(m => s"w = '$m'").mkString(" OR ")
     expr(s"size(filter(split(text, ' '), w -> $pred))").cast(LongType)
@@ -339,15 +360,17 @@ object TextOps {
   /** Per-document salient terms by TF/DF ratio (term frequency over corpus
     * document frequency — the broadcast-friendly cousin of TF-IDF with no
     * floating log): two passes over the token stream, the corpus DF table
-    * is vocabulary-sized so it BROADCASTS onto the per-doc TF aggregate;
-    * ranking is a per-doc window. At 100 TB the heavy side shuffles once
-    * (doc_id, w) for TF; DF rides a distinct + small agg. */
+    * is vocabulary-sized so it broadcasts onto the per-doc TF aggregate
+    * via [[gatedBroadcast]] (vocabulary is data-dependent and unbounded
+    * on noisy web text — past the row bound the join falls back to a
+    * shuffle); ranking is a per-doc window. At 100 TB the heavy side
+    * shuffles once (doc_id, w) for TF; DF rides a distinct + small agg. */
   def keywordTerms(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val dfreq = toks.distinct().groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "w")
+    val scored = tf.join(gatedBroadcast(dfreq), "w")
       .withColumn("salience", col("tf").cast("double") / col("df"))
     val top = Window.partitionBy(col("doc_id"))
       .orderBy(col("salience").desc, col("w").asc)
@@ -363,8 +386,10 @@ object TextOps {
   /** BM25 document ranking for a fixed term query (k1=1.2, b=0.75) — the
     * retrieval scorer on top of the inverted-index family (q_postings):
     * length-normalized TF saturation × rarity IDF. Corpus stats (N,
-    * total length) are ONE broadcast row; per-term DF is vocabulary-sized
-    * and broadcasts; the only big shuffle is the (doc, term) TF aggregate
+    * total length) are ONE broadcast row; per-term DF is query-term-sized
+    * here (≤3 rows — tf is filtered to the query terms before DF) and
+    * still goes through [[gatedBroadcast]] so the discipline holds if the
+    * query-term list grows; the only big shuffle is the (doc, term) TF aggregate
     * over tokens matching the query terms — the token stream is filtered
     * BEFORE the shuffle, so cost scales with query-term frequency, not
     * corpus size. Per-term contributions are pivoted to fixed columns and
@@ -385,7 +410,7 @@ object TextOps {
       / (col("df").cast("double") + lit(0.5)) + lit(1.0))
     val denom = col("tf").cast("double") + lit(1.2) *
       (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl").cast("double") / avgdl))
-    val contrib = tf.join(broadcast(dfreq), "w")
+    val contrib = tf.join(gatedBroadcast(dfreq), "w")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("w"),
@@ -695,11 +720,12 @@ object TextOps {
     * the actual cleaned corpus, not just counts.
     *
     * Scale shape: one corpus-wide shuffle keyed by (source, segment) to
-    * count distinct-doc frequency; the frequent set is tiny by
-    * construction (only segments above the threshold — template text is
-    * a vanishing fraction of distinct segments) and broadcasts back, so
-    * the corpus itself never join-shuffles; reassembly is one hash
-    * aggregation by doc_id. Docs reduced to nothing (all segments
+    * count distinct-doc frequency; the frequent set is usually small
+    * (template text is a vanishing fraction of distinct segments) BUT
+    * #sources-proportional, so it goes through [[gatedBroadcast]] — the
+    * count-gated broadcast with a shuffled-join fallback past the bound,
+    * never a forced broadcast of a data-dependent set. Reassembly is one
+    * hash aggregation by doc_id. Docs reduced to nothing (all segments
     * templated) drop from the clean corpus on both sides. */
   def boilerplate(spark: SparkSession, dir: String): DataFrame = {
     val segs = Tables(spark, dir, "documents")
@@ -713,7 +739,7 @@ object TextOps {
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= BoilerDf)
       .select(col("source"), col("seg"), lit(1L).as("boiler"))
-    segs.join(broadcast(hot), Seq("source", "seg"), "left")
+    segs.join(gatedBroadcast(hot), Seq("source", "seg"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_seg"),
         sum(when(col("boiler").isNotNull, 1L).otherwise(0L)).as("n_boiler"),

@@ -767,14 +767,27 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val schema = meta.currentSchema
     require(!source.columns.exists(c => c == "_mf" || c == "_mp" || c.startsWith("_tk_")),
       "MERGE source columns _mf/_mp/_tk_* collide with internal match-set names")
+    // ON contract: every column reference must be qualified t. (target) or
+    // s. (source). The matched-set design depends on it — target columns
+    // are carried into M by their t.-qualification, so an unqualified ref
+    // would silently miss the carry and fail later in the insert anti-join
+    // with an unhelpful resolution error. Validate UP FRONT, naming the
+    // offending attribute.
+    val onAttrs = spark.sessionState.sqlParser.parseExpression(on).collect {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => ua
+    }
+    onAttrs.find(ua => ua.nameParts.length < 2 ||
+        !(ua.nameParts.head.equalsIgnoreCase("t") ||
+          ua.nameParts.head.equalsIgnoreCase("s"))).foreach { ua =>
+      throw new IllegalArgumentException(
+        s"MERGE ON must qualify every column with t. (target) or s. " +
+          s"(source); '${ua.name}' is not")
+    }
     // target columns the ON expression references — carried into M so the
     // insert anti-join can run against M instead of a second table scan
-    val tRefs: Seq[String] = spark.sessionState.sqlParser.parseExpression(on)
-      .collect {
-        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-            if ua.nameParts.length >= 2 && ua.nameParts.head.equalsIgnoreCase("t") =>
-          ua.nameParts(1)
-      }.distinct
+    val tRefs: Seq[String] = onAttrs.collect {
+      case ua if ua.nameParts.head.equalsIgnoreCase("t") => ua.nameParts(1)
+    }.distinct
     val tgt = scan(withPos = true, ref = Some(branch))
     MergeStats.onJoinPasses.incrementAndGet()
     val m = tgt.alias("t").join(source.alias("s"), expr(on), "inner")
@@ -792,11 +805,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val files = stats.map(_.getString(0)).toSet
       val matchedRows = stats.map(_.getAs[Long]("_rows")).sum
       // M is micro-batch/source-bounded in the streaming-apply hot path —
-      // broadcast it; past the row bound fall back to a shuffled equi-join
-      // on (file, pos) so a giant batch MERGE cannot overflow the driver
-      val bcastMax = sys.env.get("SPARK_GRAFT_MERGE_BCAST_ROWS")
+      // broadcast it; past EITHER bound fall back to a shuffled equi-join
+      // on (file, pos) so a giant batch MERGE cannot overflow the driver.
+      // The row bound alone is not enough: each M row carries the file
+      // path, ON keys, and ALL source columns, so a wide source schema at
+      // millions of rows is multi-GB — bound the MATERIALIZED byte size
+      // too, read from the persisted relation's accumulated stats (exact
+      // once the stats collect above has touched every partition).
+      val bcastMax = sys.props.get("graft.merge.bcast.rows")
+        .orElse(sys.env.get("SPARK_GRAFT_MERGE_BCAST_ROWS"))
         .flatMap(_.toLongOption).getOrElse(4000000L)
-      val mJoin = if (matchedRows <= bcastMax) broadcast(m) else m
+      val bcastMaxBytes = sys.props.get("graft.merge.bcast.bytes")
+        .orElse(sys.env.get("SPARK_GRAFT_MERGE_BCAST_BYTES"))
+        .flatMap(_.toLongOption).getOrElse(256L << 20)
+      val mBytes = m.queryExecution.optimizedPlan.stats.sizeInBytes
+      val doBcast = matchedRows <= bcastMax && mBytes <= BigInt(bcastMaxBytes)
+      val mJoin = if (doBcast) broadcast(m) else m
 
       val rewritten: Seq[FileMeta] = if (files.isEmpty) Nil else {
         val part = readForRewrite(files, branch, withPos = true)
@@ -828,7 +852,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
             if (tRefs.nonEmpty) {
               val tKeys = m.select(tRefs.map(c => col(s"_tk_$c").as(c)): _*)
               source.alias("s").join(
-                (if (matchedRows <= bcastMax) broadcast(tKeys) else tKeys).alias("t"),
+                (if (doBcast) broadcast(tKeys) else tKeys).alias("t"),
                 expr(on), "left_anti")
             } else {
               MergeStats.onJoinPasses.incrementAndGet()
@@ -924,10 +948,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * source metadata. Schema history, specs, row-id lineage space, and
     * the sequence-number high-water mark carry over (a post-clone commit
     * sequences ABOVE every cloned overlay, exactly like a source commit
-    * would). Caveat shared with every shallow-clone design: physically
-    * deleting source data files (snapshot expiry + orphan cleanup on the
-    * source) breaks clones that still reference them — production keeps
-    * cloned-from tables on a retention lease. */
+    * would). The shallow-clone hazard — source snapshot expiry + orphan
+    * cleanup physically deleting files a clone still references — is
+    * closed by a RETENTION LEASE, not prose: the clone registers itself
+    * under every source root its entries point into BEFORE it publishes
+    * (metadata/clones/<uuid>.lease), and [[expireSnapshots]] /
+    * [[removeOrphanFiles]] consult the lease registry and never delete a
+    * file a live clone references. Dropping a clone (removing its
+    * metadata) releases the lease at the source's next GC. */
   def shallowClone(target: String, branch: String = "main"): GraftTable = {
     // target may be a FRESH directory or a freshly-created EMPTY catalog
     // table (the CREATE TABLE ... CLONE shape — the catalog allocated and
@@ -943,6 +971,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .map(e => e.copy(
         path = normPath(abs(e.path)),
         appliesTo = e.appliesTo.map(p => normPath(abs(p)))))
+    val cloneUuid = UUID.randomUUID.toString
+    // Register retention leases FIRST, in EVERY table root the cloned
+    // entries point into — the direct source plus any upstream root a
+    // chain of clones carried absolute paths through — so each root's GC
+    // sees the lease before the clone is even readable. A crash between
+    // here and the metadata publish leaves only a stale lease (target has
+    // no metadata), self-released at that root's next GC.
+    entries.flatMap(e => Seq(e.path) ++ e.appliesTo)
+      .flatMap { p =>
+        val i = math.max(p.indexOf("/data/"), p.indexOf("/deletes/"))
+        if (i > 0) Some(p.substring(0, i)) else None
+      }.distinct.foreach { r =>
+        Files.createDirectories(leaseDir(r))
+        Files.write(leaseDir(r).resolve(s"$cloneUuid.lease"),
+          target.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     Files.createDirectories(Paths.get(target))
     val seg = Meta.writeManifest(target,
       s"1-clone-${UUID.randomUUID.toString.take(8)}", entries)
@@ -954,11 +998,47 @@ class GraftTable(val spark: SparkSession, val location: String) {
         "added-delete-files" -> entries.count(_.fileType != "data").toString,
         "added-records" -> entries.filter(_.fileType == "data")
           .map(_.rowCount).sum.toString))
-    val cm = m.copy(tableUuid = UUID.randomUUID.toString,
+    val cm = m.copy(tableUuid = cloneUuid,
       lastSnapshotId = 1L, snapshots = List(snap),
       refs = Map("main" -> RefMeta(1L, isBranch = true)))
     Meta.writeJson(cm, target)
     new GraftTable(spark, target)
+  }
+
+  // --- shallow-clone retention leases ----------------------------------------
+  /** lease registry under a table root: one file per registered shallow
+    * clone (name = clone tableUuid, content = clone location) */
+  private def leaseDir(root: String): java.nio.file.Path =
+    Paths.get(root, "metadata", "clones")
+
+  /** Normalized absolute file paths under `rootPrefix` (this table's
+    * location, trailing slash) that registered LIVE clones still
+    * reference — the set [[expireSnapshots]] and [[removeOrphanFiles]]
+    * must never physically delete. A lease whose clone metadata is gone
+    * (clone dropped) is released here; a clone whose metadata EXISTS but
+    * cannot be read fails the GC loudly — deleting files under an
+    * uninspectable clone would risk silent corruption, the exact failure
+    * this registry exists to prevent. O(live clone manifests) driver
+    * work, no Spark job. */
+  private def cloneRetainedFiles(rootPrefix: String): Set[String] = {
+    val dir = leaseDir(location)
+    if (!Files.isDirectory(dir)) return Set.empty
+    val listing = Files.list(dir)
+    val leases = try listing.iterator().asScala.toList finally listing.close()
+    leases.flatMap { lf =>
+      val cloneLoc = new String(Files.readAllBytes(lf),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (Meta.currentVersion(cloneLoc).isEmpty) {
+        Files.deleteIfExists(lf) // clone dropped — lease released
+        Nil
+      } else {
+        val cm = Meta.readJson(cloneLoc)
+        cm.snapshots.flatMap(s => Meta.readEntries(cloneLoc, s))
+          .flatMap(e => Seq(e.path) ++ e.appliesTo)
+          .map(p => normPath(if (p.startsWith("/")) p else s"$cloneLoc/$p"))
+          .filter(_.startsWith(rootPrefix))
+      }
+    }.toSet
   }
 
   private def setRef(name: String, at: Option[Long], isBranch: Boolean): Unit = {
@@ -1261,7 +1341,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // destroy source data the table never wrote (Iceberg's add_files carries
     // the same gc caveat). Such entries are merely dropped from metadata.
     val root = normPath(location).stripSuffix("/") + "/"
-    val orphans = (dropped -- keptFiles).filter(_.startsWith(root))
+    // files a registered live shallow clone still references are LEASED:
+    // dropped from this table's metadata as usual, but never physically
+    // deleted — the clone's reads stay correct after routine source
+    // maintenance (removeOrphanFiles honors the same leases)
+    val leased = cloneRetainedFiles(root)
+    val orphans = (dropped -- keptFiles).filter(_.startsWith(root)) -- leased
     // publish the trimmed metadata FIRST: if a concurrent commit wins the
     // version race we must not have deleted files its state still references
     val next = m.copy(snapshots = keep)
@@ -1328,9 +1413,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * guard keeps in-flight writes safe). Returns units removed. */
   def removeOrphanFiles(olderThanMs: Long): Int = {
     val m = Meta.readJson(location)
+    // clone-leased files count as referenced: a file this table's
+    // metadata no longer tracks may still back a registered live clone
     val referenced = m.snapshots
       .flatMap(s => Meta.readEntries(location, s))
-      .map(e => normPath(abs(e.path))).toSet
+      .map(e => normPath(abs(e.path))).toSet ++
+      cloneRetainedFiles(normPath(location).stripSuffix("/") + "/")
     var removed = 0
     Seq("data", "deletes").foreach { r =>
       val root = Paths.get(location, r)

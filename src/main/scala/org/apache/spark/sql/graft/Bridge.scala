@@ -14,6 +14,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** [[org.apache.spark.sql.types.AbstractDataType]] is `private[sql]`,
+    * but `ExpectsInputTypes.inputTypes` (the analysis-time type contract
+    * every well-behaved expression should declare) is typed in terms of
+    * it — alias it here so graft expressions can override `inputTypes`
+    * from their own namespace. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   /** Analyze + wrap a logical plan into a DataFrame at execution time —
     * the hook graft's SQL DML commands use to resolve an INSERT/MERGE
     * source subquery against the session's catalog when the command runs

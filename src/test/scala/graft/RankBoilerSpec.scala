@@ -87,6 +87,46 @@ class RankBoilerSpec extends SparkSpec {
       (4L, 2L, 0L, "a b c d z1 z2 z3 z4")))
   }
 
+  test("graft_top_k SQL surface: int inputs implicitly cast; bad k is an analysis-time error") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1, 5), (2, 9), (3, 9), (4, 1))
+      .toDF("id", "v").createOrReplaceTempView("tk_cast")
+    // int value / int id analyze to casts (ImplicitCastInputTypes), not
+    // an executor-side ClassCastException
+    val out = spark.sql("SELECT graft_top_k(v, id, 2) AS top FROM tk_cast")
+      .select(explode(col("top")).as("t"))
+      .select(col("t.id"), col("t.value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((2L, 9.0), (3L, 9.0)))
+    // non-literal, non-integral, and non-positive k: descriptive errors
+    // at registration/analysis, never a runtime cast failure
+    def failsWith(sql: String, needle: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    failsWith("SELECT graft_top_k(v, id, v) FROM tk_cast", "literal")
+    failsWith("SELECT graft_top_k(v, id, 'two') FROM tk_cast", "integral")
+    failsWith("SELECT graft_top_k(v, id, 0) FROM tk_cast", "positive")
+  }
+
+  test("text broadcast gate: fallback path (bound 0) matches the broadcast path") {
+    // the data-dependent small sides (frequent-segment set, vocabulary DF)
+    // broadcast only under the row bound; past it the SAME join runs
+    // shuffled — results must be identical on both paths
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val boilerB = canon(TextOps.boilerplate(spark, sf))
+    val keywordB = canon(TextOps.keywordTerms(spark, sf))
+    val bm25B = canon(TextOps.bm25(spark, sf))
+    sys.props("graft.text.bcast.rows") = "0"
+    try {
+      assert(canon(TextOps.boilerplate(spark, sf)) == boilerB)
+      assert(canon(TextOps.keywordTerms(spark, sf)) == keywordB)
+      assert(canon(TextOps.bm25(spark, sf)) == bm25B)
+    } finally sys.props.remove("graft.text.bcast.rows")
+  }
+
   test("boilerplate: sf0.001 output is internally consistent") {
     val out = ops.TextOps.boilerplate(spark, sf).cache()
     val bad = out.filter(col("n_boiler") >= col("n_seg")).count()

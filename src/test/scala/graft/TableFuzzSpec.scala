@@ -364,7 +364,7 @@ class TableFuzzSpec extends SparkSpec {
         if (onClone) cloneM = v else srcM = v
       val m = 3 + rnd.nextInt(3)
       val rem = rnd.nextInt(m).toLong
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 | 1 =>
           val rows = fresh(4 + rnd.nextInt(8))
           setModel(model ++ rows); tt.append(df(rows))
@@ -383,8 +383,16 @@ class TableFuzzSpec extends SparkSpec {
           tt.update(s"k % $m = $rem",
             Map("k" -> "k + 7", "s" -> "concat(s, 'u')"),
             if (rnd.nextBoolean()) WriteMode.CopyOnWrite else WriteMode.MergeOnRead)
-        case _ =>
+        case 6 =>
           tt.compact(targetMB = 1) // content-preserving on its own table
+        case _ =>
+          // routine maintenance with an everything-is-old cutoff — the
+          // retention lease must keep the OTHER table's reads intact even
+          // when this one expires history and physically sweeps orphans
+          // (pre-lease, a source GC after any rewrite corrupted the clone)
+          val future = System.currentTimeMillis() + 600000L
+          tt.expireSnapshots(olderThanMs = future, retainLast = 1)
+          tt.removeOrphanFiles(olderThanMs = future)
       }
       assert(canonOf(t) == canonM(srcM), s"step=$step source diverged from model")
       assert(canonOf(c) == canonM(cloneM), s"step=$step clone diverged from model")

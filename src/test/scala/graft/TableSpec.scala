@@ -1565,6 +1565,68 @@ class TableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.shallowClone(cloneLoc) }
   }
 
+  test("merge ON contract: unqualified column references refused up front, by name") {
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    val src = seedDf(Seq((1L, 10L, "O", 111.0)))
+    // the matched-set design carries target columns by their t.-qualification;
+    // an unqualified ref would fail deep in the insert anti-join — instead
+    // the contract is validated before any job runs, naming the attribute
+    val e = intercept[IllegalArgumentException] {
+      t.merge(src, on = "o_orderkey = s.o_orderkey",
+        matchedSet = Map("o_total" -> "s.o_total"))
+    }
+    assert(e.getMessage.contains("o_orderkey"))
+    assert(e.getMessage.contains("t.") && e.getMessage.contains("s."))
+    // a foreign qualifier is refused the same way
+    val e2 = intercept[IllegalArgumentException] {
+      t.merge(src, on = "t.o_orderkey = x.o_orderkey")
+    }
+    assert(e2.getMessage.contains("x.o_orderkey"))
+    // nothing committed by either refusal
+    assert(t.scan().count() == 6)
+  }
+
+  test("shallow clone retention lease: source expiry + orphan sweep never break the clone") {
+    def keys(tt: GraftTable): Set[Long] =
+      tt.scan().select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val future = System.currentTimeMillis() + 600000L
+    val t = mkOrders(tmp())
+    // one data file, so the divergence rewrite below orphans the WHOLE
+    // pre-clone file set (first-level dirs are the orphan-sweep unit)
+    t.append(seedDf(seed).coalesce(1))
+    t.delete("o_orderkey = 2", WriteMode.MergeOnRead) // live overlay at clone time
+    val cloneLoc = tmp()
+    val c = t.shallowClone(cloneLoc)
+    val expected = Set(1L, 3L, 4L, 5L, 6L)
+    assert(keys(c) == expected)
+    // the lease landed in the SOURCE's registry before the clone published
+    val leaseDir = java.nio.file.Paths.get(t.location, "metadata", "clones")
+    assert(Files.isDirectory(leaseDir) && Files.list(leaseDir).count() == 1)
+    // source diverges with a CoW delete (rewrites the cloned-from files),
+    // then runs ROUTINE maintenance with an everything-is-old cutoff —
+    // the exact sequence that silently corrupted clones when the caveat
+    // was prose: expiry drops the old snapshots, and without the lease
+    // the physical delete would take the clone's data files with them
+    t.delete("o_orderkey = 3", WriteMode.CopyOnWrite)
+    val (nExpired, _) = t.expireSnapshots(olderThanMs = future, retainLast = 1)
+    assert(nExpired >= 1, "expiry should have dropped pre-divergence snapshots")
+    t.removeOrphanFiles(olderThanMs = future)
+    // source is right AND the clone still reads its full pre-divergence
+    // content — the leased files survived both GC passes
+    assert(keys(t) == Set(1L, 4L, 5L, 6L))
+    assert(keys(c) == expected)
+    // dropping the clone releases the lease: the next sweep physically
+    // removes the now-unreferenced files and clears the registry entry
+    Files.walk(java.nio.file.Paths.get(cloneLoc))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    val removed = t.removeOrphanFiles(olderThanMs = future)
+    assert(removed > 0, "dropped clone should release its lease for GC")
+    assert(Files.list(leaseDir).count() == 0)
+    assert(keys(t) == Set(1L, 4L, 5L, 6L)) // source untouched throughout
+  }
+
   test("CHECK constraints: inline enforcement, SQL null semantics, lifecycle") {
     val t = mkOrders(tmp())
     t.append(seedDf(seed))
