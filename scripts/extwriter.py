@@ -13,7 +13,7 @@ Iceberg with pyiceberg/Flink write suites against Spark reads
 flink_feature_tests.py).
 
 Usage:
-    extwriter.py <table_location> <rows.json> [--pin N]
+    extwriter.py <table_location> <rows.json> [--pin N] [--branch B]
     extwriter.py <table_location> --delete <col> <values.json> [--pin N]
     extwriter.py <table_location> --delete-eq <col> <values.json> [--pin N]
     extwriter.py <table_location> --update <col> <update.json> [--pin N]
@@ -86,6 +86,15 @@ physical column name, applying (by the format's sequence gate) only to
 rows whose data file carries an OLDER sequence number — rows appended
 after this delete survive. Both prove the merge-on-read write path
 from outside the JVM.
+
+--branch B: commit to branch ref B instead of main — the WAP flow's
+audit-branch write from the SECOND implementation (the reference's WAP
+is branch-first). B must already exist as a BRANCH ref (create it with
+the native writer's createBranch); the commit's snapshot parents off
+B's head, its row-op modes (--delete/--update/--merge) address B's
+live files, and only refs.B moves — main is untouched. The CAS publish
+is version-level and branch-independent: two pinned commits to
+DIFFERENT branches from one base still race, exactly one wins.
 
 --pin N: base the commit on metadata version N specifically and attempt
 to publish at exactly N+1 with NO retry — exits 2 on a create-new
@@ -290,6 +299,11 @@ def main():
         i = argv.index("--pin")
         pin = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    branch = "main"
+    if "--branch" in argv:
+        i = argv.index("--branch")
+        branch = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     default_lit = None
     if "--default" in argv:
         i = argv.index("--default")
@@ -367,8 +381,15 @@ def main():
     tag = uuid.uuid4().hex[:8]
 
     parent = None
-    if "main" in meta["refs"]:
-        parent = meta["refs"]["main"]["snapshotId"]
+    if branch in meta["refs"]:
+        ref = meta["refs"][branch]
+        if not ref.get("isBranch", False):
+            fail(f"ref {branch} is a tag, not a branch")
+        parent = ref["snapshotId"]
+    elif branch != "main":
+        # WAP creates the audit branch first; a typo'd branch must not
+        # silently fork fresh history
+        fail(f"branch {branch} does not exist (create it before writing)")
     parent_snap = next((s for s in meta["snapshots"]
                         if s["snapshotId"] == parent), None)
 
@@ -775,7 +796,7 @@ def main():
     meta["lastRowId"] = new_last_row_id
     meta["snapshots"] = meta["snapshots"] + [snapshot]
     meta["refs"] = dict(meta["refs"])
-    meta["refs"]["main"] = {"snapshotId": snap_id, "isBranch": True}
+    meta["refs"][branch] = {"snapshotId": snap_id, "isBranch": True}
 
     # --- CAS publish: tmp write, hard-link create-new ----------------------
     cas_publish(loc, meta, base_v, tag)

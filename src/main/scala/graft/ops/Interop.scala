@@ -178,14 +178,16 @@ object Interop {
     * cross a process boundary to an engine that shares no code. */
   private[graft] def runExtWriter(loc: String, rows: Seq[(Long, String, Double)],
       pin: Option[Int] = None,
-      cols: (String, String, String) = ("id", "status", "total")): Int = {
+      cols: (String, String, String) = ("id", "status", "total"),
+      branch: Option[String] = None): Int = {
     val payload = rows.map { case (id, st, total) =>
       s"""{"${cols._1}":$id,"${cols._2}":"$st","${cols._3}":$total}"""
     }.mkString("""{"rows":[""", ",", "]}")
     val f = Files.createTempFile("graft-extwrite", ".json")
     Files.writeString(f, payload)
     val cmd = Seq("python3", extWriterScript, loc, f.toString) ++
-      pin.toSeq.flatMap(v => Seq("--pin", v.toString))
+      pin.toSeq.flatMap(v => Seq("--pin", v.toString)) ++
+      branch.toSeq.flatMap(b => Seq("--branch", b))
     import scala.sys.process._
     Process(cmd).!
   }
@@ -195,11 +197,13 @@ object Interop {
     * with pyarrow, and commits a (file_path, pos) delete file — the MoR
     * write path proven from outside the JVM. */
   private[graft] def runExtWriterDelete(loc: String, colName: String,
-      values: Seq[Long], pin: Option[Int] = None): Int = {
+      values: Seq[Long], pin: Option[Int] = None,
+      branch: Option[String] = None): Int = {
     val f = Files.createTempFile("graft-extdel", ".json")
     Files.writeString(f, values.mkString("""{"values":[""", ",", "]}"))
     val cmd = Seq("python3", extWriterScript, loc, "--delete", colName,
-      f.toString) ++ pin.toSeq.flatMap(v => Seq("--pin", v.toString))
+      f.toString) ++ pin.toSeq.flatMap(v => Seq("--pin", v.toString)) ++
+      branch.toSeq.flatMap(b => Seq("--branch", b))
     import scala.sys.process._
     Process(cmd).!
   }
@@ -208,12 +212,14 @@ object Interop {
     * column name; the format's sequence gate must apply it only to rows
     * whose data file is OLDER than the delete's sequence number. */
   private[graft] def runExtWriterDeleteEq(loc: String, colName: String,
-      values: Seq[String], pin: Option[Int] = None): Int = {
+      values: Seq[String], pin: Option[Int] = None,
+      branch: Option[String] = None): Int = {
     val f = Files.createTempFile("graft-exteq", ".json")
     Files.writeString(f,
       values.map(v => "\"" + v + "\"").mkString("""{"values":[""", ",", "]}"))
     val cmd = Seq("python3", extWriterScript, loc, "--delete-eq", colName,
-      f.toString) ++ pin.toSeq.flatMap(v => Seq("--pin", v.toString))
+      f.toString) ++ pin.toSeq.flatMap(v => Seq("--pin", v.toString)) ++
+      branch.toSeq.flatMap(b => Seq("--branch", b))
     import scala.sys.process._
     Process(cmd).!
   }
@@ -451,6 +457,63 @@ object Interop {
     extAgg(spark, Loc10)
   }
 
+  /** fixed location for the external BRANCH-write variant */
+  val Loc11 = "/tmp/graft_interop_extbranch"
+
+  /** External BRANCH-aware writes — the WAP flow's audit-branch leg from
+    * the SECOND implementation (the reference's write-audit-publish is
+    * branch-first; this is the last asymmetry the external writer had
+    * with the native surface, which has had write-to-branch since
+    * q_branch_rowops). The Python writer appends to a NON-MAIN branch
+    * (`--branch audit`) and then commits a position delete scoped to
+    * that branch's head; a native append and a native DV delete land on
+    * MAIN around them. Isolation must hold in BOTH directions — audit
+    * ops never move main or apply to its reads, main's DV never applies
+    * to audit — and the sequence-gated external eq-delete on audit must
+    * bite audit's older files only. Spark reads BOTH refs natively; the
+    * DuckDB oracle resolves BOTH refs through the independent metadata
+    * resolver ([[baseResolver]] parameterized by ref) — branch refs are
+    * a property of the on-disk format, not of this library's reader. */
+  def buildExtBranchAndResolve(spark: SparkSession, dir: String): DataFrame = {
+    wipe(Loc11)
+    val t = GraftTable.create(spark, Loc11,
+      "id bigint, status string, total double")
+    val o = Tables(spark, dir, "orders").select(
+      col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("total"))
+    t.append(o.filter(col("id") % 4 === 0))                   // snap 1: native, main
+    t.createBranch("audit")                                   // WAP: stage branch
+    val extRows = o.filter(col("id") % 4 === 1).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    require(runExtWriter(Loc11, extRows, branch = Some("audit")) == 0,
+      "external branch append failed")                        // snap 2: python, audit
+    // snap 3: python posdel scoped to AUDIT's head (spans snap-1 files,
+    // which audit shares with main — the overlay must bind to the branch,
+    // not the files)
+    val delIds = o.filter(col("id") % 10 === 3 && col("id") % 4 <= 1)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    require(runExtWriterDelete(Loc11, "id", delIds, branch = Some("audit")) == 0,
+      "external branch delete failed")
+    // snap 4: python sequence-gated eq-delete on audit ('P' rows of the
+    // two older file generations)
+    require(runExtWriterDeleteEq(Loc11, "status", Seq("P"),
+      branch = Some("audit")) == 0, "external branch eq-delete failed")
+    // snap 5: native append to MAIN on top of the external branch commits
+    GraftTable.load(spark, Loc11).append(o.filter(col("id") % 4 === 2))
+    // snap 6: native DV delete on MAIN — must not bleed into audit reads
+    GraftTable.load(spark, Loc11).delete("id % 20 = 6", WriteMode.DeletionVector)
+    val t2 = GraftTable.load(spark, Loc11)
+    val perRef = (ref: String) => t2.scan(ref = Some(ref))
+      .withColumn("ref", lit(ref))
+    perRef("audit").unionByName(perRef("main"))
+      .groupBy(col("ref"), col("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("id")).as("sum_id"),
+        sum(col("total").cast("decimal(18,2)")).cast("double").as("sum_total"))
+      .orderBy("ref", "status")
+  }
+
   /** fixed location for the external schema-evolution variant */
   val Loc9 = "/tmp/graft_interop_extevolve"
 
@@ -499,7 +562,8 @@ object Interop {
     "q_interop_extwrite_resolver" -> buildExtWriteAndResolve,
     "q_interop_extupdate" -> buildExtUpdateAndResolve,
     "q_interop_extmerge" -> buildExtMergeAndResolve,
-    "q_interop_extevolve" -> buildExtEvolveAndResolve)
+    "q_interop_extevolve" -> buildExtEvolveAndResolve,
+    "q_interop_extbranch" -> buildExtBranchAndResolve)
 
   /** The independent DuckDB reader. Format facts it encodes (all from
     * graft.table.{Meta, GraftTable, Dv} scaladoc):
@@ -704,6 +768,24 @@ object Interop {
          |JOIN (SELECT * FROM entries WHERE fileType = 'data') d
          |  ON r.filename = '$Loc9/' || d.path
          |GROUP BY r.f2 ORDER BY status""".stripMargin,
+    // external BRANCH writes: BOTH refs resolved through the SAME
+    // independent resolver, parameterized only by the ref name — the
+    // python-committed audit head (external append + branch-scoped
+    // posdel + sequence-gated eqdel) and the native main head (whose DV
+    // must not bleed into audit) must each replay from the files alone
+    "q_interop_extbranch" -> {
+      def aggOf(ref: String) =
+        s"""SELECT '$ref' AS ref, status, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(id) AS BIGINT) AS sum_id,
+           |  CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+           |FROM ( ${baseResolver(Loc11, "meta.head_id", ref)} )
+           |GROUP BY status""".stripMargin
+      s"""SELECT * FROM (
+         |${aggOf("audit")}
+         |UNION ALL
+         |${aggOf("main")}
+         |) ORDER BY ref, status""".stripMargin
+    },
     // incremental window: the head snapshot's manifests, data entries
     // filtered to sequenceNumber > 1 (the checkpoint commit's sequence —
     // a fresh table's first append). No delete overlays exist on this

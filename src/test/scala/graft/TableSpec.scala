@@ -114,6 +114,46 @@ class TableSpec extends SparkSpec {
       s"post-rename external append must map by field id, got $evolved")
   }
 
+  test("external python writer on a BRANCH: isolation, refusals, CAS race across branches") {
+    import spark.implicits._
+    def idsDf(rows: (Long, String, Double)*) = rows.toDF("id", "status", "total")
+    def ids(loc: String, ref: String): Set[Long] = GraftTable.load(spark, loc)
+      .scan(ref = Some(ref)).select("id").collect().map(_.getLong(0)).toSet
+    val loc = tmp()
+    val t = GraftTable.create(spark, loc, "id bigint, status string, total double")
+    t.append(idsDf((1L, "A", 10.0), (2L, "B", 20.0)))
+    // refusals first: unknown branch and tag targets fail loudly, no commit
+    assert(graft.ops.Interop.runExtWriter(loc, Seq((9L, "X", 9.0)),
+      branch = Some("nope")) == 1, "unknown branch must refuse")
+    t.createTag("v1")
+    assert(graft.ops.Interop.runExtWriter(loc, Seq((9L, "X", 9.0)),
+      branch = Some("v1")) == 1, "a tag target must refuse")
+    t.createBranch("audit")
+    // external append to the audit branch: audit advances, main untouched
+    assert(graft.ops.Interop.runExtWriter(loc, Seq((10L, "C", 100.0)),
+      branch = Some("audit")) == 0)
+    assert(ids(loc, "audit") == Set(1L, 2L, 10L))
+    assert(ids(loc, "main") == Set(1L, 2L))
+    // branch-scoped external MoR delete: bites audit (including a snap-1
+    // file main still reads in full), never main
+    assert(graft.ops.Interop.runExtWriterDelete(loc, "id", Seq(2L, 10L),
+      branch = Some("audit")) == 0)
+    assert(ids(loc, "audit") == Set(1L))
+    assert(ids(loc, "main") == Set(1L, 2L))
+    // CAS is version-level and branch-independent: two pinned commits to
+    // DIFFERENT branches from one base still race, exactly one wins
+    val baseV = Meta.currentVersion(loc).get
+    assert(graft.ops.Interop.runExtWriter(loc, Seq((20L, "D", 200.0)),
+      pin = Some(baseV), branch = Some("audit")) == 0)
+    assert(graft.ops.Interop.runExtWriter(loc, Seq((21L, "E", 210.0)),
+      pin = Some(baseV)) == 2, "cross-branch racer must still lose the CAS")
+    assert(ids(loc, "audit") == Set(1L, 20L))
+    assert(ids(loc, "main") == Set(1L, 2L))
+    // WAP publish: the native fast-forward lands the audited work on main
+    GraftTable.load(spark, loc).fastForward("main", "audit")
+    assert(ids(loc, "main") == Set(1L, 20L))
+  }
+
   test("external python COPY-ON-WRITE update: semantics, lineage, CAS race, incremental gate") {
     import spark.implicits._
     def idsDf(rows: (Long, String, Double)*) = rows.toDF("id", "status", "total")
