@@ -16,8 +16,20 @@ object Tables {
     * NANOS; the conf only affects NANOS columns, so it is a no-op for the
     * micros generation. Kept here (next to the sniffing loader that
     * depends on it) so a new entrypoint can't miss it. */
-  val SessionConfs: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+  val SessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // Long-lived-session hygiene (the round-11 aging diagnosis: a
+    // 223-query × 7-round bench JVM slows its driver-bound streaming
+    // queries as status stores and weak-ref cleanup lag accumulate).
+    // Status retention defaults keep 1000 execution graphs / jobs /
+    // stages — days of UI history for a server, pure heap growth for a
+    // headless harness; ContextCleaner's periodic GC defaults to 30 min,
+    // longer than a whole bench run, so shuffle/broadcast/checkpoint
+    // refs were never collected mid-run. Neither touches query plans.
+    "spark.sql.ui.retainedExecutions" -> "50",
+    "spark.ui.retainedJobs" -> "200",
+    "spark.ui.retainedStages" -> "200",
+    "spark.cleaner.periodicGC.interval" -> "3min")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
