@@ -26,8 +26,6 @@ class BenchParseSpec extends AnyFunSuite {
   test("per-query floors parse from the committed BASELINE.md") {
     val fl = Bench.floors()
     assert(fl.size > 100, s"floor table shrank: ${fl.size} rows parsed")
-    // best-column semantics: q01 best is its r4_median 0.19
-    assert(fl.get("q01_pricing_summary").contains(0.19))
     // refresh semantics: a LATER table row overrides the main table —
     // q_dedup_jaccard's round-7 row (3.72, post-reshape) must beat its
     // stale main-table 1.43 (the pre-reshape array-verify shape)
@@ -39,7 +37,17 @@ class BenchParseSpec extends AnyFunSuite {
     assert(fl.get("q_ann_ivf").contains(0.56),
       s"r8 floor-refresh row must override: ${fl.get("q_ann_ivf")}")
     assert(fl.get("q_events_window").contains(0.25))
-    assert(fl.get("q_bm25").contains(0.66))
+    // round-11 refresh: the r3/r4-era recheck cluster + the documented
+    // q_stream_topk re-floor override their earlier rows (min of the
+    // two clean-window columns per the committed semantics)
+    assert(fl.get("q01_pricing_summary").contains(0.326),
+      s"r11 floor-refresh row must override q01: ${fl.get("q01_pricing_summary")}")
+    assert(fl.get("q_bm25").contains(0.821),
+      s"r11 floor-refresh row must override q_bm25: ${fl.get("q_bm25")}")
+    assert(fl.get("q_stream_topk").contains(1.372),
+      s"r11 topk re-floor must override the r10 row: ${fl.get("q_stream_topk")}")
+    // first floor for the round-11 interop query
+    assert(fl.get("q_interop_extbranch").contains(3.655))
   }
 
   test("sched floor parses from the committed BASELINE.md (round-8 commitment)") {
