@@ -85,4 +85,23 @@ class StreamingStateSpec extends SparkSpec {
     assert(states.max < 1800,
       s"state peaked at ${states.max} of 2000 — watermark not bounding the join")
   }
+
+  test("memory sinks drain: no temp tables or query handles survive a streaming query") {
+    // the round-11 leak fix: a streaming query must leave NOTHING pinned
+    // in the session — no sink temp view, no terminated-query handle —
+    // while its returned (checkpointed) result stays fully readable.
+    // Pre-fix, a 223-query × 7-round bench JVM accumulated 100+ pinned
+    // sinks and q_stream_topk inflated 27% by round 7 on JVM age alone.
+    val before = spark.catalog.listTables().filter(col("isTemporary")).count()
+    val out = graft.ops.StreamingOps.queries("q_stream_window")(
+      spark, "/root/testdata/sf0.001")
+    val n = out.count()
+    assert(n > 0, "streaming result must be non-empty")
+    val after = spark.catalog.listTables().filter(col("isTemporary")).count()
+    assert(after == before,
+      s"temp tables leaked: $before before, $after after")
+    assert(spark.streams.active.isEmpty, "no active streaming queries may remain")
+    // the drained result is re-readable (checkpointed, not sink-backed)
+    assert(out.count() == n)
+  }
 }
