@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 224-query × 7-round bench suite in ONE local[32] JVM needs real
+  // headroom: at 8g the round-11 dress run degraded allocation-heavy
+  // (streaming/table-write) queries 2-3x by late rounds from GC
+  // pressure alone while compute-bound queries stayed ~1.3x — the
+  // machine has 125 GB, the old default starved the harness, not the
+  // engine. Codegen class churn across hundreds of distinct plans also
+  // wants a bigger JIT code cache than the 240m default.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )

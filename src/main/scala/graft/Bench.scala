@@ -247,6 +247,15 @@ object Bench {
     val brackets = scala.collection.mutable.ArrayBuffer[Bracket]()
     val schedRounds = scala.collection.mutable.ArrayBuffer[Double]()
     val ioRounds = scala.collection.mutable.ArrayBuffer[Double]()
+    // cumulative JVM GC seconds — the round-11 aging diagnosis found
+    // suite medians can measure GC pressure, not the engine; per-round
+    // GC time in the log makes that visible instead of inferable
+    def gcSecs(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum / 1e3
+    }
+    var gcPrev = gcSecs()
     def cleanCount: Int = cleanFlags(brackets.toSeq, gateFloor, cleanThresh).count(identity)
     var round = 0
     while (round < runs || (round < maxRounds && cleanCount < cleanTarget)) {
@@ -259,8 +268,14 @@ object Bench {
       schedRounds += sched
       ioRounds += io
       round += 1
+      val gcNow = gcSecs()
+      val gcRound = gcNow - gcPrev
+      gcPrev = gcNow
+      val heapMb = (Runtime.getRuntime.totalMemory -
+        Runtime.getRuntime.freeMemory) / 1048576
       System.err.println(f"[bench] round $round bracket ${pre}%.3f/${post}%.3f " +
-        f"sched ${sched}%.3f io ${io}%.3f clean_rounds=$cleanCount")
+        f"sched ${sched}%.3f io ${io}%.3f gc ${gcRound}%.1fs heap ${heapMb}MB " +
+        f"clean_rounds=$cleanCount")
     }
     val kept = keptRounds(brackets.toSeq, gateFloor, cleanThresh)
     // any failed sample poisons the query: report the (negative) median

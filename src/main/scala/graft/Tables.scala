@@ -29,7 +29,19 @@ object Tables {
     "spark.sql.ui.retainedExecutions" -> "50",
     "spark.ui.retainedJobs" -> "200",
     "spark.ui.retainedStages" -> "200",
-    "spark.cleaner.periodicGC.interval" -> "3min")
+    "spark.cleaner.periodicGC.interval" -> "3min",
+    // The round-11 stack-sampled smoking gun: the default FileContext
+    // checkpoint manager routes EVERY checkpoint rename (offset log,
+    // commit log, state snapshots × partitions × batches) through
+    // Hadoop's symlink-aware renameInternal, which fork/execs a
+    // `readlink` PROCESS per call — and fork cost scales with the JVM's
+    // mapped address space, so streaming queries slowed ~3x as a
+    // multi-round suite aged the JVM. The FileSystem-based manager
+    // renames via pure-Java File.renameTo (atomic on a local/POSIX FS —
+    // this harness's case); object-store deployments should leave the
+    // default.
+    "spark.sql.streaming.checkpointFileManagerClass" ->
+      "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {

@@ -114,27 +114,58 @@ object TopkDiag {
       secs(t0)
     }
 
+    // sample all thread stacks while `body` runs; print the hottest
+    // non-idle frames afterwards — the poor man's profiler for the
+    // aged-JVM slowdown (what is the driver actually DOING during the
+    // slow streaming run?)
+    def profiled[A](tag: String)(body: => A): A = {
+      val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      @volatile var run = true
+      val sampler = new Thread(() => {
+        while (run) {
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
+            if (st.nonEmpty && !t.getName.contains("sampler")) {
+              // full stack for fork/shell frames (WHO shells out?);
+              // 3-frame summary for everything else runnable
+              if (st.exists(f => f.getClassName.contains("ProcessImpl") ||
+                  f.getClassName.contains("hadoop.util.Shell")))
+                counts.merge(st.take(25).mkString("\n      "), 1, (a, b) => a + b)
+              else if (t.getState == Thread.State.RUNNABLE)
+                counts.merge(st.take(3).mkString(" <- "), 1, (a, b) => a + b)
+            }
+          }
+          Thread.sleep(50)
+        }
+      }, "diag-sampler")
+      sampler.setDaemon(true); sampler.start()
+      val r = body
+      run = false; sampler.join(500)
+      import scala.jdk.CollectionConverters._
+      counts.asScala.toSeq.sortBy(-_._2).take(14).foreach { case (f, n) =>
+        println(s"[diag] HOT[$tag] $n  $f")
+      }
+      r
+    }
+
     heap("start")
-    topkPhased("iso-1"); topkPhased("iso-2"); topkPhased("iso-3")
+    topkPhased("iso-1"); topkPhased("iso-2")
     heap("after-iso")
 
-    // MULTI-ROUND aging: the bench runs the whole suite 7+ times in one
-    // JVM; a single-round prefix showed nothing (round-10 diag), so age
-    // the JVM with repeated streaming-family rounds and re-time topk
-    // after each — if degradation appears by round 5-7, the mechanism is
-    // per-execution accumulation (memory sinks, terminated-query
-    // registry, scratch dirs), not any single round's context
-    val streamPrefix = graft.SparkEntry.queries.keys.toSeq.sorted
-      .filter(_.startsWith("q_stream")).filterNot(_ == "q_stream_topk")
-    for (round <- 1 to 7) {
+    // FULL-SUITE aging: the streaming-family-only aging test showed just
+    // +27%/7 rounds, but full 224-query bench rounds inflate the whole
+    // streaming family ~3x by kept rounds 2-7 — so the aging driver is
+    // in the batch/table queries. Age with complete suite rounds and
+    // stack-sample the slow topk run to catch the mechanism in the act.
+    val all = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_ == "q_stream_topk")
+    for (round <- 1 to 1) {
       val t0 = now()
-      streamPrefix.foreach(runQuery)
-      println(f"[diag] aging round $round: family ${secs(t0)}%.3f s")
+      all.foreach(runQuery)
+      println(f"[diag] FULL aging round $round: ${secs(t0)}%.3f s")
       heap(s"round-$round")
-      val sinks = spark.catalog.listTables().filter(col("isTemporary")).count()
-      println(s"[diag] temp tables after round $round: $sinks")
-      topkPhased(s"aged-$round")
     }
+    profiled("aged-topk")(topkPhased("aged-profiled"))
     heap("end")
     spark.stop()
   }
