@@ -44,19 +44,27 @@ object StreamingOps {
 
   /** Drain a FINISHED memory sink: pin the (small — these are all
     * window/key aggregates) result eagerly, then drop the sink's temp
-    * view and clear the terminated-query registry. Without this every
-    * streaming query pins its sink rows + catalog entry + query handle
-    * for the JVM's lifetime: the round-11 aging diagnosis measured
-    * q_stream_topk climbing 1.34 → 1.70 s across 7 streaming-family
-    * rounds in one JVM (heap 0.7 → 2.7 GB, 100 accumulated sink tables)
-    * — exactly the suite-context inflation the round-10 bench flagged.
-    * The checkpointed result is GC-managed (ContextCleaner frees its
-    * blocks when the DataFrame is dropped), unlike a catalog-pinned
-    * sink, so a 223-query × 7-round bench JVM stays flat. */
+    * view. Without this every streaming query pins its sink rows +
+    * catalog entry for the JVM's lifetime: the round-11 aging diagnosis
+    * measured q_stream_topk climbing 1.34 → 1.70 s across 7
+    * streaming-family rounds in one JVM (heap 0.7 → 2.7 GB, 100
+    * accumulated sink tables) — exactly the suite-context inflation the
+    * round-10 bench flagged. The checkpointed result is GC-managed
+    * (ContextCleaner frees its blocks when the DataFrame is dropped),
+    * unlike a catalog-pinned sink, so a 224-query × 7-round bench JVM
+    * stays flat.
+    *
+    * Deliberately does NOT call `spark.streams.resetTerminated()`: that
+    * clears the session-GLOBAL awaitAnyTermination state, which a library
+    * must not mutate under a shared session's other users. Terminated
+    * queries are already removed from the active registry by Spark
+    * itself; what the manager retains after termination is O(1) (the
+    * last termination's state for awaitAnyTermination), so leaving it
+    * alone keeps the JVM flat — the round-11 leak was the catalog-pinned
+    * sink views, which the dropTempView below releases per query. */
   private def drainSink(spark: SparkSession, name: String)(out: DataFrame): DataFrame = {
     val pinned = out.localCheckpoint()
     spark.catalog.dropTempView(name)
-    spark.streams.resetTerminated()
     pinned
   }
 

@@ -772,10 +772,32 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // are carried into M by their t.-qualification, so an unqualified ref
     // would silently miss the carry and fail later in the insert anti-join
     // with an unhelpful resolution error. Validate UP FRONT, naming the
-    // offending attribute.
-    val onAttrs = spark.sessionState.sqlParser.parseExpression(on).collect {
-      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => ua
-    }
+    // offending attribute. Higher-order ON predicates need care: inside a
+    // lambda body (exists(t.tags, x -> x = s.tag)) the parser wraps EVERY
+    // one-part name — the bound parameter x AND any unqualified column —
+    // as UnresolvedNamedLambdaVariable, and only ResolveLambdaVariables
+    // later rewrites unbound ones back into column references. The
+    // traversal therefore carries the enclosing lambda parameter names:
+    // bound variables are exempt (they are not column references), while
+    // an UNBOUND one-part lambda variable is exactly an unqualified
+    // column reference and is refused here by name, instead of surfacing
+    // later as an opaque AMBIGUOUS_REFERENCE from the ON join.
+    def freeAttrs(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        bound: Set[String]): Seq[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute] =
+      e match {
+        case lf: org.apache.spark.sql.catalyst.expressions.LambdaFunction =>
+          freeAttrs(lf.function,
+            bound ++ lf.arguments.map(_.name.toLowerCase(java.util.Locale.ROOT)))
+        case v: org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable =>
+          if (v.nameParts.length == 1 &&
+              bound(v.nameParts.head.toLowerCase(java.util.Locale.ROOT))) Nil
+          else Seq(org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(v.nameParts))
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          Seq(ua)
+        case other => other.children.flatMap(freeAttrs(_, bound))
+      }
+    val onAttrs =
+      freeAttrs(spark.sessionState.sqlParser.parseExpression(on), Set.empty)
     onAttrs.find(ua => ua.nameParts.length < 2 ||
         !(ua.nameParts.head.equalsIgnoreCase("t") ||
           ua.nameParts.head.equalsIgnoreCase("s"))).foreach { ua =>
@@ -977,11 +999,26 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // chain of clones carried absolute paths through — so each root's GC
     // sees the lease before the clone is even readable. A crash between
     // here and the metadata publish leaves only a stale lease (target has
-    // no metadata), self-released at that root's next GC.
+    // no metadata), self-released at that root's next GC once it ages
+    // past [[leaseGraceMs]]. Roots are resolved against KNOWN table
+    // locations (this table's plus the transitive cloned-from chain) —
+    // a substring search for "/data/" would mis-root any table whose
+    // location itself has an ancestor directory named data
+    // (/x/data/tables/t1/data/f.parquet must lease /x/data/tables/t1,
+    // not /x), and a mis-rooted lease is invisible to the source's GC:
+    // the exact silent corruption the registry exists to prevent.
+    val roots = knownEntryRoots(m)
     entries.flatMap(e => Seq(e.path) ++ e.appliesTo)
       .flatMap { p =>
-        val i = math.max(p.indexOf("/data/"), p.indexOf("/deletes/"))
-        if (i > 0) Some(p.substring(0, i)) else None
+        roots.find(r => p.startsWith(s"$r/data/") || p.startsWith(s"$r/deletes/"))
+          .orElse {
+            // conservative fallback for entries under NO known root
+            // (add_files imports carried through a clone, an upstream
+            // whose metadata is gone): entries live DIRECTLY under
+            // <root>/data|deletes/, so the LAST such segment is the root
+            val i = math.max(p.lastIndexOf("/data/"), p.lastIndexOf("/deletes/"))
+            if (i > 0) Some(p.substring(0, i)) else None
+          }
       }.distinct.foreach { r =>
         Files.createDirectories(leaseDir(r))
         Files.write(leaseDir(r).resolve(s"$cloneUuid.lease"),
@@ -1011,25 +1048,75 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private def leaseDir(root: String): java.nio.file.Path =
     Paths.get(root, "metadata", "clones")
 
+  /** Table roots this table's manifest entries may carry absolute paths
+    * into: its own location plus the transitive cloned-from chain (a
+    * clone of a clone re-carries every upstream's absolute paths). An
+    * upstream whose metadata is no longer readable simply ends that
+    * branch of the walk — the lease-registration fallback still covers
+    * its entries path-structurally. O(chain) metadata reads, driver-only. */
+  private def knownEntryRoots(m: TableMeta): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet(
+      normPath(location).stripSuffix("/"))
+    var frontier = m.snapshots.flatMap(_.summary.get("cloned-from"))
+      .map(p => normPath(p).stripSuffix("/")).distinct
+    while (frontier.nonEmpty) {
+      val fresh = frontier.filterNot(seen)
+      fresh.foreach(seen += _)
+      frontier = fresh.flatMap { loc =>
+        scala.util.Try(Meta.readJson(loc).snapshots
+          .flatMap(_.summary.get("cloned-from"))).toOption.getOrElse(Nil)
+      }.map(p => normPath(p).stripSuffix("/")).distinct
+    }
+    seen.toList
+  }
+
+  /** Grace period under which a lease file with NO readable clone
+    * metadata is treated as an IN-FLIGHT clone rather than a dropped
+    * one. [[shallowClone]] registers leases BEFORE publishing the
+    * clone's metadata (so each source root's GC sees the lease before
+    * the clone is even readable), which means a source GC running in
+    * another process inside that registration→publish window observes
+    * exactly what a crashed clone leaves behind: a lease with no
+    * metadata. Releasing it immediately would let the GC sweep files
+    * the about-to-publish clone references moments later — the same
+    * silent corruption the registry prevents. The age guard mirrors
+    * [[removeOrphanFiles]]' `olderThanMs` discipline: only leases older
+    * than the bound are released; younger ones force the GC pass to
+    * skip physical deletes under this root entirely (their retained
+    * set is unknowable until the metadata publishes — a later pass,
+    * milliseconds after publish in practice, resumes normal GC). */
+  private def leaseGraceMs: Long = sys.props.get("graft.clone.lease.grace.ms")
+    .orElse(sys.env.get("SPARK_GRAFT_CLONE_LEASE_GRACE_MS"))
+    .flatMap(_.toLongOption).getOrElse(10L * 60 * 1000)
+
   /** Normalized absolute file paths under `rootPrefix` (this table's
     * location, trailing slash) that registered LIVE clones still
     * reference — the set [[expireSnapshots]] and [[removeOrphanFiles]]
-    * must never physically delete. A lease whose clone metadata is gone
-    * (clone dropped) is released here; a clone whose metadata EXISTS but
-    * cannot be read fails the GC loudly — deleting files under an
-    * uninspectable clone would risk silent corruption, the exact failure
-    * this registry exists to prevent. O(live clone manifests) driver
-    * work, no Spark job. */
-  private def cloneRetainedFiles(rootPrefix: String): Set[String] = {
+    * must never physically delete — plus an IN-FLIGHT flag. A lease
+    * whose clone metadata is gone is released here ONLY once it is
+    * older than [[leaseGraceMs]] (clone dropped, or crashed before
+    * publishing); a YOUNGER metadata-less lease is an in-flight clone
+    * racing this GC inside its registration→publish window — its
+    * retained set cannot be enumerated yet, so the flag tells callers
+    * to skip ALL physical deletes under this root this pass. A clone
+    * whose metadata EXISTS but cannot be read fails the GC loudly —
+    * deleting files under an uninspectable clone would risk silent
+    * corruption, the exact failure this registry exists to prevent.
+    * O(live clone manifests) driver work, no Spark job. */
+  private def cloneRetainedFiles(rootPrefix: String): (Set[String], Boolean) = {
     val dir = leaseDir(location)
-    if (!Files.isDirectory(dir)) return Set.empty
+    if (!Files.isDirectory(dir)) return (Set.empty, false)
     val listing = Files.list(dir)
     val leases = try listing.iterator().asScala.toList finally listing.close()
-    leases.flatMap { lf =>
+    var inFlight = false
+    val retained = leases.flatMap { lf =>
       val cloneLoc = new String(Files.readAllBytes(lf),
         java.nio.charset.StandardCharsets.UTF_8).trim
       if (Meta.currentVersion(cloneLoc).isEmpty) {
-        Files.deleteIfExists(lf) // clone dropped — lease released
+        val ageMs = System.currentTimeMillis() -
+          Files.getLastModifiedTime(lf).toMillis
+        if (ageMs >= leaseGraceMs) Files.deleteIfExists(lf) // dropped/crashed — released
+        else inFlight = true // registered, metadata not yet published — LIVE
         Nil
       } else {
         val cm = Meta.readJson(cloneLoc)
@@ -1039,6 +1126,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
           .filter(_.startsWith(rootPrefix))
       }
     }.toSet
+    (retained, inFlight)
   }
 
   private def setRef(name: String, at: Option[Long], isBranch: Boolean): Unit = {
@@ -1344,9 +1432,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // files a registered live shallow clone still references are LEASED:
     // dropped from this table's metadata as usual, but never physically
     // deleted — the clone's reads stay correct after routine source
-    // maintenance (removeOrphanFiles honors the same leases)
-    val leased = cloneRetainedFiles(root)
-    val orphans = (dropped -- keptFiles).filter(_.startsWith(root)) -- leased
+    // maintenance (removeOrphanFiles honors the same leases). An
+    // in-flight lease (registered, metadata not yet published) retains
+    // an unknowable set: skip physical deletes entirely this pass —
+    // the trimmed metadata still publishes, and the files it orphaned
+    // fall to a later removeOrphanFiles once the lease resolves.
+    val (leased, inFlightClone) = cloneRetainedFiles(root)
+    val orphans =
+      if (inFlightClone) Set.empty[String]
+      else (dropped -- keptFiles).filter(_.startsWith(root)) -- leased
     // publish the trimmed metadata FIRST: if a concurrent commit wins the
     // version race we must not have deleted files its state still references
     val next = m.copy(snapshots = keep)
@@ -1414,11 +1508,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def removeOrphanFiles(olderThanMs: Long): Int = {
     val m = Meta.readJson(location)
     // clone-leased files count as referenced: a file this table's
-    // metadata no longer tracks may still back a registered live clone
+    // metadata no longer tracks may still back a registered live clone.
+    // An in-flight lease retains an unknowable set — skip the sweep
+    // entirely this pass (the clone publishes within milliseconds; the
+    // next sweep proceeds normally).
+    val (leased, inFlightClone) =
+      cloneRetainedFiles(normPath(location).stripSuffix("/") + "/")
+    if (inFlightClone) return 0
     val referenced = m.snapshots
       .flatMap(s => Meta.readEntries(location, s))
-      .map(e => normPath(abs(e.path))).toSet ++
-      cloneRetainedFiles(normPath(location).stripSuffix("/") + "/")
+      .map(e => normPath(abs(e.path))).toSet ++ leased
     var removed = 0
     Seq("data", "deletes").foreach { r =>
       val root = Paths.get(location, r)

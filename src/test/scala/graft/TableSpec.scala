@@ -1657,14 +1657,112 @@ class TableSpec extends SparkSpec {
     assert(keys(t) == Set(1L, 4L, 5L, 6L))
     assert(keys(c) == expected)
     // dropping the clone releases the lease: the next sweep physically
-    // removes the now-unreferenced files and clears the registry entry
+    // removes the now-unreferenced files and clears the registry entry.
+    // A metadata-less lease younger than the grace period is treated as
+    // an IN-FLIGHT clone (see the interleave spec below), so age the
+    // lease file past the bound the way a real dropped clone's would be.
     Files.walk(java.nio.file.Paths.get(cloneLoc))
       .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .iterator().asScala.foreach(Files.deleteIfExists(_))
+    val leaseFile = Files.list(leaseDir).iterator().asScala.toList.head
+    Files.setLastModifiedTime(leaseFile, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 11L * 60 * 1000))
     val removed = t.removeOrphanFiles(olderThanMs = future)
     assert(removed > 0, "dropped clone should release its lease for GC")
     assert(Files.list(leaseDir).count() == 0)
     assert(keys(t) == Set(1L, 4L, 5L, 6L)) // source untouched throughout
+  }
+
+  test("clone lease interleave: source GC inside the registration→publish window") {
+    // shallowClone registers its lease BEFORE publishing clone metadata.
+    // A source GC (another process — multi-process access is supported)
+    // running inside that window sees a lease with no readable clone
+    // metadata: exactly what a crashed clone leaves behind. It must NOT
+    // self-release the young lease, and must NOT physically delete any
+    // file the about-to-publish clone references — only a lease older
+    // than the grace bound is released.
+    val future = System.currentTimeMillis() + 600000L
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed).coalesce(1))
+    def dataFiles(): Set[String] =
+      Files.walk(java.nio.file.Paths.get(t.location, "data")).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSet
+    val preCloneFiles = dataFiles() // the files the in-flight clone references
+    // the in-flight window, frozen: lease registered, metadata not yet there
+    val cloneLoc = tmp()
+    val leaseDir = java.nio.file.Paths.get(t.location, "metadata", "clones")
+    Files.createDirectories(leaseDir)
+    val leaseFile = leaseDir.resolve("0f1e2d3c-in-flight.lease")
+    Files.write(leaseFile, cloneLoc.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    // source diverges (CoW rewrites the cloned-from file) then runs BOTH
+    // GC passes with an everything-is-old cutoff — the pre-guard code
+    // released the lease here and swept the pre-divergence files
+    t.delete("o_orderkey = 3", WriteMode.CopyOnWrite)
+    t.expireSnapshots(olderThanMs = future, retainLast = 1)
+    t.removeOrphanFiles(olderThanMs = future)
+    assert(Files.exists(leaseFile),
+      "young in-flight lease must survive a source GC pass")
+    assert(preCloneFiles.subsetOf(dataFiles()),
+      "GC deleted files the in-flight clone references")
+    // once the lease ages past the grace bound with still no metadata
+    // (the crashed-clone case), the next pass releases it and GC resumes
+    Files.setLastModifiedTime(leaseFile, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 11L * 60 * 1000))
+    assert(t.removeOrphanFiles(olderThanMs = future) > 0,
+      "aged metadata-less lease must release and unblock the sweep")
+    assert(!Files.exists(leaseFile))
+    // the source's own live content was never at risk
+    assert(t.scan().select("o_orderkey").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L, 5L, 6L))
+  }
+
+  test("clone lease roots: table under an ancestor directory named data") {
+    // the lease root is derived from KNOWN table locations, not from the
+    // first /data/ substring of each entry path — a table at
+    // .../data/warehouse/t1 stores files at .../data/warehouse/t1/data/f
+    // and its lease must land under t1, where t1's GC looks, not under
+    // the warehouse ancestor where no GC ever runs
+    def keys(tt: GraftTable): Set[Long] =
+      tt.scan().select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val base = Files.createTempDirectory("graft-spec").toString
+    val t = mkOrders(s"$base/data/warehouse/t1")
+    t.append(seedDf(seed).coalesce(1))
+    val c = t.shallowClone(s"$base/data/warehouse/t2")
+    val rightDir = java.nio.file.Paths.get(t.location, "metadata", "clones")
+    assert(Files.isDirectory(rightDir) &&
+      Files.list(rightDir).count() == 1,
+      "lease must register under the table root")
+    assert(!Files.exists(java.nio.file.Paths.get(base, "metadata")),
+      "no lease may land under the ancestor data directory's parent")
+    // and the GC at the RIGHT root honors it: the pre-divergence files
+    // survive, the clone keeps reading
+    val future = System.currentTimeMillis() + 600000L
+    t.delete("o_orderkey = 3", WriteMode.CopyOnWrite)
+    t.expireSnapshots(olderThanMs = future, retainLast = 1)
+    t.removeOrphanFiles(olderThanMs = future)
+    assert(keys(c) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(keys(t) == Set(1L, 2L, 4L, 5L, 6L))
+  }
+
+  test("merge ON accepts lambda-bound variables in higher-order predicates") {
+    // exists(t.arr, x -> x = s.col) parses x as a ONE-part
+    // UnresolvedAttribute until ResolveLambdaVariables runs — the ON
+    // qualification contract must exempt lambda parameters, not reject
+    // a valid predicate
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    val src = seedDf(Seq((1L, 10L, "O", 111.0)))
+    t.merge(src, on = "exists(array(t.o_orderkey), x -> x = s.o_orderkey)",
+      matchedSet = Map("o_total" -> "s.o_total"))
+    assert(t.scan().filter(col("o_orderkey") === 1L)
+      .select("o_total").head().getDouble(0) == 111.0)
+    // a genuinely unqualified column INSIDE the lambda body is still
+    // refused by name — only the bound parameter is exempt
+    val e = intercept[IllegalArgumentException] {
+      t.merge(src, on = "exists(array(t.o_orderkey), x -> x = o_custkey)")
+    }
+    assert(e.getMessage.contains("o_custkey"))
   }
 
   test("CHECK constraints: inline enforcement, SQL null semantics, lifecycle") {
