@@ -75,6 +75,32 @@ object Bench {
       .map(_.group(1).toDouble)
   }
 
+  /** Committed aging-slope bound (`aging threshold: N` in BASELINE.md):
+    * the maximum allowed ratio of the LAST kept round's suite wall to
+    * the FIRST kept round's. The round-10/11 streaming regressions
+    * (catalog-pinned memory sinks; a per-checkpoint-rename process fork
+    * whose cost scales with JVM mapped memory) both presented as a
+    * monotone round-over-round wall climb inside one bench JVM — a
+    * failure class three rounds of flags circled before a dedicated
+    * harness isolated it. This makes the slope a committed,
+    * machine-checkable number per run instead of a post-hoc diagnosis. */
+  def agingThreshold(path: String = "BASELINE.md"): Option[Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isReadable(p)) None
+    else "(?s)aging\\s+threshold:\\s*([0-9.]+)".r
+      .findFirstMatchIn(java.nio.file.Files.readString(p))
+      .map(_.group(1).toDouble)
+  }
+
+  /** Aging slope over kept rounds: last kept round's suite wall divided
+    * by the first kept round's. Kept rounds only — steal-gated windows,
+    * so the ratio measures the JVM, not the VM; None with fewer than two
+    * kept rounds (no slope to speak of). Pinned by BenchSampleSpec. */
+  def agingRatio(roundWalls: Seq[Double], kept: Seq[Boolean]): Option[Double] = {
+    val kw = roundWalls.zip(kept).collect { case (w, true) if w > 0 => w }
+    if (kw.size >= 2) Some(kw.last / kw.head) else None
+  }
+
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -462,6 +488,18 @@ object Bench {
     val ioRatio = (for { f <- ioFloorV; s <- ioSecV }
       yield f"${s / f}%.2f").getOrElse("null")
     val rr = toRerun.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // aging telemetry: per-round suite wall (sum of that round's samples,
+    // magnitudes so a failed query still counts its time) and the
+    // kept-round slope vs the committed threshold
+    val roundWalls: Seq[Double] = (0 until brackets.size).map(r =>
+      names.map(n => math.abs(samples(n)(r))).sum)
+    val agingR = agingRatio(roundWalls, kept)
+    val agingT = agingThreshold()
+    val agingJson = agingR.map(a => f"$a%.3f").getOrElse("null")
+    val agingTJson = agingT.map(t => f"$t%.2f").getOrElse("null")
+    val agingExceeded = (for { a <- agingR; t <- agingT } yield a > t)
+      .map(_.toString).getOrElse("null")
+    val wallsJson = roundWalls.map(w => f"$w%.2f").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","runs":${brackets.size},"stat":"median","interleaved":true,""" +
       s""""canary_sec":${f"$canary%.3f"},"canary_ratio":$cr,""" +
@@ -471,6 +509,8 @@ object Bench {
       s""""rounds":$roundsJson,"tail":$tailJson,""" +
       s""""clean_threshold":$cleanThresh,"rounds_kept":${cleanSeq.count(identity)},""" +
       s""""rounds_total":${brackets.size},"reran":$rr,""" +
+      s""""round_walls":$wallsJson,"aging_ratio":$agingJson,""" +
+      s""""aging_threshold":$agingTJson,"aging_exceeded":$agingExceeded,""" +
       s""""vs_floor":$vsFloor}""")
     spark.stop()
   }

@@ -66,4 +66,10 @@ class BenchParseSpec extends AnyFunSuite {
     assert(f.nonEmpty, "BASELINE.md lost its `io floor: N s` phrase")
     assert(f.get > 0.0 && f.get < 5.0, s"implausible io floor: $f")
   }
+
+  test("aging threshold parses from the committed BASELINE.md (round-12 commitment)") {
+    val t = Bench.agingThreshold()
+    assert(t.nonEmpty, "BASELINE.md lost its `aging threshold: N` phrase")
+    assert(t.get > 1.0 && t.get < 3.0, s"implausible aging threshold: $t")
+  }
 }

@@ -87,6 +87,19 @@ class BenchSampleSpec extends AnyFunSuite {
       Bracket(0.659, 0.40), ioFloor, 2.0))
   }
 
+  test("aging ratio: last kept round's wall over the first kept round's") {
+    // rounds 2 and 3 dirty (dropped): a steal burst mid-run must not
+    // read as JVM aging — the slope stands on kept rounds only
+    val walls = Seq(100.0, 300.0, 280.0, 130.0)
+    val kept = Seq(true, false, false, true)
+    assert(Bench.agingRatio(walls, kept).contains(1.3))
+    // fewer than two kept rounds: no slope to speak of
+    assert(Bench.agingRatio(Seq(100.0), Seq(true)).isEmpty)
+    assert(Bench.agingRatio(walls, Seq(false, true, false, false)).isEmpty)
+    // zero/negative walls (empty query set) never divide
+    assert(Bench.agingRatio(Seq(0.0, 0.0), Seq(true, true)).isEmpty)
+  }
+
   test("recheck keep rule: an unjudgeable dimension (no committed floor) passes, like cleanFlags") {
     import graft.Bench.recheckAttemptClean
     assert(recheckAttemptClean(Bracket(9.0, 9.0), None, 2.0,
