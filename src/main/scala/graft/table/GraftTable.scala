@@ -1110,11 +1110,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val leases = try listing.iterator().asScala.toList finally listing.close()
     var inFlight = false
     val retained = leases.flatMap { lf =>
-      val cloneLoc = new String(Files.readAllBytes(lf),
+      // two GC processes may race here: the other one releasing this
+      // lease between our list() and read is ITS conclusion that the
+      // clone is gone — adopt it (skip) rather than failing routine
+      // maintenance on the vanished file
+      val leaseBytes =
+        try Files.readAllBytes(lf)
+        catch { case _: java.nio.file.NoSuchFileException => null }
+      if (leaseBytes == null) Nil else {
+      val cloneLoc = new String(leaseBytes,
         java.nio.charset.StandardCharsets.UTF_8).trim
       if (Meta.currentVersion(cloneLoc).isEmpty) {
-        val ageMs = System.currentTimeMillis() -
-          Files.getLastModifiedTime(lf).toMillis
+        val ageMs =
+          try System.currentTimeMillis() - Files.getLastModifiedTime(lf).toMillis
+          catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
         if (ageMs >= leaseGraceMs) Files.deleteIfExists(lf) // dropped/crashed — released
         else inFlight = true // registered, metadata not yet published — LIVE
         Nil
@@ -1124,6 +1133,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
           .flatMap(e => Seq(e.path) ++ e.appliesTo)
           .map(p => normPath(if (p.startsWith("/")) p else s"$cloneLoc/$p"))
           .filter(_.startsWith(rootPrefix))
+      }
       }
     }.toSet
     (retained, inFlight)
