@@ -27,7 +27,11 @@ object Behavioral {
     * if it happens strictly AFTER the user's previous step */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
-      .select(col("user_id"), col("event_type"), col("ts")).cache()
+      // localCheckpoint, not cache: a CacheManager entry is pinned for
+      // the SESSION lifetime (nothing here unpersists), while checkpoint
+      // blocks free when the query's references drop — a bench JVM
+      // re-invoking this must not accumulate pinned relations
+      .select(col("user_id"), col("event_type"), col("ts")).localCheckpoint()
     def firstAfter(typ: String, prev: DataFrame, prevCol: String, outCol: String) =
       ev.join(prev, "user_id")
         .filter(col("event_type") === typ && col("ts") > col(prevCol))

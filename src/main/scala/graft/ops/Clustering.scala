@@ -59,7 +59,9 @@ object Clustering {
   /** final (vec_id, k, d, m) assignment after one Lloyd iteration —
     * shared by the stats query and cluster-balanced curation */
   def assignments(spark: SparkSession, dir: String): DataFrame = {
-    val emb = micro(spark, dir).cache()
+    // localCheckpoint, not cache: GC-managed blocks vs a session-pinned
+    // CacheManager entry (this is re-invoked per bench round)
+    val emb = micro(spark, dir).localCheckpoint()
     // deterministic seeding: the K lowest vec_ids (TakeOrdered, no full sort)
     val c0 = emb.orderBy("vec_id").limit(K)
       .withColumn("k",

@@ -114,7 +114,11 @@ object Dedup {
     * arrays, no unbounded key. The SQL oracle encodes the identical
     * rule. */
   def jaccardPairs(docs: DataFrame, tau: Double, maxDf: Int = JACCARD_MAX_DF): DataFrame = {
-    val sh = shingles(docs).cache()
+    // localCheckpoint, not cache: the shingle set feeds four consumers,
+    // but a CacheManager entry would stay pinned for the session (no
+    // unpersist point exists — the result is lazy); checkpoint blocks
+    // free once the returned query's references drop
+    val sh = shingles(docs).localCheckpoint()
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val rare = sh.join(df.filter(col("df") <= maxDf).select("s"), "s")
     val hot = sh.join(df.filter(col("df") > maxDf).select("s"), "s")
@@ -206,7 +210,9 @@ object Dedup {
     * keeps verification linear in candidates, never the full self-join.
     * Unordered; shared by [[minhash]] and CorpusGraph. */
   def minhashVerifiedPairs(docs: DataFrame, tau: Double): DataFrame = {
-    val arr = shingleArr(docs).cache()
+    // localCheckpoint, not cache — same session-hygiene rule as
+    // [[jaccardPairs]]
+    val arr = shingleArr(docs).localCheckpoint()
     val cand = {
       val sigs = bandSigs(arr).drop("sh")
       sigs.as("a").join(sigs.as("b"),
@@ -401,7 +407,9 @@ object Dedup {
     // shingles — a pair is in the capped method's output iff it shares
     // >= 1 rare shingle, which is exactly the production candidate rule.
     // rareness is a property of the shingle, so min(a.r, b.r) = r.
-    val sh = shingles(docs).cache()
+    // localCheckpoint, not cache — same session-hygiene rule as
+    // [[jaccardPairs]]
+    val sh = shingles(docs).localCheckpoint()
     val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val tagged = sh.join(dfc, "s").select(col("doc_id"), col("s"),
       (col("df") <= JACCARD_MAX_DF).cast("long").as("r"))

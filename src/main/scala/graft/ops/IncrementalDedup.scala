@@ -38,7 +38,9 @@ object IncrementalDedup {
 
   /** probe: near-dup (new, old) links for a batch against the index */
   def probe(batch: DataFrame, idx: GraftTable, hist: DataFrame): DataFrame = {
-    val batchArr = Dedup.shingleArr(batch).cache()
+    // localCheckpoint, not cache: the incremental loop re-invokes this
+    // per batch — a pinned CacheManager entry per call would age the JVM
+    val batchArr = Dedup.shingleArr(batch).localCheckpoint()
     val cand = Dedup.bandSigs(batchArr)
       .select(col("doc_id").as("new_id"), col("band"), col("sig"))
       .join(idx.scan().select(col("doc_id").as("old_id"), col("band"), col("sig")),
