@@ -26,12 +26,11 @@ object Behavioral {
   /** ordered funnel signup → view → click → purchase: a step counts only
     * if it happens strictly AFTER the user's previous step */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
+    // columnar cache for the four step passes; the 1-row result is
+    // pinned eagerly below so the cache releases before returning
+    // instead of staying session-pinned (bench JVMs re-invoke this)
     val ev = Tables(spark, dir, "events")
-      // localCheckpoint, not cache: a CacheManager entry is pinned for
-      // the SESSION lifetime (nothing here unpersists), while checkpoint
-      // blocks free when the query's references drop — a bench JVM
-      // re-invoking this must not accumulate pinned relations
-      .select(col("user_id"), col("event_type"), col("ts")).localCheckpoint()
+      .select(col("user_id"), col("event_type"), col("ts")).cache()
     def firstAfter(typ: String, prev: DataFrame, prevCol: String, outCol: String) =
       ev.join(prev, "user_id")
         .filter(col("event_type") === typ && col("ts") > col(prevCol))
@@ -41,10 +40,13 @@ object Behavioral {
     val t2 = firstAfter("view", t1, "t1", "t2")
     val t3 = firstAfter("click", t2, "t2", "t3")
     val t4 = firstAfter("purchase", t3, "t3", "t4")
-    t1.agg(count(lit(1)).as("n_signup")).crossJoin(
+    val out = t1.agg(count(lit(1)).as("n_signup")).crossJoin(
       t2.agg(count(lit(1)).as("n_view")).crossJoin(
         t3.agg(count(lit(1)).as("n_click")).crossJoin(
           t4.agg(count(lit(1)).as("n_purchase")))))
+      .localCheckpoint() // 1 row, eager — ev releases now
+    ev.unpersist(blocking = false)
+    out
   }
 
   /** weekly cohort retention: cohort = ISO week of a user's first event;

@@ -59,9 +59,10 @@ object Clustering {
   /** final (vec_id, k, d, m) assignment after one Lloyd iteration —
     * shared by the stats query and cluster-balanced curation */
   def assignments(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint, not cache: GC-managed blocks vs a session-pinned
-    // CacheManager entry (this is re-invoked per bench round)
-    val emb = micro(spark, dir).localCheckpoint()
+    // columnar cache for the seed/assign/update/re-assign passes; the
+    // assignment RESULT is pinned eagerly below so the cache releases
+    // before returning instead of staying session-pinned
+    val emb = micro(spark, dir).cache()
     // deterministic seeding: the K lowest vec_ids (TakeOrdered, no full sort)
     val c0 = emb.orderBy("vec_id").limit(K)
       .withColumn("k",
@@ -77,7 +78,9 @@ object Clustering {
       .groupBy(col("k"))
       .agg(expr("transform(array_sort(collect_list(struct(i, ci))), p -> p.ci)")
         .as("c"))
-    assign(emb, c1)
+    val out = assign(emb, c1).localCheckpoint() // O(vectors) rows, eager
+    emb.unpersist(blocking = false)
+    out
   }
 
   def kmeansQuery(spark: SparkSession, dir: String): DataFrame =

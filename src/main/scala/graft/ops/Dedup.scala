@@ -114,11 +114,12 @@ object Dedup {
     * arrays, no unbounded key. The SQL oracle encodes the identical
     * rule. */
   def jaccardPairs(docs: DataFrame, tau: Double, maxDf: Int = JACCARD_MAX_DF): DataFrame = {
-    // localCheckpoint, not cache: the shingle set feeds four consumers,
-    // but a CacheManager entry would stay pinned for the session (no
-    // unpersist point exists — the result is lazy); checkpoint blocks
-    // free once the returned query's references drop
-    val sh = shingles(docs).localCheckpoint()
+    // cache (columnar, so each of the four consumers prunes to the
+    // columns it reads — a checkpointed intermediate deserializes FULL
+    // rows per consumer and read 2.2x normalized on the dress bench);
+    // the small pair RESULT is pinned eagerly below so the cache can be
+    // released before returning instead of staying session-pinned
+    val sh = shingles(docs).cache()
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val rare = sh.join(df.filter(col("df") <= maxDf).select("s"), "s")
     val hot = sh.join(df.filter(col("df") > maxDf).select("s"), "s")
@@ -132,7 +133,7 @@ object Dedup {
       .join(hot.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("ih"))
-    interRare
+    val out = interRare
       .join(interHot, Seq("a_id", "b_id"), "left")
       .withColumn("inter", col("ir") + coalesce(col("ih"), lit(0L)))
       .join(cnt.select(col("doc_id").as("a_id"), col("c").as("ca")), "a_id")
@@ -140,6 +141,9 @@ object Dedup {
       .filter(col("inter").cast("double") /
         (col("ca") + col("cb") - col("inter")) >= tau)
       .select("a_id", "b_id")
+      .localCheckpoint() // pair-set-sized eager pin
+    sh.unpersist(blocking = false)
+    out
   }
 
   // --- exact dedup: keep the lowest doc_id per identical text ---------------
@@ -210,9 +214,9 @@ object Dedup {
     * keeps verification linear in candidates, never the full self-join.
     * Unordered; shared by [[minhash]] and CorpusGraph. */
   def minhashVerifiedPairs(docs: DataFrame, tau: Double): DataFrame = {
-    // localCheckpoint, not cache — same session-hygiene rule as
-    // [[jaccardPairs]]
-    val arr = shingleArr(docs).localCheckpoint()
+    // columnar cache + eager pair-set pin + release, the [[jaccardPairs]]
+    // session-hygiene pattern
+    val arr = shingleArr(docs).cache()
     val cand = {
       val sigs = bandSigs(arr).drop("sh")
       sigs.as("a").join(sigs.as("b"),
@@ -221,8 +225,11 @@ object Dedup {
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
     }
-    verifyExactJaccard(cand,
+    val out = verifyExactJaccard(cand,
       arr.select(col("doc_id"), explode(col("sh")).as("s")), tau)
+      .localCheckpoint()
+    arr.unpersist(blocking = false)
+    out
   }
 
   def minhash(spark: SparkSession, dir: String): DataFrame =
@@ -407,9 +414,9 @@ object Dedup {
     // shingles — a pair is in the capped method's output iff it shares
     // >= 1 rare shingle, which is exactly the production candidate rule.
     // rareness is a property of the shingle, so min(a.r, b.r) = r.
-    // localCheckpoint, not cache — same session-hygiene rule as
-    // [[jaccardPairs]]
-    val sh = shingles(docs).localCheckpoint()
+    // columnar cache, released after the eager `scored` pin below —
+    // the [[jaccardPairs]] session-hygiene pattern
+    val sh = shingles(docs).cache()
     val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val tagged = sh.join(dfc, "s").select(col("doc_id"), col("s"),
       (col("df") <= JACCARD_MAX_DF).cast("long").as("r"))
@@ -423,7 +430,8 @@ object Dedup {
       .filter(col("inter").cast("double") /
         (col("ca") + col("cb") - col("inter")) >= 0.6)
       .select(col("a_id"), col("b_id"), col("rare_inter"))
-      .localCheckpoint() // joined once per method row
+      .localCheckpoint() // joined once per method row; eager, so sh releases now
+    sh.unpersist(blocking = false)
     val truth = scored.select(col("a_id"), col("b_id")).withColumn("tm", lit(1L))
     val capped = scored.filter(col("rare_inter") >= 1L).select("a_id", "b_id")
     def score(method: String, pairs: DataFrame): DataFrame =

@@ -38,22 +38,26 @@ object IncrementalDedup {
 
   /** probe: near-dup (new, old) links for a batch against the index */
   def probe(batch: DataFrame, idx: GraftTable, hist: DataFrame): DataFrame = {
-    // localCheckpoint, not cache: the incremental loop re-invokes this
-    // per batch — a pinned CacheManager entry per call would age the JVM
-    val batchArr = Dedup.shingleArr(batch).localCheckpoint()
+    // columnar cache; the link RESULT is pinned eagerly below so the
+    // cache releases per batch instead of accumulating across the
+    // incremental loop's invocations
+    val batchArr = Dedup.shingleArr(batch).cache()
     val cand = Dedup.bandSigs(batchArr)
       .select(col("doc_id").as("new_id"), col("band"), col("sig"))
       .join(idx.scan().select(col("doc_id").as("old_id"), col("band"), col("sig")),
         Seq("band", "sig"))
       .select("new_id", "old_id").distinct()
     val histArr = Dedup.shingleArr(hist)
-    cand
+    val out = cand
       .join(batchArr.select(col("doc_id").as("new_id"), col("sh").as("sa")), "new_id")
       .join(histArr.select(col("doc_id").as("old_id"), col("sh").as("sb")), "old_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .filter(col("inter").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("inter")) >= Tau)
       .select("new_id", "old_id")
+      .localCheckpoint() // link-set-sized eager pin
+    batchArr.unpersist(blocking = false)
+    out
   }
 
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
