@@ -114,11 +114,22 @@ object Dedup {
     * arrays, no unbounded key. The SQL oracle encodes the identical
     * rule. */
   def jaccardPairs(docs: DataFrame, tau: Double, maxDf: Int = JACCARD_MAX_DF): DataFrame = {
-    // cache (columnar, so each of the four consumers prunes to the
-    // columns it reads — a checkpointed intermediate deserializes FULL
-    // rows per consumer and read 2.2x normalized on the dress bench);
-    // the small pair RESULT is pinned eagerly below so the cache can be
-    // released before returning instead of staying session-pinned
+    val (sh, pairs) = jaccardPairsLazy(docs, tau, maxDf)
+    val out = pairs.localCheckpoint() // pair-set-sized eager pin
+    sh.unpersist(blocking = false)
+    out
+  }
+
+  /** The lazy pair query plus its cached shingle intermediate, for plan
+    * inspection (PlanSpec pins the narrow-verify shape, which the
+    * public method's eager pin hides behind a LogicalRDD scan). The
+    * caller owns releasing `sh`; [[jaccardPairs]] is the only
+    * production entry and does so after pinning the result. The cache
+    * is columnar on purpose — each of the four consumers prunes to the
+    * columns it reads; a checkpointed intermediate deserializes FULL
+    * rows per consumer and read 2.2x normalized on the dress bench. */
+  private[graft] def jaccardPairsLazy(docs: DataFrame, tau: Double,
+      maxDf: Int = JACCARD_MAX_DF): (DataFrame, DataFrame) = {
     val sh = shingles(docs).cache()
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val rare = sh.join(df.filter(col("df") <= maxDf).select("s"), "s")
@@ -133,7 +144,7 @@ object Dedup {
       .join(hot.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("ih"))
-    val out = interRare
+    val pairs = interRare
       .join(interHot, Seq("a_id", "b_id"), "left")
       .withColumn("inter", col("ir") + coalesce(col("ih"), lit(0L)))
       .join(cnt.select(col("doc_id").as("a_id"), col("c").as("ca")), "a_id")
@@ -141,9 +152,7 @@ object Dedup {
       .filter(col("inter").cast("double") /
         (col("ca") + col("cb") - col("inter")) >= tau)
       .select("a_id", "b_id")
-      .localCheckpoint() // pair-set-sized eager pin
-    sh.unpersist(blocking = false)
-    out
+    (sh, pairs)
   }
 
   // --- exact dedup: keep the lowest doc_id per identical text ---------------

@@ -26,11 +26,13 @@ class BenchParseSpec extends AnyFunSuite {
   test("per-query floors parse from the committed BASELINE.md") {
     val fl = Bench.floors()
     assert(fl.size > 100, s"floor table shrank: ${fl.size} rows parsed")
-    // refresh semantics: a LATER table row overrides the main table —
-    // q_dedup_jaccard's round-7 row (3.72, post-reshape) must beat its
-    // stale main-table 1.43 (the pre-reshape array-verify shape)
-    assert(fl.get("q_dedup_jaccard").contains(3.72),
-      s"r7 floor-refresh row must override: ${fl.get("q_dedup_jaccard")}")
+    // refresh semantics: a LATER table row overrides the main table.
+    // q_dedup_jaccard has three generations — the pre-reshape 1.43, the
+    // round-7 post-reshape 3.72 (soft: it embedded warm-cache reruns via
+    // the since-fixed CacheManager leak), and the round-12 honest floor;
+    // the pin is the round-12 run-B value, proving the LAST row wins
+    assert(fl.get("q_dedup_jaccard").contains(6.327),
+      s"round-12 floor row must override: ${fl.get("q_dedup_jaccard")}")
     // round-7 additions present
     assert(fl.contains("q_geo_sphere"))
     // round-8 refresh of the stale r4-pristine floors must override

@@ -171,7 +171,11 @@ class PlanSpec extends SparkSpec {
     // round-5 regression: the verify stage joined the full shingle-ARRAY
     // table twice onto candidates (~5x floor). The narrow form moves only
     // (long, long, string) rows; no exchange may carry an array column.
-    val plan = planString(Dedup.jaccard(spark, sf))
+    // Inspect the LAZY pair query — the production method eagerly pins
+    // its (small) result, which leaves only a LogicalRDD scan to explain.
+    val (sh, pairs) = Dedup.jaccardPairsLazy(
+      graft.Tables(spark, sf, "documents"), 0.5)
+    val plan = try planString(pairs) finally sh.unpersist(blocking = false)
     val exchanges = "Exchange hashpartitioning\\([^\\)]*\\)".r.findAllIn(plan).toSeq
     // plan strings render partitioning exprs, not row schemas; assert the
     // array-producing op (array_intersect) is gone entirely instead
