@@ -781,7 +781,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // bound variables are exempt (they are not column references), while
     // an UNBOUND one-part lambda variable is exactly an unqualified
     // column reference and is refused here by name, instead of surfacing
-    // later as an opaque AMBIGUOUS_REFERENCE from the ON join.
+    // later as an opaque AMBIGUOUS_REFERENCE from the ON join. A MULTI-part
+    // lambda variable whose HEAD is bound (exists(t.items, x -> x.sku =
+    // s.sku) parses x.sku as UnresolvedNamedLambdaVariable([x, sku])) is
+    // struct-field extraction on the lambda parameter — Spark's
+    // ResolveLambdaVariables resolves it by head-name lookup + ExtractValue
+    // folding, so only the head decides bound-ness, never the arity.
     def freeAttrs(e: org.apache.spark.sql.catalyst.expressions.Expression,
         bound: Set[String]): Seq[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute] =
       e match {
@@ -789,8 +794,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
           freeAttrs(lf.function,
             bound ++ lf.arguments.map(_.name.toLowerCase(java.util.Locale.ROOT)))
         case v: org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable =>
-          if (v.nameParts.length == 1 &&
-              bound(v.nameParts.head.toLowerCase(java.util.Locale.ROOT))) Nil
+          if (bound(v.nameParts.head.toLowerCase(java.util.Locale.ROOT))) Nil
           else Seq(org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(v.nameParts))
         case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           Seq(ua)
@@ -1098,7 +1102,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * publishing); a YOUNGER metadata-less lease is an in-flight clone
     * racing this GC inside its registration→publish window — its
     * retained set cannot be enumerated yet, so the flag tells callers
-    * to skip ALL physical deletes under this root this pass. A clone
+    * to skip ALL physical deletes under this root this pass. The SAME
+    * window exists for the pre-created-empty-catalog-table target shape
+    * ([[shallowClone]] explicitly supports it): there the clone's
+    * metadata EXISTS but has ZERO snapshots until the clone publishes,
+    * so a young zero-snapshot lease is in-flight too — an aged one is a
+    * crashed-or-abandoned clone that references nothing and is released
+    * exactly like an aged metadata-less lease. A clone
     * whose metadata EXISTS but cannot be read fails the GC loudly —
     * deleting files under an uninspectable clone would risk silent
     * corruption, the exact failure this registry exists to prevent.
@@ -1120,16 +1130,23 @@ class GraftTable(val spark: SparkSession, val location: String) {
       if (leaseBytes == null) Nil else {
       val cloneLoc = new String(leaseBytes,
         java.nio.charset.StandardCharsets.UTF_8).trim
+      def ageMs: Long =
+        try System.currentTimeMillis() - Files.getLastModifiedTime(lf).toMillis
+        catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
       if (Meta.currentVersion(cloneLoc).isEmpty) {
-        val ageMs =
-          try System.currentTimeMillis() - Files.getLastModifiedTime(lf).toMillis
-          catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
         if (ageMs >= leaseGraceMs) Files.deleteIfExists(lf) // dropped/crashed — released
         else inFlight = true // registered, metadata not yet published — LIVE
         Nil
       } else {
         val cm = Meta.readJson(cloneLoc)
-        cm.snapshots.flatMap(s => Meta.readEntries(cloneLoc, s))
+        if (cm.snapshots.isEmpty) {
+          // pre-created EMPTY catalog-table target: metadata exists but the
+          // clone snapshot has not published yet — same registration→publish
+          // window as the metadata-less shape, same age-guarded verdict
+          if (ageMs >= leaseGraceMs) Files.deleteIfExists(lf)
+          else inFlight = true
+          Nil
+        } else cm.snapshots.flatMap(s => Meta.readEntries(cloneLoc, s))
           .flatMap(e => Seq(e.path) ++ e.appliesTo)
           .map(p => normPath(if (p.startsWith("/")) p else s"$cloneLoc/$p"))
           .filter(_.startsWith(rootPrefix))

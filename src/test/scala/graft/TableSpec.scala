@@ -1765,6 +1765,71 @@ class TableSpec extends SparkSpec {
     assert(e.getMessage.contains("o_custkey"))
   }
 
+  test("merge ON accepts struct-field access on a bound lambda parameter") {
+    // exists(t.items, x -> x.sku = s.sku) parses x.sku as a MULTI-part
+    // UnresolvedNamedLambdaVariable([x, sku]); ResolveLambdaVariables
+    // resolves it by HEAD-name lookup + ExtractValue folding, so the ON
+    // validation must exempt any lambda variable whose head is bound,
+    // regardless of arity — requiring one-part names rejected this
+    // valid shape
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed))
+    val src = seedDf(Seq((1L, 10L, "O", 111.0)))
+    t.merge(src,
+      on = "exists(array(named_struct('k', t.o_orderkey)), x -> x.k = s.o_orderkey)",
+      matchedSet = Map("o_total" -> "s.o_total"))
+    assert(t.scan().filter(col("o_orderkey") === 1L)
+      .select("o_total").head().getDouble(0) == 111.0)
+    // an UNBOUND multi-part name inside the lambda body is still a
+    // column reference, refused unless qualified t./s.
+    val e = intercept[IllegalArgumentException] {
+      t.merge(src,
+        on = "exists(array(named_struct('k', t.o_orderkey)), x -> x.k = u.o_orderkey)")
+    }
+    assert(e.getMessage.contains("u.o_orderkey"))
+  }
+
+  test("clone lease interleave: pre-created EMPTY catalog-table target") {
+    // shallowClone supports a target that is a freshly-created empty
+    // catalog table: metadata EXISTS, snapshots are empty until the clone
+    // publishes. Inside that registration→publish window a source GC sees
+    // a lease whose clone metadata reads fine but enumerates zero
+    // snapshots — it must treat that exactly like the metadata-less
+    // in-flight shape (skip physical deletes while young, release once
+    // aged), not compute an empty retained set and sweep
+    val future = System.currentTimeMillis() + 600000L
+    val t = mkOrders(tmp())
+    t.append(seedDf(seed).coalesce(1))
+    def dataFiles(): Set[String] =
+      Files.walk(java.nio.file.Paths.get(t.location, "data")).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSet
+    val preCloneFiles = dataFiles()
+    // the frozen window: empty catalog table created at the target,
+    // lease registered, clone snapshot NOT yet published
+    val cloneLoc = tmp()
+    mkOrders(cloneLoc) // metadata exists, zero snapshots
+    val leaseDir = java.nio.file.Paths.get(t.location, "metadata", "clones")
+    Files.createDirectories(leaseDir)
+    val leaseFile = leaseDir.resolve("0f1e2d3c-empty-target.lease")
+    Files.write(leaseFile, cloneLoc.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    t.delete("o_orderkey = 3", WriteMode.CopyOnWrite)
+    t.expireSnapshots(olderThanMs = future, retainLast = 1)
+    t.removeOrphanFiles(olderThanMs = future)
+    assert(Files.exists(leaseFile),
+      "young zero-snapshot lease must survive a source GC pass")
+    assert(preCloneFiles.subsetOf(dataFiles()),
+      "GC deleted files the about-to-publish clone references")
+    // aged with still no snapshots → crashed/abandoned clone, released
+    Files.setLastModifiedTime(leaseFile, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 11L * 60 * 1000))
+    assert(t.removeOrphanFiles(olderThanMs = future) > 0,
+      "aged zero-snapshot lease must release and unblock the sweep")
+    assert(!Files.exists(leaseFile))
+    assert(t.scan().select("o_orderkey").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L, 5L, 6L))
+  }
+
   test("CHECK constraints: inline enforcement, SQL null semantics, lifecycle") {
     val t = mkOrders(tmp())
     t.append(seedDf(seed))
