@@ -45,12 +45,14 @@ object Bench {
     * phrase was line-wrapped (`canary\nfloor:`) — the headline
     * normalized verdict never fired and nobody noticed. Tolerate any
     * whitespace (incl. newlines) between the words and around the
-    * number; BenchParseSpec pins this against the committed file. */
+    * number; BenchParseSpec pins this against the committed file. The
+    * LAST match wins, like every floor: a later round may append a
+    * refreshed phrase without editing history. */
   def canaryFloor(path: String = "BASELINE.md"): Option[Double] = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isReadable(p)) None
     else "(?s)canary\\s+floor:\\s*([0-9.]+)\\s*s".r
-      .findFirstMatchIn(java.nio.file.Files.readString(p))
+      .findAllMatchIn(java.nio.file.Files.readString(p)).toSeq.lastOption
       .map(_.group(1).toDouble)
   }
 
@@ -61,7 +63,7 @@ object Bench {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isReadable(p)) None
     else "(?s)sched\\s+floor:\\s*([0-9.]+)\\s*s".r
-      .findFirstMatchIn(java.nio.file.Files.readString(p))
+      .findAllMatchIn(java.nio.file.Files.readString(p)).toSeq.lastOption
       .map(_.group(1).toDouble)
   }
 
@@ -71,7 +73,7 @@ object Bench {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isReadable(p)) None
     else "(?s)io\\s+floor:\\s*([0-9.]+)\\s*s".r
-      .findFirstMatchIn(java.nio.file.Files.readString(p))
+      .findAllMatchIn(java.nio.file.Files.readString(p)).toSeq.lastOption
       .map(_.group(1).toDouble)
   }
 
@@ -88,8 +90,29 @@ object Bench {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isReadable(p)) None
     else "(?s)aging\\s+threshold:\\s*([0-9.]+)".r
-      .findFirstMatchIn(java.nio.file.Files.readString(p))
+      .findAllMatchIn(java.nio.file.Files.readString(p)).toSeq.lastOption
       .map(_.group(1).toDouble)
+  }
+
+  /** Floor CLASSES from BASELINE.md: queries whose committed floor does
+    * not measure the engine alone — e.g. the `subprocess` class, whose
+    * floors are dominated by python-interpreter startup (three-process
+    * queries by construction), so a 2x ratio on a loaded machine flags
+    * the OS fork path, not a regression. Parsed from lines shaped
+    * `floor class <name> (tolerance <N>x): q_a q_b ...`; such queries
+    * are reported under `floor_classes` in the JSON and flagged only
+    * above their class tolerance, instead of the default 2x rule.
+    * Later definitions of the same class override earlier ones (the
+    * floors' refresh semantics). Returns class -> (tolerance, keys). */
+  def floorClasses(path: String = "BASELINE.md"): Map[String, (Double, Set[String])] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isReadable(p)) return Map.empty
+    ("(?s)floor\\s+class\\s+([A-Za-z0-9_-]+)\\s*\\(tolerance\\s+([0-9.]+)x?\\)" +
+      "\\s*:\\s*((?:q[A-Za-z0-9_]+[ \\t,]*)+)").r
+      .findAllMatchIn(java.nio.file.Files.readString(p)).map { m =>
+        m.group(1) -> ((m.group(2).toDouble,
+          m.group(3).split("[ \\t,]+").filter(_.nonEmpty).toSet))
+      }.toMap
   }
 
   /** Aging slope over kept rounds: last kept round's suite wall divided
@@ -137,6 +160,43 @@ object Bench {
       ioThresh: Double): Boolean =
     cleanFlags(Seq(bracket), gateFloor, cleanThresh).head &&
       ioFloor.filter(_ > 0).forall(f => io.worst / f < ioThresh)
+
+  /** Settle pause before retry attempt `attempt` (1-based count of
+    * attempts already made): exponential doubling from `baseMs`, capped
+    * at `capMs`. The round-12 driver run proved a FIXED 5 s pause is the
+    * wrong instrument: all three recheck attempts landed inside one
+    * multi-minute steal window (canary_post up to 12x floor), publishing
+    * every number `window_dirty: true` — 3 attempts x 5 s can never
+    * outwait a burst that lasts minutes. Doubling waits (default
+    * 10 s, 20 s, 40 s, 80 s... capped 120 s) outwait a multi-minute
+    * window inside the same attempt budget. Pinned by BenchSampleSpec. */
+  def backoffMs(attempt: Int, baseMs: Long, capMs: Long): Long = {
+    val shift = math.min(attempt - 1, 20).max(0) // bounded: no Long overflow
+    math.min(capMs, baseMs << shift).max(0L)
+  }
+
+  /** The recheck retry loop, pure apart from the injected effects: run
+    * `attempt` until one reports clean or `maxAttempts` is spent,
+    * sleeping [[backoffMs]] before every retry (never before the first
+    * attempt — in a clean window the recheck costs exactly one pass).
+    * Returns every attempt's result in order; the caller publishes the
+    * LAST measurement per key and `window_dirty` from the final
+    * attempt's cleanliness. Pinned by BenchSampleSpec with a synthetic
+    * multi-minute steal window that the default schedule outwaits. */
+  def retryUntilClean[A](maxAttempts: Int, baseMs: Long, capMs: Long,
+      sleep: Long => Unit, attempt: Int => (A, Boolean)): Vector[(A, Boolean)] = {
+    val out = Vector.newBuilder[(A, Boolean)]
+    var i = 0
+    var clean = false
+    while (!clean && i < maxAttempts) {
+      if (i > 0) sleep(backoffMs(i, baseMs, capMs))
+      val r = attempt(i)
+      out += r
+      clean = r._2
+      i += 1
+    }
+    out.result()
+  }
 
   /** Rounds whose samples feed the medians: the clean rounds, unless
     * NONE are clean — then all rounds (an all-stolen run still has to
@@ -318,10 +378,31 @@ object Bench {
     def schedKeptSamples(kept: Seq[Boolean]): Seq[Double] =
       schedRounds.toSeq.zip(kept).collect { case (s, true) => s }
     val schedFloorV = if (cpus == "32") schedFloor() else None
+    // floor classes (BASELINE.md `floor class <name> (tolerance Nx): ...`):
+    // queries whose floor doesn't measure the engine alone (subprocess-
+    // bound interop) are judged at their class tolerance and reported
+    // under `floor_classes`, never in the default 2x lists — a loaded
+    // machine otherwise flags the OS fork path without measuring the
+    // engine at all (the round-12 blind spot)
+    val fclasses = floorClasses()
+    val classOf: Map[String, (String, Double)] = fclasses.flatMap {
+      case (c, (tol, ks)) => ks.map(k => k -> ((c, tol)))
+    }
     def flaggedOf(res: Map[String, Double]): Seq[(String, Double)] =
       res.toSeq.flatMap { case (k, v) =>
-        fl.get(k).filter(_ => v > 0).map(f => k -> v / f)
+        fl.get(k).filter(_ => v > 0 && !classOf.contains(k)).map(f => k -> v / f)
       }.filter(_._2 > 2.0).sortBy(-_._2)
+    // class-tagged queries flagged above their OWN tolerance — these
+    // still earn a tail re-run and an isolated recheck, they just never
+    // enter the default-2x verdict lists
+    def classFlaggedOf(res: Map[String, Double]): Seq[(String, Double)] =
+      res.toSeq.flatMap { case (k, v) =>
+        for {
+          (_, tol) <- classOf.get(k)
+          f <- fl.get(k) if v > 0
+          r = v / f if r > tol
+        } yield k -> r
+      }.sortBy(-_._2)
     // tail re-run: queries flagged >2x floor after the main loop get two
     // more samples here — if the main loop crossed a steal window, the
     // tail usually doesn't; tail samples join the medians only when the
@@ -330,7 +411,8 @@ object Bench {
       n -> medOf(selectSamples(samples(n), kept, Vector.empty, tailKept = false))).toMap
     // worst offenders first, capped so a globally slow window (every
     // query flagged) can't double the suite cost in the tail
-    val toRerun = flaggedOf(firstPass).map(_._1).take(30)
+    val toRerun = (flaggedOf(firstPass) ++ classFlaggedOf(firstPass))
+      .map(_._1).take(30)
     val tailSamples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     var tailBracket: Option[Bracket] = None
@@ -391,32 +473,37 @@ object Bench {
     // io_ratio>1.3 write-heavy case is where it earns its keep; running
     // it unconditionally is strictly more informative and bounded).
     val recheckKeys = (flagged.map(_._1) ++
-      normRatios.getOrElse(Nil).filter(_._2 > 2.0).map(_._1)).distinct.take(12)
+      normRatios.getOrElse(Nil)
+        .filter { case (k, r) => r > 2.0 && !classOf.contains(k) }.map(_._1) ++
+      classFlaggedOf(results).map(_._1)).distinct.take(12)
     val recheckJson = if (recheckKeys.isEmpty) "null" else {
       // the recheck defends its OWN window ([[recheckAttemptClean]]):
-      // an attempt whose brackets read dirty retries (bounded, with a
-      // settle pause); keys never measured inside a clean attempt are
+      // an attempt whose brackets read dirty retries (bounded, with an
+      // exponential settle pause — [[backoffMs]]; the round-12 fixed-5 s
+      // pause lost to a multi-minute steal window, leaving every flag
+      // unadjudicated); keys never measured inside a clean attempt are
       // published `window_dirty: true` instead of standing as evidence.
-      val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_RECHECK_ATTEMPTS", "3")
+      val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_RECHECK_ATTEMPTS", "5")
         .toInt.max(1)
+      val backoffBase = sys.env.getOrElse("SPARK_GRAFT_RECHECK_BACKOFF_MS", "10000")
+        .toLong.max(0)
+      val backoffCap = sys.env.getOrElse("SPARK_GRAFT_RECHECK_BACKOFF_CAP_MS", "120000")
+        .toLong.max(backoffBase)
       val ioThresh = sys.env.getOrElse("SPARK_GRAFT_IO_CLEAN", "2.0").toDouble
       val ioFl = if (cpus == "32") ioFloor() else None
       final case class Attempt(cpu: Bracket, io: Bracket, clean: Boolean)
-      val attempts = scala.collection.mutable.ArrayBuffer[Attempt]()
       // last measurement per key (overwritten until a clean attempt)
       val measured = scala.collection.mutable.Map[String, (Double, Boolean)]()
-      var pending = recheckKeys
-      while (pending.nonEmpty && attempts.size < maxAttempts) {
-        if (attempts.nonEmpty) Thread.sleep(5000) // let a busy window pass
-        val pre = warmedCanary(); val ioPre = ioCanary()
-        val secs = pending.map(k => k -> medOf(Vector.fill(2)(sample(k, picked(k)))))
-        val post = warmedCanary(); val ioPost = ioCanary()
-        val clean = recheckAttemptClean(Bracket(pre, post), gateFloor,
-          cleanThresh, Bracket(ioPre, ioPost), ioFl, ioThresh)
-        attempts += Attempt(Bracket(pre, post), Bracket(ioPre, ioPost), clean)
-        secs.foreach { case (k, s) => measured(k) = (s, !clean) }
-        if (clean) pending = Nil
-      }
+      val attempts = retryUntilClean(maxAttempts, backoffBase, backoffCap,
+        Thread.sleep, { _ =>
+          val pre = warmedCanary(); val ioPre = ioCanary()
+          val secs = recheckKeys.map(k => k -> medOf(Vector.fill(2)(sample(k, picked(k)))))
+          val post = warmedCanary(); val ioPost = ioCanary()
+          val clean = recheckAttemptClean(Bracket(pre, post), gateFloor,
+            cleanThresh, Bracket(ioPre, ioPost), ioFl, ioThresh)
+          secs.foreach { case (k, s) => measured(k) = (s, !clean) }
+          (Attempt(Bracket(pre, post), Bracket(ioPre, ioPost), clean), clean)
+        }).map(_._1)
       val entries = recheckKeys.map { k =>
         val (sec, dirty) = measured(k)
         val ratio = fl.get(k).filter(_ => sec > 0)
@@ -437,11 +524,28 @@ object Bench {
       val fj = flagged.map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }
         .mkString("{", ",", "}")
       val norm = normRatios.map { nr =>
-        val nf = nr.filter(_._2 > 2.0).sortBy(-_._2)
+        val nf = nr.filter { case (k, r) => r > 2.0 && !classOf.contains(k) }
+          .sortBy(-_._2)
           .map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }
           .mkString("{", ",", "}")
         s""","median_ratio_normalized":${f"${median(nr.map(_._2))}%.3f"},"flagged_normalized":$nf"""
       }.getOrElse("")
+      // per-class report: every tagged query's ratio plus the flags that
+      // exceed the CLASS tolerance — separated from the default lists so
+      // a subprocess-bound ratio never masquerades as an engine verdict
+      val fcJson = if (fclasses.isEmpty) "" else {
+        val parts = fclasses.toSeq.sortBy(_._1).map { case (c, (tol, ks)) =>
+          val rs = ratios.filter { case (k, _) => ks(k) }
+          val rj = rs.sortBy(_._1)
+            .map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }
+            .mkString("{", ",", "}")
+          val fj2 = rs.filter(_._2 > tol).sortBy(-_._2)
+            .map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }
+            .mkString("{", ",", "}")
+          s""""$c":{"tolerance":$tol,"ratios":$rj,"flagged":$fj2}"""
+        }
+        s""","floor_classes":${parts.mkString("{", ",", "}")}"""
+      }
       // sched-adjusted flags: subtract ONE sched-excess from each flagged
       // query before re-testing the 2x rule — conservative (the sched
       // canary is itself a 3-stage job; every real query runs at least as
@@ -457,7 +561,7 @@ object Bench {
         s""","flagged_sched_adjusted":$af"""
       }.getOrElse("")
       s"""{"median_ratio":${f"$medR%.3f"},"n_compared":${ratios.size},""" +
-        s""""flagged":$fj$norm$adj,"flagged_recheck":$recheckJson}"""
+        s""""flagged":$fj$norm$adj$fcJson,"flagged_recheck":$recheckJson}"""
     }
     // canary emits top-level: it is meaningful even when no floor rows
     // matched (fresh checkout, SPARK_GRAFT_ONLY on brand-new queries).

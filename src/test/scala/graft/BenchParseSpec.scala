@@ -74,4 +74,61 @@ class BenchParseSpec extends AnyFunSuite {
     assert(t.nonEmpty, "BASELINE.md lost its `aging threshold: N` phrase")
     assert(t.get > 1.0 && t.get < 3.0, s"implausible aging threshold: $t")
   }
+
+  test("floor phrases refresh LAST-match-wins, like the per-query floor rows") {
+    // a future round appends a refreshed phrase instead of editing
+    // history — the parse must take the LAST occurrence of each (the
+    // round-12 agingThreshold took the FIRST, silently ignoring any
+    // appended refresh; ADVICE r12)
+    val t = Files.createTempFile("baseline", ".md")
+    Files.writeString(t,
+      """canary floor: 0.055 s (round 3)
+        |sched floor: 0.090 s io floor: 0.33 s aging threshold: 1.5
+        |## later refresh
+        |canary floor: 0.060 s sched floor: 0.095 s
+        |io floor: 0.41 s aging threshold: 1.4
+        |""".stripMargin)
+    assert(Bench.canaryFloor(t.toString).contains(0.060))
+    assert(Bench.schedFloor(t.toString).contains(0.095))
+    assert(Bench.ioFloor(t.toString).contains(0.41))
+    assert(Bench.agingThreshold(t.toString).contains(1.4))
+    Files.delete(t)
+  }
+
+  test("floor classes parse from the committed BASELINE.md (round-13 commitment)") {
+    val fc = Bench.floorClasses()
+    assert(fc.contains("subprocess"),
+      "BASELINE.md lost its `floor class subprocess (tolerance Nx):` line")
+    val (tol, keys) = fc("subprocess")
+    assert(tol == 3.0, s"committed subprocess tolerance drifted: $tol")
+    // the six extwriter three-process queries — floors dominated by
+    // interpreter startup, never comparable to in-JVM floors at 2x
+    assert(keys == Set(
+      "q_interop_extwrite", "q_interop_extwrite_resolver",
+      "q_interop_extupdate", "q_interop_extevolve",
+      "q_interop_extmerge", "q_interop_extbranch"),
+      s"subprocess class membership drifted: $keys")
+    // every tagged query must actually have a floor row — a tag on a
+    // floor-less query would silently judge nothing
+    val fl = Bench.floors()
+    assert(keys.forall(fl.contains), s"tagged query without a floor row: " +
+      keys.filterNot(fl.contains).mkString(", "))
+  }
+
+  test("floor class parse: comma tolerance, single-line list, last-definition-wins") {
+    val t = Files.createTempFile("baseline", ".md")
+    Files.writeString(t,
+      """floor class subprocess (tolerance 2.5x): q_a q_b
+        |refresh:
+        |floor class subprocess (tolerance 3.0x): q_one, q_two q_three
+        |quoting prose that must NOT join the list
+        |""".stripMargin)
+    val fc = Bench.floorClasses(t.toString)
+    // later definition overrides; the list is SINGLE-LINE by contract —
+    // a wrapped list would let any following prose word starting with
+    // 'q' silently join the class ("quoting" above)
+    assert(fc("subprocess") == ((3.0, Set("q_one", "q_two", "q_three"))),
+      s"parse drifted: $fc")
+    Files.delete(t)
+  }
 }

@@ -100,6 +100,49 @@ class BenchSampleSpec extends AnyFunSuite {
     assert(Bench.agingRatio(Seq(0.0, 0.0), Seq(true, true)).isEmpty)
   }
 
+  test("recheck backoff doubles from base and caps (round-13 hardening)") {
+    import graft.Bench.backoffMs
+    assert(backoffMs(1, 10000, 120000) == 10000)
+    assert(backoffMs(2, 10000, 120000) == 20000)
+    assert(backoffMs(3, 10000, 120000) == 40000)
+    assert(backoffMs(4, 10000, 120000) == 80000)
+    assert(backoffMs(5, 10000, 120000) == 120000, "cap must bind")
+    assert(backoffMs(40, 10000, 120000) == 120000, "huge attempt: no overflow")
+    assert(backoffMs(0, 10000, 120000) == 10000, "degenerate attempt index")
+  }
+
+  test("recheck retry outwaits a multi-minute steal window (the round-12 failure)") {
+    import graft.Bench.{backoffMs, retryUntilClean}
+    // synthetic machine: a steal burst covering the first 140 seconds of
+    // the recheck; an attempt is clean iff it starts after the burst
+    var clock = 0L
+    val stealUntilMs = 140000L
+    def attempt(i: Int): (Long, Boolean) = {
+      val at = clock
+      clock += 2000 // each attempt itself takes ~2 s
+      (at, at >= stealUntilMs)
+    }
+    // the ROUND-12 configuration — 3 attempts, fixed 5 s pause — can
+    // never reach the far side of the burst: total settle 10 s
+    val old = retryUntilClean(3, 5000, 5000, ms => clock += ms, attempt)
+    assert(old.size == 3 && old.forall(!_._2),
+      "fixed 5s x 3 must fail against a 140s burst (the documented gap)")
+    // the round-13 default schedule (5 attempts, 10 s base doubling,
+    // 120 s cap) sleeps 10+20+40+80 = 150 s cumulative and lands its
+    // last attempt past the burst
+    clock = 0L
+    val now = retryUntilClean(5, 10000, 120000, ms => clock += ms, attempt)
+    assert(now.last._2, "default schedule must outwait the 140s burst")
+    assert(now.size <= 5)
+    // and a clean first attempt never sleeps at all
+    clock = stealUntilMs
+    val quick = retryUntilClean(5, 10000, 120000,
+      ms => fail(s"slept ${ms}ms before a clean first attempt"), attempt)
+    assert(quick.size == 1 && quick.head._2)
+    // the schedule the loop sleeps is exactly backoffMs(i)
+    assert((1 to 4).map(backoffMs(_, 10000, 120000)).sum == 150000L)
+  }
+
   test("recheck keep rule: an unjudgeable dimension (no committed floor) passes, like cleanFlags") {
     import graft.Bench.recheckAttemptClean
     assert(recheckAttemptClean(Bracket(9.0, 9.0), None, 2.0,
