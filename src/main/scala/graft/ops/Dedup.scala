@@ -226,19 +226,25 @@ object Dedup {
     // columnar cache + eager pair-set pin + release, the [[jaccardPairs]]
     // session-hygiene pattern
     val arr = shingleArr(docs).cache()
-    val cand = {
-      val sigs = bandSigs(arr).drop("sh")
-      sigs.as("a").join(sigs.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-    }
-    val out = verifyExactJaccard(cand,
-      arr.select(col("doc_id"), explode(col("sh")).as("s")), tau)
-      .localCheckpoint()
+    val out = minhashVerifiedLazy(arr, tau).localCheckpoint()
     arr.unpersist(blocking = false)
     out
+  }
+
+  /** Lazy LSH-candidates + exact-verify plan over a PRE-MATERIALIZED
+    * shingle-array frame — the caller owns `arr`'s cache lifecycle.
+    * Split out (round 13) so [[dedupEval]] can share ONE shingle
+    * materialization between its ground-truth join and this method row
+    * instead of tokenizing the corpus a second time. */
+  private[ops] def minhashVerifiedLazy(arr: DataFrame, tau: Double): DataFrame = {
+    val sigs = bandSigs(arr).drop("sh")
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    verifyExactJaccard(cand,
+      arr.select(col("doc_id"), explode(col("sh")).as("s")), tau)
   }
 
   def minhash(spark: SparkSession, dir: String): DataFrame =
@@ -423,9 +429,17 @@ object Dedup {
     // shingles — a pair is in the capped method's output iff it shares
     // >= 1 rare shingle, which is exactly the production candidate rule.
     // rareness is a property of the shingle, so min(a.r, b.r) = r.
-    // columnar cache, released after the eager `scored` pin below —
-    // the [[jaccardPairs]] session-hygiene pattern
-    val sh = shingles(docs).cache()
+    // ONE shingle materialization feeds BOTH the truth/capped side and
+    // the minhash_lsh method row (round 13): tokenize+shingle is the
+    // dominant map cost, and the round-12 shape paid it twice — once
+    // building the exploded truth stream, once inside
+    // minhashVerifiedPairs' own shingleArr pass. The array form caches
+    // columnar; the exploded stream derives from it (explode from a
+    // cached array column is cheap CPU, no re-scan) and caches too for
+    // its five consumers. Both release after the eager pins below —
+    // the [[jaccardPairs]] session-hygiene pattern.
+    val arr = shingleArr(docs).cache()
+    val sh = arr.select(col("doc_id"), explode(col("sh")).as("s")).cache()
     val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val tagged = sh.join(dfc, "s").select(col("doc_id"), col("s"),
       (col("df") <= JACCARD_MAX_DF).cast("long").as("r"))
@@ -440,7 +454,11 @@ object Dedup {
         (col("ca") + col("cb") - col("inter")) >= 0.6)
       .select(col("a_id"), col("b_id"), col("rare_inter"))
       .localCheckpoint() // joined once per method row; eager, so sh releases now
+    // the minhash method row reuses the SAME materialized shingle arrays;
+    // its pair set pins eagerly (pair-set-sized) before the caches drop
+    val mhPairs = minhashVerifiedLazy(arr, 0.6).localCheckpoint()
     sh.unpersist(blocking = false)
+    arr.unpersist(blocking = false)
     val truth = scored.select(col("a_id"), col("b_id")).withColumn("tm", lit(1L))
     val capped = scored.filter(col("rare_inter") >= 1L).select("a_id", "b_id")
     def score(method: String, pairs: DataFrame): DataFrame =
@@ -467,7 +485,7 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
     score("exact_text", exactPairs)
       .unionByName(score("jaccard_capped", capped))
-      .unionByName(score("minhash_lsh", minhashVerifiedPairs(docs, 0.6)))
+      .unionByName(score("minhash_lsh", mhPairs))
       .unionByName(score("simhash", simhash(spark, dir)))
       .orderBy("method")
   }
