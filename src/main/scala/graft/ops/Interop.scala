@@ -139,12 +139,15 @@ object Interop {
     * their real values — the reader needs each file's schemaId from the
     * manifest to tell the difference). A MoR delete lands across BOTH
     * schema generations. */
-  def buildEvolvedAndScan(spark: SparkSession, dir: String): DataFrame = {
-    val root = Paths.get(Loc2)
-    if (Files.exists(root))
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().forEachRemaining(p => Files.deleteIfExists(p))
-    val t = GraftTable.create(spark, Loc2,
+  def buildEvolvedAndScan(spark: SparkSession, dir: String): DataFrame =
+    buildEvolved(spark, dir, Loc2).scan().orderBy("id")
+
+  /** the evolved-table history, parameterized by location (shared by the
+    * DuckDB-gated [[buildEvolvedAndScan]] and the third-reader variant) */
+  private def buildEvolved(spark: SparkSession, dir: String,
+      loc: String): GraftTable = {
+    wipe(loc)
+    val t = GraftTable.create(spark, loc,
       "id bigint, cat string, qty int", Seq("identity(cat)"))
     val c = Tables(spark, dir, "customer").select(
       col("c_custkey").as("ck"),
@@ -158,7 +161,7 @@ object Interop {
       col("cat").as("segment"), col("qty").cast("bigint").as("qty"),
       (col("ck") % 7).cast("double").as("score")))
     t.delete("id % 11 = 5", WriteMode.MergeOnRead)
-    t.scan().orderBy("id")
+    t
   }
 
   /** fixed location for the external-WRITER variant */
@@ -552,8 +555,59 @@ object Interop {
       .orderBy("status")
   }
 
+  /** fixed locations for the third-reader (pyarrow) variants */
+  val Loc12 = "/tmp/graft_interop_pyread"
+  val Loc13 = "/tmp/graft_interop_pyread_evolved"
+
+  /** locate scripts/extreader.py relative to the repo checkout */
+  private[graft] def extReaderScript: String =
+    Seq(Paths.get("scripts/extreader.py"),
+      Paths.get(sys.props.getOrElse("user.dir", "."), "scripts", "extreader.py"),
+      Paths.get("/root/repo/scripts/extreader.py"))
+      .find(Files.exists(_)).map(_.toAbsolutePath.toString)
+      .getOrElse(throw new IllegalStateException("scripts/extreader.py not found"))
+
+  /** run the INDEPENDENT pyarrow reader against the table at `loc` and
+    * return the parquet file it resolved the live rows into */
+  private[graft] def runExtReader(loc: String, args: Seq[String] = Nil): String = {
+    val out = graft.Scratch.dir("pyread").resolve("resolved.parquet").toString
+    import scala.sys.process._
+    val rc = Process(Seq("python3", extReaderScript, loc, out) ++ args).!
+    require(rc == 0, s"extreader.py exited $rc for $loc")
+    out
+  }
+
+  /** THIRD independent reader (the daft/clickhouse suites' role beside the
+    * DuckDB one): scripts/extreader.py — pure python + pyarrow, written
+    * from FORMAT.md alone, zero shared code with the Spark writer AND
+    * with the DuckDB SQL resolver — resolves the base table's live rows
+    * (current metadata → head snapshot → manifest segments → data files,
+    * then position deletes, latest-sequence deletion vectors, and
+    * sequence-gated equality deletes). The oracle is the DuckDB resolver
+    * over the SAME table, so the hash gate certifies two foreign readers
+    * agreeing on a Spark-written history of all three delete shapes —
+    * three implementations, pairwise zero shared code
+    * (/root/reference/tests/daft_feature_tests.py mirrors
+    * duckdb_feature_tests.py the same way). */
+  def buildPyReadAndResolve(spark: SparkSession, dir: String): DataFrame = {
+    buildBase(spark, dir, Loc12)
+    spark.read.parquet(runExtReader(Loc12)).orderBy("id")
+  }
+
+  /** The pyarrow reader over the HARD read shapes: hidden partitioning,
+    * rename by field id, int→bigint promotion across file generations,
+    * schemaId-gated v3 initial-default, and a MoR delete landing across
+    * both generations — [[buildEvolvedAndScan]]'s table, resolved by the
+    * third reader, gated against the DuckDB resolver. */
+  def buildPyReadEvolvedAndResolve(spark: SparkSession, dir: String): DataFrame = {
+    buildEvolved(spark, dir, Loc13)
+    spark.read.parquet(runExtReader(Loc13)).orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_interop_duckdb" -> buildAndScan,
+    "q_interop_pyread" -> buildPyReadAndResolve,
+    "q_interop_pyread_evolved" -> buildPyReadEvolvedAndResolve,
     "q_interop_timetravel" -> buildAndScanHistory,
     "q_interop_branch" -> buildBranchAndScan,
     "q_interop_evolved" -> buildEvolvedAndScan,
@@ -827,38 +881,55 @@ object Interop {
     // → current-name mapping (rename is metadata-only), and the v3
     // initial-default 1.5 applied ONLY to files whose manifest schemaId
     // predates the column (a new-file NULL would stay NULL).
-    "q_interop_evolved" ->
-      s"""WITH meta AS (
-         |  SELECT refs.main.snapshotId AS head_id, snapshots
-         |  FROM read_json_auto('$Loc2/metadata/v*.json', filename=true)
-         |  ORDER BY filename DESC LIMIT 1
-         |), head AS (
-         |  SELECT s FROM meta, UNNEST(meta.snapshots) t(s)
-         |  WHERE s.snapshotId = meta.head_id
-         |), segs AS (
-         |  SELECT UNNEST(s.manifests) AS rel FROM head
-         |), entries AS (
-         |  SELECT e.path, e.fileType, e.sequenceNumber, e.schemaId
-         |  FROM read_json('$Loc2/manifests/*.jsonl', format='newline_delimited',
-         |    filename=true, columns={path:'VARCHAR', fileType:'VARCHAR',
-         |    sequenceNumber:'BIGINT', schemaId:'BIGINT'}) e
-         |  JOIN segs ON 'manifests/' || regexp_extract(e.filename, '[^/]+$$') = segs.rel
-         |), rows0 AS (
-         |  SELECT r.f1 AS id, r.f2 AS segment, CAST(r.f3 AS BIGINT) AS qty,
-         |    CASE WHEN d.schemaId < 3 THEN 1.5 ELSE r.f4 END AS score,
-         |    r.filename AS fp, r.file_row_number AS pos
-         |  FROM read_parquet('$Loc2/data/**/*.parquet', filename=true,
-         |    file_row_number=true, union_by_name=true, hive_partitioning=false) r
-         |  JOIN (SELECT * FROM entries WHERE fileType = 'data') d
-         |    ON r.filename = '$Loc2/' || d.path
-         |), posdel AS (
-         |  SELECT p.file_path, p.pos
-         |  FROM read_parquet('$Loc2/deletes/pd*/*.parquet', filename=true) p
-         |  JOIN (SELECT * FROM entries WHERE fileType = 'posdel') e
-         |    ON p.filename LIKE '$Loc2/' || e.path || '/%'
-         |)
-         |SELECT id, segment, qty, score FROM rows0 r
-         |WHERE NOT EXISTS (SELECT 1 FROM posdel d
-         |    WHERE d.file_path = r.fp AND d.pos = r.pos)
-         |ORDER BY id""".stripMargin)
+    "q_interop_evolved" -> evolvedResolver(Loc2),
+    // THIRD reader closure: the pyarrow resolver's row dump (the Spark
+    // side) against the DuckDB resolver over the SAME Spark-written
+    // table — the hash gate certifies two foreign implementations,
+    // pairwise zero shared code, agree on every live row after all
+    // three delete shapes / the full evolution gauntlet
+    "q_interop_pyread" -> baseResolver(Loc12, "meta.head_id"),
+    "q_interop_pyread_evolved" -> evolvedResolver(Loc13))
+
+  /** The evolved-table resolver, parameterized by location. Beyond
+    * [[baseResolver]] it adds: ** globs through hidden-partition dirs
+    * (hive_partitioning off — partition values are redundant with the
+    * stored column), union_by_name across schema generations (f4 absent
+    * in old files; f3 promoted int32→int64 by the union), field-id →
+    * current-name mapping (rename is metadata-only), and the v3
+    * initial-default 1.5 applied ONLY to files whose manifest schemaId
+    * predates the column (a new-file NULL would stay NULL). */
+  private def evolvedResolver(loc: String): String =
+    s"""WITH meta AS (
+       |  SELECT refs.main.snapshotId AS head_id, snapshots
+       |  FROM read_json_auto('$loc/metadata/v*.json', filename=true)
+       |  ORDER BY filename DESC LIMIT 1
+       |), head AS (
+       |  SELECT s FROM meta, UNNEST(meta.snapshots) t(s)
+       |  WHERE s.snapshotId = meta.head_id
+       |), segs AS (
+       |  SELECT UNNEST(s.manifests) AS rel FROM head
+       |), entries AS (
+       |  SELECT e.path, e.fileType, e.sequenceNumber, e.schemaId
+       |  FROM read_json('$loc/manifests/*.jsonl', format='newline_delimited',
+       |    filename=true, columns={path:'VARCHAR', fileType:'VARCHAR',
+       |    sequenceNumber:'BIGINT', schemaId:'BIGINT'}) e
+       |  JOIN segs ON 'manifests/' || regexp_extract(e.filename, '[^/]+$$') = segs.rel
+       |), rows0 AS (
+       |  SELECT r.f1 AS id, r.f2 AS segment, CAST(r.f3 AS BIGINT) AS qty,
+       |    CASE WHEN d.schemaId < 3 THEN 1.5 ELSE r.f4 END AS score,
+       |    r.filename AS fp, r.file_row_number AS pos
+       |  FROM read_parquet('$loc/data/**/*.parquet', filename=true,
+       |    file_row_number=true, union_by_name=true, hive_partitioning=false) r
+       |  JOIN (SELECT * FROM entries WHERE fileType = 'data') d
+       |    ON r.filename = '$loc/' || d.path
+       |), posdel AS (
+       |  SELECT p.file_path, p.pos
+       |  FROM read_parquet('$loc/deletes/pd*/*.parquet', filename=true) p
+       |  JOIN (SELECT * FROM entries WHERE fileType = 'posdel') e
+       |    ON p.filename LIKE '$loc/' || e.path || '/%'
+       |)
+       |SELECT id, segment, qty, score FROM rows0 r
+       |WHERE NOT EXISTS (SELECT 1 FROM posdel d
+       |    WHERE d.file_path = r.fp AND d.pos = r.pos)
+       |ORDER BY id""".stripMargin
 }

@@ -101,12 +101,14 @@ class BenchParseSpec extends AnyFunSuite {
       "BASELINE.md lost its `floor class subprocess (tolerance Nx):` line")
     val (tol, keys) = fc("subprocess")
     assert(tol == 3.0, s"committed subprocess tolerance drifted: $tol")
-    // the six extwriter three-process queries — floors dominated by
-    // interpreter startup, never comparable to in-JVM floors at 2x
+    // the six extwriter three-process queries plus the round-13 pyarrow
+    // third-reader pair — floors dominated by interpreter startup, never
+    // comparable to in-JVM floors at 2x
     assert(keys == Set(
       "q_interop_extwrite", "q_interop_extwrite_resolver",
       "q_interop_extupdate", "q_interop_extevolve",
-      "q_interop_extmerge", "q_interop_extbranch"),
+      "q_interop_extmerge", "q_interop_extbranch",
+      "q_interop_pyread", "q_interop_pyread_evolved"),
       s"subprocess class membership drifted: $keys")
     // every tagged query must actually have a floor row — a tag on a
     // floor-less query would silently judge nothing

@@ -278,6 +278,25 @@ class OpsSpec extends SparkSpec {
     assert(evRows.exists(r => r.getLong(0) % 2 == 1 && r.getDouble(3) != 1.5))
   }
 
+  test("third reader (pyarrow): history and branch refs resolve equal to the native scan") {
+    // the registry keys (q_interop_pyread/_evolved) gate the head-read and
+    // evolution shapes against the DuckDB resolver; this pins the two read
+    // paths that have no registry key — an explicit --snapshot pin and a
+    // non-main --ref — against the NATIVE reader on the same tables
+    val nativeTT = Interop.buildAndScanHistory(spark, sf).collect().toSeq
+    val pyTT = spark.read.parquet(
+        Interop.runExtReader(Interop.Loc3, Seq("--snapshot", "4")))
+      .orderBy("id").collect().toSeq
+    assert(pyTT == nativeTT,
+      s"time-travel mismatch: py=${pyTT.size} native=${nativeTT.size}")
+    val nativeBr = Interop.buildBranchAndScan(spark, sf).collect().toSeq
+    val pyBr = spark.read.parquet(
+        Interop.runExtReader(Interop.Loc4, Seq("--ref", "audit")))
+      .orderBy("id").collect().toSeq
+    assert(pyBr == nativeBr,
+      s"branch mismatch: py=${pyBr.size} native=${nativeBr.size}")
+  }
+
   test("asof join: every matched order date <= event ts") {
     val df = AsOfJoin.eventsAsOfOrders(spark, sf)
     val bad = df.join(Tables(spark, sf, "events").select("event_id", "ts"), "event_id")
