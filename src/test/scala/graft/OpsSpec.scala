@@ -297,6 +297,21 @@ class OpsSpec extends SparkSpec {
       s"branch mismatch: py=${pyBr.size} native=${nativeBr.size}")
   }
 
+  test("third reader (pyarrow): name-mapped add_files entries read by logical name") {
+    // imported files carry LOGICAL column names and absolute paths —
+    // the one read-group shape the registry keys don't cover; a MoR
+    // delete on top proves overlay targeting works for external paths
+    val src = Tables(spark, sf, "supplier")
+    val loc = java.nio.file.Files.createTempDirectory("graft-pyread-af").toString
+    val t = graft.table.GraftTable.create(spark, loc, src.schema.toDDL)
+    t.addFiles(s"$sf/supplier.parquet")
+    t.delete("s_suppkey % 10 = 0", graft.table.WriteMode.MergeOnRead)
+    val nat = t.scan().orderBy("s_suppkey").collect().toSeq
+    val py = spark.read.parquet(Interop.runExtReader(loc))
+      .orderBy("s_suppkey").collect().toSeq
+    assert(py == nat, s"name-mapped mismatch: py=${py.size} native=${nat.size}")
+  }
+
   test("asof join: every matched order date <= event ts") {
     val df = AsOfJoin.eventsAsOfOrders(spark, sf)
     val bad = df.join(Tables(spark, sf, "events").select("event_id", "ts"), "event_id")
