@@ -27,9 +27,23 @@ object Dedup {
         "array_distinct(transform(sequence(0, size(toks) - 3), " +
           "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))").as("sh"))
 
-  /** exploded (doc_id, shingle) rows — the join key for exact Jaccard */
+  /** Exploded (doc_id, shingle-KEY) rows — the join/count unit for exact
+    * Jaccard. The key is xxhash64 of the shingle, not the string: every
+    * downstream use (df counting, rare/hot splits, the candidate
+    * self-join) treats the shingle as an opaque equality key — its text
+    * never reaches an output — so an 8-byte long replaces a ~25-byte
+    * string through every exchange and aggregation hashmap of the
+    * family's hottest path. Identity error is the 64-bit birthday bound:
+    * ~4e-7 expected colliding shingle pairs at sf0.1 (~4M distinct
+    * shingles), ~300 among 10^11 at corpus scale — a collision perturbs
+    * one intersection count by 1 for the handful of doc pairs sharing
+    * BOTH colliding shingles' docs, orders of magnitude below the
+    * minhash/simhash rows' own documented miss probabilities. The SQL
+    * oracles keep computing over the strings, so the hash gate would
+    * catch a collision that ever flipped a pair across tau. */
   private def shingles(docs: DataFrame): DataFrame =
-    shingleArr(docs).select(col("doc_id"), explode(col("sh")).as("s"))
+    shingleArr(docs).select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
 
   /** Candidate pairs for exact Jaccard: self-equi-join on the shingle,
     * restricted to shingles whose document frequency is ≤ maxDf. Without
@@ -110,9 +124,10 @@ object Dedup {
     *     pairs before it can fan out, so each side stays linear.
     *
     * The union term joins per-doc COUNTS only. Every key in every
-    * shuffle is a pair of longs or a shingle with bounded df — no
-    * arrays, no unbounded key. The SQL oracle encodes the identical
-    * rule. */
+    * shuffle is a long or a pair of longs (shingles ride as xxhash64
+    * keys, see [[shingles]]) with bounded df — no arrays, no strings,
+    * no unbounded key. The SQL oracle encodes the identical rule over
+    * the shingle STRINGS, so the gate stays sensitive to the hashing. */
   def jaccardPairs(docs: DataFrame, tau: Double, maxDf: Int = JACCARD_MAX_DF): DataFrame = {
     val (sh, pairs) = jaccardPairsLazy(docs, tau, maxDf)
     val out = pairs.localCheckpoint() // pair-set-sized eager pin
@@ -244,7 +259,8 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     verifyExactJaccard(cand,
-      arr.select(col("doc_id"), explode(col("sh")).as("s")), tau)
+      arr.select(col("doc_id"), explode(col("sh")).as("s0"))
+        .select(col("doc_id"), xxhash64(col("s0")).as("s")), tau)
   }
 
   def minhash(spark: SparkSession, dir: String): DataFrame =
@@ -439,7 +455,8 @@ object Dedup {
     // its five consumers. Both release after the eager pins below —
     // the [[jaccardPairs]] session-hygiene pattern.
     val arr = shingleArr(docs).cache()
-    val sh = arr.select(col("doc_id"), explode(col("sh")).as("s")).cache()
+    val sh = arr.select(col("doc_id"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s")).cache()
     val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val tagged = sh.join(dfc, "s").select(col("doc_id"), col("s"),
       (col("df") <= JACCARD_MAX_DF).cast("long").as("r"))
