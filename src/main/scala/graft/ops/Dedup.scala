@@ -171,9 +171,18 @@ object Dedup {
   }
 
   // --- exact dedup: keep the lowest doc_id per identical text ---------------
+  /** Group key = (md5, length, xxhash64) of the text, never the text: the
+    * naive groupBy(text) shuffles the WHOLE CORPUS as map-output keys —
+    * at 100 TB that is 100 TB of shuffle for a result that only needs
+    * group identity. The composite 200-bit fingerprint shrinks the
+    * shuffle to ~50 bytes/doc; a false merge needs a simultaneous
+    * md5+xxhash64+length collision between distinct texts (< 2^-190
+    * birthday term at any conceivable corpus size — strictly tighter
+    * than the hardware's own undetected-error rates). Map-side partial
+    * aggregation still applies; the oracle groups by the full text. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .groupBy(col("text"))
+      .groupBy(md5(col("text")), length(col("text")), xxhash64(col("text")))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
       .orderBy("doc_id")
@@ -400,16 +409,21 @@ object Dedup {
     * occurrence of each distinct chunk (lowest doc_id, then chunk index)
     * survives, later repeats are flagged for removal — the cheap pass that
     * strips repeated boilerplate spans without dropping whole documents.
-    * One shuffle, keyed by chunk text. */
+    * One shuffle, keyed by the chunk's (xxhash64, length) fingerprint,
+    * never the chunk text: the window's exchange would otherwise carry
+    * the whole lowercased corpus as partition keys (the [[exact]]/
+    * [[shingles]] key-width rule; the oracle stays on the strings). */
   def dedupSpan(spark: SparkSession, dir: String): DataFrame = {
     val chunks = Tables(spark, dir, "documents")
       .withColumn("w", split(lower(col("text")), " "))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, cast(ceil(size(w) / 20.0) as int)), " +
           "i -> named_struct('ci', cast(i as bigint), " +
-          "'chunk', concat_ws(' ', slice(w, (i - 1) * 20 + 1, 20))))")).as("c"))
-      .select(col("doc_id"), col("c.ci"), col("c.chunk"))
-    val firstWins = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("ci"))
+          "'ck', xxhash64(concat_ws(' ', slice(w, (i - 1) * 20 + 1, 20))), " +
+          "'cl', length(concat_ws(' ', slice(w, (i - 1) * 20 + 1, 20)))))")).as("c"))
+      .select(col("doc_id"), col("c.ci"), col("c.ck"), col("c.cl"))
+    val firstWins = Window.partitionBy(col("ck"), col("cl"))
+      .orderBy(col("doc_id"), col("ci"))
     chunks.withColumn("rn", row_number().over(firstWins))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
@@ -492,13 +506,17 @@ object Dedup {
             .as("precision_pct"),
           expr("CASE WHEN tp + fn = 0 THEN 0L ELSE tp * 100 div (tp + fn) END")
             .as("recall_pct"))
-    // exact-text row: the cheapest method — hash-equal full texts. On a
-    // near-dup truth its recall quantifies how much a pipeline loses by
-    // stopping at exact dedup (the usual production baseline).
-    val h = docs.select(col("doc_id"), md5(col("text")).as("hx"), col("text"))
+    // exact-text row: the cheapest method — fingerprint-equal full texts
+    // ((md5, length, xxhash64), the [[exact]] composite: carrying the
+    // text itself as join payload would re-shuffle the corpus this row
+    // exists to avoid). On a near-dup truth its recall quantifies how
+    // much a pipeline loses by stopping at exact dedup (the usual
+    // production baseline).
+    val h = docs.select(col("doc_id"), md5(col("text")).as("hx"),
+      length(col("text")).as("hl"), xxhash64(col("text")).as("hh"))
     val exactPairs = h.as("a").join(h.as("b"),
-        col("a.hx") === col("b.hx") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.text") === col("b.text"))
+        col("a.hx") === col("b.hx") && col("a.hl") === col("b.hl") &&
+          col("a.hh") === col("b.hh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
     score("exact_text", exactPairs)
       .unionByName(score("jaccard_capped", capped))

@@ -613,12 +613,18 @@ object TextOps {
     * doc-keyed agg. Same two-shuffle shape as the postings builder —
     * linear in corpus size, no all-pairs step. */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    // gram identity never surfaces (df count + join-back only), so the
+    // df aggregation and the join-back key on xxhash64 of the bigram —
+    // 8-byte keys through both full-stream exchanges instead of the
+    // bigram text (the Dedup.shingles key-width rule; the SQL oracle
+    // stays on the strings, keeping the gate collision-sensitive)
     val grams = Tables(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(ws) - 1), " +
-          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))")).as("g"))
+          "i -> xxhash64(concat(element_at(ws, i), ' ', element_at(ws, i + 1)))))"))
+        .as("g"))
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     grams.join(dfreq, Seq("g"))
       .groupBy(col("doc_id"))
