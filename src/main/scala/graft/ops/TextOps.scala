@@ -652,8 +652,14 @@ object TextOps {
   def tfidfPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val totals = docs.agg(count(lit(1)).as("n"))
-    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
+    // token identity never surfaces (tf/df counts, rare-key candidate
+    // join, w-equality dot) — tokens ride as xxhash64 longs through all
+    // four term-keyed exchanges (the Dedup.shingles key-width rule; the
+    // SQL oracle computes over the strings)
+    val tf = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w0"))
+      .filter(col("w0") =!= "")
+      .select(col("doc_id"), xxhash64(col("w0")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val wts = tf.join(dfreq, Seq("w")).crossJoin(broadcast(totals))
