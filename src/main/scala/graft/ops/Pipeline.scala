@@ -28,8 +28,12 @@ object Pipeline {
 
   def e2e(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    // 1. exact dedup: the canonical (lowest) doc_id per identical text
-    val canon = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    // 1. exact dedup: the canonical (lowest) doc_id per identical text —
+    // keyed by the (md5, length, xxhash64) fingerprint, never the text
+    // (the Dedup.exact key-width rule: groupBy(text) shuffles the corpus)
+    val canon = docs
+      .groupBy(md5(col("text")), length(col("text")), xxhash64(col("text")))
+      .agg(min(col("doc_id")).as("doc_id"))
     // 2. language + quality gates on the canonical survivors
     val gated = TextOps.langQualityScored(docs)
       .join(canon.select("doc_id"), Seq("doc_id"), "left_semi")

@@ -274,7 +274,10 @@ object TextOps {
   def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val scored = langQualityScored(docs)
-    val canonical = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    // fingerprint group key, never the text (the Dedup.exact rule)
+    val canonical = docs
+      .groupBy(md5(col("text")), length(col("text")), xxhash64(col("text")))
+      .agg(min(col("doc_id")).as("doc_id"))
     scored.join(canonical.select("doc_id"), Seq("doc_id"), "left_semi")
       .filter(col("pred_lang") === "en" && col("n_words") >= 15 && col("swr") >= 0.03)
       .select("doc_id", "n_words", "pred_lang")
