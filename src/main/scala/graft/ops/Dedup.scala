@@ -345,12 +345,19 @@ object Dedup {
     * the corpus side is one linear explode with NO shuffle before the
     * join — at 100 TB the cost is a scan plus a map-side hash probe. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // 13-grams ride as xxhash64 longs (the [[shingles]] key-width rule):
+    // the gram's text never surfaces — the benchmark set is probed for
+    // membership and hits are countDistinct'd — so the BROADCAST side
+    // shrinks ~11x (a ~90-byte gram string vs 8 bytes; at a real
+    // benchmark-suite size that is the difference between a broadcast
+    // that fits executor memory and one that does not) and both gram
+    // shuffles move longs. The oracle stays on the strings.
     val grams = Tables(spark, dir, "documents")
       .withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 13)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w) - 13), " +
-          "i -> concat_ws(' ', slice(w, i + 1, 13)))")).as("g"))
+          "i -> xxhash64(concat_ws(' ', slice(w, i + 1, 13))))")).as("g"))
     val bench = grams.filter(col("doc_id") % 20 === 0).select("g").distinct()
     val corpus = grams.filter(col("doc_id") % 20 =!= 0)
     corpus.join(broadcast(bench), "g")
