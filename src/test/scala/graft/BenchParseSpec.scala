@@ -27,12 +27,13 @@ class BenchParseSpec extends AnyFunSuite {
     val fl = Bench.floors()
     assert(fl.size > 100, s"floor table shrank: ${fl.size} rows parsed")
     // refresh semantics: a LATER table row overrides the main table.
-    // q_dedup_jaccard has three generations — the pre-reshape 1.43, the
+    // q_dedup_jaccard has four generations — the pre-reshape 1.43, the
     // round-7 post-reshape 3.72 (soft: it embedded warm-cache reruns via
-    // the since-fixed CacheManager leak), and the round-12 honest floor;
-    // the pin is the round-12 run-B value, proving the LAST row wins
-    assert(fl.get("q_dedup_jaccard").contains(6.327),
-      s"round-12 floor row must override: ${fl.get("q_dedup_jaccard")}")
+    // the since-fixed CacheManager leak), the round-12 honest floor
+    // 6.327, and the round-13 xxhash64-key floor; the pin is the
+    // round-13 window-B value, proving the LAST row wins
+    assert(fl.get("q_dedup_jaccard").contains(5.87),
+      s"round-13 floor row must override: ${fl.get("q_dedup_jaccard")}")
     // round-7 additions present
     assert(fl.contains("q_geo_sphere"))
     // round-8 refresh of the stale r4-pristine floors must override
