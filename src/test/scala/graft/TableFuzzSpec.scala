@@ -311,6 +311,21 @@ class TableFuzzSpec extends SparkSpec {
     assert(gotTail == multisetDiff(modelRows(mainModel.toSeq, cols), preRows),
       s"seed=$seedVal tail appendsBetween != appended rows across compaction")
     checkAllRefs("incremental tail")
+    // THIRD-reader closure over the fuzzed state space: the pyarrow
+    // resolver (scripts/extreader.py) must read EVERY ref of the final
+    // fuzzed table equal to the native scan — certifying the external
+    // reader across random histories (all delete shapes, MoR/CoW
+    // interleavings, mid-sequence evolution, branch divergence,
+    // partitioned specs, external python commits), not just the two
+    // curated interop tables its registry keys gate
+    for (ref <- models.keys) {
+      val out = graft.ops.Interop.runExtReader(loc, Seq("--ref", ref))
+      val py = canon(spark.read.parquet(out)
+        .select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().toIndexedSeq.map(r => cols.map(c => r.getAs[Any](c))))
+      assert(py == scanRows(t, cols, ref = Some(ref)),
+        s"seed=$seedVal pyarrow reader diverged from native scan on ref=$ref")
+    }
     extOps
   }
 
