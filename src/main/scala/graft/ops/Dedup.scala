@@ -268,26 +268,34 @@ object Dedup {
     // columnar cache + eager pair-set pin + release, the [[jaccardPairs]]
     // session-hygiene pattern
     val arr = shingleArr(docs).cache()
-    val out = minhashVerifiedLazy(arr, tau).localCheckpoint()
+    val (sigs, lazyPairs) = minhashVerifiedLazy(arr, tau)
+    val out = lazyPairs.localCheckpoint()
+    sigs.unpersist(blocking = false)
     arr.unpersist(blocking = false)
     out
   }
 
   /** Lazy LSH-candidates + exact-verify plan over a PRE-MATERIALIZED
-    * shingle-array frame — the caller owns `arr`'s cache lifecycle.
-    * Split out (round 13) so [[dedupEval]] can share ONE shingle
-    * materialization between its ground-truth join and this method row
-    * instead of tokenizing the corpus a second time. */
-  private[ops] def minhashVerifiedLazy(arr: DataFrame, tau: Double): DataFrame = {
-    val sigs = bandSigs(arr).drop("sh")
+    * shingle-array frame — the caller owns `arr`'s cache lifecycle,
+    * AND the returned signature cache's: the K-hash signature pass is
+    * the method's dominant map cost and the band self-join would
+    * execute it TWICE (exchange reuse does not fire across self-join
+    * lineages — the jaccard plan finding), so the (doc_id, band, sig)
+    * table caches — 16 rows × 24 bytes per doc at any corpus size —
+    * and the caller releases it after pinning the pair set. Split out
+    * (round 13) so [[dedupEval]] can share ONE shingle materialization
+    * between its ground-truth join and this method row. */
+  private[ops] def minhashVerifiedLazy(arr: DataFrame,
+      tau: Double): (DataFrame, DataFrame) = {
+    val sigs = bandSigs(arr).drop("sh").cache()
     val cand = sigs.as("a").join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    verifyExactJaccard(cand,
+    (sigs, verifyExactJaccard(cand,
       arr.select(col("doc_id"), explode(col("sh")).as("s0"))
-        .select(col("doc_id"), xxhash64(col("s0")).as("s")), tau)
+        .select(col("doc_id"), xxhash64(col("s0")).as("s")), tau))
   }
 
   def minhash(spark: SparkSession, dir: String): DataFrame =
@@ -340,18 +348,26 @@ object Dedup {
   }
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSignatures(Tables(spark, dir, "documents"))
+    // the signature pass (one fnv1a64 per token, 64 sign counters) is
+    // the dominant map cost, and the block self-join would execute it
+    // TWICE (exchange reuse does not fire across self-join lineages —
+    // the jaccard plan finding). The (doc_id, simhash) table is 16
+    // bytes/doc at ANY corpus size: cache it, pin the pair set eagerly,
+    // release — the [[jaccardPairs]] session-hygiene pattern.
+    val sig = simhashSignatures(Tables(spark, dir, "documents")).cache()
     val blocks = sig.select(col("doc_id"), col("simhash"), posexplode(expr(
       "transform(sequence(0, 3), i -> (shiftright(simhash, i * 16) & 65535))"))
       .as(Seq("blk", "blk_val")))
-    blocks.as("a").join(blocks.as("b"),
+    val out = blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.blk_val") === col("b.blk_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         expr("bit_count(a.simhash ^ b.simhash)").cast(LongType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 6)
-      .orderBy("a_id", "b_id")
+      .localCheckpoint() // pair-set-sized eager pin
+    sig.unpersist(blocking = false)
+    out.orderBy("a_id", "b_id")
   }
 
   // --- benchmark decontamination: n-gram overlap vs a held-out eval set ----
@@ -512,7 +528,9 @@ object Dedup {
       .localCheckpoint() // joined once per method row; eager, so sh releases now
     // the minhash method row reuses the SAME materialized shingle arrays;
     // its pair set pins eagerly (pair-set-sized) before the caches drop
-    val mhPairs = minhashVerifiedLazy(arr, 0.6).localCheckpoint()
+    val (mhSigs, mhLazy) = minhashVerifiedLazy(arr, 0.6)
+    val mhPairs = mhLazy.localCheckpoint()
+    mhSigs.unpersist(blocking = false)
     sh.unpersist(blocking = false)
     arr.unpersist(blocking = false)
     val truth = scored.select(col("a_id"), col("b_id")).withColumn("tm", lit(1L))
