@@ -228,20 +228,35 @@ object TextOps {
 
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // ONE winnow pass: the fingerprint stream caches (16 bytes/row, a
+    // winnowed SAMPLE of the character stream) — the aliased self-join
+    // shape executed the corpus-scale winnow THREE times (the df
+    // aggregation and both join sides; exchange reuse does not fire
+    // across self-join lineages — the jaccard plan finding). Pair
+    // generation is the bounded-group unfold: a kept fingerprint group
+    // holds ≤ WinnowDfCap doc_ids (distinct per doc — winnow() returns
+    // a set), so pairs unfold in-expression from one sorted array per
+    // fingerprint, and the groupBy rides the semi-join's partitioning.
     val fps = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) => winnow(text).map(f => (id, f)) })
-      .toDF("doc_id", "fp")
+      .toDF("doc_id", "fp").cache()
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinnowDfCap)
       .select("fp")
-    val pruned = fps.join(rare, Seq("fp"), "left_semi")
-    pruned.as("a").join(pruned.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val out = fps.join(rare, Seq("fp"), "left_semi")
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), y -> " +
+          "named_struct('a_id', x, 'b_id', y))))")).as("p"))
+      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= WinnowPairMin)
-      .orderBy("a_id", "b_id")
+      .localCheckpoint() // pair-set-sized eager pin
+    fps.unpersist(blocking = false)
+    out.orderBy("a_id", "b_id")
   }
 
   // --- corpus curation: the full training-data filter in one pipeline ------
