@@ -426,6 +426,31 @@ class OpsSpec extends SparkSpec {
       s"J=0.857 must not pass tau=0.9 — hot term over-counted: ${pairs(0.9)}")
   }
 
+  test("dedup eval: truth counts hot-shingle intersections exactly (planted straddle)") {
+    import spark.implicits._
+    // The eval's uncapped truth splits shared-rare (bounded unfold) from
+    // shared-hot (hot-only self-join); testdata has NO hot shingle at the
+    // production cap (max df 25 << 256), so without a plant the hot leg
+    // is vacuously unexercised — the round-6 finding class. 260 docs
+    // share a boilerplate head (4 shingles at df 262 > 256 = HOT); the
+    // planted pair shares those 4 hot + 8 rare shingles, J = 12/14.
+    //  - hot leg DROPPED   → J = 8/18  = 0.44 < 0.6 → pair missing (fn=1)
+    //  - hot leg DOUBLED   → boilerplate pairs J = 8/6 ≥ 0.6 → truth
+    //    explodes to 33k pairs (fn huge) — both directions fail tp/fp/fn
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evalhot").toString
+    val boiler = (0L until 260L).map(i =>
+      (i, s"all rights reserved by the site u$i v$i w$i", "src0"))
+    val planted = Seq(
+      (1000L, "all rights reserved by the site quick brown fox jumps over the lazy dog tonight", "src0"),
+      (1001L, "all rights reserved by the site quick brown fox jumps over the lazy dog today", "src0"))
+    (boiler ++ planted).toDF("doc_id", "text", "source")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.dedupEval(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows("jaccard_capped") == ((1L, 0L, 0L)),
+      s"expected (tp,fp,fn)=(1,0,0) for the straddle pair, got ${rows("jaccard_capped")}")
+  }
+
   test("simhash detects planted near-dup pairs") {
     val docs = Tables(spark, sf01, "documents")
     val truth = Dedup.jaccardPairs(docs, 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
