@@ -127,21 +127,32 @@ def arrow_type(dtype):
 
 
 def default_scalar(lit, typ):
-    """v3 initial-default: SQL literal text -> arrow scalar."""
+    """v3 initial-default: SQL literal text -> arrow scalar.
+
+    Only SIMPLE literals are recognized (NULL, 'quoted string', numeric,
+    boolean) — the native reader evaluates full Spark `expr(...)`, so an
+    expression-form default (e.g. DATE '2020-01-01') must hit the loud
+    fail() path here, never a raw pyarrow traceback or a silent string
+    coercion."""
     if lit is None:
         return pa.scalar(None, typ)
     s = lit.strip()
     if s.upper() == "NULL":
         return pa.scalar(None, typ)
-    if s.startswith("'") and s.endswith("'"):
+    if s.startswith("'") and s.endswith("'") and len(s) >= 2:
         return pa.scalar(s[1:-1].replace("''", "'"), typ)
-    if pa.types.is_floating(typ) or pa.types.is_decimal(typ):
-        return pa.scalar(float(s), typ)
-    if pa.types.is_integer(typ):
-        return pa.scalar(int(s), typ)
+    try:
+        if pa.types.is_floating(typ) or pa.types.is_decimal(typ):
+            return pa.scalar(float(s), typ)
+        if pa.types.is_integer(typ):
+            return pa.scalar(int(s), typ)
+    except ValueError:
+        fail(f"unsupported initial-default literal: {lit!r}")
     if pa.types.is_boolean(typ):
-        return pa.scalar(s.lower() == "true", typ)
-    return pa.scalar(s, typ)
+        if s.lower() in ("true", "false"):
+            return pa.scalar(s.lower() == "true", typ)
+        fail(f"unsupported initial-default literal: {lit!r}")
+    fail(f"unsupported initial-default literal for {typ}: {lit!r}")
 
 
 def decode_bitset(buf):
@@ -156,6 +167,19 @@ def decode_bitset(buf):
             b >>= 1
             j += 1
     return out
+
+
+# Spark's key match treats NaN as equal to NaN (and null <=> null), but
+# python float nan != nan — normalize NaN to a sentinel on BOTH the
+# delete-key and data-row sides so a NaN-keyed equality delete kills the
+# same rows the native reader kills. The sentinel is a tuple, which can
+# never equal any scalar column value.
+_NAN_KEY = ("__graft_eqdel_nan__",)
+
+
+def norm_key(components):
+    return tuple(_NAN_KEY if isinstance(v, float) and v != v else v
+                 for v in components)
 
 
 def read_delete_dir(loc, entry):
@@ -203,17 +227,25 @@ def resolve(loc, ref="main", snapshot=None, pin=None):
                            t.column("pos").to_pylist()):
             dead.setdefault(fp, set()).add(pos)
     # deletion vectors: latest entry sequence per target file wins, its
-    # bitmap REPLACES older vectors for that file (writers merge at commit)
-    dv_latest = {}  # file_path -> (entry_seq, bitmap_bytes)
+    # bitmap REPLACES older vectors for that file (writers merge at
+    # commit). TIES at the max sequence UNION — the native reader keeps
+    # ALL max-seq vectors for a file (window filter over sequence), and
+    # an external writer may legally commit two same-sequence DV entries
+    # for one target; keep-first would silently resurrect rows.
+    dv_latest = {}  # file_path -> (entry_seq, [bitmap_bytes, ...])
     for e in dvs:
         t = read_delete_dir(loc, e)
         seq = e["sequenceNumber"]
         for fp, buf in zip(t.column("file_path").to_pylist(),
                            t.column("dv").to_pylist()):
-            if fp not in dv_latest or seq > dv_latest[fp][0]:
-                dv_latest[fp] = (seq, buf)
-    for fp, (_, buf) in dv_latest.items():
-        dead.setdefault(fp, set()).update(decode_bitset(buf))
+            cur = dv_latest.get(fp)
+            if cur is None or seq > cur[0]:
+                dv_latest[fp] = (seq, [buf])
+            elif seq == cur[0]:
+                cur[1].append(buf)
+    for fp, (_, bufs) in dv_latest.items():
+        for buf in bufs:
+            dead.setdefault(fp, set()).update(decode_bitset(buf))
     # equality deletes: key tuple -> max delete sequence, grouped by key set
     eq_groups = {}  # tuple(field ids) -> {key tuple: max dseq}
     for e in eqdel:
@@ -223,12 +255,18 @@ def resolve(loc, ref="main", snapshot=None, pin=None):
         t = read_delete_dir(loc, e)
         g = eq_groups.setdefault(ids, {})
         cols = [t.column(f"f{i}").to_pylist() for i in ids]
-        for key in zip(*cols):
+        for raw in zip(*cols):
+            key = norm_key(raw)
             if key not in g or e["sequenceNumber"] > g[key]:
                 g[key] = e["sequenceNumber"]
 
     # --- data files: align, overlay, collect ---------------------------------
     chunks = []
+    # delete rows name absolute normalized target paths; if NO data file
+    # matches any overlay path the caller almost certainly aliased the
+    # location (relative path, symlink) and every deleted row would
+    # silently reappear — that must fail loudly, per the module contract
+    overlay_matched = False
     for e in data:
         path = abspath(e["path"])
         t = pq.read_table(path)
@@ -263,6 +301,8 @@ def resolve(loc, ref="main", snapshot=None, pin=None):
         # normalized absolute target path, as delete rows name it
         norm = re.sub(r"^file:/+", "/", path)
         gone = dead.get(norm, ())
+        if norm in dead:
+            overlay_matched = True
         if not gone and not eq_groups:  # untouched file: take it whole
             chunks.append(pa.table(
                 {f["name"]: a for f, a in zip(presented, arrays)}))
@@ -282,7 +322,7 @@ def resolve(loc, ref="main", snapshot=None, pin=None):
                 continue
             hit = False
             for ids, (cols, g) in eq_cols.items():
-                key = tuple(c[row] for c in cols)
+                key = norm_key(c[row] for c in cols)
                 dseq = g.get(key)
                 if dseq is not None and seqs[row] < dseq:
                     hit = True
@@ -294,6 +334,10 @@ def resolve(loc, ref="main", snapshot=None, pin=None):
             chunks.append(pa.table(
                 {f["name"]: a.take(idx) for f, a in zip(presented, arrays)}))
 
+    if dead and data and not overlay_matched:
+        fail("posdel/DV overlays matched zero data-file paths — the "
+             "location is likely aliased (relative path or symlink); "
+             "invoke with the table's canonical absolute path")
     names = [f["name"] for f in presented]
     if chunks:
         out = pa.concat_tables(chunks)
@@ -312,7 +356,10 @@ def main():
     ap.add_argument("--pin", type=int, default=None,
                     help="metadata version to resolve (default: latest)")
     a = ap.parse_args()
-    table = resolve(a.location, a.ref, a.snapshot, a.pin)
+    # delete rows store absolute normalized paths: resolve symlinks and
+    # relative invocations so overlay path matching sees the same canonical
+    # location the writer recorded
+    table = resolve(os.path.realpath(a.location), a.ref, a.snapshot, a.pin)
     pq.write_table(table, a.out)
     print(f"extreader: {table.num_rows} rows -> {a.out}")
 
