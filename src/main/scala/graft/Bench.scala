@@ -115,6 +115,65 @@ object Bench {
       }.toMap
   }
 
+  /** Strict io-clean multiple for IO-BOUND queries (`io clean
+    * threshold: N` in BASELINE.md, last match wins — the floors'
+    * refresh semantics). The default recheck io gate (2.0x) exists to
+    * catch grossly stolen disk; a WRITE-HEAVY query needs a tighter
+    * bar, because its wall is mostly the disk term: round 13's driver
+    * recheck read io 1.5-1.7x the 0.33 s io floor, passed the loose
+    * gate, and published a confirmed-looking 2.19x flag on
+    * q_overwrite_partitions that the window could not actually rule. */
+  def ioCleanStrict(path: String = "BASELINE.md"): Option[Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isReadable(p)) None
+    else "(?s)io\\s+clean\\s+threshold:\\s*([0-9.]+)".r
+      .findAllMatchIn(java.nio.file.Files.readString(p)).toSeq.lastOption
+      .map(_.group(1).toDouble)
+  }
+
+  /** IO-BOUND query keys (`io-bound queries: q_a q_b ...` in
+    * BASELINE.md, last match wins): queries whose committed floor is
+    * dominated by parquet DATA writes (full-table appends, CoW
+    * rewrites, compaction), so a window is only adjudicable for them
+    * when the io canary was quiet under [[ioCleanStrict]] — the CPU
+    * canary provably cannot see the disk term (round-8 evidence). */
+  def ioBoundKeys(path: String = "BASELINE.md"): Set[String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isReadable(p)) return Set.empty
+    "(?s)io-bound\\s+queries\\s*:\\s*((?:q[A-Za-z0-9_]+[ \\t,]*)+)".r
+      .findAllMatchIn(java.nio.file.Files.readString(p)).toSeq.lastOption
+      .map(_.group(1).split("[ \\t,]+").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+  }
+
+  /** Is an io bracket clean under `thresh` x the committed io floor?
+    * No committed floor -> the dimension cannot be judged and passes
+    * (same rule as [[cleanFlags]]). */
+  def ioBracketClean(io: Bracket, floor: Option[Double],
+      thresh: Double): Boolean =
+    floor.filter(_ > 0).forall(f => io.worst / f < thresh)
+
+  /** Per-KEY recheck dirtiness under the two-canary rule (pure; pinned
+    * by BenchSampleSpec): a key's isolated measurement is evidence only
+    * if the attempt passed the base gate ([[recheckAttemptClean]]) AND,
+    * for an io-bound key, the io bracket also sat under the STRICT
+    * multiple — otherwise `window_dirty` stays true for that key even
+    * though a CPU-bound key measured in the same attempt adjudicates
+    * fine. This is the round-13 blind spot: a write-heavy flag must
+    * never be confirmed or cleared by a window that only proved the
+    * CPU idle. */
+  def recheckKeyDirty(baseClean: Boolean, ioBound: Boolean, io: Bracket,
+      ioFloor: Option[Double], strictThresh: Double): Boolean =
+    !baseClean || (ioBound && !ioBracketClean(io, ioFloor, strictThresh))
+
+  /** Attempt-level settledness for the retry loop: retry while any
+    * measured key would still be dirty — i.e. the base gate failed, or
+    * an io-bound key is in the recheck set and the strict io bar was
+    * missed. Pure; pinned by BenchSampleSpec. */
+  def recheckAttemptSettled(baseClean: Boolean, anyIoBound: Boolean,
+      io: Bracket, ioFloor: Option[Double], strictThresh: Double): Boolean =
+    baseClean && (!anyIoBound || ioBracketClean(io, ioFloor, strictThresh))
+
   /** Aging slope over kept rounds: last kept round's suite wall divided
     * by the first kept round's. Kept rounds only — steal-gated windows,
     * so the ratio measures the JVM, not the VM; None with fewer than two
@@ -491,6 +550,12 @@ object Bench {
         .toLong.max(backoffBase)
       val ioThresh = sys.env.getOrElse("SPARK_GRAFT_IO_CLEAN", "2.0").toDouble
       val ioFl = if (cpus == "32") ioFloor() else None
+      // io-bound keys are adjudicable only under the STRICT io multiple
+      // ([[recheckKeyDirty]]); with no committed phrase the strict bar
+      // degrades to the loose one and the rule is the round-13 behavior
+      val ioBound = ioBoundKeys()
+      val strictT = ioCleanStrict().getOrElse(ioThresh)
+      val anyIoBound = recheckKeys.exists(ioBound)
       final case class Attempt(cpu: Bracket, io: Bracket, clean: Boolean)
       // last measurement per key (overwritten until a clean attempt)
       val measured = scala.collection.mutable.Map[String, (Double, Boolean)]()
@@ -499,16 +564,21 @@ object Bench {
           val pre = warmedCanary(); val ioPre = ioCanary()
           val secs = recheckKeys.map(k => k -> medOf(Vector.fill(2)(sample(k, picked(k)))))
           val post = warmedCanary(); val ioPost = ioCanary()
-          val clean = recheckAttemptClean(Bracket(pre, post), gateFloor,
-            cleanThresh, Bracket(ioPre, ioPost), ioFl, ioThresh)
-          secs.foreach { case (k, s) => measured(k) = (s, !clean) }
-          (Attempt(Bracket(pre, post), Bracket(ioPre, ioPost), clean), clean)
+          val ioB = Bracket(ioPre, ioPost)
+          val baseClean = recheckAttemptClean(Bracket(pre, post), gateFloor,
+            cleanThresh, ioB, ioFl, ioThresh)
+          secs.foreach { case (k, s) =>
+            measured(k) = (s, recheckKeyDirty(baseClean, ioBound(k), ioB, ioFl, strictT))
+          }
+          val settled = recheckAttemptSettled(baseClean, anyIoBound, ioB, ioFl, strictT)
+          (Attempt(Bracket(pre, post), ioB, settled), settled)
         }).map(_._1)
       val entries = recheckKeys.map { k =>
         val (sec, dirty) = measured(k)
         val ratio = fl.get(k).filter(_ => sec > 0)
           .map(f => f"${sec / f}%.2f").getOrElse("null")
-        s"""\"$k\":{"sec":${f"$sec%.3f"},"ratio":$ratio,"window_dirty":$dirty}"""
+        s"""\"$k\":{"sec":${f"$sec%.3f"},"ratio":$ratio,""" +
+          s""""io_bound":${ioBound(k)},"window_dirty":$dirty}"""
       }
       val attJson = attempts.map(a =>
         s"""{"canary_pre":${f"${a.cpu.pre}%.3f"},"canary_post":${f"${a.cpu.post}%.3f"},""" +

@@ -118,6 +118,51 @@ class BenchParseSpec extends AnyFunSuite {
       keys.filterNot(fl.contains).mkString(", "))
   }
 
+  test("io clean threshold + io-bound queries parse from the committed BASELINE.md (round-14 commitment)") {
+    val t = Bench.ioCleanStrict()
+    assert(t.contains(1.35),
+      s"BASELINE.md's `io clean threshold:` phrase drifted: $t")
+    val ks = Bench.ioBoundKeys()
+    // the table-format keys whose plan writes the full input table at
+    // least once — the class round 8 observed flagging together under
+    // neighbor disk traffic, and the class round 13's recheck mis-ruled
+    assert(ks == Set(
+      "q_overwrite_partitions", "q_hidden_partitioning", "q_write_insert",
+      "q_update_cow", "q_compaction", "q_maintenance", "q_zorder",
+      "q_partition_evolution"),
+      s"io-bound membership drifted: $ks")
+    // every tagged key must be a registry query with a floor row — a tag
+    // on a floor-less or unknown key would silently judge nothing
+    val fl = Bench.floors()
+    assert(ks.forall(fl.contains), "io-bound key without a floor row: " +
+      ks.filterNot(fl.contains).mkString(", "))
+    assert(ks.subsetOf(SparkEntry.queries.keySet), "io-bound key not in " +
+      "the registry: " + (ks -- SparkEntry.queries.keySet).mkString(", "))
+  }
+
+  test("io clean threshold and io-bound list refresh LAST-match-wins, single-line contract") {
+    val t = Files.createTempFile("baseline", ".md")
+    Files.writeString(t,
+      """io clean threshold: 1.35
+        |io-bound queries: q_a q_b
+        |## later refresh
+        |io clean threshold: 1.20
+        |io-bound queries: q_one, q_two q_three
+        |quoting prose that must NOT join the list
+        |""".stripMargin)
+    assert(Bench.ioCleanStrict(t.toString).contains(1.20))
+    assert(Bench.ioBoundKeys(t.toString) == Set("q_one", "q_two", "q_three"),
+      s"parse drifted: ${Bench.ioBoundKeys(t.toString)}")
+    Files.delete(t)
+    // absent phrases: no strict bar (caller degrades to the loose gate),
+    // empty io-bound set (round-13 behavior)
+    val t2 = Files.createTempFile("baseline", ".md")
+    Files.writeString(t2, "no committed phrases here")
+    assert(Bench.ioCleanStrict(t2.toString).isEmpty)
+    assert(Bench.ioBoundKeys(t2.toString).isEmpty)
+    Files.delete(t2)
+  }
+
   test("floor class parse: comma tolerance, single-line list, last-definition-wins") {
     val t = Files.createTempFile("baseline", ".md")
     Files.writeString(t,

@@ -143,6 +143,44 @@ class BenchSampleSpec extends AnyFunSuite {
     assert((1 to 4).map(backoffMs(_, 10000, 120000)).sum == 150000L)
   }
 
+  test("two-canary recheck rule: an io-bound key is dirty unless the io bracket sits under the STRICT multiple") {
+    import graft.Bench.{recheckKeyDirty, recheckAttemptSettled}
+    val ioFloor = Some(0.33)
+    val strict = 1.35 // the committed `io clean threshold:` value
+    // the round-13 mis-rule, reproduced: base gate passed (CPU clean,
+    // io under the loose 2.0x) but io read 1.5-1.7x the floor — an
+    // io-bound key measured there is NOT evidence...
+    val r13io = Bracket(0.553, 0.482)
+    assert(recheckKeyDirty(baseClean = true, ioBound = true, r13io, ioFloor, strict),
+      "an io-1.68x window must not rule a write-heavy query")
+    // ...while a CPU-bound key in the SAME attempt adjudicates fine
+    assert(!recheckKeyDirty(baseClean = true, ioBound = false, r13io, ioFloor, strict))
+    // a genuinely quiet disk (1.0-1.3x, the committed clean-window
+    // range) passes the strict bar for io-bound keys too
+    assert(!recheckKeyDirty(baseClean = true, ioBound = true,
+      Bracket(0.40, 0.42), ioFloor, strict))
+    // strict just above the bar (0.446/0.33 = 1.352x) is dirty
+    assert(recheckKeyDirty(baseClean = true, ioBound = true,
+      Bracket(0.446, 0.40), ioFloor, strict))
+    // a failed base gate dirties every key, io-bound or not
+    assert(recheckKeyDirty(baseClean = false, ioBound = false, Bracket(0.34, 0.34),
+      ioFloor, strict))
+    // no committed io floor: the strict dimension cannot be judged, passes
+    assert(!recheckKeyDirty(baseClean = true, ioBound = true, Bracket(9.0, 9.0),
+      None, strict))
+    // the retry loop keeps going while an io-bound key is in the set and
+    // the strict bar is missed — and settles immediately when no
+    // io-bound key needs the stricter window
+    assert(!recheckAttemptSettled(baseClean = true, anyIoBound = true,
+      r13io, ioFloor, strict))
+    assert(recheckAttemptSettled(baseClean = true, anyIoBound = false,
+      r13io, ioFloor, strict))
+    assert(recheckAttemptSettled(baseClean = true, anyIoBound = true,
+      Bracket(0.40, 0.42), ioFloor, strict))
+    assert(!recheckAttemptSettled(baseClean = false, anyIoBound = false,
+      Bracket(0.06, 0.06), ioFloor, strict))
+  }
+
   test("recheck keep rule: an unjudgeable dimension (no committed floor) passes, like cleanFlags") {
     import graft.Bench.recheckAttemptClean
     assert(recheckAttemptClean(Bracket(9.0, 9.0), None, 2.0,
