@@ -334,10 +334,16 @@ def resolve(loc, ref="main", snapshot=None, pin=None):
             chunks.append(pa.table(
                 {f["name"]: a.take(idx) for f, a in zip(presented, arrays)}))
 
-    if dead and data and not overlay_matched:
-        fail("posdel/DV overlays matched zero data-file paths — the "
-             "location is likely aliased (relative path or symlink); "
-             "invoke with the table's canonical absolute path")
+    # Aliasing signature (vs legal inert overlays): a table resolved via
+    # an aliased location has overlay target paths under the REAL root,
+    # so none match a data file AND none sit under the caller's location.
+    # Inert overlays (targets all rewritten by later commits — legal dead
+    # weight the native reader also ignores) still point under loc.
+    if (dead and data and not overlay_matched
+            and not any(fp.startswith(loc + os.sep) for fp in dead)):
+        fail("posdel/DV overlays matched zero data-file paths and none "
+             "target the given location — it is likely aliased (relative "
+             "path or symlink); invoke with the canonical absolute path")
     names = [f["name"] for f in presented]
     if chunks:
         out = pa.concat_tables(chunks)

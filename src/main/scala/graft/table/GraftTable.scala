@@ -343,7 +343,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private def commit(op: String, branch: String, added: Seq[FileMeta],
       removedPaths: Set[String], snapId0: Long, seq0: Long,
       rebaseable: Boolean = false,
-      coalesceSegments: Boolean = false): SnapshotMeta = {
+      coalesceSegments: Boolean = false,
+      // partition-scoped commits pass their touched tuples: parent
+      // segments PROVEN disjoint (SnapshotMeta.manifestStats) are then
+      // carried by reference without being read — the commit's manifest
+      // I/O becomes O(touched partitions), not O(table files)
+      touched: Option[Set[Map[String, String]]] = None): SnapshotMeta = {
     val (fresh, vBase) = pinned()
     var snapId = snapId0
     var seq = seq0
@@ -417,23 +422,50 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // committers can compute the same snapshot id, and the loser of the
     // version-file race must not have clobbered the winner's segments.
     val isRemoved = (e: FileMeta) => removedPaths(normPath(abs(e.path)))
-    val parentSegs = parent.map(_.manifests).getOrElse(Nil)
-      .map(seg => seg -> Meta.readManifest(location, seg))
+    val parentStats = parent.map(_.manifestStats).getOrElse(Map.empty)
+    val parentSegNames = parent.map(_.manifests).getOrElse(Nil)
+    // a segment proven disjoint from the touched partitions cannot hold
+    // a removed entry (removed data is partition-matched; overlays live
+    // in incomplete segments, which are never skippable — SegStatsSpec
+    // pins both directions), so it is carried by reference UNREAD
+    val (skipped, readable) = parentSegNames.partition(seg =>
+      touched.exists(t => Meta.segmentSkippable(parentStats.get(seg), t)))
+    val parentSegs = readable.map(seg => seg -> Meta.readManifest(location, seg))
     val uuid = UUID.randomUUID.toString.take(8)
     val (dirty, clean) = parentSegs.partition(_._2.exists(isRemoved))
+    val keptNames = (skipped ++ clean.map(_._1)).toSet
+    val newStats = scala.collection.mutable.Map[String, SegStats]()
+    var segs = parentSegNames.filter(keptNames) // parent order preserved
     val survivors = dirty.flatMap(_._2).filterNot(isRemoved)
-    var segs = clean.map(_._1)
-    if (survivors.nonEmpty)
-      segs = segs :+ Meta.writeManifest(location, s"$snapId-r-$uuid", survivors)
-    if (withRid.nonEmpty)
-      segs = segs :+ Meta.writeManifest(location, s"$snapId-a-$uuid", withRid)
+    if (survivors.nonEmpty) {
+      val rSeg = Meta.writeManifest(location, s"$snapId-r-$uuid", survivors)
+      newStats(rSeg) = Meta.segStats(survivors)
+      segs = segs :+ rSeg
+    }
+    if (withRid.nonEmpty) {
+      val aSeg = Meta.writeManifest(location, s"$snapId-a-$uuid", withRid)
+      newStats(aSeg) = Meta.segStats(withRid)
+      segs = segs :+ aSeg
+    }
     // bound the per-read segment fan-in: past 64 segments, coalesce into
     // one partition-clustered segment (amortized O(table/64) per commit)
     if (coalesceSegments || segs.size > 64) {
-      val all = clean.flatMap(_._2) ++ survivors ++ withRid
-      segs = List(Meta.writeManifest(location, s"$snapId-c-$uuid",
-        clusterEntries(all)))
+      // coalescing folds EVERY surviving entry, so skipped segments are
+      // read after all (rare path: fan-in bound hit, or explicit rewrite)
+      val all = skipped.flatMap(Meta.readManifest(location, _)) ++
+        clean.flatMap(_._2) ++ survivors ++ withRid
+      val clustered = clusterEntries(all)
+      val cSeg = Meta.writeManifest(location, s"$snapId-c-$uuid", clustered)
+      newStats.clear()
+      newStats(cSeg) = Meta.segStats(clustered)
+      segs = List(cSeg)
     }
+    // stats travel with the snapshot: kept segments carry theirs forward
+    // (absent = unprunable, the pre-round-14 reading), new segments get
+    // fresh summaries; keys are restricted to the final segment list
+    val segSet = segs.toSet
+    val statsMap = (parentStats ++ newStats)
+      .filter { case (k, _) => segSet(k) }
     val removedEntries = dirty.flatMap(_._2).filter(isRemoved)
     val summary = Map(
       "added-data-files" -> withRid.count(_.fileType == "data").toString,
@@ -444,7 +476,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       "removed-records" -> removedEntries.filter(_.fileType == "data")
         .map(_.rowCount).sum.toString)
     val snap = SnapshotMeta(snapId, parent.map(_.snapshotId), seq,
-      System.currentTimeMillis(), op, m.currentSchemaId, segs.toList, summary)
+      System.currentTimeMillis(), op, m.currentSchemaId, segs.toList, summary,
+      statsMap.toMap)
     val next = m.copy(
       lastSnapshotId = snapId, lastSequenceNumber = seq, lastRowId = rid,
       snapshots = m.snapshots :+ snap,
@@ -560,8 +593,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
         m0.currentSchema), snapId, seq, m0.currentSchemaId, m0.currentSpecId)
     }
     val touched = files.map(_.partition).toSet
+    // segment-pruned read (round 14): a segment proven disjoint from the
+    // touched tuples can contain neither removed data (partition match is
+    // exact tuple equality, the same rule applied per entry below) nor
+    // overlay entries (overlays live in incomplete segments, never
+    // skippable) — at scale this makes the whole commit O(touched
+    // partitions) in manifest I/O, not O(table files)
     val priorEntries = meta.head(branch).toSeq
-      .flatMap(s => Meta.readEntries(location, s))
+      .flatMap(s => Meta.readEntriesTouching(location, s, touched))
     val removedData = priorEntries
       .filter(e => e.fileType == "data" && touched.contains(e.partition))
       .map(e => normPath(abs(e.path))).toSet
@@ -571,7 +610,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
         e.appliesTo.exists(p => removedData.contains(normPath(abs(p)))))
       .map(e => normPath(abs(e.path))).toSet
     commit("overwrite", branch, files, removedData ++ removedOverlays,
-      snapId, seq)
+      snapId, seq, touched = Some(touched))
   }
 
   // ==========================================================================

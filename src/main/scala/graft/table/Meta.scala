@@ -98,7 +98,23 @@ final case class SnapshotMeta(
     // Iceberg snapshot-summary analog: what THIS commit changed
     // (added/removed file and record counts) — O(1) observability per
     // commit without diffing manifests
-    summary: Map[String, String] = Map.empty)
+    summary: Map[String, String] = Map.empty,
+    // Round-14 additive field (readers may ignore — FORMAT.md §Round-14):
+    // per-segment partition summaries keyed by segment rel path, letting
+    // a partition-scoped commit skip READING segments proven disjoint
+    // from its touched partitions (Iceberg manifest-list partition
+    // summaries analog). Absent key -> segment unprunable (back-compat:
+    // every pre-round-14 snapshot reads exactly as before).
+    manifestStats: Map[String, SegStats] = Map.empty)
+
+/** Partition summary for one manifest segment: the distinct partition
+  * tuples of its entries. `complete = true` ONLY when every entry is a
+  * data file and the distinct-tuple count stayed under
+  * [[Meta.SegStatsCap]] — an incomplete segment can never be skipped
+  * (delete/DV overlays apply by target path, not partition, so any
+  * segment carrying one must always be opened). */
+final case class SegStats(partitions: List[Map[String, String]] = Nil,
+    complete: Boolean = false)
 
 final case class RefMeta(snapshotId: Long, isBranch: Boolean)
 
@@ -233,7 +249,15 @@ object Meta {
     m
   }
 
+  // test observability, default OFF (the log would grow unbounded in a
+  // long Verify/Bench JVM): SegStatsSpec flips `recordReads` around a
+  // partition-scoped commit to PROVE disjoint segments are never opened
+  @volatile private[graft] var recordReads: Boolean = false
+  private[graft] val readLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   def readManifest(location: String, rel: String): Seq[FileMeta] = {
+    if (recordReads) readLog.add(rel)
     val s = Files.readString(Paths.get(location, rel))
     if (s.isEmpty) Nil
     else s.split('\n').toSeq.filter(_.nonEmpty)
@@ -243,4 +267,38 @@ object Meta {
   /** all live file entries at a snapshot, across its manifest segments */
   def readEntries(location: String, snap: SnapshotMeta): Seq[FileMeta] =
     snap.manifests.flatMap(readManifest(location, _))
+
+  /** Per-segment partition-summary cap: beyond this many distinct tuples
+    * a segment is recorded incomplete (unprunable) — bounds metadata
+    * growth to ~cap × tuple-size per segment while covering the common
+    * shapes (a daily append segment carries 1-31 tuples). */
+  val SegStatsCap = 100
+
+  /** Summary of one segment's entries for [[SnapshotMeta.manifestStats]]:
+    * complete only for bounded all-data segments (see [[SegStats]]). */
+  def segStats(entries: Seq[FileMeta]): SegStats = {
+    val tuples = entries.map(_.partition).distinct
+    if (entries.nonEmpty && entries.forall(_.fileType == "data") &&
+        tuples.size <= SegStatsCap)
+      SegStats(tuples.toList, complete = true)
+    else SegStats(Nil, complete = false)
+  }
+
+  /** Can a partition-scoped commit skip reading this segment? Only with
+    * an affirmative PROOF of disjointness: stats present, complete, and
+    * no tuple of the segment in the touched set. Tuple membership is
+    * EXACT map equality — the same rule the unpruned path applies per
+    * entry — so pruning can never change which entries match. */
+  def segmentSkippable(stats: Option[SegStats],
+      touched: Set[Map[String, String]]): Boolean =
+    stats.exists(s => s.complete && !s.partitions.exists(touched))
+
+  /** entries at a snapshot, skipping segments proven disjoint from the
+    * touched partition tuples (segments without stats are read — every
+    * pre-round-14 snapshot behaves exactly as [[readEntries]]) */
+  def readEntriesTouching(location: String, snap: SnapshotMeta,
+      touched: Set[Map[String, String]]): Seq[FileMeta] =
+    snap.manifests
+      .filterNot(seg => segmentSkippable(snap.manifestStats.get(seg), touched))
+      .flatMap(readManifest(location, _))
 }
