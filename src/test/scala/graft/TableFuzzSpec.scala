@@ -329,6 +329,229 @@ class TableFuzzSpec extends SparkSpec {
     extOps
   }
 
+  // --- round-14 leg: external writer racing native maintenance -------------
+
+  /** Runs the fuzzed table's final state through the INDEPENDENT DuckDB
+    * SQL resolver (the same metadata → manifests → overlays replay the
+    * registry's q_interop_* oracles use, parameterized for the fuzz
+    * schema id/k/s = f1/f2/f3 with equality deletes keyed on f1) and
+    * returns the resolved rows as a parquet path. Overlay CTEs degrade
+    * to empty stubs when a delete family never materialized on disk;
+    * per-row `_last_seq` (materialized by rewrites) overrides the entry
+    * sequence when any live data file carries it. */
+  private def duckResolve(loc: String): String = {
+    import scala.sys.process._
+    import scala.jdk.CollectionConverters._
+    def anyDeleteDir(prefix: String): Boolean = {
+      val d = java.nio.file.Paths.get(loc, "deletes")
+      Files.isDirectory(d) && {
+        val l = java.nio.file.Files.list(d)
+        try l.iterator().asScala.exists(_.getFileName.toString.startsWith(prefix))
+        finally l.close()
+      }
+    }
+    val hasLastSeq = spark.read.option("mergeSchema", "true")
+      .parquet(s"$loc/data/*/*.parquet").columns.contains("_last_seq")
+    val fseq =
+      if (hasLastSeq) "COALESCE(r._last_seq, d.sequenceNumber)"
+      else "d.sequenceNumber"
+    val posdel = if (anyDeleteDir("pd"))
+      s"""SELECT p.file_path, p.pos
+         |  FROM read_parquet('$loc/deletes/pd*/*.parquet', filename=true) p
+         |  JOIN (SELECT * FROM entries WHERE fileType = 'posdel') e
+         |    ON p.filename LIKE '$loc/' || e.path || '/%'""".stripMargin
+    else "SELECT ''::VARCHAR AS file_path, 0::BIGINT AS pos WHERE 1=0"
+    val dvlatest = if (anyDeleteDir("dv"))
+      s"""SELECT v.file_path, v.dv
+         |  FROM read_parquet('$loc/deletes/dv*/*.parquet', filename=true) v
+         |  JOIN (SELECT * FROM entries WHERE fileType = 'dv') e
+         |    ON v.filename LIKE '$loc/' || e.path || '/%'
+         |  QUALIFY row_number() OVER (PARTITION BY v.file_path
+         |    ORDER BY e.sequenceNumber DESC) = 1""".stripMargin
+    else "SELECT ''::VARCHAR AS file_path, ''::BLOB AS dv WHERE 1=0"
+    val eqdel = if (anyDeleteDir("eq"))
+      s"""SELECT q.f1 AS key_id, e.sequenceNumber AS dseq
+         |  FROM read_parquet('$loc/deletes/eq*/*.parquet', filename=true) q
+         |  JOIN (SELECT * FROM entries WHERE fileType = 'eqdel') e
+         |    ON q.filename LIKE '$loc/' || e.path || '/%'""".stripMargin
+    else "SELECT 0::BIGINT AS key_id, 0::BIGINT AS dseq WHERE 1=0"
+    val sql =
+      s"""WITH meta AS (
+         |  SELECT refs.main.snapshotId AS head_id, snapshots
+         |  FROM read_json_auto('$loc/metadata/v*.json', filename=true)
+         |  ORDER BY filename DESC LIMIT 1
+         |), head AS (
+         |  SELECT s FROM meta, UNNEST(meta.snapshots) t(s)
+         |  WHERE s.snapshotId = meta.head_id
+         |), segs AS (
+         |  SELECT UNNEST(s.manifests) AS rel FROM head
+         |), entries AS (
+         |  SELECT e.path, e.fileType, e.sequenceNumber
+         |  FROM read_json('$loc/manifests/*.jsonl', format='newline_delimited',
+         |    filename=true, columns={path:'VARCHAR', fileType:'VARCHAR',
+         |    sequenceNumber:'BIGINT'}) e
+         |  JOIN segs ON 'manifests/' || regexp_extract(e.filename, '[^/]+$$') = segs.rel
+         |), rows0 AS (
+         |  SELECT r.f1 AS id, r.f2 AS k, r.f3 AS s,
+         |    r.filename AS fp, r.file_row_number AS pos, $fseq AS fseq
+         |  FROM read_parquet('$loc/data/*/*.parquet', filename=true,
+         |    file_row_number=true, union_by_name=true) r
+         |  JOIN (SELECT * FROM entries WHERE fileType = 'data') d
+         |    ON r.filename = '$loc/' || d.path
+         |), posdel AS (
+         |  $posdel
+         |), dvlatest AS (
+         |  $dvlatest
+         |), dvpos AS (
+         |  SELECT file_path, (i//8)*8 + (7 - i%8) AS pos
+         |  FROM dvlatest, UNNEST(range(0, octet_length(dv)*8)) t(i)
+         |  WHERE get_bit(dv::BIT, i::INTEGER) = 1
+         |), deleted AS (
+         |  SELECT file_path, pos FROM posdel
+         |  UNION SELECT file_path, pos FROM dvpos
+         |), eqdel AS (
+         |  $eqdel
+         |)
+         |SELECT id, k, s FROM rows0 r
+         |WHERE NOT EXISTS (SELECT 1 FROM deleted d
+         |    WHERE d.file_path = r.fp AND d.pos = r.pos)
+         |  AND NOT EXISTS (SELECT 1 FROM eqdel e
+         |    WHERE e.key_id = r.id AND r.fseq < e.dseq)""".stripMargin
+    val out = Files.createTempDirectory("graft-fuzz-duck").resolve("out.parquet")
+    val sqlFile = Files.createTempFile("fuzz-duck", ".sql")
+    Files.writeString(sqlFile, s"COPY ($sql) TO '$out' (FORMAT PARQUET);")
+    val rc = Process(Seq("python3", "-c",
+      "import duckdb,sys; duckdb.connect().execute(open(sys.argv[1]).read())",
+      sqlFile.toString)).!
+    assert(rc == 0, s"duckdb resolver failed (rc=$rc) for $loc")
+    out.toString
+  }
+
+  /** VERDICT r13 item 6: EXTERNAL python commits (appends, MoR position
+    * deletes, equality deletes) interleaved with native maintenance —
+    * compaction, delete-file/manifest rewrites, snapshot expiry and the
+    * orphan sweep — in flight. After every commit the native scan must
+    * equal the model; after every GC op, every manifest segment and
+    * every file any LOGGED snapshot still references must exist on disk
+    * (the clone-lease class of bug, now for the subprocess writer); and
+    * the final state must be read identically by all THREE
+    * zero-shared-code implementations (native, pyarrow, DuckDB SQL). */
+  private def runMaintenanceRace(seedVal: Long): Unit = {
+    import scala.sys.process._
+    val rnd = new Random(seedVal)
+    val loc = tmp()
+    var t = GraftTable.create(spark, loc, "id bigint, k bigint, s string")
+    val model = mutable.ArrayBuffer.empty[(Long, Long, String)]
+    var nextId = 0L
+    def fresh(n: Int): Seq[(Long, Long, String)] = Seq.fill(n) {
+      nextId += 1; (nextId, rnd.nextInt(7).toLong, "s" + rnd.nextInt(4))
+    }
+    def df(rows: Seq[(Long, Long, String)]) = {
+      import spark.implicits._
+      rows.toDF("id", "k", "s")
+    }
+    def scanCanon(): Vector[String] =
+      canon(t.scan().collect().toIndexedSeq.map(_.toSeq))
+    def check(tag: String): Unit =
+      assert(scanCanon() == canon(model.toSeq.map(r => Seq(r._1, r._2, r._3))),
+        s"seed=$seedVal $tag")
+    def payload(json: String): String = {
+      val f = Files.createTempFile("fuzz-race", ".json")
+      Files.writeString(f, json); f.toString
+    }
+    def ext(args: String*): Unit = {
+      val rc = Process(Seq("python3", graft.ops.Interop.extWriterScript, loc)
+        ++ args).!
+      assert(rc == 0, s"seed=$seedVal external ${args.headOption} rc=$rc")
+      t = GraftTable.load(spark, loc) // re-pin: later rewrites must see the true head
+    }
+    def extAppend(): Unit = {
+      val rows = fresh(3 + rnd.nextInt(4))
+      model ++= rows
+      ext(payload(rows.map(r => s"""{"id":${r._1},"k":${r._2},"s":"${r._3}"}""")
+        .mkString("""{"rows":[""", ",", "]}")))
+      check("ext append")
+    }
+    def extPosDelete(): Unit = {
+      val ks = model.map(_._2).distinct
+      if (ks.isEmpty) return
+      val v = ks(rnd.nextInt(ks.size))
+      val keep = model.filterNot(_._2 == v)
+      model.clear(); model ++= keep
+      ext("--delete", "k", payload(s"""{"values":[$v]}"""))
+      check("ext posdel")
+    }
+    def extEqDelete(): Unit = {
+      if (model.isEmpty) return
+      val ids = rnd.shuffle(model.map(_._1)).take(1 + rnd.nextInt(3)).toSet
+      val keep = model.filterNot(r => ids(r._1))
+      model.clear(); model ++= keep
+      ext("--delete-eq", "id", payload(ids.mkString("""{"values":[""", ",", "]}")))
+      check("ext eqdel")
+    }
+    def nativeDv(): Unit = {
+      val m = 3 + rnd.nextInt(3); val rem = rnd.nextInt(m)
+      val keep = model.filterNot(r => r._2 % m == rem)
+      model.clear(); model ++= keep
+      t.delete(s"k % $m = $rem", WriteMode.DeletionVector)
+      check("native dv")
+    }
+    def gcSweep(tag: String): Unit = {
+      t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000,
+        retainLast = 2)
+      t.removeOrphanFiles(System.currentTimeMillis() + 1000)
+      check(s"$tag gc")
+      val m = GraftTable.load(spark, loc).meta
+      for (s <- m.snapshots) {
+        for (seg <- s.manifests)
+          assert(Files.exists(java.nio.file.Paths.get(loc, seg)),
+            s"seed=$seedVal $tag: GC removed referenced segment $seg")
+        for (e <- Meta.readEntries(loc, s)) {
+          val p = if (e.path.startsWith("/")) java.nio.file.Paths.get(e.path)
+                  else java.nio.file.Paths.get(loc, e.path)
+          assert(Files.exists(p),
+            s"seed=$seedVal $tag: GC removed referenced file ${e.path}")
+        }
+      }
+    }
+    // deterministic prefix: seed rows, then one external commit of each
+    // shape plus a native DV — all three delete families in flight before
+    // the random maintenance mix starts
+    val r0 = fresh(12); model ++= r0; t.append(df(r0)); check("seed append")
+    extAppend(); extPosDelete(); nativeDv(); extEqDelete()
+    for (step <- 0 until 12) {
+      rnd.nextInt(10) match {
+        case 0 | 1 => extAppend()
+        case 2 => extPosDelete()
+        case 3 => extEqDelete()
+        case 4 =>
+          val r = fresh(5); model ++= r; t.append(df(r)); check(s"append $step")
+        case 5 => nativeDv()
+        case 6 => t.compact(targetMB = 1); check(s"compact $step")
+        case 7 => t.rewriteDeleteFiles(); check(s"rewriteDeletes $step")
+        case 8 => t.rewriteManifests(); check(s"rewriteManifests $step")
+        case _ => gcSweep(s"step $step")
+      }
+    }
+    // deterministic tail: compaction (rewritten files with materialized
+    // lineage live at the end), fresh overlays of all three shapes ON
+    // TOP of it, a final GC — then the three-reader closure
+    t.compact(targetMB = 1); check("tail compact")
+    extAppend(); extPosDelete(); nativeDv(); extEqDelete()
+    gcSweep("tail")
+    val native = scanCanon()
+    val py = canon(spark.read.parquet(graft.ops.Interop.runExtReader(loc))
+      .select("id", "k", "s").collect().toIndexedSeq.map(_.toSeq))
+    assert(py == native, s"seed=$seedVal pyarrow reader diverged")
+    val duck = canon(spark.read.parquet(duckResolve(loc))
+      .select("id", "k", "s").collect().toIndexedSeq.map(_.toSeq))
+    assert(duck == native, s"seed=$seedVal duckdb resolver diverged")
+  }
+
+  test("external writer racing native maintenance: three readers agree, GC keeps every referenced file (seed 271)") {
+    runMaintenanceRace(271L)
+  }
+
   test("random op sequences match the per-ref models at every commit (seed 42)") {
     runSeed(42L)
   }
