@@ -448,17 +448,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
       segs = segs :+ aSeg
     }
     // bound the per-read segment fan-in: past 64 segments, coalesce into
-    // one partition-clustered segment (amortized O(table/64) per commit)
+    // partition-clustered SHARDS (amortized O(table/64) per commit)
     if (coalesceSegments || segs.size > 64) {
       // coalescing folds EVERY surviving entry, so skipped segments are
       // read after all (rare path: fan-in bound hit, or explicit rewrite)
       val all = skipped.flatMap(Meta.readManifest(location, _)) ++
         clean.flatMap(_._2) ++ survivors ++ withRid
-      val clustered = clusterEntries(all)
-      val cSeg = Meta.writeManifest(location, s"$snapId-c-$uuid", clustered)
       newStats.clear()
-      newStats(cSeg) = Meta.segStats(clustered)
-      segs = List(cSeg)
+      segs = writeCoalesced(all, snapId, uuid, m, newStats)
     }
     // stats travel with the snapshot: kept segments carry theirs forward
     // (absent = unprunable, the pre-round-14 reading), new segments get
@@ -1459,11 +1456,52 @@ class GraftTable(val spark: SparkSession, val location: String) {
       e.partition.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/"),
       e.path))
 
+  /** Coalesce into partition-clustered SHARDS, not one monolith: a
+    * single mixed segment is incomplete under [[Meta.segStats]] (it
+    * carries overlays) and covers every partition — so on the far side
+    * of the 64-segment fan-in bound, where a large table PERMANENTLY
+    * lives, partition-scoped commits would be back to reading the whole
+    * manifest plane. Overlays go to their own segment (incomplete by
+    * construction, always read); data sorts by (spec, partition, path)
+    * and chunks into contiguous-partition-range shards whose stats stay
+    * complete. Shard size adapts so the output stays well under the
+    * fan-in bound (~48 shards max; `write.manifest.shard-entries`
+    * overrides, floor 4096 by default at ~300 B/entry ≈ 1.2 MB/shard).
+    * Tables beyond ~48 x SegStatsCap distinct partitions get incomplete
+    * (unprunable) shards rather than unbounded stats — documented
+    * bound, not a correctness edge. */
+  private def writeCoalesced(all: Seq[FileMeta], snapId: Long, uuid: String,
+      m: TableMeta,
+      stats: scala.collection.mutable.Map[String, SegStats]): List[String] = {
+    val (overlays, data) = all.partition(_.fileType != "data")
+    val sorted = clusterEntries(data)
+    val shardSize = m.properties.get("write.manifest.shard-entries")
+      .flatMap(_.toIntOption).filter(_ > 0)
+      .getOrElse(math.max(4096, (sorted.size + 47) / 48))
+    val segs = scala.collection.mutable.ListBuffer[String]()
+    sorted.grouped(shardSize).zipWithIndex.foreach { case (sh, i) =>
+      val rel = Meta.writeManifest(location, s"$snapId-c$i-$uuid", sh)
+      stats(rel) = Meta.segStats(sh)
+      segs += rel
+    }
+    if (overlays.nonEmpty) {
+      val rel = Meta.writeManifest(location, s"$snapId-co-$uuid", overlays)
+      stats(rel) = Meta.segStats(overlays)
+      segs += rel
+    }
+    if (segs.isEmpty) // empty table: keep one (empty) segment for shape
+      segs += Meta.writeManifest(location, s"$snapId-c0-$uuid", Nil)
+    segs.toList
+  }
+
   /** Iceberg `rewrite_manifests` analog: coalesce the head snapshot's
-    * manifest segments into ONE partition-clustered segment in a
+    * manifest segments into partition-clustered SHARDS (plus one overlay
+    * segment when delete files are live — [[writeCoalesced]]) in a
     * METADATA-ONLY commit (no data file moves). Steady-state commits keep
     * metadata O(change) by carrying parent segments forward; after many
-    * small commits this rewrite restores single-read pruning. */
+    * small commits this rewrite restores bounded-read pruning, and the
+    * per-shard partition stats keep partition-scoped commits O(touched)
+    * on the far side of the rewrite. */
   def rewriteManifests(branch: String = "main"): SnapshotMeta = {
     val (snapId, seq) = nextIds()
     commit("rewrite-manifests", branch, Nil, Set.empty, snapId, seq,

@@ -144,6 +144,51 @@ class SegStatsSpec extends SparkSpec {
     assert(got.size == 1)
   }
 
+  test("coalesce shards by partition; pruning survives rewriteManifests") {
+    import spark.implicits._
+    // shard-entries=2 makes sharding observable on a tiny table; the
+    // production default (4096-entry shards, ~48 max) is the same code
+    val t = GraftTable.create(spark, loc(),
+      "id bigint, ts timestamp, v double", partitionBy = Seq("day(ts)"),
+      properties = Map("write.manifest.shard-entries" -> "2"))
+    def add(id: Long, day: String): Unit =
+      t.append(Seq((id, s"$day 10:0$id:00", id.toDouble))
+        .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp")))
+    add(1, "2024-01-01"); add(2, "2024-01-01")
+    add(3, "2024-02-01"); add(4, "2024-03-01")
+    t.delete("id = 4", WriteMode.MergeOnRead) // live overlay on March
+    t.rewriteManifests()
+    val head = t.meta.head("main").get
+    // 4 data entries in 2-entry shards + the overlay segment
+    assert(head.manifests.size == 3, s"got ${head.manifests}")
+    val (complete, incomplete) = head.manifests.partition(s =>
+      head.manifestStats.get(s).exists(_.complete))
+    assert(complete.size == 2 && incomplete.size == 1,
+      s"stats: ${head.manifestStats}")
+    // sharding is partition-contiguous: January's two files share a shard
+    val janShard = complete.filter(s =>
+      head.manifestStats(s).partitions.size == 1)
+    assert(janShard.size == 1, s"expected one single-tuple (Jan) shard: " +
+      s"${head.manifestStats}")
+    // a January-scoped overwrite must read the Jan shard + the overlay
+    // segment, never the Feb/Mar data shard — pruning ALIVE post-rewrite
+    val patch = Seq((10L, "2024-01-01 12:00:00", 10.0))
+      .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    Meta.readLog.clear()
+    Meta.recordReads = true
+    try t.overwritePartitions(patch)
+    finally Meta.recordReads = false
+    val reads = Meta.readLog.asScala.toSet
+    val febMarShard = (complete.toSet - janShard.head).head
+    assert(!reads(febMarShard),
+      s"Feb/Mar shard was opened during a Jan-scoped commit: $reads")
+    assert(reads(incomplete.head), "overlay segment must always be read")
+    // correctness across the whole dance: Jan replaced, Feb intact,
+    // March's MoR delete still applied
+    val rows = t.scan().orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(3L, 10L), s"got $rows")
+  }
+
   test("metadata json round-trips the stats (and coalesce recomputes them)") {
     import spark.implicits._
     val t = GraftTable.create(spark, loc(),
