@@ -189,6 +189,36 @@ class SegStatsSpec extends SparkSpec {
     assert(rows == Seq(3L, 10L), s"got $rows")
   }
 
+  test("property: a skippable segment can never contain a touched entry or an overlay") {
+    // the soundness invariant the whole feature stands on: for ARBITRARY
+    // entry mixes and touched sets, segStats + segmentSkippable may keep
+    // a disjoint segment (costs time) but must NEVER skip a segment
+    // holding an entry a partition-scoped commit would remove (data with
+    // partition in touched) or must inspect (any overlay). A drift
+    // between the two functions would silently leave removed partitions
+    // live — this pins them against each other, not against examples.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genTuple: Gen[Map[String, String]] = Gen.oneOf(
+      (0 to 6).map(i => Map("d" -> i.toString)) ++
+        Seq(Map.empty[String, String], Map("d" -> "1", "b" -> "0")))
+    val genEntry: Gen[FileMeta] = for {
+      p <- genTuple
+      ft <- Gen.frequency(8 -> Gen.const("data"),
+        1 -> Gen.oneOf("posdel", "dv", "eqdel"))
+    } yield FileMeta("f", ft, 0, 0, p, 1, 1, 1, Map.empty)
+    val genSeg: Gen[List[FileMeta]] = Gen.listOf(genEntry)
+    val genTouched: Gen[Set[Map[String, String]]] =
+      Gen.listOf(genTuple).map(_.toSet)
+    val prop = Prop.forAll(genSeg, genTouched) { (seg, touched) =>
+      val skip = Meta.segmentSkippable(Some(Meta.segStats(seg)), touched)
+      !skip || seg.forall(e =>
+        e.fileType == "data" && !touched.contains(e.partition))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("metadata json round-trips the stats (and coalesce recomputes them)") {
     import spark.implicits._
     val t = GraftTable.create(spark, loc(),
