@@ -552,6 +552,10 @@ class TableFuzzSpec extends SparkSpec {
     runMaintenanceRace(271L)
   }
 
+  test("external writer racing native maintenance: second interleaving (seed 314)") {
+    runMaintenanceRace(314L)
+  }
+
   test("random op sequences match the per-ref models at every commit (seed 42)") {
     runSeed(42L)
   }
