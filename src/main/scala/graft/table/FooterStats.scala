@@ -157,8 +157,10 @@ object FooterStats {
     }.toMap
   }
 
-  /** undo Spark's %xx partition-path escaping */
-  private def unescape(s: String): String = {
+  /** undo Spark's %xx partition-path escaping (shared with
+    * [[GraftTable]]'s touched-partition path parse, which must apply the
+    * exact same rule to reproduce committed partition tuples) */
+  private[table] def unescape(s: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {

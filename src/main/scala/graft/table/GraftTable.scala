@@ -70,6 +70,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
     StructType.fromDDL(s"x $ddl").head.dataType
   private def normPath(s: String): String = s.replaceFirst("^file:/+", "/")
   private def normCol(c: Column): Column = regexp_replace(c, "^file:/+", "/")
+  /** `_metadata.file_path` is a Hadoop-Path URI string — percent-ENCODED
+    * (directory "a b" arrives as ".../a%20b/..."), while manifest
+    * entries, FooterStats walks, and delete-row targets all carry RAW
+    * filesystem paths. Comparing across the two spaces silently matches
+    * NOTHING on any path with an escapable character: a CoW delete's
+    * removedPaths then drop no entry and the "deleted" rows stay live
+    * (found by SegStatsSpec's escaped-partition leg, round 15). Decode
+    * at materialization so every downstream comparison — and every
+    * PERSISTED delete-row target — lives in raw-path space. url_decode
+    * has URLDecoder semantics ('+' → space) while the URI layer leaves a
+    * literal '+' raw, so '+' is pre-escaped; '%' itself is always
+    * URI-encoded (%25), making the decode unambiguous. All three
+    * functions are codegen'd — the MoR read path stays inside
+    * WholeStageCodegen. */
+  private def decodeFilePath(c: Column): Column =
+    url_decode(regexp_replace(regexp_replace(c, "^file:/+", "/"), "\\+", "%2B"))
   private def abs(rel: String): String =
     if (rel.startsWith("/")) rel else s"$location/$rel"
 
@@ -160,7 +176,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
           Seq(StructField("_row_id", LongType), StructField("_last_seq", LongType)))
       var df = spark.read.schema(physSchema).parquet(files.map(f => abs(f.path)): _*)
       if (needPos) df = df
-        .withColumn("_gf", normCol(col("_metadata.file_path")))
+        .withColumn("_gf", decodeFilePath(col("_metadata.file_path")))
         .withColumn("_gp", col("_metadata.row_index"))
       val aligned = presented.fields.map { pf =>
         gs.byId(pf.id) match {
@@ -427,14 +443,29 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // a segment proven disjoint from the touched partitions cannot hold
     // a removed entry (removed data is partition-matched; overlays live
     // in incomplete segments, which are never skippable — SegStatsSpec
-    // pins both directions), so it is carried by reference UNREAD
-    val (skipped, readable) = parentSegNames.partition(seg =>
-      touched.exists(t => Meta.segmentSkippable(parentStats.get(seg), t)))
+    // pins both directions), so it is carried by reference UNREAD.
+    // A commit that removes NOTHING (append, MoR delete file, eq-delete)
+    // cannot dirty any parent segment at all, so it reads NONE of them:
+    // append-class manifest I/O is O(added), zero parent reads,
+    // independent of table size (round 15; SegStatsSpec pins zero-read).
+    val (skipped, readable) =
+      if (removedPaths.isEmpty) (parentSegNames, Nil)
+      else parentSegNames.partition(seg =>
+        touched.exists(t => Meta.segmentSkippable(parentStats.get(seg), t)))
     val parentSegs = readable.map(seg => seg -> Meta.readManifest(location, seg))
     val uuid = UUID.randomUUID.toString.take(8)
     val (dirty, clean) = parentSegs.partition(_._2.exists(isRemoved))
     val keptNames = (skipped ++ clean.map(_._1)).toSet
     val newStats = scala.collection.mutable.Map[String, SegStats]()
+    // Backfill (round 15): a clean parent segment this commit was forced
+    // to read but that carries no stats — written below a pre-round-14
+    // snapshot, or by the external writer, whose snapshots are stats-less
+    // by additive design (FORMAT.md §Round-14) — gets a fresh summary for
+    // free while its entries are in hand, so the NEXT partition-scoped
+    // commit can prune it again instead of re-reading the full plane.
+    clean.foreach { case (seg, es) =>
+      if (!parentStats.contains(seg)) newStats(seg) = Meta.segStats(es)
+    }
     var segs = parentSegNames.filter(keptNames) // parent order preserved
     val survivors = dirty.flatMap(_._2).filterNot(isRemoved)
     if (survivors.nonEmpty) {
@@ -622,6 +653,34 @@ class GraftTable(val spark: SparkSession, val location: String) {
     scan(filter = Some(cond), withPos = true, ref = Some(branch))
       .select("_gf").distinct().collect().map(_.getString(0)).toSet
 
+  /** Touched-partition hint for a file-scoped row-op commit (round 15,
+    * SURVEY §20.1 residual): the partition tuples of NATIVE data files,
+    * parsed from their `_p_<name>=<value>` path segments with the exact
+    * rule [[FooterStats.partitionValues]] wrote them under (first-`=`
+    * split, same %xx unescape), so each parse equals the file's committed
+    * FileMeta.partition — no manifest read needed. commit() may then skip
+    * parent segments whose COMPLETE stats are disjoint from this set;
+    * sound because every removed path's tuple is IN the set, so the
+    * segment holding it always reads. None when any path is not a native
+    * data file under this table's data/ tree (add_files imports carry
+    * partition {} but an arbitrary user path could contain `_p_`
+    * lookalike segments) — the commit then reads every parent segment,
+    * the pre-round-15 behavior. */
+  private def touchedOf(paths: Set[String]): Option[Set[Map[String, String]]] = {
+    val root = normPath(location).stripSuffix("/") + "/data/"
+    if (!paths.forall(_.startsWith(root))) None
+    else Some(paths.map { p =>
+      // strip <root> and the s<snap>-<uuid> write dir; remaining interior
+      // segments are the partition dirs (the filename carries no `_p_`)
+      p.stripPrefix(root).split('/').drop(1).flatMap { s =>
+        val i = s.indexOf('=')
+        if (i > 0 && s.startsWith("_p_"))
+          Some(s.substring(3, i) -> FooterStats.unescape(s.substring(i + 1)))
+        else None
+      }.toMap
+    })
+  }
+
   private def lineageNames: Seq[String] = Seq("_row_id", "_last_updated_sequence_number")
 
   /** read only `files` OF THE GIVEN BRANCH, that branch's deletes applied,
@@ -643,7 +702,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
           .filter(!coalesce(expr(cond), lit(false)))
         val out = writeDataFiles(toPhysical(keep, meta.currentSchema), snapId, seq,
           meta.currentSchemaId, meta.currentSpecId)
-        commit("delete", branch, out, files, snapId, seq)
+        commit("delete", branch, out, files, snapId, seq,
+          touched = touchedOf(files))
       case WriteMode.MergeOnRead =>
         val hits = scan(filter = Some(cond), withPos = true, ref = Some(branch))
           .select(col("_gf").as("file_path"), col("_gp").as("pos"))
@@ -701,9 +761,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
         val entry = FileMeta(rel, "dv", meta.currentSpecId, meta.currentSchemaId,
           Map.empty, n, 0L, seq, Map.empty)
         // drop superseded DV entries: the latest-seq filter at read handles
-        // overlap, but removing them keeps manifests lean
+        // overlap, but removing them keeps manifests lean. The removals are
+        // all OVERLAY entries, which only live in incomplete (never
+        // skippable) segments — so the empty touched set soundly lets the
+        // commit skip every complete all-data segment unread.
         val oldPaths = existing.map(e => normPath(abs(e.path))).toSet
-        commit("delete", branch, Seq(entry), oldPaths, snapId, seq)
+        commit("delete", branch, Seq(entry), oldPaths, snapId, seq,
+          touched = Some(Set.empty))
     }
   }
 
@@ -746,7 +810,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
           writeDataFiles(toPhysical(enforceChecks(updated, "update"), schema),
             snapId, seq, meta.currentSchemaId, meta.currentSpecId)
         }
-        commit("overwrite", branch, out, files, snapId, seq)
+        commit("overwrite", branch, out, files, snapId, seq,
+          touched = touchedOf(files))
       case _ =>
         // MoR update = position-delete the old rows + append the new versions
         // (row ids preserved — v3 lineage survives the rewrite)
@@ -934,7 +999,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
               snapId, seq, meta.currentSchemaId, meta.currentSpecId)
           }.filter(_.rowCount > 0L)
       }
-      commit("overwrite", branch, rewritten ++ inserted, files, snapId, seq)
+      commit("overwrite", branch, rewritten ++ inserted, files, snapId, seq,
+        touched = touchedOf(files))
     } finally m.unpersist(blocking = false)
   }
 
@@ -1445,7 +1511,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
       if (n == 0) Nil
       else Seq(FileMeta(rel, "posdel", m.currentSpecId, m.currentSchemaId,
         Map.empty, n, 0L, seq, Map.empty))
-    commit("rewrite-deletes", branch, added, removed, snapId, seq)
+    // removals are overlay entries only — complete (all-data) segments
+    // cannot hold one, so the empty touched set skips them all unread
+    commit("rewrite-deletes", branch, added, removed, snapId, seq,
+      touched = Some(Set.empty))
   }
 
   /** deterministic manifest clustering: data entries sorted by partition

@@ -219,6 +219,191 @@ class SegStatsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("round 15: a commit with no removals reads ZERO parent segments") {
+    // appends / eq-deletes cannot dirty any parent segment, so commit()
+    // must not open one — append-class manifest I/O is O(added), zero
+    // parent reads, independent of table size (the 100k-file shape)
+    import spark.implicits._
+    val t = GraftTable.create(spark, loc(),
+      "id bigint, ts timestamp, v double", partitionBy = Seq("day(ts)"))
+    def df(id: Long, day: String) = Seq((id, s"$day 10:00:00", id.toDouble))
+      .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    t.append(df(1, "2024-01-01")); t.append(df(2, "2024-02-01"))
+    Meta.readLog.clear()
+    Meta.recordReads = true
+    try t.append(df(3, "2024-03-01"))
+    finally Meta.recordReads = false
+    assert(Meta.readLog.isEmpty,
+      s"append commit opened parent segments: ${Meta.readLog.asScala.toSet}")
+    // eq-delete: pure overlay add, same zero-read property (no scan runs)
+    Meta.readLog.clear()
+    Meta.recordReads = true
+    try t.deleteByKeys(Seq(2L).toDF("id"))
+    finally Meta.recordReads = false
+    assert(Meta.readLog.isEmpty,
+      s"eq-delete commit opened parent segments: ${Meta.readLog.asScala.toSet}")
+    val head = t.meta.head("main").get
+    assert(head.manifests.size == 4, s"got ${head.manifests}")
+    assert(t.scan().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("round 15: a file-scoped CoW update commit skips shards disjoint from its touched partitions") {
+    // VERDICT r14 item 5 (SURVEY §20.1 residual): CoW row-ops know their
+    // affected files; their partition tuples parse from the `_p_` path
+    // segments, so commit() prunes like overwritePartitions does
+    import spark.implicits._
+    val t = GraftTable.create(spark, loc(),
+      "id bigint, ts timestamp, v double", partitionBy = Seq("day(ts)"),
+      properties = Map("write.manifest.shard-entries" -> "2"))
+    def add(id: Long, day: String): Unit =
+      t.append(Seq((id, s"$day 10:0$id:00", id.toDouble))
+        .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp")))
+    add(1, "2024-01-01"); add(2, "2024-01-01")
+    add(3, "2024-02-01"); add(4, "2024-03-01")
+    t.rewriteManifests()
+    val head = t.meta.head("main").get
+    assert(head.manifests.size == 2, s"got ${head.manifests}")
+    val janShard = head.manifests.filter(s =>
+      head.manifestStats(s).partitions.size == 1)
+    assert(janShard.size == 1, s"expected one single-tuple (Jan) shard: " +
+      s"${head.manifestStats}")
+    val febMarShard = (head.manifests.toSet -- janShard).head
+    Meta.readLog.clear()
+    Meta.recordReads = true
+    try t.update("id = 3", Map("v" -> "30.0"))
+    finally Meta.recordReads = false
+    val reads = Meta.readLog.asScala.toSeq
+    def countOf(s: String) = reads.count(_ == s)
+    // the op's two row-resolving scans read every segment alike; only
+    // the COMMIT is partition-scoped — it opens the Feb/Mar shard (it
+    // holds the removed file) exactly once more than the Jan shard,
+    // which it must never open
+    assert(countOf(febMarShard) == countOf(janShard.head) + 1,
+      s"commit read counts drifted: jan=${countOf(janShard.head)} " +
+        s"febmar=${countOf(febMarShard)} reads=$reads")
+    val rows = t.scan().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, 1.0), (2L, 2.0), (3L, 30.0), (4L, 4.0)), s"got $rows")
+  }
+
+  test("round 15: touched-partition parse round-trips escaped partition values") {
+    // the touchedOf path parse must reproduce FooterStats.partitionValues
+    // exactly — pin it on values Spark %xx-escapes in directory names
+    // (percent, colon, equals) plus a space
+    import spark.implicits._
+    val t = GraftTable.create(spark, loc(),
+      "id bigint, cat string, v double", partitionBy = Seq("cat"))
+    def df(id: Long, cat: String) = Seq((id, cat, id.toDouble)).toDF("id", "cat", "v")
+    t.append(df(1, "a b").union(df(2, "a b")))
+    t.append(df(3, "p%q:r=s"))
+    val head = t.meta.head("main").get
+    assert(head.manifests.size == 2)
+    val weird = head.manifests.find(s =>
+      head.manifestStats(s).partitions == List(Map("cat" -> "p%q:r=s"))).get
+    val plain = (head.manifests.toSet - weird).head
+    // CoW delete inside the 'a b' partition: commit must read the plain
+    // shard (holds the removed file) once more than the weird shard
+    Meta.readLog.clear()
+    Meta.recordReads = true
+    try t.delete("id = 1")
+    finally Meta.recordReads = false
+    val reads = Meta.readLog.asScala.toSeq
+    assert(reads.count(_ == plain) == reads.count(_ == weird) + 1,
+      s"escaped-tuple commit read counts drifted: $reads")
+    // and the same on the escaped partition itself — parse must yield
+    // exactly {cat -> p%q:r=s} or the removal would be silently skipped
+    val head2 = t.meta.head("main").get
+    val weird2 = head2.manifests.find(s =>
+      head2.manifestStats.get(s).exists(_.partitions ==
+        List(Map("cat" -> "p%q:r=s")))).get
+    Meta.readLog.clear()
+    Meta.recordReads = true
+    try t.delete("id = 3")
+    finally Meta.recordReads = false
+    assert(Meta.readLog.asScala.toSeq.contains(weird2),
+      "commit must open the escaped partition's own segment")
+    val rows = t.scan().orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(2L), s"got $rows")
+  }
+
+  test("round 15: stats backfill — extwriter append, then the first reading native commit re-seeds pruning") {
+    // VERDICT r14 item 7: external-writer snapshots are stats-less by
+    // additive design, so the FIRST native partition-scoped commit reads
+    // the full manifest plane — but it must record stats for the clean
+    // segments it was forced to read, so the SECOND one prunes again
+    import spark.implicits._
+    val l = loc()
+    val t = GraftTable.create(spark, l,
+      "id bigint, cat string", partitionBy = Seq("cat"))
+    def df(id: Long, cat: String) = Seq((id, cat)).toDF("id", "cat")
+    t.append(df(1, "a"))
+    t.append(df(2, "b"))
+    // external append into partition c (identity layout supported)
+    val payload = """{"rows":[{"id":7,"cat":"c"}]}"""
+    val f = Files.createTempFile("segstats-ext", ".json")
+    Files.writeString(f, payload)
+    import scala.sys.process._
+    val rc = Process(Seq("python3", graft.ops.Interop.extWriterScript,
+      l, f.toString)).!
+    assert(rc == 0, s"external append failed rc=$rc")
+    val t2 = GraftTable.load(spark, l)
+    val extHead = t2.meta.head("main").get
+    assert(extHead.manifestStats.isEmpty,
+      s"extwriter snapshots must be stats-less: ${extHead.manifestStats}")
+    assert(extHead.manifests.size == 3)
+    // native commit #1: nothing is prunable (no stats) — every parent
+    // segment reads, and the CLEAN ones (a, c) get backfilled summaries
+    Meta.readLog.clear()
+    Meta.recordReads = true
+    try t2.overwritePartitions(df(20, "b"))
+    finally Meta.recordReads = false
+    assert(extHead.manifests.forall(Meta.readLog.asScala.toSet),
+      s"stats-less plane must be fully read: ${Meta.readLog.asScala.toSet}")
+    val head1 = t2.meta.head("main").get
+    val carried = head1.manifests.filter(extHead.manifests.contains)
+    assert(carried.size == 2, s"a and c segments must carry: $carried")
+    assert(carried.forall(s => head1.manifestStats.get(s).exists(_.complete)),
+      s"read clean segments must be backfilled: ${head1.manifestStats}")
+    // native commit #2: the backfilled a/c segments are now provably
+    // disjoint from b — neither is opened
+    Meta.readLog.clear()
+    Meta.recordReads = true
+    try t2.overwritePartitions(df(21, "b"))
+    finally Meta.recordReads = false
+    val reads2 = Meta.readLog.asScala.toSet
+    assert(carried.forall(s => !reads2(s)),
+      s"backfilled segments must prune on the second commit: $reads2")
+    // correctness across the dance: a and the external c intact, b at v21
+    val rows = t2.scan().orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L, 7L, 21L), s"got $rows")
+  }
+
+  test("round 15: pre-round-14 (stripped-stats) snapshots regain pruning the same way") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, loc(),
+      "id bigint, cat string", partitionBy = Seq("cat"))
+    def df(id: Long, cat: String) = Seq((id, cat)).toDF("id", "cat")
+    t.append(df(1, "a")); t.append(df(2, "b"))
+    // simulate a pre-round-14 writer: strip every snapshot's stats
+    val v = Meta.currentVersion(t.location).get
+    val m = Meta.readJson(t.location)
+    Meta.writeJsonAt(m.copy(snapshots =
+      m.snapshots.map(_.copy(manifestStats = Map.empty))), t.location, v + 1)
+    val t2 = GraftTable.load(spark, t.location)
+    val aSeg = t2.meta.head("main").get.manifests.head
+    t2.overwritePartitions(df(20, "b")) // reads all, backfills a
+    val head1 = t2.meta.head("main").get
+    assert(head1.manifestStats.get(aSeg).exists(_.complete),
+      s"stripped segment must be backfilled: ${head1.manifestStats}")
+    Meta.readLog.clear()
+    Meta.recordReads = true
+    try t2.overwritePartitions(df(21, "b"))
+    finally Meta.recordReads = false
+    assert(!Meta.readLog.asScala.toSet(aSeg),
+      "backfilled segment must prune on the next commit")
+    assert(t2.scan().orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 21L))
+  }
+
   test("metadata json round-trips the stats (and coalesce recomputes them)") {
     import spark.implicits._
     val t = GraftTable.create(spark, loc(),
