@@ -338,12 +338,26 @@ def resolve(loc, ref="main", snapshot=None, pin=None):
     # an aliased location has overlay target paths under the REAL root,
     # so none match a data file AND none sit under the caller's location.
     # Inert overlays (targets all rewritten by later commits — legal dead
-    # weight the native reader also ignores) still point under loc.
+    # weight the native reader also ignores) still point under loc — OR,
+    # for rewritten name-mapped/add_files imports, at ABSOLUTE
+    # outside-location paths that appear in the snapshot log's manifests.
+    # A target matching ANY historical manifest entry path is a real
+    # table path and therefore non-aliasing evidence; only targets the
+    # table has never named in any manifest indicate an aliased root.
     if (dead and data and not overlay_matched
             and not any(fp.startswith(loc + os.sep) for fp in dead)):
-        fail("posdel/DV overlays matched zero data-file paths and none "
-             "target the given location — it is likely aliased (relative "
-             "path or symlink); invoke with the canonical absolute path")
+        known = set()
+        for s in meta["snapshots"]:
+            try:
+                for e in read_entries(loc, s):
+                    known.add(re.sub(r"^file:/+", "/", abspath(e["path"])))
+            except Exception:
+                pass  # expired/pruned segments: absence proves nothing
+        if not any(fp in known for fp in dead):
+            fail("posdel/DV overlays matched zero data-file paths, none "
+                 "target the given location, and none match any manifest "
+                 "entry path — it is likely aliased (relative path or "
+                 "symlink); invoke with the canonical absolute path")
     names = [f["name"] for f in presented]
     if chunks:
         out = pa.concat_tables(chunks)

@@ -694,7 +694,7 @@ object Interop {
          |  FROM read_parquet('$loc/deletes/dv*/*.parquet', filename=true) v
          |  JOIN (SELECT * FROM entries WHERE fileType = 'dv') e
          |    ON v.filename LIKE '$loc/' || e.path || '/%'
-         |  QUALIFY row_number() OVER (PARTITION BY v.file_path
+         |  QUALIFY rank() OVER (PARTITION BY v.file_path
          |    ORDER BY e.sequenceNumber DESC) = 1
          |), dvpos AS (
          |  SELECT file_path, (i//8)*8 + (7 - i%8) AS pos
