@@ -107,8 +107,11 @@ object Bench {
   def floorClasses(path: String = "BASELINE.md"): Map[String, (Double, Set[String])] = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isReadable(p)) return Map.empty
+    // keys must match the committed registry shape q[digits]*_<word> —
+    // a looser q\w+ once let any q-prefixed PROSE word on the same line
+    // ("queries", "q.v." neighbors) silently join the class (ADVICE r14)
     ("(?s)floor\\s+class\\s+([A-Za-z0-9_-]+)\\s*\\(tolerance\\s+([0-9.]+)x?\\)" +
-      "\\s*:\\s*((?:q[A-Za-z0-9_]+[ \\t,]*)+)").r
+      "\\s*:\\s*((?:q[a-z0-9]*_[a-z0-9_]+[ \\t,]*)+)").r
       .findAllMatchIn(java.nio.file.Files.readString(p)).map { m =>
         m.group(1) -> ((m.group(2).toDouble,
           m.group(3).split("[ \\t,]+").filter(_.nonEmpty).toSet))
@@ -140,7 +143,9 @@ object Bench {
   def ioBoundKeys(path: String = "BASELINE.md"): Set[String] = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isReadable(p)) return Set.empty
-    "(?s)io-bound\\s+queries\\s*:\\s*((?:q[A-Za-z0-9_]+[ \\t,]*)+)".r
+    // same committed q[digits]*_<word> key shape as [[floorClasses]]:
+    // trailing same-line prose can never join the list (ADVICE r14)
+    "(?s)io-bound\\s+queries\\s*:\\s*((?:q[a-z0-9]*_[a-z0-9_]+[ \\t,]*)+)".r
       .findAllMatchIn(java.nio.file.Files.readString(p)).toSeq.lastOption
       .map(_.group(1).split("[ \\t,]+").filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
@@ -181,6 +186,57 @@ object Bench {
   def agingRatio(roundWalls: Seq[Double], kept: Seq[Boolean]): Option[Double] = {
     val kw = roundWalls.zip(kept).collect { case (w, true) if w > 0 => w }
     if (kw.size >= 2) Some(kw.last / kw.head) else None
+  }
+
+  /** one isolated-recheck verdict, as published in both the full JSON and
+    * the summary line: the key's isolated seconds, its vs-floor ratio,
+    * whether the strict io-bound bar applied, and whether the measuring
+    * window was too dirty to rule ([[recheckKeyDirty]]) */
+  final case class RecheckVerdict(key: String, sec: Double,
+      ratio: Option[Double], ioBound: Boolean, windowDirty: Boolean)
+
+  /** flags beyond this many entries drop from the summary line (worst
+    * kept), so a globally dirty window (every query flagged) can never
+    * push the line past the driver's 2000-char output tail; the *_count
+    * fields always carry the true totals */
+  val SummaryFlagCap = 6
+
+  /** Compact ONE-LINE summary emitted as Bench's FINAL stdout line
+    * (round 15): the driver archives only the last ~2000 chars of the
+    * bench output, and the full detail line (226 per-query medians)
+    * overflows that — BENCH_r13/r14 landed with `parsed: null` and the
+    * headline total/median/normalized numbers cut off, surviving only in
+    * BASELINE.md prose. This line carries every adjudicable number —
+    * total, raw + normalized vs-floor medians, the three canary ratios,
+    * kept-round provenance, aging, capped flag lists with true counts,
+    * and the FULL recheck verdicts (at most 12 keys by construction).
+    * Format pinned by BenchParseSpec. */
+  def summaryLine(total: Double, medianRatio: Option[Double],
+      normMedian: Option[Double], canaryRatio: Option[Double],
+      ioRatio: Option[Double], schedRatio: Option[Double],
+      roundsKept: Int, roundsTotal: Int,
+      agingRatio: Option[Double], agingExceeded: Option[Boolean],
+      flagged: Seq[(String, Double)], flaggedNorm: Seq[(String, Double)],
+      recheck: Seq[RecheckVerdict]): String = {
+    def num3(o: Option[Double]) = o.map(v => f"$v%.3f").getOrElse("null")
+    def num2(o: Option[Double]) = o.map(v => f"$v%.2f").getOrElse("null")
+    def fmap(xs: Seq[(String, Double)]) = xs.sortBy(-_._2).take(SummaryFlagCap)
+      .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    val rj = recheck.map { v =>
+      s"""\"${v.key}\":{"sec":${f"${v.sec}%.3f"},"ratio":${num2(v.ratio)},""" +
+        s""""io_bound":${v.ioBound},"window_dirty":${v.windowDirty}}"""
+    }.mkString("{", ",", "}")
+    s"""{"summary":{"total":${f"$total%.2f"},"median_ratio":${num3(medianRatio)},""" +
+      s""""median_ratio_normalized":${num3(normMedian)},""" +
+      s""""canary_ratio":${num2(canaryRatio)},"io_ratio":${num2(ioRatio)},""" +
+      s""""sched_ratio":${num2(schedRatio)},""" +
+      s""""rounds_kept":$roundsKept,"rounds_total":$roundsTotal,""" +
+      s""""aging_ratio":${num3(agingRatio)},""" +
+      s""""aging_exceeded":${agingExceeded.map(_.toString).getOrElse("null")},""" +
+      s""""flagged_count":${flagged.size},"flagged":${fmap(flagged)},""" +
+      s""""flagged_normalized_count":${flaggedNorm.size},""" +
+      s""""flagged_normalized":${fmap(flaggedNorm)},"recheck":$rj}}"""
   }
 
   def median(xs: Seq[Double]): Double = {
@@ -535,7 +591,8 @@ object Bench {
       normRatios.getOrElse(Nil)
         .filter { case (k, r) => r > 2.0 && !classOf.contains(k) }.map(_._1) ++
       classFlaggedOf(results).map(_._1)).distinct.take(12)
-    val recheckJson = if (recheckKeys.isEmpty) "null" else {
+    val (recheckJson, recheckVerdicts): (String, Seq[RecheckVerdict]) =
+      if (recheckKeys.isEmpty) ("null", Nil) else {
       // the recheck defends its OWN window ([[recheckAttemptClean]]):
       // an attempt whose brackets read dirty retries (bounded, with an
       // exponential settle pause — [[backoffMs]]; the round-12 fixed-5 s
@@ -573,32 +630,40 @@ object Bench {
           val settled = recheckAttemptSettled(baseClean, anyIoBound, ioB, ioFl, strictT)
           (Attempt(Bracket(pre, post), ioB, settled), settled)
         }).map(_._1)
-      val entries = recheckKeys.map { k =>
+      val verdicts = recheckKeys.map { k =>
         val (sec, dirty) = measured(k)
-        val ratio = fl.get(k).filter(_ => sec > 0)
-          .map(f => f"${sec / f}%.2f").getOrElse("null")
-        s"""\"$k\":{"sec":${f"$sec%.3f"},"ratio":$ratio,""" +
-          s""""io_bound":${ioBound(k)},"window_dirty":$dirty}"""
+        RecheckVerdict(k, sec, fl.get(k).filter(_ => sec > 0).map(sec / _),
+          ioBound(k), dirty)
+      }
+      val entries = verdicts.map { v =>
+        s"""\"${v.key}\":{"sec":${f"${v.sec}%.3f"},""" +
+          s""""ratio":${v.ratio.map(r => f"$r%.2f").getOrElse("null")},""" +
+          s""""io_bound":${v.ioBound},"window_dirty":${v.windowDirty}}"""
       }
       val attJson = attempts.map(a =>
         s"""{"canary_pre":${f"${a.cpu.pre}%.3f"},"canary_post":${f"${a.cpu.post}%.3f"},""" +
           s""""io_pre":${f"${a.io.pre}%.3f"},"io_post":${f"${a.io.post}%.3f"},"clean":${a.clean}}""")
         .mkString("[", ",", "]")
       val last = attempts.last
-      s"""{"queries":${entries.mkString("{", ",", "}")},"attempts":$attJson,""" +
+      (s"""{"queries":${entries.mkString("{", ",", "}")},"attempts":$attJson,""" +
         s""""canary_pre":${f"${last.cpu.pre}%.3f"},"canary_post":${f"${last.cpu.post}%.3f"},""" +
-        s""""io_pre":${f"${last.io.pre}%.3f"},"io_post":${f"${last.io.post}%.3f"}}"""
+        s""""io_pre":${f"${last.io.pre}%.3f"},"io_post":${f"${last.io.post}%.3f"}}""",
+        verdicts)
     }
+    // headline pieces, shared by the full detail line and the summary line
+    val medRatioOpt = if (ratios.isEmpty) None else Some(median(ratios.map(_._2)))
+    val normMedOpt = normRatios.filter(_.nonEmpty).map(nr => median(nr.map(_._2)))
+    val flaggedNormList = normRatios.getOrElse(Nil)
+      .filter { case (k, r) => r > 2.0 && !classOf.contains(k) }.sortBy(-_._2)
     val vsFloor = if (ratios.isEmpty) "null" else {
-      val medR = median(ratios.map(_._2))
+      val medR = medRatioOpt.get
       val fj = flagged.map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }
         .mkString("{", ",", "}")
-      val norm = normRatios.map { nr =>
-        val nf = nr.filter { case (k, r) => r > 2.0 && !classOf.contains(k) }
-          .sortBy(-_._2)
+      val norm = normMedOpt.map { nm =>
+        val nf = flaggedNormList
           .map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }
           .mkString("{", ",", "}")
-        s""","median_ratio_normalized":${f"${median(nr.map(_._2))}%.3f"},"flagged_normalized":$nf"""
+        s""","median_ratio_normalized":${f"$nm%.3f"},"flagged_normalized":$nf"""
       }.getOrElse("")
       // per-class report: every tagged query's ratio plus the flags that
       // exceed the CLASS tolerance — separated from the default lists so
@@ -652,15 +717,15 @@ object Bench {
       .map(c => f"$c%.3f").mkString("[", ",", "]")
     val schedJson = schedRounds.map(c => f"$c%.3f").mkString("[", ",", "]")
     val schedSec = schedSecV.map(s => f"$s%.3f").getOrElse("null")
-    val schedRatio = (for { f <- schedFloorV; s <- schedSecV }
-      yield f"${s / f}%.2f").getOrElse("null")
+    val schedRatioOpt = for { f <- schedFloorV; s <- schedSecV } yield s / f
+    val schedRatio = schedRatioOpt.map(r => f"$r%.2f").getOrElse("null")
     val ioJson = ioRounds.map(c => f"$c%.3f").mkString("[", ",", "]")
     val ioKept = ioRounds.toSeq.zip(kept).collect { case (s, true) => s }
     val ioSecV = if (ioKept.nonEmpty) Some(median(ioKept)) else None
     val ioSec = ioSecV.map(s => f"$s%.3f").getOrElse("null")
     val ioFloorV = if (cpus == "32") ioFloor() else None
-    val ioRatio = (for { f <- ioFloorV; s <- ioSecV }
-      yield f"${s / f}%.2f").getOrElse("null")
+    val ioRatioOpt = for { f <- ioFloorV; s <- ioSecV } yield s / f
+    val ioRatio = ioRatioOpt.map(r => f"$r%.2f").getOrElse("null")
     val rr = toRerun.map("\"" + _ + "\"").mkString("[", ",", "]")
     // aging telemetry: per-round suite wall (sum of that round's samples,
     // magnitudes so a failed query still counts its time) and the
@@ -671,8 +736,8 @@ object Bench {
     val agingT = agingThreshold()
     val agingJson = agingR.map(a => f"$a%.3f").getOrElse("null")
     val agingTJson = agingT.map(t => f"$t%.2f").getOrElse("null")
-    val agingExceeded = (for { a <- agingR; t <- agingT } yield a > t)
-      .map(_.toString).getOrElse("null")
+    val agingExceededOpt = for { a <- agingR; t <- agingT } yield a > t
+    val agingExceeded = agingExceededOpt.map(_.toString).getOrElse("null")
     val wallsJson = roundWalls.map(w => f"$w%.2f").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","runs":${brackets.size},"stat":"median","interleaved":true,""" +
@@ -686,6 +751,12 @@ object Bench {
       s""""round_walls":$wallsJson,"aging_ratio":$agingJson,""" +
       s""""aging_threshold":$agingTJson,"aging_exceeded":$agingExceeded,""" +
       s""""vs_floor":$vsFloor}""")
+    // the compact summary is the FINAL line: the driver's archived tail
+    // always carries the adjudicable numbers even though the full detail
+    // line above overflows it (round 15; format pinned by BenchParseSpec)
+    println(summaryLine(total, medRatioOpt, normMedOpt, canaryR,
+      ioRatioOpt, schedRatioOpt, cleanSeq.count(identity), brackets.size,
+      agingR, agingExceededOpt, flagged, flaggedNormList, recheckVerdicts))
     spark.stop()
   }
 }

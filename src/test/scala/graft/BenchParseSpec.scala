@@ -125,11 +125,13 @@ class BenchParseSpec extends AnyFunSuite {
     val ks = Bench.ioBoundKeys()
     // the table-format keys whose plan writes the full input table at
     // least once — the class round 8 observed flagging together under
-    // neighbor disk traffic, and the class round 13's recheck mis-ruled
+    // neighbor disk traffic, and the class round 13's recheck mis-ruled.
+    // q_sql_ctas joined in round 15 (CTAS + RTAS = two full table
+    // writes; the r14 driver recheck ruled it in a 1.8-2x-io window)
     assert(ks == Set(
       "q_overwrite_partitions", "q_hidden_partitioning", "q_write_insert",
       "q_update_cow", "q_compaction", "q_maintenance", "q_zorder",
-      "q_partition_evolution"),
+      "q_partition_evolution", "q_sql_ctas"),
       s"io-bound membership drifted: $ks")
     // every tagged key must be a registry query with a floor row — a tag
     // on a floor-less or unknown key would silently judge nothing
@@ -161,6 +163,58 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.ioCleanStrict(t2.toString).isEmpty)
     assert(Bench.ioBoundKeys(t2.toString).isEmpty)
     Files.delete(t2)
+  }
+
+  test("key lists reject same-line trailing prose (ADVICE r14: greedy q-word absorption)") {
+    // the round-14 regex absorbed ANY q-prefixed word following the keys
+    // on the SAME line ("queries" below would have joined the list);
+    // keys must match the committed registry shape q[digits]*_<word>
+    val t = Files.createTempFile("baseline", ".md")
+    Files.writeString(t,
+      """io-bound queries: q_one q02_two — see the queries quoted above, q.v. round 8
+        |floor class subprocess (tolerance 3.0x): q_a q01_b quoting prose queries
+        |""".stripMargin)
+    assert(Bench.ioBoundKeys(t.toString) == Set("q_one", "q02_two"),
+      s"prose joined the io-bound list: ${Bench.ioBoundKeys(t.toString)}")
+    assert(Bench.floorClasses(t.toString)("subprocess")._2 == Set("q_a", "q01_b"),
+      s"prose joined the class: ${Bench.floorClasses(t.toString)}")
+    Files.delete(t)
+  }
+
+  test("summary line: single line, compact, carries the adjudicable numbers (round-15 commitment)") {
+    import Bench.RecheckVerdict
+    val flagged = (1 to 20).map(i => s"q_flag_$i" -> (2.0 + i * 0.1))
+    val recheck = (1 to 12).map(i => RecheckVerdict(s"q_recheck_key_$i",
+      1.234, Some(2.37), ioBound = i % 2 == 0, windowDirty = i % 3 == 0))
+    val line = Bench.summaryLine(283.4, Some(1.308), Some(1.064), Some(1.23),
+      Some(1.73), Some(1.08), 3, 6, Some(1.163), Some(false),
+      flagged, flagged.take(3), recheck)
+    assert(!line.contains("\n"), "summary must be ONE line")
+    assert(line.startsWith("{\"summary\":{"), s"format drifted: ${line.take(40)}")
+    // the driver archives only the last ~2000 chars — even a worst-case
+    // globally-flagged window with a full 12-key recheck must fit
+    assert(line.length < 2000, s"summary line too long: ${line.length}")
+    assert(line.contains("\"total\":283.40") && line.contains("\"median_ratio\":1.308")
+      && line.contains("\"median_ratio_normalized\":1.064")
+      && line.contains("\"io_ratio\":1.73"), s"headline numbers missing: $line")
+    // flag lists cap at SummaryFlagCap WORST entries, true count kept
+    assert(line.contains("\"flagged_count\":20"), line)
+    assert(line.contains("\"q_flag_20\":4.00"), "worst flag must survive the cap")
+    // q_flag_5 (2.5x) is outside both the top-6 raw cap and the
+    // 3-entry normalized list — it must not appear anywhere
+    assert(!line.contains("\"q_flag_5\":"), "capped entries must drop")
+    // recheck verdicts are never capped (bounded at 12 by construction)
+    assert((1 to 12).forall(i => line.contains(s"q_recheck_key_$i")),
+      "every recheck verdict must survive")
+    assert(line.contains("\"window_dirty\":true") &&
+      line.contains("\"window_dirty\":false"), line)
+    // machine-parseable: balanced braces on the single line
+    assert(line.count(_ == '{') == line.count(_ == '}'), "unbalanced JSON")
+    // null propagation: a fresh checkout (no floors) still emits a line
+    val bare = Bench.summaryLine(1.0, None, None, None, None, None, 0, 0,
+      None, None, Nil, Nil, Nil)
+    assert(bare.contains("\"median_ratio\":null") &&
+      bare.contains("\"recheck\":{}"), bare)
   }
 
   test("floor class parse: comma tolerance, single-line list, last-definition-wins") {
