@@ -145,8 +145,18 @@ class GraftTable(val spark: SparkSession, val location: String) {
       filter: Option[String],
       withLineage: Boolean, withPos: Boolean, fileSubset: Option[Set[String]]): DataFrame = {
     val presented = m.schema(presentedId)
-    val all = Meta.readEntries(location, snap)
     val preds = filter.map(Pruning.extract(_, spark)).getOrElse(Nil)
+    // segment-pruned PLANNING (round 15): a shard whose complete stats
+    // prove no entry can match the filter is never even read — scan
+    // planning I/O is O(matching shards), not O(table segments).
+    // Overlay segments are incomplete by construction, so delete/DV/
+    // eq-delete entries always load; skipped entries would have been
+    // dropped by the per-entry fileMatches below anyway (Pruning
+    // .segmentScanSkippable), so the planned file set is identical.
+    val all = snap.manifests
+      .filterNot(seg => Pruning.segmentScanSkippable(
+        m, snap.manifestStats.get(seg), preds))
+      .flatMap(Meta.readManifest(location, _))
     var dataFiles = all.filter(_.fileType == "data")
       .filter(f => Pruning.fileMatches(f, m, preds))
     fileSubset.foreach(sub => dataFiles = dataFiles.filter(f => sub(normPath(abs(f.path)))))

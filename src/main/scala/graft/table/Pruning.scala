@@ -64,6 +64,30 @@ object Pruning {
     }
   }
 
+  /** Can the SCAN planner skip READING a manifest segment entirely for
+    * these predicates (round 15)? Per-entry pruning already bounds the
+    * TASK count, but the planner still paid one driver-side read per
+    * segment per query — at 100k files that is the whole manifest plane
+    * for a point lookup. Affirmative proof only, like every skip rule:
+    * stats present and complete (all-data, bounded tuples), and EVERY
+    * tuple excluded by [[fileMatches]] on a synthetic stats-less entry
+    * under EVERY (schema, spec) pair in the table's history. Sound
+    * because (a) a real file's pair is among those tried, and (b) the
+    * synthetic entry is a conservative UPPER bound on the real one —
+    * column stats can only exclude more files, never fewer — so
+    * synthetic-false implies real-false for every file carrying the
+    * tuple, which is exactly "no entry of this segment survives the
+    * per-entry filter". SegStatsSpec pins the equivalence as a
+    * property and the zero-read behavior via the read log. */
+  def segmentScanSkippable(m: TableMeta, stats: Option[SegStats],
+      preds: Seq[Pred]): Boolean =
+    preds.nonEmpty && stats.exists(s => s.complete &&
+      s.partitions.forall { t =>
+        m.schemas.forall(sch => m.specs.forall(sp =>
+          !fileMatches(FileMeta("", "data", sp.specId, sch.schemaId, t,
+            0L, 0L, 0L, Map.empty), m, preds)))
+      })
+
   /** true iff the file could contain matching rows */
   def fileMatches(f: FileMeta, meta: TableMeta, preds: Seq[Pred]): Boolean = {
     val schema = meta.schema(f.schemaId)

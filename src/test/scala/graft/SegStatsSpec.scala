@@ -404,6 +404,92 @@ class SegStatsSpec extends SparkSpec {
     assert(t2.scan().orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 21L))
   }
 
+  test("round 15: scan planning never opens segments the filter provably excludes") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, loc(),
+      "id bigint, cat string, v double", partitionBy = Seq("cat"))
+    def df(id: Long, cat: String) = Seq((id, cat, id.toDouble)).toDF("id", "cat", "v")
+    t.append(df(1, "a")); t.append(df(2, "b")); t.append(df(3, "c"))
+    val head = t.meta.head("main").get
+    def segOf(cat: String) = head.manifests.find(s =>
+      head.manifestStats(s).partitions == List(Map("cat" -> cat))).get
+    Meta.readLog.clear()
+    Meta.recordReads = true
+    val rows =
+      try t.scan(filter = Some("cat = 'b'")).collect().map(_.getLong(0)).toSeq
+      finally Meta.recordReads = false
+    assert(rows == Seq(2L), s"got $rows")
+    val reads = Meta.readLog.asScala.toSet
+    assert(reads == Set(segOf("b")),
+      s"scan planning must open ONLY the matching shard: $reads")
+    // IN-list touches two shards; range on a non-partition column skips
+    // nothing (no tuple proof possible)
+    Meta.readLog.clear()
+    Meta.recordReads = true
+    val rows2 =
+      try t.scan(filter = Some("cat in ('a','c')")).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      finally Meta.recordReads = false
+    assert(rows2 == Seq(1L, 3L))
+    assert(Meta.readLog.asScala.toSet == Set(segOf("a"), segOf("c")))
+    Meta.readLog.clear()
+    Meta.recordReads = true
+    val rows3 =
+      try t.scan(filter = Some("id >= 2")).collect().map(_.getLong(0)).sorted.toSeq
+      finally Meta.recordReads = false
+    assert(rows3 == Seq(2L, 3L))
+    assert(Meta.readLog.asScala.toSet == head.manifests.toSet,
+      "a non-partition predicate proves nothing — every segment reads")
+    // overlay segments always load: MoR-delete b, re-filter
+    t.delete("id = 2", WriteMode.MergeOnRead)
+    val head2 = t.meta.head("main").get
+    val rows4 = t.scan(filter = Some("cat = 'b'")).collect()
+    assert(rows4.isEmpty, s"MoR delete must apply under the pruned plan: " +
+      s"${rows4.mkString(",")} (head ${head2.manifests})")
+  }
+
+  test("round 15 property: a scan-skippable segment holds no entry the per-entry filter keeps") {
+    // the planned file set must be IDENTICAL with and without segment
+    // skipping: if segmentScanSkippable says skip, every entry in the
+    // segment fails fileMatches — for arbitrary tuples, stats, schemas,
+    // and predicate shapes (the stats-conservative direction matters:
+    // a synthetic stats-less probe must never out-prune a real entry)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val schema = SchemaMeta(0, List(
+      FieldMeta(1, "id", "bigint", nullable = true),
+      FieldMeta(2, "cat", "string", nullable = true)))
+    val specs = List(
+      PartSpecMeta(0, List(PartFieldMeta("cat", "identity", List(2)))),
+      PartSpecMeta(1, Nil))
+    val m = TableMeta(3, "u", 2, 0, 1, 0L, 0L, 0L, 0, 0,
+      List(schema), specs, Nil, Map.empty, Map.empty)
+    val genCat = Gen.oneOf("a", "b", "c", "d")
+    val genEntry: Gen[FileMeta] = for {
+      c <- genCat
+      sp <- Gen.oneOf(0, 1)
+      lo <- Gen.choose(0L, 50L)
+      hi <- Gen.choose(lo, 100L)
+      withStats <- Gen.oneOf(true, false)
+    } yield FileMeta("f", "data", sp, 0,
+      if (sp == 0) Map("cat" -> c) else Map.empty, 1, 1, 1,
+      if (withStats) Map("1" -> ColStats(Some(lo.toString), Some(hi.toString), 0L),
+        "2" -> ColStats(Some(c), Some(c), 0L)) else Map.empty)
+    val genSeg = Gen.nonEmptyListOf(genEntry)
+    val genPred: Gen[Pruning.Pred] = Gen.oneOf(
+      genCat.map(c => Pruning.Pred("cat", "=", Seq(org.apache.spark.unsafe.types.UTF8String.fromString(c)))),
+      Gen.listOfN(2, genCat).map(cs =>
+        Pruning.Pred("cat", "in", cs.map(org.apache.spark.unsafe.types.UTF8String.fromString))),
+      Gen.choose(0L, 100L).map(v => Pruning.Pred("id", ">=", Seq(v))),
+      Gen.choose(0L, 100L).map(v => Pruning.Pred("id", "=", Seq(v))))
+    val prop = Prop.forAll(genSeg, Gen.listOf(genPred)) { (seg, preds) =>
+      val skip = Pruning.segmentScanSkippable(m, Some(Meta.segStats(seg)), preds)
+      !skip || seg.forall(e => !Pruning.fileMatches(e, m, preds))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("metadata json round-trips the stats (and coalesce recomputes them)") {
     import spark.implicits._
     val t = GraftTable.create(spark, loc(),
