@@ -16,7 +16,10 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# GRAFT_JAVA_OPTS: extra -D/-X flags for A/B runs (e.g.
+# -Dgraft.manifest.cache.entries=0 to measure without the manifest cache)
 exec java $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-24g}" -XX:ReservedCodeCacheSize=512m \
+  ${GRAFT_JAVA_OPTS:-} \
   -cp "$CP" "${GRAFT_MAIN:-graft.Bench}"

@@ -256,12 +256,61 @@ object Meta {
   private[graft] val readLog =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
+  /** Parsed-manifest LRU (round 15). Segments are IMMUTABLE once
+    * published — snapId-uuid names from every writer (native
+    * [[writeManifest]] AND scripts/extwriter.py), atomic-rename
+    * create-new, never rewritten in place — so a parse is valid for
+    * the file's lifetime, and the jackson pass is the real cost of a
+    * metadata read (~100 µs/entry: a 100k-file plane is ~10 s of
+    * driver stall PER QUERY without this). ENTRY-weighted bound
+    * because shard sizes vary 1..4096; tune or disable (0) via
+    * -Dgraft.manifest.cache.entries. Cache hits still hit the read
+    * log: the SegStats read-log proofs pin which segments a
+    * commit/scan DECIDES to open — the algorithmic layer — not disk
+    * syscalls, and MetaCacheSpec pins the immutability contract
+    * itself. */
+  private val manifestCacheMaxEntries: Long =
+    sys.props.get("graft.manifest.cache.entries").flatMap(_.toLongOption)
+      .getOrElse(200000L)
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, Seq[FileMeta]](64, 0.75f, true)
+  private var manifestCacheEntries = 0L
+  private[graft] def manifestCacheSize: Long =
+    manifestCache.synchronized(manifestCacheEntries)
+
   def readManifest(location: String, rel: String): Seq[FileMeta] = {
     if (recordReads) readLog.add(rel)
-    val s = Files.readString(Paths.get(location, rel))
-    if (s.isEmpty) Nil
-    else s.split('\n').toSeq.filter(_.nonEmpty)
-      .map(mapper.readValue(_, classOf[FileMeta]))
+    def parse(): Seq[FileMeta] = {
+      val s = Files.readString(Paths.get(location, rel))
+      if (s.isEmpty) Nil
+      else s.split('\n').toSeq.filter(_.nonEmpty)
+        .map(mapper.readValue(_, classOf[FileMeta]))
+    }
+    if (manifestCacheMaxEntries <= 0) return parse()
+    val key = Paths.get(location, rel).toAbsolutePath.toString
+    val hit = manifestCache.synchronized(manifestCache.get(key))
+    if (hit != null) hit
+    else {
+      val parsed = parse()
+      manifestCache.synchronized {
+        if (!manifestCache.containsKey(key)) {
+          manifestCache.put(key, parsed)
+          manifestCacheEntries += math.max(1L, parsed.size.toLong)
+          // evict LRU-first until under the entry bound, never the
+          // entry just inserted (a single over-bound shard must still
+          // serve this call's caller and then age out normally)
+          val it = manifestCache.entrySet().iterator()
+          while (manifestCacheEntries > manifestCacheMaxEntries && it.hasNext) {
+            val e = it.next()
+            if (e.getKey != key) {
+              manifestCacheEntries -= math.max(1L, e.getValue.size.toLong)
+              it.remove()
+            }
+          }
+        }
+      }
+      parsed
+    }
   }
 
   /** all live file entries at a snapshot, across its manifest segments */

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table._
+
+/** Round-15 parsed-manifest cache: pins the IMMUTABILITY contract the
+  * cache stands on (segments are create-new, atomic-rename, never
+  * rewritten in place — both the native writer and extwriter name them
+  * snapId-uuid), and that cache hits still feed the read log so the
+  * SegStats decision-layer proofs keep their meaning. */
+class MetaCacheSpec extends AnyFunSuite {
+
+  private def loc(): String =
+    Files.createTempDirectory("graft-metacache").toString
+
+  private def entry(path: String, day: String) =
+    FileMeta(path, "data", 0, 0, Map("d" -> day), 1, 1, 1, Map.empty)
+
+  test("a manifest parses once; in-place rewrites are invisible (immutability contract)") {
+    val l = loc()
+    val rel = Meta.writeManifest(l, "seg-immutable", Seq(entry("a.parquet", "1")))
+    val first = Meta.readManifest(l, rel)
+    assert(first.map(_.path) == Seq("a.parquet"))
+    // violate the contract on purpose: rewrite the SAME path on disk
+    // (valid content from a donor segment). The cache serving the
+    // original is the documented consequence — no writer may ever do
+    // this (unique snapId-uuid names everywhere).
+    val donor = Meta.writeManifest(l, "seg-donor", Seq(entry("b.parquet", "2")))
+    Files.copy(Paths.get(l, donor), Paths.get(l, rel),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val second = Meta.readManifest(l, rel)
+    assert(second.map(_.path) == Seq("a.parquet"),
+      "in-place rewrite must be invisible — segments are immutable by contract")
+    // a NEW segment name reads fresh, as every real writer produces
+    val rel2 = Meta.writeManifest(l, "seg-immutable-2", Seq(entry("c.parquet", "3")))
+    assert(Meta.readManifest(l, rel2).map(_.path) == Seq("c.parquet"))
+  }
+
+  test("cache hits still feed the read log (decision-layer proofs keep their meaning)") {
+    val l = loc()
+    val rel = Meta.writeManifest(l, "seg-logged", Seq(entry("a.parquet", "1")))
+    Meta.readManifest(l, rel) // warm: this one may or may not be logged
+    Meta.readLog.clear()
+    Meta.recordReads = true
+    try { Meta.readManifest(l, rel); Meta.readManifest(l, rel) }
+    finally Meta.recordReads = false
+    import scala.jdk.CollectionConverters._
+    assert(Meta.readLog.asScala.count(_ == rel) == 2,
+      s"every logical read must log, cached or not: ${Meta.readLog.asScala.toSeq}")
+  }
+
+  test("the entry-weighted size accounts for what is cached") {
+    val l = loc()
+    val before = Meta.manifestCacheSize
+    val rel = Meta.writeManifest(l, "seg-sized",
+      (1 to 5).map(i => entry(s"f$i.parquet", i.toString)))
+    Meta.readManifest(l, rel)
+    assert(Meta.manifestCacheSize >= before + 5,
+      s"5-entry segment must weigh >= 5: before=$before after=${Meta.manifestCacheSize}")
+  }
+}
