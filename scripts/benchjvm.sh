@@ -22,4 +22,4 @@ exec java $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-24g}" -XX:ReservedCodeCacheSize=512m \
   ${GRAFT_JAVA_OPTS:-} \
-  -cp "$CP" "${GRAFT_MAIN:-graft.Bench}"
+  -cp "$CP" "${GRAFT_MAIN:-graft.Bench}" "$@"

@@ -261,17 +261,24 @@ object Meta {
     * [[writeManifest]] AND scripts/extwriter.py), atomic-rename
     * create-new, never rewritten in place — so a parse is valid for
     * the file's lifetime, and the jackson pass is the real cost of a
-    * metadata read (~100 µs/entry: a 100k-file plane is ~10 s of
-    * driver stall PER QUERY without this). ENTRY-weighted bound
-    * because shard sizes vary 1..4096; tune or disable (0) via
-    * -Dgraft.manifest.cache.entries. Cache hits still hit the read
+    * metadata read (ManifestDiag, this machine: a 100k-entry plane
+    * parses in ~245 ms cold and ~2 ms cached; 1M entries ~3.2 s cold).
+    * ENTRY-weighted bound because shard sizes vary 1..4096; tune or
+    * disable (0) via -Dgraft.manifest.cache.entries. The default (1M)
+    * covers a 100-TB-class plane: a driver that plans such a table
+    * holds the parsed entry list transiently anyway, so the cache at
+    * most doubles that peak — and a plane LARGER than the bound
+    * degrades to cold-read behavior (sequential scans thrash an LRU;
+    * measured: warm == cold at 1M entries under a 200k bound), while
+    * segment-pruned point queries stay fast regardless (65 ms vs
+    * 3.2 s full-plane at 1M entries). Cache hits still hit the read
     * log: the SegStats read-log proofs pin which segments a
     * commit/scan DECIDES to open — the algorithmic layer — not disk
     * syscalls, and MetaCacheSpec pins the immutability contract
     * itself. */
   private val manifestCacheMaxEntries: Long =
     sys.props.get("graft.manifest.cache.entries").flatMap(_.toLongOption)
-      .getOrElse(200000L)
+      .getOrElse(1000000L)
   private val manifestCache =
     new java.util.LinkedHashMap[String, Seq[FileMeta]](64, 0.75f, true)
   private var manifestCacheEntries = 0L
