@@ -465,6 +465,33 @@ object GraftOps {
       .orderBy("event_type")
   }
 
+  // --- #16b escapable partition values (round-16, VERDICT r15 item 7) --------
+  /** Partition values carrying every escapable path character the layout
+    * must round-trip — space, '%', '=', '+' — driven through ALL FOUR
+    * row-op shapes (CoW delete, MoR posdel, DV, CoW update). This is the
+    * oracle-gated guard for the round-15 `_gf` encoding seam:
+    * `_metadata.file_path` is URI-percent-encoded while manifest entries
+    * and persisted delete targets are raw paths, and before the decode
+    * fix a CoW op on any escapable partition silently resurrected its
+    * "deleted" rows (SegStatsSpec pins the unit; this key makes the
+    * DuckDB hash gate guard the seam end-to-end, permanently). */
+  def escapedPartition(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, scratch(),
+      ordersDdl + ", o_tag string", partitionBy = Seq("o_tag"))
+    val o = orders(spark, dir).withColumn("o_tag",
+      concat(lit("p "), (col("o_orderkey") % 4).cast("string"), lit("%x=y+z")))
+    t.append(o)
+    t.delete("o_orderkey % 10 = 3")
+    t.delete("o_orderkey % 10 = 4", WriteMode.MergeOnRead)
+    t.delete("o_orderkey % 10 = 5", WriteMode.DeletionVector)
+    t.update("o_orderkey % 10 = 6", Map("o_totalprice" -> "o_totalprice + 1.0"))
+    t.scan()
+      .groupBy(col("o_tag"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"),
+        d(sum(dec(col("o_totalprice")))).as("sum_total"))
+      .orderBy("o_tag")
+  }
+
   // --- #17 partition evolution ----------------------------------------------
   def partitionEvolution(spark: SparkSession, dir: String): DataFrame = {
     val t = mkOrders(spark, dir)
@@ -860,6 +887,7 @@ object GraftOps {
     "q_incr_scan" -> incrScan,
     "q_hidden_partitioning" -> hiddenPartitioning,
     "q_overwrite_partitions" -> overwritePartitionsQuery,
+    "q_escaped_partition" -> escapedPartition,
     "q_partition_evolution" -> partitionEvolution,
     "q_multiarg_bucket" -> multiargBucket,
     "q_stats_pruning" -> statsPruning,
@@ -1106,6 +1134,14 @@ object GraftOps {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_escaped_partition" ->
+      """SELECT CONCAT('p ', CAST(o_orderkey % 4 AS VARCHAR), '%x=y+z') AS o_tag,
+        | COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        | CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 6
+        |   THEN o_totalprice + 1.0 ELSE o_totalprice END
+        |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders WHERE o_orderkey % 10 NOT IN (3, 4, 5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_overwrite_partitions" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-15'

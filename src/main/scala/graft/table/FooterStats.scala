@@ -161,10 +161,17 @@ object FooterStats {
     * [[GraftTable]]'s touched-partition path parse, which must apply the
     * exact same rule to reproduce committed partition tuples) */
   private[table] def unescape(s: String): String = {
+    // a '%' NOT followed by two hex digits is a literal character (the
+    // Hive/Spark unescape rule): touchedOf applies this to arbitrary
+    // committed path segments, so a foreign writer's dir name like "x%zy"
+    // must fall through as-is, never crash the commit
+    def hex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length &&
+          hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
         sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
       } else { sb.append(s.charAt(i)); i += 1 }
     }

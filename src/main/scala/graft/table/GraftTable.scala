@@ -86,6 +86,29 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * WholeStageCodegen. */
   private def decodeFilePath(c: Column): Column =
     url_decode(regexp_replace(regexp_replace(c, "^file:/+", "/"), "\\+", "%2B"))
+  /** Canonicalize PERSISTED delete-row targets into raw-path space.
+    * Delete files written before the round-15 `_gf` decode stored the
+    * URI-percent-encoded `_metadata.file_path`; files written after store
+    * raw paths. For any live data file whose legacy encoding differs from
+    * its raw path, remap the encoded form back to raw via a broadcast
+    * dictionary — UNLESS the encoded form is itself a live raw path (a
+    * literal `%xx` directory name), where decoding is ambiguous and the
+    * stored value must be trusted as raw. Unescapable tables (the common
+    * case) build an empty dictionary and pass through untouched. */
+  private def canonTargets(d: DataFrame, livePaths: Seq[String]): DataFrame = {
+    val liveSet = livePaths.toSet
+    val legacy = livePaths.flatMap { p =>
+      val enc = try new java.net.URI("file", null, p, null).getRawPath
+        catch { case _: Exception => p }
+      if (enc != p && !liveSet(enc)) Some((enc, p)) else None
+    }
+    if (legacy.isEmpty) return d
+    import spark.implicits._
+    val mapDf = legacy.toDF("_enc", "_rawp")
+    d.join(broadcast(mapDf), d("file_path") === col("_enc"), "left")
+      .withColumn("file_path", coalesce(col("_rawp"), col("file_path")))
+      .drop("_enc", "_rawp")
+  }
   private def abs(rel: String): String =
     if (rel.startsWith("/")) rel else s"$location/$rel"
 
@@ -210,12 +233,18 @@ class GraftTable(val spark: SparkSession, val location: String) {
         .withColumn("_rid", coalesce(col("_row_id"), col("_frid") + col("_gp")))
     }
 
-    // position deletes + deletion vectors: broadcast anti-join on (file, pos)
-    val posPart = posDel.map(f => spark.read.parquet(abs(f.path)).select("file_path", "pos"))
+    // position deletes + deletion vectors: broadcast anti-join on (file, pos).
+    // Stored targets pass through canonTargets so legacy URI-encoded
+    // values (pre-round-15 writers) keep applying after the raw-path move.
+    val livePaths = dataFiles.map(f => normPath(abs(f.path)))
+    val posPart = posDel.map(f => canonTargets(
+      spark.read.parquet(abs(f.path)).select("file_path", "pos"), livePaths))
     val dvPart = if (dvs.isEmpty) None else Some {
-      val raw = dvs.map(f => spark.read.parquet(abs(f.path))
+      // canonicalize BEFORE the latest-per-file window so a legacy and a
+      // raw encoding of the same target land in one window partition
+      val raw = canonTargets(dvs.map(f => spark.read.parquet(abs(f.path))
         .select(col("file_path"), col("dv"), lit(f.sequenceNumber).as("_dseq")))
-        .reduce(_ unionByName _)
+        .reduce(_ unionByName _), livePaths)
       val w = Window.partitionBy(col("file_path"))
       val latest = raw.withColumn("_mx", max(col("_dseq")).over(w))
         .filter(col("_dseq") === col("_mx"))
@@ -678,17 +707,31 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * the pre-round-15 behavior. */
   private def touchedOf(paths: Set[String]): Option[Set[Map[String, String]]] = {
     val root = normPath(location).stripSuffix("/") + "/data/"
-    if (!paths.forall(_.startsWith(root))) None
-    else Some(paths.map { p =>
-      // strip <root> and the s<snap>-<uuid> write dir; remaining interior
-      // segments are the partition dirs (the filename carries no `_p_`)
-      p.stripPrefix(root).split('/').drop(1).flatMap { s =>
+    // parse ONLY paths whose first segment after data/ has the native
+    // write-dir shape (s<digits>-<8 hex>, from writeDataFiles): a file
+    // REGISTERED via add_files from a directory inside the table's own
+    // data/ tree carries partition {} in its manifest entry, but a
+    // `_p_<k>=<v>` lookalike segment in its path would parse into a wrong
+    // tuple and let the commit skip the segment holding the real entry —
+    // any non-native shape falls back to reading all parent segments
+    val nativeDir = "^s\\d+-[0-9a-f]{8}$".r
+    def segsOf(p: String): Option[Array[String]] = {
+      if (!p.startsWith(root)) return None
+      val segs = p.stripPrefix(root).split('/')
+      if (segs.nonEmpty && nativeDir.matches(segs.head)) Some(segs.drop(1)) else None
+    }
+    val parsed = paths.toSeq.map(segsOf)
+    if (parsed.exists(_.isEmpty)) None
+    else Some(parsed.flatten.map { segs =>
+      // remaining interior segments are the partition dirs (the filename
+      // carries no `_p_`)
+      segs.flatMap { s =>
         val i = s.indexOf('=')
         if (i > 0 && s.startsWith("_p_"))
           Some(s.substring(3, i) -> FooterStats.unescape(s.substring(i + 1)))
         else None
       }.toMap
-    })
+    }.toSet)
   }
 
   private def lineageNames: Seq[String] = Seq("_row_id", "_last_updated_sequence_number")
@@ -1393,7 +1436,72 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .select(names.map(col): _*)
   }
 
-  def changes(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
+  def changes(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame =
+    changesImpl(fromSnapshotId, toSnapshotId, scoped = true)
+
+  /** Full state-diff changelog — the fallback and the oracle: scans BOTH
+    * snapshots whole and full-outer-joins on `_row_id`. Correct with no
+    * provenance assumptions at all, but table cost for a delta-sized
+    * window; [[changes]] routes here only when file-level scoping cannot
+    * bound the window's effect (an equality delete changed in-window —
+    * its targets are value-scoped, not file-scoped). ChangesScopeSpec
+    * fuzz-pins scoped ≡ this on random op sequences. */
+  private[graft] def changesStateDiff(fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame =
+    changesImpl(fromSnapshotId, toSnapshotId, scoped = false)
+
+  /** Test observability: the (before, after) file subsets the last scoped
+    * [[changes]] call planned — None when it fell back to the state diff
+    * (or took the append-only fast path). */
+  private[graft] var lastChangesScope: Option[(Set[String], Set[String])] = None
+
+  /** File-level scoping for a row-changing CDC window (round 16): the
+    * effective row set can differ between the window endpoints only via
+    *  (a) data files live at `from` but not at `to` (removed in-window),
+    *  (b) data files live at `to` but not at `from` (added in-window),
+    *  (c) surviving data files whose delete-overlay set changed in-window
+    *      (a posdel/DV added, replaced, or dropped that targets them).
+    * before-side = (a) ∪ (c), after-side = (b) ∪ (c); every other file is
+    * byte-identical with an identical overlay set at both ends and cannot
+    * contribute a change row. Overlay targets are read from the (tiny)
+    * delete parquet itself — O(delete files in the window), never
+    * O(table). Returns None — fall back to the full state diff — when an
+    * EQUALITY delete changed in-window: its targets are value-scoped
+    * (every older file is a potential target), so no file subset bounds
+    * its effect. */
+  private def deltaFileSets(m: TableMeta, from: SnapshotMeta,
+      toSnap: SnapshotMeta): Option[(Set[String], Set[String])] = {
+    val entFrom = Meta.readEntries(location, from)
+    val entTo = Meta.readEntries(location, toSnap)
+    def dataPaths(es: Seq[FileMeta]) =
+      es.filter(_.fileType == "data").map(e => normPath(abs(e.path))).toSet
+    def overlays(es: Seq[FileMeta]) =
+      es.filterNot(_.fileType == "data").map(e => normPath(abs(e.path)) -> e).toMap
+    val (dataFrom, dataTo) = (dataPaths(entFrom), dataPaths(entTo))
+    val (ovFrom, ovTo) = (overlays(entFrom), overlays(entTo))
+    val ovChanged = (ovFrom.keySet diff ovTo.keySet) ++ (ovTo.keySet diff ovFrom.keySet)
+    val changedMeta = ovChanged.toSeq.map(p => (ovTo.get(p) orElse ovFrom.get(p)).get)
+    if (changedMeta.exists(_.fileType == "eqdel")) return None
+    val survivors = dataFrom intersect dataTo
+    // posdel/DV targets that survive at both ends must scan on BOTH sides:
+    // the overlay delta is exactly what deleted (or resurrected) rows in
+    // them. Stored targets are raw-path space post-round-15; a legacy
+    // URI-encoded value is tolerated via its decoded form — over-inclusion
+    // only widens the scan, never changes the join's answer.
+    val touched = changedMeta.iterator.flatMap { e =>
+      spark.read.parquet(abs(e.path)).select("file_path").distinct()
+        .collect().iterator.map(_.getString(0))
+        .flatMap { t =>
+          val dec = try java.net.URLDecoder.decode(
+            t.replace("+", "%2B"), "UTF-8") catch { case _: Exception => t }
+          Seq(t, dec).filter(survivors)
+        }
+    }.toSet
+    Some((dataFrom.diff(dataTo) ++ touched, dataTo.diff(dataFrom) ++ touched))
+  }
+
+  private def changesImpl(fromSnapshotId: Long, toSnapshotId: Option[Long],
+      scoped: Boolean): DataFrame = {
     val m = Meta.readJson(location)
     require(m.formatVersion >= 3, "changes() needs v3 row lineage")
     val from = m.snapshot(fromSnapshotId)
@@ -1403,6 +1511,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val windowOps = m.snapshots.filter(s =>
       s.sequenceNumber > from.sequenceNumber &&
         s.sequenceNumber <= toSnap.sequenceNumber)
+    lastChangesScope = None
     if (windowOps.forall(_.operation == "append")) {
       val entries = Meta.readEntries(location, toSnap)
       val newFiles = entries
@@ -1415,13 +1524,20 @@ class GraftTable(val spark: SparkSession, val location: String) {
       return base.select(names.map(col) ++ Seq(lit("insert").as("_change_type"),
         col("_last_updated_sequence_number").as("_commit_seq")): _*)
     }
-    def side(s: SnapshotMeta) =
+    // delta scoping: each side scans only the files that can carry a
+    // change — delta cost, not table cost (the round-15 audit's last
+    // table-cost-for-delta-work path, paid per micro-batch by stream CDC)
+    val scope = if (scoped) deltaFileSets(m, from, toSnap) else None
+    lastChangesScope = scope
+    def side(s: SnapshotMeta, subset: Option[Set[String]]) =
       scanSnapshot(m, s, toSnap.schemaId, None,
-        withLineage = true, withPos = false, fileSubset = None)
+        withLineage = true, withPos = false, fileSubset = subset)
         .select(struct(names.map(col): _*).as("_v"), col("_row_id"),
           col("_last_updated_sequence_number").as("_seqn"))
-    val a = side(from).select(col("_v").as("_av"), col("_row_id"), col("_seqn").as("_aseq"))
-    val b = side(toSnap).select(col("_v").as("_bv"), col("_row_id"), col("_seqn").as("_bseq"))
+    val a = side(from, scope.map(_._1))
+      .select(col("_v").as("_av"), col("_row_id"), col("_seqn").as("_aseq"))
+    val b = side(toSnap, scope.map(_._2))
+      .select(col("_v").as("_bv"), col("_row_id"), col("_seqn").as("_bseq"))
     val j = a.join(b, Seq("_row_id"), "full_outer")
     // classify each joined row into its change rows in ONE pass (an
     // unioned-filters form would re-execute the full-outer join — and the
@@ -1507,9 +1623,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val liveData = entries.filter(_.fileType == "data")
       .map(e => normPath(abs(e.path)))
     val liveDf = liveData.toDF("live_path")
-    val merged = pds.map(f => spark.read.parquet(abs(f.path))
+    // canonTargets BEFORE the distinct: a legacy URI-encoded target and
+    // its raw form merge into ONE canonical row, and the rewritten file
+    // persists raw paths — this rewrite is the legacy-table migration
+    val merged = canonTargets(pds.map(f => spark.read.parquet(abs(f.path))
         .select(col("file_path"), col("pos")))
-      .reduce(_ unionByName _)
+      .reduce(_ unionByName _), liveData)
       .distinct()
       .join(broadcast(liveDf),
         normCol(col("file_path")) === col("live_path"), "left_semi")

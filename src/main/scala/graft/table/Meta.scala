@@ -256,68 +256,141 @@ object Meta {
   private[graft] val readLog =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  /** Parsed-manifest LRU (round 15). Segments are IMMUTABLE once
+  /** Parsed-manifest cache (rounds 15-16). Segments are IMMUTABLE once
     * published — snapId-uuid names from every writer (native
     * [[writeManifest]] AND scripts/extwriter.py), atomic-rename
     * create-new, never rewritten in place — so a parse is valid for
     * the file's lifetime, and the jackson pass is the real cost of a
     * metadata read (ManifestDiag, this machine: a 100k-entry plane
     * parses in ~245 ms cold and ~2 ms cached; 1M entries ~3.2 s cold).
-    * ENTRY-weighted bound because shard sizes vary 1..4096; tune or
-    * disable (0) via -Dgraft.manifest.cache.entries. The default (1M)
-    * covers a 100-TB-class plane: a driver that plans such a table
-    * holds the parsed entry list transiently anyway, so the cache at
-    * most doubles that peak — and a plane LARGER than the bound
-    * degrades to cold-read behavior (sequential scans thrash an LRU;
-    * measured: warm == cold at 1M entries under a 200k bound), while
-    * segment-pruned point queries stay fast regardless (65 ms vs
-    * 3.2 s full-plane at 1M entries). Cache hits still hit the read
-    * log: the SegStats read-log proofs pin which segments a
-    * commit/scan DECIDES to open — the algorithmic layer — not disk
-    * syscalls, and MetaCacheSpec pins the immutability contract
-    * itself. */
-  private val manifestCacheMaxEntries: Long =
-    sys.props.get("graft.manifest.cache.entries").flatMap(_.toLongOption)
-      .getOrElse(1000000L)
-  private val manifestCache =
-    new java.util.LinkedHashMap[String, Seq[FileMeta]](64, 0.75f, true)
-  private var manifestCacheEntries = 0L
-  private[graft] def manifestCacheSize: Long =
-    manifestCache.synchronized(manifestCacheEntries)
-
-  def readManifest(location: String, rel: String): Seq[FileMeta] = {
-    if (recordReads) readLog.add(rel)
-    def parse(): Seq[FileMeta] = {
-      val s = Files.readString(Paths.get(location, rel))
-      if (s.isEmpty) Nil
-      else s.split('\n').toSeq.filter(_.nonEmpty)
-        .map(mapper.readValue(_, classOf[FileMeta]))
+    * Round-16 shape (closing the round-15 ADVICE + VERDICT items):
+    *  - BYTE-weighted bound — the weight is the raw JSONL length, what
+    *    the heap actually pays within a small constant — default 128 MB
+    *    (~400k entries at the measured ~300 B/entry) via
+    *    -Dgraft.manifest.cache.bytes; the old entry knob
+    *    -Dgraft.manifest.cache.entries is still honored when set
+    *    (0 disables, N caps at N x 300 B). The 1M-entry default pinned
+    *    several hundred MB in any embedding JVM; a bounded default with
+    *    scan-resistant admission keeps the useful residency instead.
+    *  - SCAN-RESISTANT admission: once full, a candidate is admitted
+    *    only while it has been asked for STRICTLY more often than the
+    *    LRU-coldest resident (frequency sketch with periodic halving).
+    *    A sequential pass over a plane larger than the bound then keeps
+    *    the resident prefix hot instead of cycling everything through —
+    *    plain LRU measured warm == cold in exactly that shape (round
+    *    15: 1M-entry plane, 200k bound).
+    *  - per-key SINGLE-FLIGHT: concurrent first reads of one segment
+    *    parse once; losers await the winner's result.
+    * Cache hits still hit the read log: the SegStats read-log proofs pin
+    * which segments a commit/scan DECIDES to open — the algorithmic
+    * layer — not disk syscalls; MetaCacheSpec pins the immutability
+    * contract and the scan-resistance itself. */
+  private val manifestCacheMaxBytes: Long =
+    sys.props.get("graft.manifest.cache.entries").flatMap(_.toLongOption) match {
+      case Some(n) => math.max(0L, n) * 300L
+      case None => sys.props.get("graft.manifest.cache.bytes")
+        .flatMap(_.toLongOption).getOrElse(128L << 20)
     }
-    if (manifestCacheMaxEntries <= 0) return parse()
-    val key = Paths.get(location, rel).toAbsolutePath.toString
-    val hit = manifestCache.synchronized(manifestCache.get(key))
-    if (hit != null) hit
-    else {
-      val parsed = parse()
-      manifestCache.synchronized {
-        if (!manifestCache.containsKey(key)) {
-          manifestCache.put(key, parsed)
-          manifestCacheEntries += math.max(1L, parsed.size.toLong)
-          // evict LRU-first until under the entry bound, never the
-          // entry just inserted (a single over-bound shard must still
-          // serve this call's caller and then age out normally)
-          val it = manifestCache.entrySet().iterator()
-          while (manifestCacheEntries > manifestCacheMaxEntries && it.hasNext) {
-            val e = it.next()
-            if (e.getKey != key) {
-              manifestCacheEntries -= math.max(1L, e.getValue.size.toLong)
-              it.remove()
+  private[graft] final case class SegVal(entries: Seq[FileMeta], weight: Long)
+
+  /** The cache policy, instantiable with a small bound for tests
+    * (MetaCacheSpec's scan-resistance leg). Thread-safe; `get` runs one
+    * parse per key under concurrency (single-flight). */
+  private[graft] final class ManifestCache(val maxBytes: Long) {
+    private val resident =
+      new java.util.LinkedHashMap[String, SegVal](64, 0.75f, true)
+    private var residentBytes = 0L
+    def sizeBytes: Long = resident.synchronized(residentBytes)
+    // access-frequency sketch for admission decisions; halved (zeros
+    // dropped) every FreqWindow bumps so stale history cannot pin a
+    // once-hot segment forever (the Caffeine aging trick)
+    private val segFreq = new java.util.HashMap[String, Int]()
+    private var segFreqOps = 0L
+    private val FreqWindow = 1 << 18
+    private def bumpFreq(key: String): Int = {
+      segFreqOps += 1
+      if (segFreqOps % FreqWindow == 0) {
+        val it = segFreq.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue <= 1) it.remove() else e.setValue(e.getValue / 2)
+        }
+      }
+      val f = segFreq.getOrDefault(key, 0) + 1
+      segFreq.put(key, f)
+      f
+    }
+    private val inflight =
+      new java.util.concurrent.ConcurrentHashMap[String,
+        java.util.concurrent.CompletableFuture[SegVal]]()
+    @volatile private[graft] var hits = 0L
+    @volatile private[graft] var misses = 0L
+
+    def get(key: String, parse: () => SegVal): Seq[FileMeta] = {
+      val hit = resident.synchronized {
+        val v = resident.get(key)
+        if (v != null) { bumpFreq(key); v } else null
+      }
+      if (hit != null) { hits += 1; return hit.entries }
+      misses += 1
+      val mine = new java.util.concurrent.CompletableFuture[SegVal]()
+      val race = inflight.putIfAbsent(key, mine)
+      if (race != null) return race.join().entries
+      try {
+        val v = parse()
+        resident.synchronized {
+          val f = bumpFreq(key)
+          if (!resident.containsKey(key)) {
+            // admit freely into free space; once full, evict LRU-coldest
+            // residents only while this candidate is strictly hotter —
+            // stop (reject admission) at the first victim at least as
+            // hot. One sequential pass over an over-bound plane then
+            // leaves the resident prefix in place (every candidate and
+            // victim reads freq 1 vs 1+) instead of cycling it.
+            var admit = true
+            while (admit && residentBytes + v.weight > maxBytes) {
+              val it = resident.entrySet().iterator()
+              if (!it.hasNext) admit = false // single over-bound shard: serve uncached
+              else {
+                val victim = it.next()
+                if (segFreq.getOrDefault(victim.getKey, 0) >= f) admit = false
+                else {
+                  residentBytes -= victim.getValue.weight
+                  it.remove()
+                }
+              }
+            }
+            if (admit) {
+              resident.put(key, v)
+              residentBytes += v.weight
             }
           }
         }
-      }
-      parsed
+        mine.complete(v)
+        v.entries
+      } catch {
+        case t: Throwable => mine.completeExceptionally(t); throw t
+      } finally inflight.remove(key)
     }
+  }
+
+  private val manifestCache = new ManifestCache(manifestCacheMaxBytes)
+  private[graft] def manifestCacheSize: Long = manifestCache.sizeBytes
+
+  private[graft] def parseManifest(location: String, rel: String): SegVal = {
+    val s = Files.readString(Paths.get(location, rel))
+    val entries =
+      if (s.isEmpty) Nil
+      else s.split('\n').toSeq.filter(_.nonEmpty)
+        .map(mapper.readValue(_, classOf[FileMeta]))
+    SegVal(entries, math.max(1L, s.length.toLong))
+  }
+
+  def readManifest(location: String, rel: String): Seq[FileMeta] = {
+    if (recordReads) readLog.add(rel)
+    if (manifestCacheMaxBytes <= 0) return parseManifest(location, rel).entries
+    val key = Paths.get(location, rel).toAbsolutePath.toString
+    manifestCache.get(key, () => parseManifest(location, rel))
   }
 
   /** all live file entries at a snapshot, across its manifest segments */

@@ -52,6 +52,60 @@ class MetaCacheSpec extends AnyFunSuite {
       s"every logical read must log, cached or not: ${Meta.readLog.asScala.toSeq}")
   }
 
+  test("scan-resistant admission: plane > bound keeps a warm prefix across passes") {
+    val l = loc()
+    val rels = (1 to 40).map { i =>
+      Meta.writeManifest(l, f"seg-scan-$i%03d",
+        (1 to 25).map(j => entry(s"plane-$i-$j.parquet", j.toString)))
+    }
+    val total = rels.map(r => Meta.parseManifest(l, r).weight).sum
+    // bound at ~60% of the plane: plain LRU would cycle EVERYTHING through
+    // and the second pass would hit nothing (round-15 measurement: warm ==
+    // cold); frequency-compared admission must keep the resident prefix
+    val cache = new Meta.ManifestCache(total * 6 / 10)
+    def pass(): Unit = rels.foreach { r =>
+      val k = Paths.get(l, r).toAbsolutePath.toString
+      cache.get(k, () => Meta.parseManifest(l, r))
+    }
+    pass() // cold: admits until full, then rejects (freq 1 vs resident 1+)
+    val h0 = cache.hits
+    pass() // warm: the resident prefix must serve from cache
+    val hits2 = cache.hits - h0
+    assert(hits2 * 2 > rels.size,
+      s"second pass must hit >50% (=> >2x parse saving): $hits2/${rels.size} " +
+        s"resident=${cache.sizeBytes}/${total}")
+    pass() // and the prefix must STAY resident, not churn
+    assert(cache.hits - h0 - hits2 >= hits2,
+      s"third pass regressed: ${cache.hits - h0 - hits2} < $hits2")
+  }
+
+  test("single-flight: concurrent first reads of one segment parse once") {
+    val l = loc()
+    val rel = Meta.writeManifest(l, "seg-flight", Seq(entry("a.parquet", "1")))
+    val cache = new Meta.ManifestCache(1L << 20)
+    val parses = new java.util.concurrent.atomic.AtomicInteger
+    val key = Paths.get(l, rel).toAbsolutePath.toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val tasks = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          override def call(): Int = {
+            gate.await()
+            cache.get(key, () => {
+              parses.incrementAndGet(); Thread.sleep(50)
+              Meta.parseManifest(l, rel)
+            }).size
+          }
+        })
+      }
+      gate.countDown()
+      assert(tasks.map(_.get()).forall(_ == 1))
+      assert(parses.get() == 1,
+        s"8 concurrent first reads must share ONE parse, got ${parses.get()}")
+    } finally pool.shutdown()
+  }
+
   test("the entry-weighted size accounts for what is cached") {
     val l = loc()
     val before = Meta.manifestCacheSize
