@@ -478,8 +478,11 @@ object GraftOps {
   def escapedPartition(spark: SparkSession, dir: String): DataFrame = {
     val t = GraftTable.create(spark, scratch(),
       ordersDdl + ", o_tag string", partitionBy = Seq("o_tag"))
-    val o = orders(spark, dir).withColumn("o_tag",
-      concat(lit("p "), (col("o_orderkey") % 4).cast("string"), lit("%x=y+z")))
+    // a third of orders is plenty for the seam — the key guards path
+    // encoding, not scale (the write family's scale probe lives elsewhere)
+    val o = orders(spark, dir).filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_tag",
+        concat(lit("p "), (col("o_orderkey") % 4).cast("string"), lit("%x=y+z")))
     t.append(o)
     t.delete("o_orderkey % 10 = 3")
     t.delete("o_orderkey % 10 = 4", WriteMode.MergeOnRead)
@@ -1140,7 +1143,7 @@ object GraftOps {
         | CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 6
         |   THEN o_totalprice + 1.0 ELSE o_totalprice END
         |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
-        |FROM orders WHERE o_orderkey % 10 NOT IN (3, 4, 5)
+        |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 NOT IN (3, 4, 5)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_overwrite_partitions" ->
       """SELECT event_type, COUNT(*) AS n,

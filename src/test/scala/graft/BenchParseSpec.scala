@@ -51,6 +51,14 @@ class BenchParseSpec extends AnyFunSuite {
       s"r11 topk re-floor must override the r10 row: ${fl.get("q_stream_topk")}")
     // first floor for the round-11 interop query
     assert(fl.get("q_interop_extbranch").contains(3.655))
+    // round-16 re-floors (three-consecutive-sole-flag precedent executed
+    // with an io-1.09x CLEAN window) must override the r8-era rows
+    assert(fl.get("q_overwrite_partitions").contains(1.249),
+      s"r16 re-floor must override: ${fl.get("q_overwrite_partitions")}")
+    assert(fl.get("q_update_cow").contains(1.727),
+      s"r16 re-floor must override: ${fl.get("q_update_cow")}")
+    // first floor for the round-16 escapable-partition seam guard
+    assert(fl.get("q_escaped_partition").contains(4.02))
   }
 
   test("sched floor parses from the committed BASELINE.md (round-8 commitment)") {
@@ -128,10 +136,12 @@ class BenchParseSpec extends AnyFunSuite {
     // neighbor disk traffic, and the class round 13's recheck mis-ruled.
     // q_sql_ctas joined in round 15 (CTAS + RTAS = two full table
     // writes; the r14 driver recheck ruled it in a 1.8-2x-io window)
+    // q_escaped_partition joined in round 16 (four sequential row-op
+    // commits, CoW rewrite + DV/posdel write dominated)
     assert(ks == Set(
       "q_overwrite_partitions", "q_hidden_partitioning", "q_write_insert",
       "q_update_cow", "q_compaction", "q_maintenance", "q_zorder",
-      "q_partition_evolution", "q_sql_ctas"),
+      "q_partition_evolution", "q_sql_ctas", "q_escaped_partition"),
       s"io-bound membership drifted: $ks")
     // every tagged key must be a registry query with a floor row — a tag
     // on a floor-less or unknown key would silently judge nothing
