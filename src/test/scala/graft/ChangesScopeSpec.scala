@@ -112,22 +112,31 @@ class ChangesScopeSpec extends SparkSpec {
   }
 
   test("fuzz: scoped changes() equals the state diff on random op sequences") {
+    import spark.implicits._
     for (seedVal <- 1L to 4L) {
       val rnd = new Random(seedVal)
       val loc = tmp()
       val partitioned = seedVal % 2 == 0
       val t = mk(loc, if (partitioned) Seq("k") else Nil)
       var nextId = 0L
+      var evolved = false
       def fresh(n: Int) = (0 until n).map { _ =>
         nextId += 1; (nextId, rnd.nextInt(5).toLong, "s" + rnd.nextInt(3))
       }
+      def freshDf(n: Int) = {
+        val base = df(fresh(n))
+        if (evolved) base.withColumn("v", lit(9L)) else base
+      }
       val snaps = scala.collection.mutable.ArrayBuffer[Long]()
-      snaps += t.append(df(fresh(8))).snapshotId
-      for (step <- 1 until 12) {
+      snaps += t.append(freshDf(8)).snapshotId
+      for (step <- 1 until 14) {
+        // mid-sequence schema evolution: the scoped sides must align old
+        // files to the widened presented schema exactly like the oracle
+        if (step == 7) { t.addColumn("v", "bigint", initialDefault = Some("5")); evolved = true }
         val m = 2 + rnd.nextInt(3)
         val cond = s"k % $m = ${rnd.nextInt(m)}"
-        val snap = rnd.nextInt(9) match {
-          case 0 | 1 => t.append(df(fresh(3 + rnd.nextInt(6))))
+        val snap = rnd.nextInt(11) match {
+          case 0 | 1 => t.append(freshDf(3 + rnd.nextInt(6)))
           case 2 => t.delete(cond, WriteMode.CopyOnWrite)
           case 3 => t.delete(cond, WriteMode.MergeOnRead)
           case 4 => t.delete(cond, WriteMode.DeletionVector)
@@ -136,6 +145,15 @@ class ChangesScopeSpec extends SparkSpec {
           case 6 => t.update(cond, Map("s" -> s"concat(s, '$step')"),
             WriteMode.MergeOnRead)
           case 7 => t.compact(targetMB = 1)
+          case 8 if nextId > 0 =>
+            // equality delete in-window: the window must FALL BACK (the
+            // fuzz then proves both paths agree on the same code route
+            // AND that later windows starting after it re-scope)
+            val ids = Seq.fill(1 + rnd.nextInt(3))(1 + rnd.nextLong(nextId))
+            t.deleteByKeys(ids.toDF("id"))
+          case 9 if partitioned =>
+            // dynamic partition overwrite: whole-partition swap commits
+            t.overwritePartitions(freshDf(2 + rnd.nextInt(4)))
           case _ => t.rewriteDeleteFiles()
         }
         snaps += snap.snapshotId
