@@ -1439,20 +1439,22 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def changes(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame =
     changesImpl(fromSnapshotId, toSnapshotId, scoped = true)
 
-  /** Full state-diff changelog — the fallback and the oracle: scans BOTH
+  /** Full state-diff changelog — the oracle and safety net: scans BOTH
     * snapshots whole and full-outer-joins on `_row_id`. Correct with no
     * provenance assumptions at all, but table cost for a delta-sized
-    * window; [[changes]] routes here only when file-level scoping cannot
-    * bound the window's effect (an equality delete changed in-window —
-    * its targets are value-scoped, not file-scoped). ChangesScopeSpec
-    * fuzz-pins scoped ≡ this on random op sequences. */
+    * window. Since round 16's second pass [[changes]] never routes here
+    * (equality-delete windows are stats-bounded instead of falling
+    * back); it survives as the independent implementation
+    * ChangesScopeSpec fuzz-pins scoped ≡ against on random op
+    * sequences. */
   private[graft] def changesStateDiff(fromSnapshotId: Long,
       toSnapshotId: Option[Long] = None): DataFrame =
     changesImpl(fromSnapshotId, toSnapshotId, scoped = false)
 
   /** Test observability: the (before, after) file subsets the last scoped
-    * [[changes]] call planned — None when it fell back to the state diff
-    * (or took the append-only fast path). */
+    * [[changes]] call planned — None after the append-only fast path or
+    * an explicit [[changesStateDiff]] call (the scoped path itself never
+    * falls back since round 16's eq-delete stats bounding). */
   private[graft] var lastChangesScope: Option[(Set[String], Set[String])] = None
 
   /** File-level scoping for a row-changing CDC window (round 16): the
@@ -1460,15 +1462,23 @@ class GraftTable(val spark: SparkSession, val location: String) {
     *  (a) data files live at `from` but not at `to` (removed in-window),
     *  (b) data files live at `to` but not at `from` (added in-window),
     *  (c) surviving data files whose delete-overlay set changed in-window
-    *      (a posdel/DV added, replaced, or dropped that targets them).
-    * before-side = (a) ∪ (c), after-side = (b) ∪ (c); every other file is
-    * byte-identical with an identical overlay set at both ends and cannot
-    * contribute a change row. Overlay targets are read from the (tiny)
-    * delete parquet itself — O(delete files in the window), never
-    * O(table). Returns None — fall back to the full state diff — when an
-    * EQUALITY delete changed in-window: its targets are value-scoped
-    * (every older file is a potential target), so no file subset bounds
-    * its effect. */
+    *      (a posdel/DV added, replaced, or dropped that targets them),
+    *  (d) surviving data files whose column STATS admit a key of an
+    *      equality delete that changed in-window.
+    * before-side = (a) ∪ (c) ∪ (d), after-side = (b) ∪ (c) ∪ (d); every
+    * other file is byte-identical with an identical overlay set at both
+    * ends and cannot contribute a change row. posdel/DV targets are read
+    * from the (tiny) delete parquet itself — O(delete files in the
+    * window), never O(table). Equality deletes (round 16, second pass)
+    * have value-scoped targets with no file_path list, so (d) bounds
+    * them by manifest stats instead: a survivor excluded by
+    * [[Pruning.fileMatches]] under the per-column key bounds cannot hold
+    * a row any deleted tuple matches. File sequence number deliberately
+    * does NOT narrow (d) — a compaction-written file carries rows with
+    * older `_last_seq` than its own seq, and those rows an eq delete
+    * still targets. When no bound is computable (oversized key set, null
+    * keys, unmappable types) (d) degrades to all survivors — still a
+    * file subset, never the state-diff fallback. */
   private def deltaFileSets(m: TableMeta, from: SnapshotMeta,
       toSnap: SnapshotMeta): Option[(Set[String], Set[String])] = {
     val entFrom = Meta.readEntries(location, from)
@@ -1481,14 +1491,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val (ovFrom, ovTo) = (overlays(entFrom), overlays(entTo))
     val ovChanged = (ovFrom.keySet diff ovTo.keySet) ++ (ovTo.keySet diff ovFrom.keySet)
     val changedMeta = ovChanged.toSeq.map(p => (ovTo.get(p) orElse ovFrom.get(p)).get)
-    if (changedMeta.exists(_.fileType == "eqdel")) return None
     val survivors = dataFrom intersect dataTo
+    val (eqChanged, fileScoped) = changedMeta.partition(_.fileType == "eqdel")
     // posdel/DV targets that survive at both ends must scan on BOTH sides:
     // the overlay delta is exactly what deleted (or resurrected) rows in
     // them. Stored targets are raw-path space post-round-15; a legacy
     // URI-encoded value is tolerated via its decoded form — over-inclusion
     // only widens the scan, never changes the join's answer.
-    val touched = changedMeta.iterator.flatMap { e =>
+    val touched = fileScoped.iterator.flatMap { e =>
       spark.read.parquet(abs(e.path)).select("file_path").distinct()
         .collect().iterator.map(_.getString(0))
         .flatMap { t =>
@@ -1497,7 +1507,87 @@ class GraftTable(val spark: SparkSession, val location: String) {
           Seq(t, dec).filter(survivors)
         }
     }.toSet
-    Some((dataFrom.diff(dataTo) ++ touched, dataTo.diff(dataFrom) ++ touched))
+    // (d): survivors an in-window equality delete could touch, bounded by
+    // their manifest column stats against the delete's key values — a
+    // survivor excluded here provably holds no row any deleted tuple
+    // matches (per-column bounds are a conservative superset of the
+    // tuple-wise test, and fileMatches keeps anything without stats)
+    val eqTouched: Set[String] =
+      if (eqChanged.isEmpty) Set.empty
+      else {
+        val survivorMeta = entTo.filter(e =>
+          e.fileType == "data" && survivors(normPath(abs(e.path))))
+        val bounds = eqChanged.map(eqScopePreds(m, _))
+        survivorMeta.filter(f => bounds.exists(ps => Pruning.fileMatches(f, m, ps)))
+          .map(f => normPath(abs(f.path))).toSet
+      }
+    val both = touched ++ eqTouched
+    Some((dataFrom.diff(dataTo) ++ both, dataTo.diff(dataFrom) ++ both))
+  }
+
+  /** Conservative per-column stat bounds for one equality-delete file:
+    * `Pred(col, "in", keys)` for every key column whose collected values
+    * are all non-null and representable in the stats' internal encoding.
+    * Empty result = no exclusion possible (oversized key set, a null key
+    * — null-safe equality matches rows min/max can't see — or a type
+    * cmp() can't order): every survivor stays a candidate, which is
+    * still a file subset, never a state-diff fallback. */
+  // above this many keys the driver-side collect of an eq-delete file is
+  // no longer "tiny metadata" — skip the bound (all survivors scan) rather
+  // than ship a large key list through the planner
+  private val EqScopeMaxKeys = 4096L
+
+  private def eqScopePreds(m: TableMeta, e: FileMeta): Seq[Pruning.Pred] = {
+    if (e.rowCount > EqScopeMaxKeys) return Nil
+    val schema = m.schema(e.schemaId)
+    val keyFields = e.eqFieldIds.flatMap(id => schema.byId(id).map(id -> _))
+    if (keyFields.isEmpty) return Nil
+    val rows = spark.read.parquet(abs(e.path))
+      .select(keyFields.map { case (id, _) => col(s"f$id") }: _*).collect()
+    keyFields.zipWithIndex.flatMap { case ((_, fld), i) =>
+      val vs = rows.map(_.get(i)).toSeq
+      if (vs.contains(null)) None
+      else {
+        val norm = vs.distinct.map(statValue(fld.dtype, _))
+        if (norm.exists(_.isEmpty)) None
+        else Some(Pruning.Pred(fld.name, "in", norm.map(_.get)))
+      }
+    }
+  }
+
+  /** Collected JVM value → the internal encoding [[Pruning]] compares
+    * stats against (Long micros for timestamps, Int days for dates,
+    * boxed numerics, String); None = not orderable against stats. */
+  private def statValue(dtype: String, v: Any): Option[Any] = {
+    val base = dtype.takeWhile(_ != '(')
+    base match {
+      case "int" | "bigint" | "smallint" | "tinyint" | "double" | "float" => v match {
+        case _: Int | _: Long | _: Short | _: Byte | _: Double | _: Float => Some(v)
+        case _ => None
+      }
+      case "decimal" => v match {
+        case bd: java.math.BigDecimal => Some(org.apache.spark.sql.types.Decimal(bd))
+        case _ => None
+      }
+      case "string" => v match { case s: String => Some(s); case _ => None }
+      case "timestamp" | "timestamp_ntz" => v match {
+        case inst: java.time.Instant =>
+          Some(java.time.temporal.ChronoUnit.MICROS.between(java.time.Instant.EPOCH, inst))
+        case ts: java.sql.Timestamp =>
+          Some(java.time.temporal.ChronoUnit.MICROS.between(
+            java.time.Instant.EPOCH, ts.toInstant))
+        case ldt: java.time.LocalDateTime =>
+          Some(java.time.temporal.ChronoUnit.MICROS.between(
+            java.time.LocalDateTime.of(1970, 1, 1, 0, 0), ldt))
+        case _ => None
+      }
+      case "date" => v match {
+        case ld: java.time.LocalDate => Some(ld.toEpochDay.toInt)
+        case sd: java.sql.Date => Some(sd.toLocalDate.toEpochDay.toInt)
+        case _ => None
+      }
+      case _ => None
+    }
   }
 
   private def changesImpl(fromSnapshotId: Long, toSnapshotId: Option[Long],

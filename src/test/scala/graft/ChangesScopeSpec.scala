@@ -20,8 +20,9 @@ import graft.table._
   *     sequences across every write shape the table supports;
   *  3. in-window compaction contributes nothing (lineage is preserved
   *     across rewrites, so rewritten rows struct-match and squash);
-  *  4. the equality-delete fallback — value-scoped targets cannot be
-  *     file-bounded, so those windows route to the state diff. */
+  *  4. equality-delete windows — value-scoped targets carry no file list,
+  *     so the scope is bounded by manifest stats against the deleted keys
+  *     (and degrades to all-survivors on a null key, never to the diff). */
 class ChangesScopeSpec extends SparkSpec {
 
   private def tmp(): String =
@@ -98,17 +99,48 @@ class ChangesScopeSpec extends SparkSpec {
       "scoped must equal the state diff across a compaction")
   }
 
-  test("equality-delete window falls back to the state diff (value-scoped targets)") {
+  test("equality-delete window scopes to stat-admitting survivors") {
     import spark.implicits._
     val loc = tmp()
     val t = mk(loc)
-    val s0 = t.append(df(Seq((1L, 1L, "a"), (2L, 2L, "b"), (3L, 3L, "c"))))
-    t.deleteByKeys(Seq(2L).toDF("id"))
+    // three appends with disjoint id ranges -> manifest stats separate them
+    val a1 = t.append(df((0L until 10L).map(i => (i, i, s"v$i"))))
+    t.append(df((10L until 20L).map(i => (i, i, s"v$i"))))
+    t.append(df((20L until 30L).map(i => (i, i, s"v$i"))))
+    val s0 = t.meta.head("main").get
+    val rangeOne = Meta.readEntries(loc, a1).filter(_.fileType == "data")
+      .map(e => e.path).toSet
+    val allData = Meta.readEntries(loc, s0).filter(_.fileType == "data")
+      .map(e => e.path).toSet
+
+    // (1) key inside ONE range: only that range's files are candidates
+    t.deleteByKeys(Seq(5L).toDF("id"))
     val ch = t.changes(s0.snapshotId).collect()
-    assert(t.lastChangesScope.isEmpty,
-      "an eq-delete window cannot be file-scoped — must fall back")
+    val (before, after) = t.lastChangesScope.getOrElse(
+      fail("an eq-delete window must take the scoped path now"))
+    assert(before == after && before.nonEmpty, s"got $before / $after")
+    assert(before.forall(p => rangeOne.exists(p.endsWith)),
+      s"stats must exclude the other ranges, got $before")
     assert(ch.map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSeq ==
-      Seq(("delete", 2L)))
+      Seq(("delete", 5L)))
+
+    // (2) key outside EVERY range: zero candidate files, zero change rows
+    val s1 = t.meta.head("main").get
+    t.deleteByKeys(Seq(1000L).toDF("id"))
+    assert(t.changes(s1.snapshotId).collect().isEmpty)
+    assert(t.lastChangesScope.contains((Set.empty[String], Set.empty[String])),
+      s"no survivor admits 1000, got ${t.lastChangesScope}")
+
+    // (3) a NULL key defeats min/max bounding (null-safe equality matches
+    // rows stats can't see) -> the bound degrades to ALL survivors, which
+    // is still the scoped path, and the answer still matches the oracle
+    val s2 = t.meta.head("main").get
+    t.deleteByKeys(Seq[java.lang.Long](null).toDF("id"))
+    val scoped3 = canon(t.changes(s2.snapshotId)) // capture scope BEFORE the
+    val (b3, _) = t.lastChangesScope.get          // oracle call resets it
+    assert(scoped3 == canon(t.changesStateDiff(s2.snapshotId)))
+    assert(b3.size == allData.size,
+      s"null key must keep every survivor a candidate: ${b3.size} vs ${allData.size}")
   }
 
   test("fuzz: scoped changes() equals the state diff on random op sequences") {
@@ -146,9 +178,10 @@ class ChangesScopeSpec extends SparkSpec {
             WriteMode.MergeOnRead)
           case 7 => t.compact(targetMB = 1)
           case 8 if nextId > 0 =>
-            // equality delete in-window: the window must FALL BACK (the
-            // fuzz then proves both paths agree on the same code route
-            // AND that later windows starting after it re-scope)
+            // equality delete in-window: the scope must bound candidates
+            // by id stats yet still equal the oracle — including when the
+            // deleted id was already gone or lives in a compacted file
+            // whose seq is NEWER than the delete's
             val ids = Seq.fill(1 + rnd.nextInt(3))(1 + rnd.nextLong(nextId))
             t.deleteByKeys(ids.toDF("id"))
           case 9 if partitioned =>
