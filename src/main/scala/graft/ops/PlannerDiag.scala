@@ -81,8 +81,36 @@ object PlannerDiag {
           f""""full_cold_ms":$fullCold%.1f,"full_warm_ms":$fullWarm%.1f,""" +
           f""""full_segments_opened":$segsOpenedFull,""" +
           f""""full_files":${dfF.inputFiles.length}}""")
+      // Round-16 delta-scoped changes() end-to-end cost: on the same
+      // many-file table, commit a ONE-file CoW update and a ONE-key
+      // equality delete, then time the scoped changelog vs the full
+      // state diff for each window. The diag that turns the read-log
+      // spec ("plans O(touched) files") into wall-clock evidence.
+      case "cdc" :: loc :: _ =>
+        import spark.implicits._
+        val t = GraftTable.load(spark, loc)
+        val head0 = t.meta.head("main").get
+        val files0 = Meta.readEntries(loc, head0).count(_.fileType == "data")
+        val midK = head0.manifests.size.toLong * 100 / 2
+        t.update(s"k = $midK", Map("v" -> "v + 1.0"))
+        val s0 = head0
+        val (nS, msS) = timeMs(t.changes(s0.snapshotId).count())
+        val (bS, aS) = t.lastChangesScope.map { case (b, a) => (b.size, a.size) }
+          .getOrElse((-1, -1))
+        val (nD, msD) = timeMs(t.changesStateDiff(s0.snapshotId).count())
+        val s1 = t.meta.head("main").get
+        t.deleteByKeys(Seq(midK + 1).toDF("k"))
+        val (nSe, msSe) = timeMs(t.changes(s1.snapshotId).count())
+        val (bSe, aSe) = t.lastChangesScope.map { case (b, a) => (b.size, a.size) }
+          .getOrElse((-1, -1))
+        val (nDe, msDe) = timeMs(t.changesStateDiff(s1.snapshotId).count())
+        println(f"""{"metric":"cdc_diag","table_files":$files0,""" +
+          f""""upd_scoped_ms":$msS%.1f,"upd_scope_files":[$bS,$aS],"upd_rows":$nS,""" +
+          f""""upd_statediff_ms":$msD%.1f,"upd_statediff_rows":$nD,""" +
+          f""""eq_scoped_ms":$msSe%.1f,"eq_scope_files":[$bSe,$aSe],"eq_rows":$nSe,""" +
+          f""""eq_statediff_ms":$msDe%.1f,"eq_statediff_rows":$nDe}""")
       case other =>
-        System.err.println(s"usage: build|measure <loc> — got $other")
+        System.err.println(s"usage: build|measure|cdc <loc> — got $other")
         sys.exit(2)
     }
     spark.stop()
