@@ -294,6 +294,23 @@ def overlay_keep_paths(loc, flat, affected, targets):
 
 def main():
     argv = sys.argv[1:]
+    if argv and argv[0] == "--ops":
+        # batch mode: one interpreter, N sequential single-op invocations.
+        # ops.json = {"ops": [[<argv of one normal invocation>], ...]} —
+        # each op re-reads the table's current metadata exactly as a
+        # separate process would, so the committed history is identical;
+        # only the repeated python+pyarrow startup cost is shared.
+        if len(argv) != 2:
+            fail(__doc__)
+        with open(argv[1]) as f:
+            ops = json.load(f)["ops"]
+        for op in ops:
+            run_one([str(a) for a in op])
+        return
+    run_one(argv)
+
+
+def run_one(argv):
     pin = None
     if "--pin" in argv:
         i = argv.index("--pin")

@@ -175,74 +175,110 @@ object Interop {
       .find(Files.exists(_)).map(_.toAbsolutePath.toString)
       .getOrElse(throw new IllegalStateException("scripts/extwriter.py not found"))
 
-  /** stage `rows` as JSON and invoke the INDEPENDENT Python writer
-    * (scripts/extwriter.py); returns its exit code (0 = committed,
-    * 2 = CAS conflict). Driver-side staging is inherent here — the rows
-    * cross a process boundary to an engine that shares no code. */
-  private[graft] def runExtWriter(loc: String, rows: Seq[(Long, String, Double)],
+  /** exec ONE extwriter invocation (argv after the script path) */
+  private def runArgs(args: Seq[String]): Int = {
+    import scala.sys.process._
+    Process(Seq("python3", extWriterScript) ++ args).!
+  }
+
+  /** BATCH: run N extwriter ops in ONE python process — each op is the
+    * exact argv of a single invocation and re-reads current metadata
+    * before committing, so the published history is identical to N
+    * separate processes; only the repeated interpreter + pyarrow
+    * startup (~0.8 s/fork measured) is paid once. The per-query fixed
+    * cost this removes is what the `subprocess` floor class exists
+    * for (guide §1.2: per-task work after the algorithm). */
+  private[graft] def runExtWriterOps(ops: Seq[Seq[String]]): Int = {
+    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val payload = ops.map(_.map(js).mkString("[", ",", "]"))
+      .mkString("""{"ops":[""", ",", "]}")
+    val f = Files.createTempFile("graft-extops", ".json")
+    Files.writeString(f, payload)
+    runArgs(Seq("--ops", f.toString))
+  }
+
+  /** stage `rows` as JSON and build the argv of the INDEPENDENT Python
+    * writer's append (scripts/extwriter.py). Driver-side staging is
+    * inherent here — the rows cross a process boundary to an engine
+    * that shares no code. */
+  private[graft] def extAppendArgs(loc: String, rows: Seq[(Long, String, Double)],
       pin: Option[Int] = None,
       cols: (String, String, String) = ("id", "status", "total"),
-      branch: Option[String] = None): Int = {
+      branch: Option[String] = None): Seq[String] = {
     val payload = rows.map { case (id, st, total) =>
       s"""{"${cols._1}":$id,"${cols._2}":"$st","${cols._3}":$total}"""
     }.mkString("""{"rows":[""", ",", "]}")
     val f = Files.createTempFile("graft-extwrite", ".json")
     Files.writeString(f, payload)
-    val cmd = Seq("python3", extWriterScript, loc, f.toString) ++
+    Seq(loc, f.toString) ++
       pin.toSeq.flatMap(v => Seq("--pin", v.toString)) ++
       branch.toSeq.flatMap(b => Seq("--branch", b))
-    import scala.sys.process._
-    Process(cmd).!
   }
+
+  /** single-op append (exit code 0 = committed, 2 = CAS conflict) */
+  private[graft] def runExtWriter(loc: String, rows: Seq[(Long, String, Double)],
+      pin: Option[Int] = None,
+      cols: (String, String, String) = ("id", "status", "total"),
+      branch: Option[String] = None): Int =
+    runArgs(extAppendArgs(loc, rows, pin, cols, branch))
 
   /** external merge-on-read POSITION DELETE: the Python writer walks the
     * live data files from the manifests, finds matching row positions
     * with pyarrow, and commits a (file_path, pos) delete file — the MoR
     * write path proven from outside the JVM. */
-  private[graft] def runExtWriterDelete(loc: String, colName: String,
+  private[graft] def extDeleteArgs(loc: String, colName: String,
       values: Seq[Long], pin: Option[Int] = None,
-      branch: Option[String] = None): Int = {
+      branch: Option[String] = None): Seq[String] = {
     val f = Files.createTempFile("graft-extdel", ".json")
     Files.writeString(f, values.mkString("""{"values":[""", ",", "]}"))
-    val cmd = Seq("python3", extWriterScript, loc, "--delete", colName,
-      f.toString) ++ pin.toSeq.flatMap(v => Seq("--pin", v.toString)) ++
+    Seq(loc, "--delete", colName, f.toString) ++
+      pin.toSeq.flatMap(v => Seq("--pin", v.toString)) ++
       branch.toSeq.flatMap(b => Seq("--branch", b))
-    import scala.sys.process._
-    Process(cmd).!
   }
+
+  private[graft] def runExtWriterDelete(loc: String, colName: String,
+      values: Seq[Long], pin: Option[Int] = None,
+      branch: Option[String] = None): Int =
+    runArgs(extDeleteArgs(loc, colName, values, pin, branch))
 
   /** external EQUALITY DELETE: key values written under the physical
     * column name; the format's sequence gate must apply it only to rows
     * whose data file is OLDER than the delete's sequence number. */
-  private[graft] def runExtWriterDeleteEq(loc: String, colName: String,
+  private[graft] def extDeleteEqArgs(loc: String, colName: String,
       values: Seq[String], pin: Option[Int] = None,
-      branch: Option[String] = None): Int = {
+      branch: Option[String] = None): Seq[String] = {
     val f = Files.createTempFile("graft-exteq", ".json")
     Files.writeString(f,
       values.map(v => "\"" + v + "\"").mkString("""{"values":[""", ",", "]}"))
-    val cmd = Seq("python3", extWriterScript, loc, "--delete-eq", colName,
-      f.toString) ++ pin.toSeq.flatMap(v => Seq("--pin", v.toString)) ++
+    Seq(loc, "--delete-eq", colName, f.toString) ++
+      pin.toSeq.flatMap(v => Seq("--pin", v.toString)) ++
       branch.toSeq.flatMap(b => Seq("--branch", b))
-    import scala.sys.process._
-    Process(cmd).!
   }
+
+  private[graft] def runExtWriterDeleteEq(loc: String, colName: String,
+      values: Seq[String], pin: Option[Int] = None,
+      branch: Option[String] = None): Int =
+    runArgs(extDeleteEqArgs(loc, colName, values, pin, branch))
 
   /** external COPY-ON-WRITE update: rows whose `keyCol` is in `values`
     * get `setCol` += `add`; the Python writer rewrites every affected
     * data file (lineage materialized), carries untouched segments by
     * reference, and publishes one 'overwrite' CAS commit — the
     * write-side mirror of [[GraftTable.update]]'s CoW path. */
-  private[graft] def runExtWriterUpdate(loc: String, keyCol: String,
+  private[graft] def extUpdateArgs(loc: String, keyCol: String,
       values: Seq[Long], setCol: String, add: Double,
-      pin: Option[Int] = None): Int = {
+      pin: Option[Int] = None): Seq[String] = {
     val f = Files.createTempFile("graft-extupd", ".json")
     Files.writeString(f, values.mkString("""{"values":[""", ",",
       s"""],"set":{"col":"$setCol","add":$add}}"""))
-    val cmd = Seq("python3", extWriterScript, loc, "--update", keyCol,
-      f.toString) ++ pin.toSeq.flatMap(v => Seq("--pin", v.toString))
-    import scala.sys.process._
-    Process(cmd).!
+    Seq(loc, "--update", keyCol, f.toString) ++
+      pin.toSeq.flatMap(v => Seq("--pin", v.toString))
   }
+
+  private[graft] def runExtWriterUpdate(loc: String, keyCol: String,
+      values: Seq[Long], setCol: String, add: Double,
+      pin: Option[Int] = None): Int =
+    runArgs(extUpdateArgs(loc, keyCol, values, setCol, add, pin))
 
   /** external MERGE (upsert): live target rows whose `keyCol` matches a
     * source row are rewritten with the source's values, unmatched
@@ -250,42 +286,49 @@ object Interop {
     * of [[GraftTable.merge]] on the same affected-file machinery as the
     * external update. Rows are passed as raw JSON objects so callers
     * can omit columns (an omitted column keeps the target's value). */
-  private[graft] def runExtWriterMerge(loc: String, keyCol: String,
-      rowJsons: Seq[String], pin: Option[Int] = None): Int = {
+  private[graft] def extMergeArgs(loc: String, keyCol: String,
+      rowJsons: Seq[String], pin: Option[Int] = None): Seq[String] = {
     val f = Files.createTempFile("graft-extmerge", ".json")
     Files.writeString(f, rowJsons.mkString("""{"rows":[""", ",", "]}"))
-    val cmd = Seq("python3", extWriterScript, loc, "--merge", keyCol,
-      f.toString) ++ pin.toSeq.flatMap(v => Seq("--pin", v.toString))
-    import scala.sys.process._
-    Process(cmd).!
+    Seq(loc, "--merge", keyCol, f.toString) ++
+      pin.toSeq.flatMap(v => Seq("--pin", v.toString))
   }
+
+  private[graft] def runExtWriterMerge(loc: String, keyCol: String,
+      rowJsons: Seq[String], pin: Option[Int] = None): Int =
+    runArgs(extMergeArgs(loc, keyCol, rowJsons, pin))
 
   /** external SCHEMA-EVOLUTION commit: metadata-only add-column with a
     * fresh field id and optional v3 initial-default — the write-side
     * mirror of [[GraftTable.addColumn]]. */
+  private[graft] def extAddColumnArgs(loc: String, name: String,
+      dtype: String, default: Option[String] = None,
+      pin: Option[Int] = None): Seq[String] =
+    Seq(loc, "--add-column", name, dtype) ++
+      default.toSeq.flatMap(d => Seq("--default", d)) ++
+      pin.toSeq.flatMap(v => Seq("--pin", v.toString))
+
   private[graft] def runExtWriterAddColumn(loc: String, name: String,
       dtype: String, default: Option[String] = None,
-      pin: Option[Int] = None): Int = {
-    val cmd = Seq("python3", extWriterScript, loc, "--add-column", name,
-      dtype) ++ default.toSeq.flatMap(d => Seq("--default", d)) ++
-      pin.toSeq.flatMap(v => Seq("--pin", v.toString))
-    import scala.sys.process._
-    Process(cmd).!
-  }
+      pin: Option[Int] = None): Int =
+    runArgs(extAddColumnArgs(loc, name, dtype, default, pin))
 
   /** external append of 4-column rows (id, status, total, score) — used
     * after the external add-column, where the generic 3-tuple helper's
     * payload shape no longer fits */
-  private[graft] def runExtWriterScored(loc: String,
-      rows: Seq[(Long, String, Double, Double)]): Int = {
+  private[graft] def extScoredArgs(loc: String,
+      rows: Seq[(Long, String, Double, Double)]): Seq[String] = {
     val payload = rows.map { case (id, st, total, score) =>
       s"""{"id":$id,"status":"$st","total":$total,"score":$score}"""
     }.mkString("""{"rows":[""", ",", "]}")
     val f = Files.createTempFile("graft-extsc", ".json")
     Files.writeString(f, payload)
-    import scala.sys.process._
-    Process(Seq("python3", extWriterScript, loc, f.toString)).!
+    Seq(loc, f.toString)
   }
+
+  private[graft] def runExtWriterScored(loc: String,
+      rows: Seq[(Long, String, Double, Double)]): Int =
+    runArgs(extScoredArgs(loc, rows))
 
   /** The independent second WRITER proof (the write-side mirror of
     * [[buildAndScan]]'s independent reader): snapshot 1 is a native Spark
@@ -325,13 +368,15 @@ object Interop {
     // read must apply an externally-written (file_path, pos) overlay
     val delIds = o.filter(col("id") % 10 === 3).select("id")
       .collect().map(_.getLong(0)).toSeq
-    val rcDel = runExtWriterDelete(loc, "id", delIds)
-    require(rcDel == 0, s"external delete failed with exit code $rcDel")
     // snap 5: python EQUALITY delete of every remaining 'P' row; snap 6:
     // a native re-append of the id%3==0 'P' rows — NEWER sequence, so the
-    // format's sequence gate must let them survive the external eq-delete
-    val rcEq = runExtWriterDeleteEq(loc, "status", Seq("P"))
-    require(rcEq == 0, s"external eq-delete failed with exit code $rcEq")
+    // format's sequence gate must let them survive the external eq-delete.
+    // Consecutive external commits (snaps 4+5) ride ONE python process
+    // (runExtWriterOps): identical history, one interpreter startup.
+    val rcDel = runExtWriterOps(Seq(
+      extDeleteArgs(loc, "id", delIds),
+      extDeleteEqArgs(loc, "status", Seq("P"))))
+    require(rcDel == 0, s"external delete batch failed with exit code $rcDel")
     GraftTable.load(spark, loc)
       .append(o.filter(col("id") % 3 === 0 && col("status") === "P"))
     // snap 7: native DELETION-VECTOR delete on top of the mixed history —
@@ -399,20 +444,21 @@ object Interop {
     t.append(o.filter(col("id") % 3 === 0))                   // snap 1: native
     val extRows = o.filter(col("id") % 3 === 1).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
-    require(runExtWriter(Loc8, extRows) == 0, "external append failed")
     // snap 3: EXTERNAL position delete spanning both writers' files —
     // the update below must rewrite THROUGH this live overlay
     val delIds = o.filter(col("id") % 10 === 3 && col("id") % 3 < 2)
       .select("id").collect().map(_.getLong(0)).toSeq
-    require(runExtWriterDelete(Loc8, "id", delIds) == 0,
-      "external pre-update delete failed")
     // snap 4: EXTERNAL CoW update — ids ≡ 0 (mod 7) live in both
     // writers' files, so the rewrite spans file generations; ids ≡ 0
-    // (mod 7) ∧ ≡ 3 (mod 10) are DELETED, so the rewrite must skip them
+    // (mod 7) ∧ ≡ 3 (mod 10) are DELETED, so the rewrite must skip them.
+    // Snaps 2-4 are consecutive external commits: ONE python process.
     val updIds = o.filter(col("id") % 7 === 0 && col("id") % 3 < 2)
       .select("id").collect().map(_.getLong(0)).toSeq
-    require(runExtWriterUpdate(Loc8, "id", updIds, "total", 1000.0) == 0,
-      "external update failed")
+    require(runExtWriterOps(Seq(
+      extAppendArgs(Loc8, extRows),
+      extDeleteArgs(Loc8, "id", delIds),
+      extUpdateArgs(Loc8, "id", updIds, "total", 1000.0))) == 0,
+      "external append+delete+update batch failed")
     // snap 5: native append on top of the external rewrite — rows with
     // id % 7 = 0 or id % 10 = 3 here must carry neither the update nor
     // the (older) delete
@@ -445,16 +491,18 @@ object Interop {
     t.append(o.filter(col("id") % 4 === 0))                   // snap 1: native
     val extRows = o.filter(col("id") % 4 === 1).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
-    require(runExtWriter(Loc10, extRows) == 0, "external append failed")
     // snap 3: EXTERNAL MERGE — source is every id ≡ 0 (mod 9) outside
     // the class appended later, totals shifted +500: ids in classes
-    // 0/1 match and rewrite, class-2 ids insert, one commit
+    // 0/1 match and rewrite, class-2 ids insert, one commit.
+    // Snaps 2+3 are consecutive external commits: ONE python process.
     val srcRows = o.filter(col("id") % 9 === 0 && col("id") % 4 < 3)
       .orderBy("id").collect()
       .map(r => s"""{"id":${r.getLong(0)},"status":"${r.getString(1)}",""" +
         s""""total":${r.getDouble(2) + 500.0}}""").toSeq
-    require(runExtWriterMerge(Loc10, "id", srcRows) == 0,
-      "external merge failed")
+    require(runExtWriterOps(Seq(
+      extAppendArgs(Loc10, extRows),
+      extMergeArgs(Loc10, "id", srcRows))) == 0,
+      "external append+merge batch failed")
     // snap 4: native append on top of the external upsert
     GraftTable.load(spark, Loc10).append(o.filter(col("id") % 4 === 3))
     extAgg(spark, Loc10)
@@ -489,19 +537,19 @@ object Interop {
     t.createBranch("audit")                                   // WAP: stage branch
     val extRows = o.filter(col("id") % 4 === 1).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
-    require(runExtWriter(Loc11, extRows, branch = Some("audit")) == 0,
-      "external branch append failed")                        // snap 2: python, audit
-    // snap 3: python posdel scoped to AUDIT's head (spans snap-1 files,
-    // which audit shares with main — the overlay must bind to the branch,
-    // not the files)
+    // snap 2: python append to audit; snap 3: python posdel scoped to
+    // AUDIT's head (spans snap-1 files, which audit shares with main —
+    // the overlay must bind to the branch, not the files); snap 4:
+    // python sequence-gated eq-delete on audit ('P' rows of the two
+    // older file generations). Three consecutive external commits:
+    // ONE python process, identical snapshots.
     val delIds = o.filter(col("id") % 10 === 3 && col("id") % 4 <= 1)
       .select("id").collect().map(_.getLong(0)).toSeq
-    require(runExtWriterDelete(Loc11, "id", delIds, branch = Some("audit")) == 0,
-      "external branch delete failed")
-    // snap 4: python sequence-gated eq-delete on audit ('P' rows of the
-    // two older file generations)
-    require(runExtWriterDeleteEq(Loc11, "status", Seq("P"),
-      branch = Some("audit")) == 0, "external branch eq-delete failed")
+    require(runExtWriterOps(Seq(
+      extAppendArgs(Loc11, extRows, branch = Some("audit")),
+      extDeleteArgs(Loc11, "id", delIds, branch = Some("audit")),
+      extDeleteEqArgs(Loc11, "status", Seq("P"), branch = Some("audit")))) == 0,
+      "external branch write batch failed")
     // snap 5: native append to MAIN on top of the external branch commits
     GraftTable.load(spark, Loc11).append(o.filter(col("id") % 4 === 2))
     // snap 6: native DV delete on MAIN — must not bleed into audit reads
@@ -538,13 +586,15 @@ object Interop {
       col("o_orderstatus").as("status"),
       col("o_totalprice").as("total"))
     t.append(o.filter(col("id") % 5 === 0))                   // snap 1 (schema 0)
-    require(runExtWriterAddColumn(Loc9, "score", "double", Some("2.5")) == 0,
-      "external add-column failed")                           // metadata-only
     val extRows = o.filter(col("id") % 5 === 1).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
         (r.getLong(0) % 7).toDouble)).toSeq
-    require(runExtWriterScored(Loc9, extRows) == 0,
-      "external post-evolution append failed")                // snap 2 (schema 1)
+    // metadata-only add-column + post-evolution append (snap 2, schema 1)
+    // are consecutive external commits: ONE python process.
+    require(runExtWriterOps(Seq(
+      extAddColumnArgs(Loc9, "score", "double", Some("2.5")),
+      extScoredArgs(Loc9, extRows))) == 0,
+      "external add-column+append batch failed")
     GraftTable.load(spark, Loc9).append(o.filter(col("id") % 5 === 2)
       .withColumn("score", (col("id") % 3).cast("double")))   // snap 3: native
     GraftTable.load(spark, Loc9).scan()

@@ -114,6 +114,52 @@ class TableSpec extends SparkSpec {
       s"post-rename external append must map by field id, got $evolved")
   }
 
+  test("external writer batch (--ops): one process commits the identical history as N processes") {
+    import spark.implicits._
+    def idsDf(rows: (Long, String, Double)*) = rows.toDF("id", "status", "total")
+    def state(loc: String): (Int, Set[(Long, String, Double)]) = {
+      val v = Meta.currentVersion(loc).get
+      val rows = GraftTable.load(spark, loc).scan()
+        .select("id", "status", "total").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      (v, rows)
+    }
+    val ext = Seq((10L, "C", 100.0), (11L, "A", 110.0), (12L, "B", 120.0))
+    // table A: three separate python processes (the pre-round-16 shape)
+    val locA = tmp()
+    GraftTable.create(spark, locA, "id bigint, status string, total double")
+      .append(idsDf((1L, "A", 10.0), (2L, "B", 20.0)))
+    assert(graft.ops.Interop.runExtWriter(locA, ext) == 0)
+    assert(graft.ops.Interop.runExtWriterDelete(locA, "id", Seq(2L, 12L)) == 0)
+    assert(graft.ops.Interop.runExtWriterDeleteEq(locA, "status", Seq("A")) == 0)
+    // table B: the SAME three ops through one --ops batch process
+    val locB = tmp()
+    GraftTable.create(spark, locB, "id bigint, status string, total double")
+      .append(idsDf((1L, "A", 10.0), (2L, "B", 20.0)))
+    assert(graft.ops.Interop.runExtWriterOps(Seq(
+      graft.ops.Interop.extAppendArgs(locB, ext),
+      graft.ops.Interop.extDeleteArgs(locB, "id", Seq(2L, 12L)),
+      graft.ops.Interop.extDeleteEqArgs(locB, "status", Seq("A")))) == 0)
+    val (va, rowsA) = state(locA)
+    val (vb, rowsB) = state(locB)
+    assert(vb == va, s"batch must publish one version per op ($vb vs $va)")
+    // the eq-delete (seq 4) kills BOTH 'A' rows — seed row 1 and the
+    // batch-appended row 11 (data seq 2 < delete seq 4)
+    assert(rowsA == Set((10L, "C", 100.0)))
+    assert(rowsB == rowsA, "batch-committed state must equal per-process state")
+    // a failing op mid-batch aborts the batch with a nonzero exit and
+    // leaves the ops before it committed, after it uncommitted — the
+    // same observable sequence as separate processes stopping at the
+    // first failure
+    val vPre = Meta.currentVersion(locB).get
+    val rc = graft.ops.Interop.runExtWriterOps(Seq(
+      graft.ops.Interop.extAppendArgs(locB, Seq((20L, "D", 200.0))),
+      graft.ops.Interop.extAppendArgs(locB, Seq((21L, "E", 210.0)), pin = Some(1))))
+    assert(rc != 0, "a CAS-losing op mid-batch must fail the batch")
+    assert(Meta.currentVersion(locB).get == vPre + 1,
+      "ops before the failing one stay committed; nothing after it lands")
+  }
+
   test("external python writer on a BRANCH: isolation, refusals, CAS race across branches") {
     import spark.implicits._
     def idsDf(rows: (Long, String, Double)*) = rows.toDF("id", "status", "total")
