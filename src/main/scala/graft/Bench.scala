@@ -415,7 +415,11 @@ object Bench {
       val t0 = System.nanoTime()
       spark.range(0L, 2000000L, 1L, 8)
         .selectExpr("id", "id * 7 as v")
-        .write.mode("overwrite").parquet(s"$dir/p")
+        // the committed io floor was measured with snappy data files;
+        // the round-16 zstd session default must not move the CANARY —
+        // the instrument keeps its floor-era codec explicitly
+        .write.mode("overwrite").option("compression", "snappy")
+        .parquet(s"$dir/p")
       spark.read.parquet(s"$dir/p").count()
       val secs = (System.nanoTime() - t0) / 1e9
       val walk = java.nio.file.Files.walk(dir)

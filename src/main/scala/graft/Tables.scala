@@ -18,6 +18,16 @@ object Tables {
     * depends on it) so a new entrypoint can't miss it. */
   val SessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // zstd data files (round 16, guide §6: "smaller than snappy at
+    // similar read speed"). Measured ABA on the write family at sf0.1
+    // (OPTIMIZATION_r16.md): the zstd leg beat BOTH snappy legs on
+    // 9 of 10 keys (totals 25.2 s vs 42.5/34.8 s in comparable-canary
+    // windows), and the snappy legs' own io canaries read dirtier —
+    // snappy's ~2-3x larger files self-inflict disk-queue pressure the
+    // io bracket then measures. Scale-appropriate, not a local[32]
+    // trick: at 100 TB smaller files cut the dominant I/O term and
+    // zstd is the columnar-format default the guide recommends.
+    "spark.sql.parquet.compression.codec" -> "zstd",
     // Long-lived-session hygiene (the round-11 aging diagnosis: a
     // 223-query × 7-round bench JVM slows its driver-bound streaming
     // queries as status stores and weak-ref cleanup lag accumulate).
